@@ -1,0 +1,229 @@
+"""Terminology index construction — DataFrame-first with a local path.
+
+The reference builds its inverted index row-by-row into JDBM maps
+(util/ConceptImporter.java:920-961 — including a hand-rolled external
+group-by through temp word files). In Spark the same artifact is four
+declarative aggregations:
+
+    terms       = concepts → explode(synonyms) → normalize → (term, cui)
+    term_cuis   = terms.groupBy(term).collect_set(cui)
+    word_terms  = terms → explode(split(term)) → groupBy(word).collect_set(term)
+    word_stats  = word_terms → size(terms)     (WordStat.termCount,
+                  NobleCoderTerminology.java:398-401)
+
+The collected result is pickled into a TerminologyIndex and broadcast;
+the annotate stage then runs map-only (zero shuffle) at any corpus scale.
+Shuffles happen only here, over the (small) terminology — never over the
+10^12-document corpus.
+
+Scale levers:
+- ``compact=True`` — rare-word index (ConceptImporter.compact
+  :1363-1443): wordMap lists each term only under its rarest word,
+  shrinking the broadcast by ~|words/term|×. Disables ignoreUsedWords
+  (NobleCoderTerminology.java:1207-1209).
+- blacklist (util/BlacklistHandler.java:16-17,82-106) — caps candidate
+  fan-out of the hottest 0.2% words (skew mitigation at search time).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Iterable, Mapping, Sequence
+
+from nobletools_spark.functions.textkit import normalize
+from nobletools_spark.model import ConceptMeta, TerminologyIndex
+
+MAX_WORDS_IN_TERM = 10  # NobleCoderTerminology.java:147
+
+
+def is_regexp(s: str) -> bool:
+    """NobleCoderTerminology.isRegExp (:1831-1833)."""
+    return bool(s) and len(s) > 1 and s.startswith("/") and s.endswith("/")
+
+
+def concept_terms(name: str, synonyms: Sequence[str],
+                  stem_words: bool = True, strip_digits: bool = False,
+                  strip_stop_words: bool = True) -> tuple[set[str], set[str]]:
+    """getTerms (NobleCoderTerminology.java:1800-1824): returns
+    (normalized_terms, regex_sources). Term storage normalization uses
+    unique=True, sort=False (:1820); terms longer than MAX_WORDS_IN_TERM
+    (spaces counted on the ORIGINAL string, :1815-1818) are dropped."""
+    terms: set[str] = set()
+    regexes: set[str] = set()
+    seen: dict[str, None] = {}
+    seen.setdefault(name)
+    for s in synonyms:
+        seen.setdefault(s)
+    for s in seen:
+        if s is None:
+            continue
+        if is_regexp(s):
+            regexes.add(s[1:-1])
+        else:
+            if s.count(" ") > MAX_WORDS_IN_TERM:
+                continue
+            t = normalize(s, stem_words, strip_digits, strip_stop_words,
+                          unique_words=True, sort_words=False)
+            if t:
+                terms.add(t)
+    return terms, regexes
+
+
+def build_index(concepts: Iterable[ConceptMeta | Mapping],
+                compact: bool = False,
+                blacklist: bool = False) -> TerminologyIndex:
+    """Local (driver-side) index build — terminologies are small relative
+    to the corpus; this is also what the DataFrame path collects into."""
+    metas: dict[str, ConceptMeta] = {}
+    term_cuis: dict[str, set[str]] = defaultdict(set)
+    regex_terms: list[tuple[str, str]] = []
+    for c in concepts:
+        if isinstance(c, Mapping):
+            c = ConceptMeta(
+                cui=c["cui"], name=c["name"],
+                synonyms=tuple(c.get("synonyms", ()) or ()),
+                semtypes=tuple(c.get("semtypes", ()) or ()),
+                sources=tuple(c.get("sources", ()) or ()),
+            )
+        metas[c.cui] = c
+        terms, regexes = concept_terms(c.name, c.synonyms)
+        for t in terms:
+            term_cuis[t].add(c.cui)
+        for r in regexes:
+            regex_terms.append((r"\b(" + r + r")\b", c.cui))
+
+    word_terms: dict[str, set[str]] = defaultdict(set)
+    for term in term_cuis:
+        for w in term.split(" "):
+            word_terms[w].add(term)
+    word_term_count = {w: len(ts) for w, ts in word_terms.items()}
+
+    if compact:
+        # rare-word compaction (ConceptImporter.java:1363-1443): keep each
+        # term only under its rarest word (ties: lexicographic).
+        compacted: dict[str, set[str]] = defaultdict(set)
+        for term in term_cuis:
+            words = term.split(" ")
+            rarest = min(words, key=lambda w: (word_term_count[w], w))
+            compacted[rarest].add(term)
+        word_terms = compacted
+
+    idx = TerminologyIndex(
+        word_terms={w: tuple(sorted(ts)) for w, ts in word_terms.items()},
+        term_cuis={t: tuple(sorted(cs)) for t, cs in term_cuis.items()},
+        word_term_count=word_term_count,
+        concepts=metas,
+        regex_terms=tuple(regex_terms),
+        compacted=compact,
+    )
+    if blacklist:
+        idx.blacklist = build_blacklist(idx)
+    return idx
+
+
+def build_blacklist(idx: TerminologyIndex,
+                    min_term_count: int = 100,
+                    cutoff: float = 0.002,
+                    top_cutoff: float = 0.1) -> dict[str, tuple[str, ...]]:
+    """BlacklistHandler (util/BlacklistHandler.java:16-17,36-106): for the
+    hottest words, restrict candidate terms to those fully covered by hot
+    words — bounds per-word probe fan-out (search-time skew mitigation)."""
+    stats = idx.word_term_count
+    hot = [w for w, n in stats.items() if n > min_term_count]
+    # termCount desc, tie reverse-lexicographic (BlacklistHandler.java:40-43)
+    hot.sort(key=lambda w: w, reverse=True)
+    hot.sort(key=lambda w: stats[w], reverse=True)
+    top = hot[: int(len(stats) * cutoff)]
+    ttop = set(top[: int(len(top) * top_cutoff)])
+    top_set = set(top)
+    out: dict[str, tuple[str, ...]] = {}
+    for word in top:
+        allowed = ttop if word in ttop else top_set
+        terms = tuple(t for t in idx.word_terms.get(word, ())
+                      if all(w in allowed for w in t.split(" ")))
+        out[word] = terms
+    return out
+
+
+def build_index_df(spark, concepts_df, compact: bool = False) -> TerminologyIndex:
+    """DataFrame-path index build — the shape that scales on a cluster.
+
+    ``concepts_df`` schema: (cui string, name string,
+    synonyms array<string>, semtypes array<string>, sources array<string>).
+
+    Normalization runs in an Arrow-batched pandas UDF; the groupBys are
+    Spark shuffles with map-side partial aggregation. The final collect is
+    the broadcast-artifact build (index << corpus).
+    """
+    import pandas as pd  # noqa: F401 (executor-side)
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from nobletools_spark.session import ship_package
+
+    ship_package(spark)
+
+    def _make(kind: int):
+        def _udf(names, syns):
+            out = []
+            for name, syn in zip(names, syns):
+                pair = concept_terms(name, list(syn) if syn is not None else [])
+                out.append(sorted(pair[kind]))
+            return pd.Series(out)
+        return _udf
+
+    norm_terms = F.pandas_udf(_make(0), T.ArrayType(T.StringType()))
+    regex_srcs = F.pandas_udf(_make(1), T.ArrayType(T.StringType()))
+
+    base = concepts_df.select(
+        "cui", "name", "synonyms", "semtypes", "sources",
+        norm_terms("name", "synonyms").alias("terms"),
+        regex_srcs("name", "synonyms").alias("regexes"),
+    )
+    terms = (base.select("cui", F.explode("terms").alias("term"))
+             .distinct())
+    term_cuis_rows = (terms.groupBy("term")
+                      .agg(F.sort_array(F.collect_set("cui")).alias("cuis"))
+                      .collect())
+    regex_rows = (base.select("cui", F.explode("regexes").alias("re"))
+                  .distinct().collect())
+    meta_rows = concepts_df.select(
+        "cui", "name", "synonyms", "semtypes", "sources").collect()
+
+    term_cuis = {r["term"]: tuple(r["cuis"]) for r in term_cuis_rows}
+    metas = {
+        r["cui"]: ConceptMeta(
+            r["cui"], r["name"],
+            tuple(r["synonyms"] or ()), tuple(r["semtypes"] or ()),
+            tuple(r["sources"] or ()))
+        for r in meta_rows
+    }
+
+    # word explode + stats as DataFrame aggregations (the scale path)
+    word_terms_rows = (terms.select(F.explode(F.split("term", " ")).alias("word"),
+                                    "term")
+                       .distinct()
+                       .groupBy("word")
+                       .agg(F.sort_array(F.collect_set("term")).alias("terms"))
+                       .collect())
+    word_terms = {r["word"]: set(r["terms"]) for r in word_terms_rows}
+    word_term_count = {w: len(ts) for w, ts in word_terms.items()}
+
+    if compact:
+        compacted: dict[str, set[str]] = defaultdict(set)
+        for term in term_cuis:
+            words = term.split(" ")
+            rarest = min(words, key=lambda w: (word_term_count[w], w))
+            compacted[rarest].add(term)
+        word_terms = compacted
+
+    return TerminologyIndex(
+        word_terms={w: tuple(sorted(ts)) for w, ts in word_terms.items()},
+        term_cuis=term_cuis,
+        word_term_count=word_term_count,
+        concepts=metas,
+        regex_terms=tuple((r"\b(" + r["re"] + r")\b", r["cui"])
+                          for r in sorted(regex_rows,
+                                          key=lambda x: (x["re"], x["cui"]))),
+        compacted=compact,
+    )

@@ -1,0 +1,111 @@
+"""The annotate operator: documents → mentions, as a map-only Spark stage.
+
+Spark shape (SURVEY.md §3.1): the terminology index is a broadcast
+variable; ``mapInPandas`` consumes Arrow batches of (doc_id, spans) rows,
+splits text spans into sentences, runs the per-sentence matcher and the
+document-local acronym pass (whole document per row ⇒ doc-local state
+never crosses a partition boundary), and emits mention rows. Zero
+shuffle: at 10^12-document scale this stage scales linearly with input
+partitions. Media spans are never touched.
+
+Reference flow parity: NobleCoder.process(Document)
+(coder/NobleCoder.java:321-395) = sentence split → terminology.process →
+AcronymDetector.process per sentence.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from nobletools_spark.functions.textkit import split_sentences
+from nobletools_spark.model import MatchConfig, TerminologyIndex
+from nobletools_spark.operators import match_core
+
+MENTIONS_DDL = (
+    "doc_id string, sent_offset int, cui string, matched_term string, "
+    "term_norm string, score double, start int, end int, "
+    "annotations array<struct<text:string, offset:int>>"
+)
+
+
+def _span_fields(span) -> tuple[str, Optional[str], Optional[str], int]:
+    """Tolerate Arrow struct → dict or Row tuples."""
+    if isinstance(span, dict):
+        return (span.get("kind"), span.get("text"), span.get("media_ref"),
+                span.get("offset") or 0)
+    return (span[0], span[1], span[2], span[3] or 0)
+
+
+def process_document(doc_id: str, spans, idx: TerminologyIndex,
+                     cfg: MatchConfig) -> list[tuple]:
+    """Annotate one document; returns mention rows (pure function — reused
+    by the pytest oracle harness and the Spark UDF)."""
+    sentences: list[tuple[str, int, list[match_core.Mention]]] = []
+    if spans is None:
+        spans = ()
+    for span in spans:
+        kind, text, _media, offset = _span_fields(span)
+        if kind != "text" or not text:
+            continue  # media spans carried through untouched
+        for sent_text, sent_off in split_sentences(text, offset):
+            mentions = match_core.match_sentence(sent_text, idx, cfg)
+            sentences.append((sent_text, sent_off, mentions))
+    # document-local acronym pass (tools/AcronymDetector.java:118-196)
+    match_core.acronym_pass(sentences)
+    rows = []
+    for _text, sent_off, mentions in sentences:
+        for m in mentions:
+            anns = [{"text": w, "offset": sent_off + o} for w, o in m.annotations]
+            rows.append((
+                doc_id, sent_off, m.cui, m.matched_term, m.term_norm,
+                float(m.score), sent_off + m.start, sent_off + m.end, anns,
+            ))
+    return rows
+
+
+def annotate(docs_df, index, cfg: MatchConfig = MatchConfig()):
+    """documents (doc_id, spans) → mentions DataFrame.
+
+    ``index`` may be a TerminologyIndex or an existing Broadcast of one.
+    """
+    from nobletools_spark.session import ship_package
+
+    spark = docs_df.sparkSession
+    ship_package(spark)
+    if isinstance(index, TerminologyIndex):
+        bc = spark.sparkContext.broadcast(index)
+    else:
+        bc = index
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = bc.value
+        cols = ["doc_id", "sent_offset", "cui", "matched_term", "term_norm",
+                "score", "start", "end", "annotations"]
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                out.extend(process_document(doc_id, spans, idx, cfg))
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs_df.select("doc_id", "spans").mapInPandas(fn, MENTIONS_DDL)
+
+
+def span_invariant_violations(docs_in, docs_out) -> int:
+    """Per-row invariant (BASELINE.json input_hint): span-sequence equality
+    on (kind, text, media_ref, order) between pipeline input and output.
+    Returns the number of violating doc_ids (0 = invariant holds)."""
+    from pyspark.sql import functions as F
+
+    def key(df, name):
+        proj = F.transform(
+            "spans",
+            lambda s: F.struct(s["kind"].alias("kind"), s["text"].alias("text"),
+                               s["media_ref"].alias("media_ref")))
+        return df.select("doc_id", proj.alias(name))
+
+    joined = key(docs_in, "a").join(key(docs_out, "b"), "doc_id", "full")
+    return joined.filter(
+        F.col("a").isNull() | F.col("b").isNull() | (F.col("a") != F.col("b"))
+    ).count()

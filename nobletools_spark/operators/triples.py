@@ -1,0 +1,134 @@
+"""Triple materialization: (subj, pred, obj) tables from mentions and the
+terminology graph (SURVEY.md §1.3).
+
+Predicates:
+- mentions-concept   — from the mentions table (CSVExporter.java:108 rows)
+- isa                — BROADER edges + transitive closure
+                       (PathHelper.findAncestors util/PathHelper.java:384-413,
+                       depth cap 7 per :28)
+- has-semantic-type  — MRSTY rows (ConceptImporter.java:1056-1067)
+- co-occurs-with     — same-document concept pairs
+                       (Document.getConcepts coder/model/Document.java:87-93)
+
+Scale notes: the co-occurrence aggregation is the one corpus-sized
+shuffle in the pipeline; hot concepts (Zipf skew) are handled by an
+explicit two-phase salted aggregation (partial per (pair, salt), final
+over pair) plus AQE skew handling. The isa closure shuffles only the
+terminology-sized edge table (bounded ≤7 self-joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PATH_DEPTH_LIMIT = 7  # util/PathHelper.java:28
+
+
+def mention_triples(mentions_df: DataFrame) -> DataFrame:
+    """One triple per distinct (doc, cui): doc mentions-concept CUI."""
+    return (mentions_df
+            .select(F.col("doc_id").alias("subj"),
+                    F.lit("mentions-concept").alias("pred"),
+                    F.col("cui").alias("obj"),
+                    "doc_id")
+            .distinct())
+
+
+def semtype_triples(semtypes_df: DataFrame) -> DataFrame:
+    """semtypes_df: (cui, tui[, sty]) → (cui, has-semantic-type, tui)."""
+    return (semtypes_df
+            .select(F.col("cui").alias("subj"),
+                    F.lit("has-semantic-type").alias("pred"),
+                    F.col("tui").alias("obj"))
+            .distinct())
+
+
+def isa_triples(edges_df: DataFrame) -> DataFrame:
+    """edges_df: (cui, parent) direct BROADER edges → isa triples."""
+    return (edges_df
+            .select(F.col("cui").alias("subj"), F.lit("isa").alias("pred"),
+                    F.col("parent").alias("obj"))
+            .distinct())
+
+
+def ancestors(edges_df: DataFrame,
+              max_depth: int = PATH_DEPTH_LIMIT) -> DataFrame:
+    """Transitive isa closure with min BFS depth:
+    (cui, ancestor, depth). Bounded iterative self-join (≤ max_depth
+    rounds, PathHelper depth cap); cycle-safe because each round only
+    keeps strictly new (cui, ancestor) pairs, so A→B→A terminates.
+
+    The edge table is terminology-sized (≪ corpus), so each round is a
+    small broadcast-able join; localCheckpoint truncates the growing
+    lineage so the plan doesn't deepen exponentially.
+    """
+    edges = edges_df.select(F.col("cui"), F.col("parent")).distinct()
+    closure = (edges
+               .filter(F.col("cui") != F.col("parent"))
+               .select("cui", F.col("parent").alias("ancestor"),
+                       F.lit(1).alias("depth")))
+    frontier = closure
+    for _ in range(1, max_depth):
+        step = (frontier.alias("f")
+                .join(edges.alias("e"), F.col("f.ancestor") == F.col("e.cui"))
+                .select(F.col("f.cui").alias("cui"),
+                        F.col("e.parent").alias("ancestor"),
+                        (F.col("f.depth") + 1).alias("depth"))
+                .filter(F.col("cui") != F.col("ancestor")))
+        # keep only pairs not already in the closure (anti-join = new paths)
+        new = (step.join(closure.select("cui", "ancestor"),
+                         ["cui", "ancestor"], "left_anti")
+               .groupBy("cui", "ancestor").agg(F.min("depth").alias("depth")))
+        new = new.localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        closure = closure.unionByName(new)
+        frontier = new
+    return closure.groupBy("cui", "ancestor").agg(F.min("depth").alias("depth"))
+
+
+def isa_closure_triples(edges_df: DataFrame,
+                        max_depth: int = PATH_DEPTH_LIMIT) -> DataFrame:
+    return (ancestors(edges_df, max_depth)
+            .select(F.col("cui").alias("subj"), F.lit("isa").alias("pred"),
+                    F.col("ancestor").alias("obj"), "depth"))
+
+
+def cooccurrence_triples(mentions_df: DataFrame,
+                         salt_buckets: int = 0) -> DataFrame:
+    """Same-document co-mention pairs with document counts:
+    (cui_a, 'co-occurs-with', cui_b, n_docs), cui_a < cui_b.
+
+    The per-document concept set is tiny, so the pair explosion happens
+    inside a doc-local self-join keyed on doc_id. The pair-count
+    aggregation is the corpus-scale shuffle: with ``salt_buckets`` > 0 an
+    explicit two-phase aggregation spreads hot pairs (Zipf-skewed
+    concepts) across ``salt_buckets`` partial keys before the final sum —
+    the blacklist analog for co-occurrence (SURVEY.md §4).
+    """
+    dc = mentions_df.select("doc_id", "cui").distinct()
+    pairs = (dc.alias("a").join(dc.alias("b"), "doc_id")
+             .filter(F.col("a.cui") < F.col("b.cui"))
+             .select("doc_id", F.col("a.cui").alias("cui_a"),
+                     F.col("b.cui").alias("cui_b")))
+    if salt_buckets > 0:
+        partial = (pairs
+                   .withColumn("salt", F.pmod(F.xxhash64("doc_id"),
+                                              F.lit(salt_buckets)))
+                   .groupBy("cui_a", "cui_b", "salt")
+                   .agg(F.count("*").alias("partial_n")))
+        counts = (partial.groupBy("cui_a", "cui_b")
+                  .agg(F.sum("partial_n").alias("n_docs")))
+    else:
+        counts = pairs.groupBy("cui_a", "cui_b").agg(F.count("*").alias("n_docs"))
+    return counts.select(
+        F.col("cui_a").alias("subj"), F.lit("co-occurs-with").alias("pred"),
+        F.col("cui_b").alias("obj"), F.col("n_docs").cast("long").alias("n_docs"))
+
+
+def write_triples(df: DataFrame, path: str, fmt: str = "parquet",
+                  mode: str = "overwrite") -> None:
+    """Partitioned triple sink. On a cluster this is an Iceberg table
+    (writeTo(...).append() partitioned by pred + bucket(subj)); in this
+    sandbox the same layout as parquet partitionBy(pred)."""
+    df.write.mode(mode).partitionBy("pred").format(fmt).save(path)

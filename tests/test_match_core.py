@@ -1,0 +1,187 @@
+"""Matcher golden tests (SURVEY.md §5.2 item 2): hand-computed expected
+mentions over the adversarial pytest terminology, exercising each flag
+combo of setupSearch (NobleCoderTerminology.java:1168-1211) plus scoring,
+subsumption, gaps, regex synonyms, acronym doc-pass, plural/diacritic and
+case traps (seed strings from the reference's own main() drivers)."""
+
+import pytest
+
+from nobletools_spark.index import build_index
+from nobletools_spark.model import MatchConfig
+from nobletools_spark.operators.match_core import acronym_pass, match_sentence
+from nobletools_spark.sources.fixtures import pytest_index
+
+IDX = pytest_index()
+
+
+def cuis(mentions):
+    return sorted(m.cui for m in mentions)
+
+
+def match(text, **cfg_kw):
+    return match_sentence(text, IDX, MatchConfig(**cfg_kw))
+
+
+def test_best_match_subsumption():
+    # 'deep margin' subsumes 'deep' and 'margin'
+    # (NobleCoderTerminology.java:138 doc comment example)
+    ms = match("The deep margin is clear.")
+    assert cuis(ms) == ["C001"]
+    m = ms[0]
+    assert m.matched_term == "deep margin"
+    assert [a[0] for a in m.annotations] == ["deep", "margin"]
+    # offsets are sentence-relative positions of the original words
+    assert m.annotations[0][1] == 4 and m.annotations[1][1] == 9
+
+
+def test_all_match_keeps_subsumed():
+    ms = match("The deep margin is clear.", search_method="all-match")
+    assert cuis(ms) == ["C001", "C002", "C003"]
+
+
+def test_case_trap_acronym_scoring():
+    # FISH (method) vs fish (animal) — reference main commented cases
+    # (NobleCoderTerminology.java:2509-2532)
+    ms = match("FISH was performed.")
+    assert cuis(ms) == ["C005"]
+    ms = match("They caught fish.")
+    assert cuis(ms) == ["C006"]
+
+
+def test_word_gap_allows_one_intervening_word():
+    # best-match: contiguous with maxWordGap=1
+    ms = match("skin deep margin")
+    assert cuis(ms) == ["C001", "C012"]
+    # two intervening words -> no skin-margin match
+    ms = match("skin very deep excised margin")
+    assert "C012" not in cuis(ms)
+
+
+def test_precise_match_requires_order_and_adjacency():
+    # unordered text matches best-match but not precise-match
+    ms_best = match("margin skin sample")
+    assert "C012" in cuis(ms_best)
+    ms_precise = match("margin skin sample", search_method="precise-match")
+    assert "C012" not in cuis(ms_precise)
+    # ordered adjacent matches precise-match
+    ms = match("skin margin sample", search_method="precise-match")
+    assert "C012" in cuis(ms)
+
+
+def test_stopword_inside_term():
+    # 'Septum of Nose' normalizes to 'septum nose'; stopword 'of' in text
+    # is stripped, closing the gap
+    ms = match("The septum of nose deviates to the left.")
+    assert "C004" in cuis(ms)
+
+
+def test_regex_synonym():
+    ms = match("Pathologic stage iv present.")
+    assert cuis(ms) == ["C008"]
+    assert ms[0].score == 1.0
+    assert ms[0].annotations[0] == ("stage iv", 11)
+    # case-insensitive
+    assert "C008" in cuis(match("Pathologic Stage IV present."))
+
+
+def test_plural_and_diacritics():
+    ms = match("Two churches were seen.")
+    assert cuis(ms) == ["C010"]
+    assert ms[0].matched_term == "churches"
+    ms = match("The Protégé software crashed.")
+    assert cuis(ms) == ["C011"]
+
+
+def test_nasal_septum_from_reference_main():
+    ms = match("The nasal septum deviates to the left.")
+    assert cuis(ms) == ["C004"]
+    assert ms[0].matched_term == "nasal septum"
+
+
+def test_melanoma_subsumption_bonus_and_best_candidate():
+    # 'malignant melanoma' (2 words) subsumes 'melanoma' term; both map to
+    # C013; subsumption sweep keeps only the longer term
+    ms = match("Findings consistent with malignant melanoma.")
+    assert cuis(ms) == ["C013"]
+    assert ms[0].term_norm == "malign melanoma"
+
+
+def test_acronym_doc_pass_propagates():
+    cfg = MatchConfig()
+    s1 = "World Health Organization (WHO) announced new rules."
+    s2 = "WHO raised concerns."
+    sents = [(s1, 0, match_sentence(s1, IDX, cfg)),
+             (s2, 100, match_sentence(s2, IDX, cfg))]
+    assert cuis(sents[0][2]) == ["C009"]
+    assert sents[1][2] == []  # 'WHO' alone is not a dictionary term
+    acr = acronym_pass(sents)
+    assert acr == {"WHO": "C009"}
+    # acronym annotation added to the defining mention
+    assert ("WHO", s1.find("WHO")) in sents[0][2][0].annotations
+    # later bare 'WHO' becomes a C009 mention
+    assert cuis(sents[1][2]) == ["C009"]
+    assert sents[1][2][0].annotations == [("WHO", 0)]
+
+
+def test_mention_rechunk_on_repeated_term():
+    # same concept twice in one sentence -> two mentions
+    # (Mention.getMentions coder/model/Mention.java:117-179)
+    ms = match("fish and more fish today")
+    assert cuis(ms) == ["C006", "C006"]
+    starts = sorted(m.start for m in ms)
+    assert starts == [0, 14]
+
+
+def test_ignore_used_words_greedy():
+    # margin consumed by 'deep margin' via rarest-first greedy; the bare
+    # 'margin' term is not separately emitted in best-match
+    ms = match("deep margin and another margin")
+    by_cui = {m.cui for m in ms}
+    assert "C001" in by_cui
+    # C003 'margin' is subsumed (global sweep) even though margin repeats
+    assert "C003" not in by_cui
+
+
+def test_all_match_no_used_words():
+    ms = match("deep margin and another margin", search_method="all-match")
+    assert {m.cui for m in ms} == {"C001", "C002", "C003"}
+
+
+def test_partial_match():
+    # 'nasal septum' at 50% threshold: one of two words present
+    ms = match("the septum only", search_method="partial-match")
+    assert "C004" in cuis(ms)
+
+
+def test_compacted_index_same_results():
+    idx_c = pytest_index(compact=True)
+    for text in ["The deep margin is clear.", "skin deep margin",
+                 "Findings consistent with malignant melanoma.",
+                 "The nasal septum deviates to the left."]:
+        a = sorted((m.cui, m.term_norm) for m in match(text))
+        b = sorted((m.cui, m.term_norm)
+                   for m in match_sentence(text, idx_c, MatchConfig()))
+        assert a == b, text
+
+
+def test_scoring_positive_filter():
+    # a mention whose every candidate scores < 0 is dropped entirely:
+    # C005 FISH on lowercase non-abbrev context loses; C006 wins instead
+    ms = match("They caught fish.", select_best_candidate=False)
+    assert "C005" not in cuis(ms) and "C006" in cuis(ms)
+
+
+def test_empty_and_unknown():
+    assert match("") == []
+    assert match("nothing matches here at all") == []
+
+
+def test_index_stats():
+    st = IDX.stats()
+    assert st["concept_count"] == len(pytest_index().concepts)
+    assert st["term_count"] > 10
+    assert st["max_terms_per_word"] >= 2  # 'margin' in 3 terms
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])

@@ -1,0 +1,134 @@
+"""Spark-side tests: annotate operator (mapInPandas plumbing), triple
+materialization, DataFrame index build equivalence, span invariant, and
+the e2e engine-vs-oracle agreement gate (SURVEY.md §5.2 items 3-4)."""
+
+import pytest
+
+from nobletools_spark.index import build_index, build_index_df
+from nobletools_spark.model import MatchConfig
+from nobletools_spark.operators.matcher import (
+    annotate,
+    process_document,
+    span_invariant_violations,
+)
+from nobletools_spark.operators.triples import (
+    ancestors,
+    cooccurrence_triples,
+    isa_triples,
+    mention_triples,
+    semtype_triples,
+)
+from nobletools_spark.sources.fixtures import (
+    PYTEST_CONCEPTS,
+    PYTEST_ISA_EDGES,
+    SPANS_DDL,
+    pytest_index,
+    synthetic_corpus,
+    synthetic_corpus_df,
+)
+
+CFG = MatchConfig()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synthetic_corpus_df(spark, 200, seed=42).cache()
+
+
+@pytest.fixture(scope="module")
+def mentions(spark, corpus):
+    return annotate(corpus, pytest_index(), CFG).cache()
+
+
+def test_annotate_matches_local_oracle(spark, corpus, mentions):
+    """E2E P/R gate: Spark pipeline output must agree with the local
+    literal implementation run on the same rows (target 1.0)."""
+    idx = pytest_index()
+    local = []
+    for doc_id, spans in synthetic_corpus(200, seed=42):
+        local.extend(process_document(doc_id, spans, idx, CFG))
+    got = {(r.doc_id, r.sent_offset, r.cui, r.matched_term, r.start, r.end)
+           for r in mentions.collect()}
+    want = {(r[0], r[1], r[2], r[3], r[6], r[7]) for r in local}
+    missing = want - got
+    extra = got - want
+    assert not missing and not extra, (len(missing), len(extra))
+    assert len(got) > 100  # corpus actually contains plants
+
+
+def test_media_spans_untouched(spark, corpus):
+    out = corpus.select("doc_id", "spans")  # pipeline never mutates docs
+    assert span_invariant_violations(corpus, out) == 0
+    # negative control: a mutated copy is detected
+    from pyspark.sql import functions as F
+    broken = corpus.withColumn(
+        "spans",
+        F.when(F.col("doc_id") == "doc-000000",
+               F.slice("spans", 1, 0)).otherwise(F.col("spans")))
+    assert span_invariant_violations(corpus, broken) == 1
+
+
+def test_mention_triples_shape(spark, mentions):
+    t = mention_triples(mentions)
+    rows = t.collect()
+    assert rows and all(r.pred == "mentions-concept" for r in rows)
+    assert t.columns == ["subj", "pred", "obj", "doc_id"]
+    # distinct per (doc, cui)
+    assert t.count() == t.select("subj", "obj").distinct().count()
+
+
+def test_ancestors_closure(spark):
+    edges = spark.createDataFrame(
+        [(c, p) for c, p in PYTEST_ISA_EDGES], "cui string, parent string")
+    anc = {(r.cui, r.ancestor): r.depth for r in ancestors(edges).collect()}
+    # direct edge
+    assert anc[("C013", "C014")] == 1
+    # transitive with min depth
+    assert anc[("C013", "C015")] == 2
+    # diamond: C012 reaches C015 via two paths at depth 2
+    assert anc[("C012", "C015")] == 2
+    # cycle A<->B terminates and yields both directions at depth 1
+    assert anc[("C018", "C019")] == 1 and anc[("C019", "C018")] == 1
+    # no self-ancestors
+    assert all(c != a for c, a in anc)
+
+
+def test_cooccurrence_salted_equals_plain(spark, mentions):
+    plain = {(r.subj, r.obj): r.n_docs
+             for r in cooccurrence_triples(mentions, 0).collect()}
+    salted = {(r.subj, r.obj): r.n_docs
+              for r in cooccurrence_triples(mentions, 8).collect()}
+    assert plain == salted and plain
+    # symmetric pairs are canonicalized a<b
+    assert all(a < b for a, b in plain)
+
+
+def test_semtype_triples(spark):
+    st = spark.createDataFrame(
+        [(c["cui"], c["semtypes"][0]) for c in PYTEST_CONCEPTS],
+        "cui string, tui string")
+    rows = semtype_triples(st).collect()
+    assert ("C013", "has-semantic-type", "T191") in [tuple(r) for r in rows]
+
+
+def test_build_index_df_matches_local(spark):
+    df = spark.createDataFrame(
+        [(c["cui"], c["name"], list(c["synonyms"]), list(c["semtypes"]),
+          list(c["sources"])) for c in PYTEST_CONCEPTS],
+        "cui string, name string, synonyms array<string>, "
+        "semtypes array<string>, sources array<string>")
+    a = build_index_df(spark, df)
+    b = build_index(PYTEST_CONCEPTS)
+    assert a.term_cuis == b.term_cuis
+    assert {w: set(t) for w, t in a.word_terms.items()} == \
+           {w: set(t) for w, t in b.word_terms.items()}
+    assert a.word_term_count == b.word_term_count
+    assert set(a.regex_terms) == set(b.regex_terms)
+    assert set(a.concepts) == set(b.concepts)
+
+
+def test_annotate_plan_is_map_only(spark, corpus):
+    """Scale property: the annotate stage must not shuffle."""
+    plan = annotate(corpus, pytest_index(), CFG)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
