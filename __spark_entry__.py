@@ -1,38 +1,523 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family
+(SURVEY.md §2 + the training-data-pipeline extensions); ``oracle_sql()``
+carries an equivalent DuckDB SQL string for each. The two sides share
+deterministic constants (stem map, hyperplanes, hash construction —
+md5-derived 60-bit ints, see nobletools_spark/functions/hashing.py) so
+results match bit-for-bit, including doubles (identical IEEE fold
+order on both sides).
+
+The KG queries run the real pipeline: interleaved (doc_id, spans) table →
+broadcast terminology index → mapInPandas matcher → triple emitters.
+The oracle reproduces the matcher's best-match semantics in SQL, which is
+possible because the builtin fixture terminology
+(nobletools_spark/sources/fixtures.py) uses word-disjoint concepts —
+the order-sensitive greedy interactions are pinned by pytest goldens
+instead (tests/test_match_core.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from nobletools_spark.functions.porter import stem
+from nobletools_spark.functions.textkit import STOP_WORDS
+from nobletools_spark.index import terms_df, word_stats_df
+from nobletools_spark.model import MatchConfig
+from nobletools_spark.operators.canonical import canonical_map
+from nobletools_spark.operators.dedup import (
+    NEAR_DUP_ID_OFFSET,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    embedding_dup_pairs,
+    with_near_duplicates,
+)
+from nobletools_spark.operators.matcher import annotate
+from nobletools_spark.operators.similarity import cosine_topk, hyperplanes, lsh_topk
+from nobletools_spark.operators.textstats import (
+    LANG_STOPWORDS,
+    LANGS,
+    fingerprints,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from nobletools_spark.operators.triples import (
+    cooccurrence_triples,
+    isa_closure_triples,
+    semtype_triples,
+)
+from nobletools_spark.sources.fixtures import (
+    BUILTIN_CONCEPTS,
+    BUILTIN_ISA_EDGES,
+    BUILTIN_PAIR_TERMS,
+    BUILTIN_SEMTYPES,
+    BUILTIN_SINGLE_TERMS,
+    BUILTIN_SYNONYM_EDGES,
+    builtin_index,
+    interleaved_docs,
+)
+
+CFG = MatchConfig()
+PLANES = hyperplanes(n_planes=4, dim=64, seed=7)
+_JACCARD_T = 0.02
+_LSH_JACCARD_T = 0.5
+_EMB_DUP_T = 0.35
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _builtin_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return annotate(interleaved_docs(spark, sf_dir), builtin_index(), CFG)
+
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+def q_kg_mentions(spark, sf_dir):
+    m = _builtin_mentions(spark, sf_dir)
+    return (m.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.lit("mentions-concept").alias("pred"),
+                     F.col("cui").alias("obj"))
+            .distinct())
+
+
+def q_kg_mentions_full(spark, sf_dir):
+    """Full mention rows (offsets, scores, matched terms) — the
+    RESULTS.tsv equivalent (util/CSVExporter.java:92-111). Not
+    SQL-expressible (greedy matcher internals) → rows-only check."""
+    return _builtin_mentions(spark, sf_dir).drop("annotations")
+
+
+def q_kg_doc_concepts(spark, sf_dir):
+    m = _builtin_mentions(spark, sf_dir)
+    return (m.select(F.col("doc_id").cast("long").alias("doc_id"), "cui")
+            .distinct()
+            .groupBy("doc_id")
+            .agg(F.concat_ws(",", F.array_sort(F.collect_set("cui")))
+                 .alias("concepts")))
+
+
+def q_kg_cooccurrence(spark, sf_dir):
+    m = _builtin_mentions(spark, sf_dir) \
+        .withColumn("doc_id", F.col("doc_id").cast("long"))
+    return cooccurrence_triples(m, salt_buckets=8)
+
+
+def q_kg_isa_closure(spark, sf_dir):
+    edges = spark.createDataFrame(list(BUILTIN_ISA_EDGES),
+                                  "cui string, parent string")
+    return (isa_closure_triples(edges)
+            .withColumn("depth", F.col("depth").cast("long")))
+
+
+def q_kg_semtypes(spark, sf_dir):
+    st = spark.createDataFrame(
+        [(c, t) for c, t, _ in BUILTIN_SEMTYPES], "cui string, tui string")
+    return semtype_triples(st)
+
+
+def q_kg_canonical(spark, sf_dir):
+    edges = spark.createDataFrame(list(BUILTIN_SYNONYM_EDGES),
+                                  "a string, b string")
+    return canonical_map(edges)
+
+
+def q_kg_word_stats(spark, sf_dir):
+    cdf = spark.createDataFrame(
+        [(c["cui"], c["name"], list(c["synonyms"]), list(c["semtypes"]),
+          list(c["sources"])) for c in BUILTIN_CONCEPTS],
+        "cui string, name string, synonyms array<string>, "
+        "semtypes array<string>, sources array<string>")
+    return word_stats_df(terms_df(spark, cdf))
+
+
+def q_text_token_stats(spark, sf_dir):
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_text_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_text_fingerprints(spark, sf_dir):
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def q_dedup_exact_bag(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir), by="bag")
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return jaccard_pairs(_docs(spark, sf_dir), n=3,
+                         group_cols=("lang", "source"), threshold=_JACCARD_T)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(with_near_duplicates(_docs(spark, sf_dir)),
+                             threshold=_LSH_JACCARD_T)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_dedup_embedding(spark, sf_dir):
+    return embedding_dup_pairs(_emb(spark, sf_dir), threshold=_EMB_DUP_T)
+
+
+def q_sim_topk(spark, sf_dir):
+    return cosine_topk(_emb(spark, sf_dir), n_queries=10, k=5) \
+        .withColumnRenamed("rank", "rnk")
+
+
+def q_sim_lsh_topk(spark, sf_dir):
+    return lsh_topk(_emb(spark, sf_dir), PLANES, k=3) \
+        .withColumnRenamed("rank", "rnk")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end KG construction at sf0.001 — interleaved docs
+    → broadcast-index matcher → mention triples joined to concept names."""
+    sf_dir = "/root/testdata/sf0.001"
+    triples = q_kg_mentions(spark, sf_dir)
+    names = spark.createDataFrame(
+        [(c["cui"], c["name"]) for c in BUILTIN_CONCEPTS],
+        "cui string, concept_name string")
+    return (triples.join(F.broadcast(names),
+                         triples.obj == names.cui, "left")
+            .select("doc_id", "pred", "obj", "concept_name"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_mentions": q_kg_mentions,
+        "kg_mentions_full": q_kg_mentions_full,
+        "kg_doc_concepts": q_kg_doc_concepts,
+        "kg_cooccurrence": q_kg_cooccurrence,
+        "kg_isa_closure": q_kg_isa_closure,
+        "kg_semtypes": q_kg_semtypes,
+        "kg_canonical": q_kg_canonical,
+        "kg_word_stats": q_kg_word_stats,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprints": q_text_fingerprints,
+        "dedup_exact_bag": q_dedup_exact_bag,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "sim_topk": q_sim_topk,
+        "sim_lsh_topk": q_sim_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL — generated from the same deterministic constants
+# ---------------------------------------------------------------------------
+
+_SQL_H64 = "(('0x' || substring(md5({x}), 1, 15))::UBIGINT)::BIGINT"
+
+# every surface word that can appear in documents.text or the builtin
+# terminology; only words whose Porter stem differs need a rewrite rule
+_ORACLE_WORDS = (
+    "a agg batch big column customer data dup fast filter group hash join "
+    "key line merge order part query row scan slow small sort spark stream "
+    "table the value vector window engine entity type").split()
+
+
+def _norm_chain(expr: str) -> str:
+    """SQL chain reproducing normalize_words on the testdata vocabulary:
+    lowercase → drop stop words → per-word Porter stems → collapse spaces,
+    padded with single spaces for token-boundary LIKE/regex matching."""
+    out = f"lower({expr})"
+    stops = "|".join(sorted(STOP_WORDS))
+    out = f"regexp_replace({out}, '\\b({stops})\\b', ' ', 'g')"
+    for w in _ORACLE_WORDS:
+        s = stem(w)
+        if s != w and w not in STOP_WORDS:
+            out = f"regexp_replace({out}, '\\b{w}\\b', '{s}', 'g')"
+    return f"' ' || trim(regexp_replace({out}, ' +', ' ', 'g')) || ' '"
+
+
+def _mentions_cte() -> str:
+    branches = []
+    for word, cui in BUILTIN_SINGLE_TERMS:
+        branches.append(
+            f"SELECT doc_id::BIGINT AS doc_id, '{cui}' AS cui FROM norm "
+            f"WHERE t LIKE '% {word} %'")
+    for w1, w2, cui in BUILTIN_PAIR_TERMS:
+        # best-match contiguity: both words within a 3-normalized-word
+        # window, any order (maxWordGap=1, ordered=False)
+        p1 = f" {w1}( [a-z0-9]+)? {w2} "
+        p2 = f" {w2}( [a-z0-9]+)? {w1} "
+        branches.append(
+            f"SELECT doc_id::BIGINT AS doc_id, '{cui}' AS cui FROM norm "
+            f"WHERE regexp_matches(t, '{p1}') OR regexp_matches(t, '{p2}')")
+    union = " UNION ALL ".join(branches)
+    return (f"WITH norm AS (SELECT doc_id, {_norm_chain('text')} AS t "
+            f"FROM documents), m AS ({union})")
+
+
+def _values(rows, cols) -> str:
+    vals = ", ".join("(" + ", ".join(f"'{v}'" for v in r) + ")" for r in rows)
+    return f"(VALUES {vals}) AS v({', '.join(cols)})"
+
+
+def _shingle_sql(tok_expr: str) -> str:
+    return (f"CASE WHEN len({tok_expr}) >= 3 THEN list_distinct("
+            f"list_transform(generate_series(1, len({tok_expr}) - 2), "
+            f"i -> array_to_string({tok_expr}[i:i+2], ' '))) "
+            f"ELSE [array_to_string({tok_expr}, ' ')] END")
+
+
+def _dot_sql(a: str, b: str, n: str = "64") -> str:
+    return (f"list_reduce(list_prepend(0.0, list_transform("
+            f"generate_series(1, {n}), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), "
+            f"(x, y) -> x + y)")
+
+
+def _lang_votes_sql() -> dict[str, str]:
+    votes = {}
+    for lang in LANGS:
+        lst = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        votes[lang] = (f"len(list_filter(string_split(text, ' '), "
+                       f"x -> list_contains([{lst}], x)))::BIGINT")
+    return votes
+
+
+def _lang_case_sql() -> str:
+    whens = []
+    for lang in LANGS:
+        conds = [f"v_{lang} > 0"]
+        conds += [f"v_{lang} >= v_{o}" for o in LANGS if o != lang]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = "string_split(text, ' ')"
+    h64_tok = _SQL_H64.format(x="tokk")
+    sql: dict[str, str] = {}
+
+    sql["kg_mentions"] = (
+        _mentions_cte()
+        + " SELECT doc_id, 'mentions-concept' AS pred, cui AS obj FROM m")
+
+    sql["kg_doc_concepts"] = (
+        _mentions_cte()
+        + " SELECT doc_id, array_to_string(list_sort(list(DISTINCT cui)), ',')"
+          " AS concepts FROM m GROUP BY doc_id")
+
+    sql["kg_cooccurrence"] = (
+        _mentions_cte()
+        + " SELECT a.cui AS subj, 'co-occurs-with' AS pred, b.cui AS obj,"
+          " count(*)::BIGINT AS n_docs"
+          " FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.cui < b.cui"
+          " GROUP BY a.cui, b.cui")
+
+    sql["kg_isa_closure"] = (
+        "WITH RECURSIVE edges AS (SELECT * FROM "
+        + _values(BUILTIN_ISA_EDGES, ("cui", "parent")) + "), "
+        "anc AS ("
+        " SELECT cui, parent AS ancestor, 1 AS depth FROM edges"
+        " WHERE cui <> parent"
+        " UNION ALL"
+        " SELECT a.cui, e.parent, a.depth + 1 FROM anc a"
+        " JOIN edges e ON a.ancestor = e.cui"
+        " WHERE a.depth < 7 AND a.cui <> e.parent) "
+        "SELECT cui AS subj, 'isa' AS pred, ancestor AS obj,"
+        " min(depth)::BIGINT AS depth FROM anc GROUP BY cui, ancestor")
+
+    sql["kg_semtypes"] = (
+        "SELECT DISTINCT cui AS subj, 'has-semantic-type' AS pred,"
+        " tui AS obj FROM "
+        + _values([(c, t) for c, t, _ in BUILTIN_SEMTYPES], ("cui", "tui")))
+
+    sql["kg_canonical"] = (
+        "WITH RECURSIVE e AS (SELECT * FROM "
+        + _values(BUILTIN_SYNONYM_EDGES, ("a", "b")) + "), "
+        "sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e), "
+        "nodes AS (SELECT a AS n FROM sym UNION SELECT b FROM sym), "
+        "reach AS ("
+        " SELECT n, n AS m FROM nodes"
+        " UNION"
+        " SELECT s.a, r.m FROM sym s JOIN reach r ON s.b = r.n) "
+        "SELECT n AS cui, min(m) AS canonical_cui FROM reach GROUP BY n")
+
+    surfaces = {c["name"] for c in BUILTIN_CONCEPTS}
+    for c in BUILTIN_CONCEPTS:
+        surfaces.update(c["synonyms"])
+    sql["kg_word_stats"] = (
+        "WITH syn AS (SELECT * FROM "
+        + _values([(s,) for s in sorted(surfaces)], ("s",)) + "), "
+        f"norm AS (SELECT DISTINCT trim({_norm_chain('s')}) AS term FROM syn), "
+        "w AS (SELECT DISTINCT term, word FROM (SELECT term,"
+        " unnest(string_split(term, ' ')) AS word FROM norm)) "
+        "SELECT word, count(DISTINCT term)::BIGINT AS term_count"
+        " FROM w GROUP BY word")
+
+    sql["text_token_stats"] = (
+        f"SELECT doc_id::BIGINT AS doc_id,"
+        f" len({toks})::BIGINT AS n_tokens,"
+        f" len(list_distinct({toks}))::BIGINT AS n_distinct,"
+        f" len(list_distinct({toks}))::DOUBLE / len({toks})::DOUBLE"
+        f" AS distinct_ratio,"
+        f" list_aggregate(list_transform({toks}, x -> len(x)), 'sum')::DOUBLE"
+        f" / len({toks})::DOUBLE AS avg_token_len"
+        f" FROM documents")
+
+    en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    sql["text_quality"] = (
+        f"WITH b AS (SELECT doc_id::BIGINT AS doc_id,"
+        f" len({toks})::DOUBLE AS n,"
+        f" len(list_distinct({toks}))::DOUBLE AS nd,"
+        f" len(list_filter({toks}, x -> list_contains([{en}], x)))::DOUBLE"
+        f" AS nstop,"
+        f" list_aggregate(list_transform({toks}, x -> len(x)), 'sum')::DOUBLE"
+        f" AS tl FROM documents) "
+        f"SELECT doc_id, nd / n AS distinct_ratio, nstop / n AS stop_ratio,"
+        f" tl / n AS avg_token_len,"
+        f" 0.4 * (nd / n) + 0.3 * (1.0 - nstop / n)"
+        f" + 0.3 * least((tl / n) / 8.0, 1.0) AS quality FROM b")
+
+    votes = _lang_votes_sql()
+    vote_cols = ", ".join(f"{votes[lang]} AS v_{lang}" for lang in LANGS)
+    out_votes = ", ".join(f"v_{lang} AS votes_{lang}" for lang in LANGS)
+    sql["text_lang_id"] = (
+        f"WITH v AS (SELECT doc_id::BIGINT AS doc_id, {vote_cols}"
+        f" FROM documents) "
+        f"SELECT doc_id, {_lang_case_sql()} AS lang_pred, {out_votes} FROM v")
+
+    h64_x = _SQL_H64.format(x="x")
+    sql["text_fingerprints"] = (
+        f"SELECT doc_id::BIGINT AS doc_id, md5(text) AS content_md5,"
+        f" md5(array_to_string(list_sort(list_distinct({toks})), ' '))"
+        f" AS bag_sig,"
+        f" list_reduce(list_prepend(0::BIGINT,"
+        f" list_transform({toks}, x -> {h64_x})),"
+        f" (a, b) -> (a * 31 + b) % 2147483648) AS rolling_h"
+        f" FROM documents")
+
+    sql["dedup_exact_bag"] = (
+        f"SELECT md5(array_to_string(list_sort(list_distinct({toks})), ' '))"
+        f" AS sig, min(doc_id)::BIGINT AS keep_doc_id,"
+        f" count(*)::BIGINT AS n_docs FROM documents GROUP BY 1")
+
+    sh = _shingle_sql("t")
+    sql["dedup_jaccard"] = (
+        f"WITH s AS (SELECT lang, source, doc_id::BIGINT AS doc_id,"
+        f" {sh} AS sh FROM (SELECT lang, source, doc_id, {toks} AS t"
+        f" FROM documents)) "
+        f"SELECT * FROM ("
+        f" SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        f" len(list_intersect(a.sh, b.sh))::DOUBLE /"
+        f" (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE"
+        f" AS jaccard"
+        f" FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source"
+        f" AND a.doc_id < b.doc_id) WHERE jaccard >= {_JACCARD_T}")
+
+    h64_seeded = _SQL_H64.format(x="seed::VARCHAR || '|' || shingle")
+    sql["dedup_minhash_lsh"] = (
+        f"WITH aug AS ("
+        f" SELECT doc_id::BIGINT AS doc_id, text FROM documents"
+        f" UNION ALL"
+        f" SELECT doc_id::BIGINT + {NEAR_DUP_ID_OFFSET},"
+        f" array_to_string(t[2:len(t)], ' ')"
+        f" FROM (SELECT doc_id, {toks} AS t FROM documents)), "
+        f"s AS (SELECT doc_id, {sh} AS sh"
+        f" FROM (SELECT doc_id, string_split(text, ' ') AS t FROM aug)), "
+        f"u AS (SELECT doc_id, unnest(sh) AS shingle FROM s), "
+        f"sig AS (SELECT doc_id, seed, min({h64_seeded}) AS mh"
+        f" FROM u CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)"
+        f" GROUP BY doc_id, seed), "
+        f"bands AS (SELECT doc_id, seed // 4 AS band,"
+        f" md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bkey"
+        f" FROM sig GROUP BY doc_id, seed // 4), "
+        f"capped AS (SELECT doc_id, band, bkey FROM"
+        f" (SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn"
+        f" FROM bands) WHERE bn <= 64), "
+        f"cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b"
+        f" FROM capped x JOIN capped y ON x.band = y.band"
+        f" AND x.bkey = y.bkey AND x.doc_id < y.doc_id) "
+        f"SELECT * FROM (SELECT doc_a, doc_b,"
+        f" len(list_intersect(a.sh, b.sh))::DOUBLE /"
+        f" (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE"
+        f" AS jaccard FROM cand"
+        f" JOIN s a ON cand.doc_a = a.doc_id"
+        f" JOIN s b ON cand.doc_b = b.doc_id)"
+        f" WHERE jaccard >= {_LSH_JACCARD_T}")
+
+    vsum = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(32))
+    bits = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+    sql["dedup_simhash"] = (
+        f"WITH tok AS (SELECT doc_id::BIGINT AS doc_id, {h64_tok} AS h"
+        f" FROM (SELECT doc_id, unnest({toks}) AS tokk FROM documents)), "
+        f"v AS (SELECT doc_id, {vsum} FROM tok GROUP BY doc_id) "
+        f"SELECT doc_id, ({bits})::BIGINT AS simhash FROM v")
+
+    dot_ab = _dot_sql("a.embedding", "b.embedding")
+    nrm = f"sqrt({_dot_sql('embedding', 'embedding')})"
+    sql["dedup_embedding"] = (
+        f"WITH base AS (SELECT label AS g, vec_id::BIGINT AS vec_id,"
+        f" embedding, {nrm} AS nrm FROM embeddings) "
+        f"SELECT * FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
+        f" {dot_ab} / (a.nrm * b.nrm) AS cos"
+        f" FROM base a JOIN base b ON a.g = b.g AND a.vec_id < b.vec_id)"
+        f" WHERE cos >= {_EMB_DUP_T}")
+
+    dot_qb = _dot_sql("q.embedding", "b.embedding")
+    sql["sim_topk"] = (
+        f"WITH base AS (SELECT vec_id::BIGINT AS vec_id, embedding,"
+        f" {nrm} AS nrm FROM embeddings), "
+        f"q AS (SELECT * FROM base WHERE vec_id < 10), "
+        f"scored AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,"
+        f" {dot_qb} / (q.nrm * b.nrm) AS cos"
+        f" FROM q CROSS JOIN base b WHERE b.vec_id <> q.vec_id), "
+        f"r AS (SELECT query_id, neighbor_id, row_number() OVER"
+        f" (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk"
+        f" FROM scored) "
+        f"SELECT query_id, neighbor_id, rnk::BIGINT AS rnk FROM r"
+        f" WHERE rnk <= 5")
+
+    plane_bits = []
+    for j, plane in enumerate(PLANES):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        d = _dot_sql(f"({lit})", "embedding")
+        plane_bits.append(f"(CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END)")
+    bucket = " + ".join(plane_bits)
+    dot_ab2 = _dot_sql("a.embedding", "b.embedding")
+    sql["sim_lsh_topk"] = (
+        f"WITH base AS (SELECT vec_id::BIGINT AS vec_id, embedding,"
+        f" {nrm} AS nrm, ({bucket})::BIGINT AS bucket FROM embeddings), "
+        f"pairs AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,"
+        f" {dot_ab2} / (a.nrm * b.nrm) AS cos"
+        f" FROM base a JOIN base b ON a.bucket = b.bucket"
+        f" AND a.vec_id <> b.vec_id), "
+        f"r AS (SELECT vec_id, neighbor_id, row_number() OVER"
+        f" (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rnk"
+        f" FROM pairs) "
+        f"SELECT vec_id, neighbor_id, rnk::BIGINT AS rnk FROM r"
+        f" WHERE rnk <= 3")
+
+    return sql

@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver collect). The KG pipeline additionally reports docs/sec and
+triples/sec — the north-rule throughput numbers. Run
+tools/bench_scaling.py for the N-vs-4N-cores scaling-efficiency report.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry  # noqa: E402
+from nobletools_spark.session import get_spark  # noqa: E402
+
+HEADLINE = (
+    "kg_mentions",
+    "kg_doc_concepts",
+    "kg_cooccurrence",
+    "text_quality",
+    "text_fingerprints",
+    "dedup_exact_bag",
+    "dedup_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk",
+    "sim_lsh_topk",
+)
+
+
+def _force(df) -> int:
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(cores=cpus, shuffle_partitions=int(cpus))
+
+    qs = entry.queries()
+    # warm the JVM + broadcast path once (excluded from timings)
+    _force(qs["kg_mentions"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    t0 = time.perf_counter()
+    n_triples = qs["kg_mentions"](spark, sf_dir).count()
+    annotate_sec = time.perf_counter() - t0
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus),
+        "annotate_docs_per_sec": round(n_docs / annotate_sec, 1),
+        "annotate_triples_per_sec": round(n_triples / annotate_sec, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

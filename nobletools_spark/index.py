@@ -145,6 +145,46 @@ def build_blacklist(idx: TerminologyIndex,
     return out
 
 
+def terms_df(spark, concepts_df):
+    """(cui, term) normalized-term DataFrame — the declarative half of the
+    index build, reusable as a standalone query (word stats, blacklist)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from nobletools_spark.session import ship_package
+
+    ship_package(spark)
+
+    def _norm_terms(names, syns):
+        out = []
+        for name, syn in zip(names, syns):
+            terms, _ = concept_terms(name, list(syn) if syn is not None else [])
+            out.append(sorted(terms))
+        return pd.Series(out)
+
+    norm_terms = F.pandas_udf(_norm_terms, T.ArrayType(T.StringType()))
+
+    return (concepts_df
+            .select("cui", F.explode(norm_terms("name", "synonyms")).alias("term"))
+            .distinct())
+
+
+def word_stats_df(terms):
+    """Word statistics as a DataFrame aggregation: (word, term_count) =
+    number of distinct normalized terms containing the word
+    (WordStat.termCount, NobleCoderTerminology.java:398-401;
+    ConceptImporter.saveWordTerms :1299-1339). explode + groupBy with
+    map-side partial aggregation; shuffles only terminology-sized data."""
+    from pyspark.sql import functions as F
+
+    return (terms
+            .select(F.explode(F.split("term", " ")).alias("word"), "term")
+            .distinct()
+            .groupBy("word")
+            .agg(F.count_distinct("term").cast("long").alias("term_count")))
+
+
 def build_index_df(spark, concepts_df, compact: bool = False) -> TerminologyIndex:
     """DataFrame-path index build — the shape that scales on a cluster.
 

@@ -1,0 +1,64 @@
+"""CUI canonicalization: connected components over synonym / cross-code
+edges via iterative min-label propagation (SURVEY.md §2.3 — the
+reference's many-codes-to-one-CUI resolution, codeMap
+NobleCoderTerminology.java:1092-1095 and cross-source codes
+util/ConceptImporter.java:877, generalized to a component computation).
+
+Algorithm: undirected edges are symmetrized; every node starts labeled
+with itself; each round propagates min(label) over the 1-hop
+neighborhood; convergence when no label changes. Rounds are O(graph
+diameter) — synonym graphs are shallow (diameter ≤ ~6 for vocabulary
+cross-walks), and each round is a self-join on the (terminology-sized,
+≪ corpus) edge table, localCheckpoint-truncated so the plan stays flat.
+For corpus-scale graphs swap in GraphFrames' large-star/small-star; the
+API (edges → (node, component)) is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """edges(a, b) undirected → (node, component) with component =
+    min node id reachable (lexicographic for strings)."""
+    sym = (edges.select(F.col("a"), F.col("b"))
+           .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+           .filter(F.col("a") != F.col("b"))
+           .distinct())
+    labels = (sym.select(F.col("a").alias("node"))
+              .union(sym.select(F.col("b").alias("node")))
+              .distinct()
+              .withColumn("component", F.col("node")))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # candidate label for each node = min over neighbors' labels
+        neigh = (sym.alias("e")
+                 .join(labels.alias("l"), F.col("e.b") == F.col("l.node"))
+                 .select(F.col("e.a").alias("node"),
+                         F.col("l.component").alias("cand")))
+        new = (labels.alias("l")
+               .join(neigh.groupBy("node").agg(F.min("cand").alias("cand")),
+                     "node", "left")
+               .select("node",
+                       F.least(F.col("component"),
+                               F.coalesce(F.col("cand"), F.col("component")))
+                       .alias("component")))
+        new = new.localCheckpoint(eager=True)
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_map(edges: DataFrame) -> DataFrame:
+    """(cui, canonical_cui) mapping: every node of the synonym graph →
+    the min CUI of its component (the canonicalization the triple
+    emitters join through)."""
+    return (connected_components(edges)
+            .select(F.col("node").alias("cui"),
+                    F.col("component").alias("canonical_cui")))

@@ -1,0 +1,206 @@
+"""Deduplication operators for web-scale training corpora: exact
+(hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and embedding
+near-duplicates. All pure DataFrame expressions (whole-stage codegen) —
+the only Python is plan construction.
+
+Scale design (the part that must survive 100 TB):
+- Exact / bag dedup: one shuffle on a 60-bit signature — uniform keys,
+  AQE-coalesced.
+- MinHash signatures are computed map-side as K independent
+  ``array_min(transform(shingles, ...))`` columns (no explode, no
+  shuffle); only the banded LSH bucket join shuffles, and it shuffles
+  *band keys*, not shingles. Pathologically hot buckets (boilerplate
+  documents) are capped with ``max_bucket`` — the blacklist analog
+  (util/BlacklistHandler.java) for dedup.
+- Pairwise Jaccard is never run all-pairs at scale: candidates come from
+  LSH buckets (or an explicit grouping column for the oracle-checked
+  variant); verification joins shingle sets back per candidate pair.
+- Hashes are md5-derived 60-bit ints for cross-engine oracle parity;
+  swap the builder for xxhash64 on a real cluster (functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from nobletools_spark.functions.hashing import h64, h64_seeded
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token-array column. Documents
+    shorter than n tokens get their full text as the single shingle."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(col) - F.lit(n)),
+        lambda i: F.concat_ws(" ", F.slice(col, i + 1, n)))
+    return F.array_distinct(
+        F.when(F.size(col) >= n, grams).otherwise(F.array(F.concat_ws(" ", col))))
+
+
+NEAR_DUP_ID_OFFSET = 10_000_000
+
+
+def with_near_duplicates(docs: DataFrame) -> DataFrame:
+    """Deterministic near-duplicate augmentation for end-to-end dedup
+    checks: union the corpus with a copy of every document minus its
+    first token (doc_id + NEAR_DUP_ID_OFFSET). The planted pairs have
+    Jaccard ≈ (s-n)/(s+n-? ) ≫ any random pair, so LSH must recover
+    them. Derived purely from the input — no external data."""
+    toks = _tokens()
+    clone = docs.select(
+        (F.col("doc_id").cast("long") + F.lit(NEAR_DUP_ID_OFFSET)).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 2, F.size(toks) - 1)).alias("text"),
+        *[c for c in docs.columns if c not in ("doc_id", "text")])
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text",
+                       *[c for c in docs.columns if c not in ("doc_id", "text")])
+    return base.unionByName(clone)
+
+
+def exact_dedup(docs: DataFrame, by: str = "content") -> DataFrame:
+    """Exact-duplicate groups: (sig, keep_doc_id, n_docs). ``by`` =
+    'content' (raw text) or 'bag' (sorted distinct token set — catches
+    word-order shuffles). keep = min doc_id per group."""
+    if by == "content":
+        sig = F.md5(F.col("text"))
+    elif by == "bag":
+        sig = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens()))))
+    else:
+        raise ValueError(by)
+    return (docs.select(sig.alias("sig"), F.col("doc_id").cast("long").alias("doc_id"))
+            .groupBy("sig")
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count("*").cast("long").alias("n_docs")))
+
+
+def jaccard_pairs(docs: DataFrame, n: int = 3,
+                  group_cols: tuple[str, ...] = ("lang", "source"),
+                  threshold: float = 0.125) -> DataFrame:
+    """n-gram Jaccard near-dup pairs within candidate groups:
+    (doc_a, doc_b, jaccard). ``group_cols`` bounds the quadratic
+    blow-up — at scale the grouping is an LSH bucket (minhash_lsh_pairs);
+    here it doubles as the SQL-oracle-checkable variant. Jaccard is an
+    exact rational in double (|∩| / |∪|) ⇒ bit-stable cross-engine."""
+    base = docs.select(
+        *group_cols, F.col("doc_id").cast("long").alias("doc_id"),
+        shingles(_tokens(), n).alias("sh"))
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    jac = inter / union
+    return (a.join(b, list(group_cols))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_signature_cols(sh: Column, num_hashes: int) -> list[Column]:
+    """K minhash values of a shingle-array column, each a map-side
+    ``array_min(transform(...))`` — no explode, no shuffle."""
+    def _mh(i: int) -> Column:
+        # NB: the lambda must take exactly one arg — F.transform treats a
+        # two-arg lambda (incl. default args) as (element, index)
+        return F.array_min(F.transform(sh, lambda s: h64_seeded(i, s)))
+
+    return [_mh(i).alias(f"mh{i}") for i in range(num_hashes)]
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3,
+                       num_hashes: int = 16) -> DataFrame:
+    """(doc_id, mh0..mhK-1) MinHash signature table."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *minhash_signature_cols(shingles(_tokens(), n), num_hashes))
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 16,
+                      bands: int = 4, threshold: float = 0.125,
+                      max_bucket: int = 64) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, verified with true Jaccard:
+    (doc_a, doc_b, jaccard).
+
+    shingle → K minhashes (map-side) → band keys (md5 of each row of the
+    banded signature) → explode bands → bucket self-join (the one
+    shuffle; key space = bands × distinct band hashes, uniform unless the
+    corpus has boilerplate — then ``max_bucket`` drops buckets larger
+    than the cap, trading recall for a hard skew bound; dropped buckets
+    are countable by the caller from ``lsh_buckets``) → distinct
+    candidate pairs → Jaccard verification join."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, n, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        key = F.md5(F.concat_ws(
+            ",", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]))
+        band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
+    buckets = (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+               .select("doc_id", F.col("bk.band").alias("band"),
+                       F.col("bk.bkey").alias("bkey")))
+    if max_bucket > 0:
+        w = Window.partitionBy("band", "bkey")
+        buckets = (buckets.withColumn("bucket_n", F.count("*").over(w))
+                   .filter(F.col("bucket_n") <= max_bucket)
+                   .drop("bucket_n"))
+    cand = (buckets.alias("x").join(buckets.alias("y"), ["band", "bkey"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("doc_a"),
+                    F.col("y.doc_id").alias("doc_b"))
+            .distinct())
+    sh = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     shingles(_tokens(), n).alias("sh"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    union = F.size(F.array_union(F.col("sa"), F.col("sb"))).cast("double")
+    return (cand
+            .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")),
+                  "doc_a")
+            .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")),
+                  "doc_b")
+            .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """Per-document SimHash: token-frequency-weighted bit votes over
+    60-bit token hashes → ``bits``-bit fingerprint (doc_id, simhash).
+    explode + single groupBy (partial aggregation map-side); near-dup
+    candidates are then doc pairs within small Hamming distance."""
+    tok = (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.explode(_tokens()).alias("tok"))
+           .withColumn("h", h64("tok")))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")) \
+               .otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.98,
+                        group_col: str = "label") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within candidate groups:
+    (vec_a, vec_b, cos). Cosine in double precision via ordered fold
+    (F.aggregate) so the SQL oracle reproduces it. At scale the group is
+    an LSH bucket (similarity.lsh_buckets) instead of a label."""
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    base = emb.select(F.col(group_col).alias("g"),
+                      F.col("vec_id").cast("long").alias("vec_id"),
+                      vec.alias("v"), norm.alias("nrm"))
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (base.alias("a").join(base.alias("b"), "g")
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"), cos.alias("cos"))
+            .filter(F.col("cos") >= threshold))

@@ -1,0 +1,120 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token statistics, quality scoring, language identification, and document
+fingerprinting. All pure JVM-side column expressions (whole-stage
+codegen, no Python in the hot path) over a ``documents(doc_id, text)``
+table — map-only, zero shuffle, linear scale-out.
+
+These extend the reference's text toolkit (tools/TextTools.java:991,1245
+charCount/getStringStats; getWords :315) to the corpus-statistics ops a
+10^12-doc ingest needs; every operator has a matching ANSI-SQL oracle in
+``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from nobletools_spark.functions.hashing import HASH_MOD, h64
+
+# Stop-word lists for the language-ID voting heuristic. Deterministic,
+# tiny, broadcast as literals inside the plan (no lookup table needed).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "los", "las", "y", "es", "que"),
+    "fr": ("le", "les", "et", "est", "une", "dans"),
+}
+LANGS = tuple(sorted(LANG_STOPWORDS))  # deterministic cascade order
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token counts: (doc_id, n_tokens, n_distinct,
+    distinct_ratio, avg_token_len). Whitespace tokenization (the BPE-ish
+    regex path lives in quality_score's punct stats)."""
+    toks = _tokens()
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        nd.cast("long").alias("n_distinct"),
+        (nd.cast("double") / n.cast("double")).alias("distinct_ratio"),
+        (total_len.cast("double") / n.cast("double")).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame,
+                  stop_words: tuple[str, ...] = LANG_STOPWORDS["en"]) -> DataFrame:
+    """Heuristic document-quality score: linear blend of lexical-diversity,
+    non-stopword density, and token-length signals — the shape used to
+    filter web-crawl training corpora. Deterministic double arithmetic
+    (no transcendental fns) so the SQL oracle is bit-identical."""
+    toks = _tokens()
+    n = F.size(toks).cast("double")
+    nd = F.size(F.array_distinct(toks)).cast("double")
+    nstop = F.size(F.filter(toks, lambda t: t.isin(*stop_words))).cast("double")
+    total_len = F.aggregate(toks, F.lit(0),
+                            lambda acc, t: acc + F.length(t)).cast("double")
+    distinct_ratio = nd / n
+    stop_ratio = nstop / n
+    avg_len = total_len / n
+    quality = (F.lit(0.4) * distinct_ratio
+               + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+               + F.lit(0.3) * F.least(avg_len / F.lit(8.0), F.lit(1.0)))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        distinct_ratio.alias("distinct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        avg_len.alias("avg_token_len"),
+        quality.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-voting language ID: per language, count tokens hitting
+    its stopword list; argmax with a fixed deterministic cascade
+    (languages in sorted order, first maximal wins, all-zero → 'und')."""
+    toks = _tokens()
+    def _vote(ws: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*ws))).cast("long")
+
+    votes = {lang: _vote(ws) for lang, ws in LANG_STOPWORDS.items()}
+    expr = None  # CASE cascade in sorted-language order: first maximal wins
+    for lang in LANGS:
+        cond = (votes[lang] > 0)
+        for other in LANGS:
+            if other != lang:
+                cond = cond & (votes[lang] >= votes[other])
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    pred = expr.otherwise(F.lit("und"))
+    cols = [F.col("doc_id").cast("long").alias("doc_id"),
+            pred.alias("lang_pred")]
+    cols += [votes[lang].alias(f"votes_{lang}") for lang in LANGS]
+    return docs.select(*cols)
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Document fingerprints, all JVM-side:
+    - content_md5: exact-duplicate key (raw text)
+    - bag_sig:     word-set signature (order/multiplicity-insensitive) —
+                   md5 of the sorted distinct token list
+    - rolling_h:   order-sensitive polynomial rolling hash over 60-bit
+                   token hashes, mod 2^31 (left fold ⇒ overflow-free and
+                   reproducible by DuckDB's list_reduce)
+    """
+    toks = _tokens()
+    bag = F.array_sort(F.array_distinct(toks))
+    rolling = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(31) + h64(t)) % F.lit(HASH_MOD))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.col("text")).alias("content_md5"),
+        F.md5(F.concat_ws(" ", bag)).alias("bag_sig"),
+        rolling.alias("rolling_h"),
+    )

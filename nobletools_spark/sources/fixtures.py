@@ -104,6 +104,17 @@ BUILTIN_SEMTYPES = tuple(
     for c in BUILTIN_CONCEPTS
 )
 
+# Undirected synonym / cross-source-code edges for CUI canonicalization
+# (codeMap many-codes-to-one shape, NobleCoderTerminology.java:1092-1095):
+# chains, a fork, and a component merged through a shared alternate code.
+BUILTIN_SYNONYM_EDGES = (
+    ("C101", "C201"), ("C201", "C301"),
+    ("C102", "C202"),
+    ("C104", "C204"), ("C204", "C304"), ("C304", "C404"),
+    ("C105", "C205"),
+    ("C106", "C206"), ("C107", "C206"),  # C106–C107 merge via shared code
+)
+
 # surface word -> (term_word, cui) association used by the DuckDB oracle;
 # kept here so fixture and oracle SQL are generated from one source.
 BUILTIN_SINGLE_TERMS = (("spark", "C101"), ("vector", "C102"), ("custom", "C103"))
