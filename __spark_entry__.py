@@ -30,8 +30,11 @@ from nobletools_spark.model import MatchConfig
 from nobletools_spark.operators.canonical import canonical_map
 from nobletools_spark.operators.dedup import (
     NEAR_DUP_ID_OFFSET,
+    P31,
+    SHINGLE_WEIGHTS,
     exact_dedup,
     jaccard_pairs,
+    minhash_coeffs,
     minhash_lsh_pairs,
     simhash,
     embedding_dup_pairs,
@@ -434,7 +437,17 @@ def oracle_sql() -> dict[str, str]:
         f" FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source"
         f" AND a.doc_id < b.doc_id) WHERE jaccard >= {_JACCARD_T}")
 
-    h64_seeded = _SQL_H64.format(x="seed::VARCHAR || '|' || shingle")
+    w1, w2, w3 = SHINGLE_WEIGHTS[:3]
+    h32_x = "(('0x' || substring(md5(x), 1, 8))::UBIGINT)::BIGINT"
+    seed_vals = ", ".join(f"({i}, {a}, {b})"
+                          for i, (a, b) in enumerate(minhash_coeffs(16)))
+    shh_expr = (
+        f"list_distinct(CASE WHEN len(t) >= 3 THEN"
+        f" list_transform(generate_series(0, len(t) - 3), i ->"
+        f" ((ht[i+1] * {w1}) % {P31} + (ht[i+2] * {w2}) % {P31}"
+        f" + (ht[i+3] * {w3}) % {P31}) % {P31})"
+        f" ELSE [list_reduce(list_prepend(0::BIGINT, ht),"
+        f" (a, b) -> (a * {w1} + b) % {P31})] END)")
     sql["dedup_minhash_lsh"] = (
         f"WITH aug AS ("
         f" SELECT doc_id::BIGINT AS doc_id, text FROM documents"
@@ -442,11 +455,15 @@ def oracle_sql() -> dict[str, str]:
         f" SELECT doc_id::BIGINT + {NEAR_DUP_ID_OFFSET},"
         f" array_to_string(t[2:len(t)], ' ')"
         f" FROM (SELECT doc_id, {toks} AS t FROM documents)), "
-        f"s AS (SELECT doc_id, {sh} AS sh"
-        f" FROM (SELECT doc_id, string_split(text, ' ') AS t FROM aug)), "
-        f"u AS (SELECT doc_id, unnest(sh) AS shingle FROM s), "
-        f"sig AS (SELECT doc_id, seed, min({h64_seeded}) AS mh"
-        f" FROM u CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)"
+        f"tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug), "
+        f"s AS (SELECT doc_id, {sh} AS sh FROM tt), "
+        f"hh AS (SELECT doc_id, {shh_expr} AS shh"
+        f" FROM (SELECT doc_id, t, list_transform(t, x -> {h32_x}) AS ht"
+        f" FROM tt)), "
+        f"u AS (SELECT doc_id, unnest(shh) AS h FROM hh), "
+        f"sd AS (SELECT * FROM (VALUES {seed_vals}) v(seed, a, b)), "
+        f"sig AS (SELECT doc_id, seed, min((h * a + b) % {P31}) AS mh"
+        f" FROM u CROSS JOIN sd"
         f" GROUP BY doc_id, seed), "
         f"bands AS (SELECT doc_id, seed // 4 AS band,"
         f" md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bkey"

@@ -21,9 +21,36 @@ Scale design (the part that must survive 100 TB):
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from nobletools_spark.functions.hashing import h64, h64_seeded
+from nobletools_spark.functions.hashing import h64
+
+P31 = 2147483647  # Mersenne prime 2^31-1: the minhash arithmetic field
+
+
+def h32(col: Column) -> Column:
+    """32-bit portable token hash (first 8 hex digits of md5) — small
+    enough that affine combinations stay overflow-free in int64 on both
+    engines (DuckDB raises on BIGINT overflow; Java wraps — either would
+    break parity)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def sql_h32(expr: str) -> str:
+    return f"(('0x' || substring(md5({expr}), 1, 8))::UBIGINT)::BIGINT"
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 13) -> list[tuple[int, int]]:
+    """Deterministic (a, b) affine coefficients in [1, P31); shared
+    verbatim by the SQL oracle."""
+    rng = np.random.default_rng(seed)
+    return [(int(rng.integers(1, P31)), int(rng.integers(0, P31)))
+            for _ in range(num_hashes)]
+
+
+# fixed combiner weights for n-gram token-hash composition (n ≤ 5)
+SHINGLE_WEIGHTS = (1000003, 999983, 999979, 999961, 999959)
 
 
 def _tokens(col: str = "text") -> Column:
@@ -86,10 +113,12 @@ def jaccard_pairs(docs: DataFrame, n: int = 3,
     base = docs.select(
         *group_cols, F.col("doc_id").cast("long").alias("doc_id"),
         shingles(_tokens(), n).alias("sh"))
+    base = base.withColumn("nsh", F.size("sh"))
     a, b = base.alias("a"), base.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).cast("double")
-    jac = inter / union
+    # |∪| = |a|+|b|-|∩| (arrays are distinct) — one array op per pair
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    jac = (inter.cast("double")
+           / (F.col("a.nsh") + F.col("b.nsh") - inter).cast("double"))
     return (a.join(b, list(group_cols))
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),
@@ -98,23 +127,62 @@ def jaccard_pairs(docs: DataFrame, n: int = 3,
             .filter(F.col("jaccard") >= threshold))
 
 
-def minhash_signature_cols(sh: Column, num_hashes: int) -> list[Column]:
-    """K minhash values of a shingle-array column, each a map-side
-    ``array_min(transform(...))`` — no explode, no shuffle."""
-    def _mh(i: int) -> Column:
+def shingle_hashes(ht: Column, n: int = 3) -> Column:
+    """Distinct 31-bit shingle hashes from a *materialized* token-hash
+    array column: sh_i = Σ_j w_j·ht[i+j] (mod P31), each product reduced
+    before summing so every intermediate fits int64 (DuckDB raises on
+    BIGINT overflow; Java wraps — either would break oracle parity).
+
+    ``ht`` MUST be a plain column reference (see shingle_hash_df), never
+    an inline ``transform(toks, h32)``: element_at over an inline
+    transform re-evaluates the whole md5 array per access — O(tokens²·n)
+    hashing instead of O(tokens). Documents shorter than n tokens fold
+    all their token hashes into a single hash."""
+    ws = SHINGLE_WEIGHTS[:n]
+
+    def comb(i: Column) -> Column:
+        acc = None
+        for j, w in enumerate(ws):
+            term = (F.element_at(ht, i + j + 1) * F.lit(w)) % F.lit(P31)
+            acc = term if acc is None else acc + term
+        return acc % F.lit(P31)
+
+    grams = F.transform(F.sequence(F.lit(0), F.size(ht) - n), comb)
+    short = F.array(F.aggregate(
+        ht, F.lit(0).cast("long"),
+        lambda a, h: (a * F.lit(SHINGLE_WEIGHTS[0]) + h) % F.lit(P31)))
+    return F.array_distinct(F.when(F.size(ht) >= n, grams).otherwise(short))
+
+
+def shingle_hash_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shh) — staged projections so the expensive md5 token-hash
+    array is computed once per row (CollapseProject keeps non-cheap
+    multiply-referenced aliases in their own projection)."""
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.transform(_tokens(), h32).alias("ht"))
+    return base.select("doc_id", shingle_hashes(F.col("ht"), n).alias("shh"))
+
+
+def minhash_signature_cols(shh: Column, num_hashes: int) -> list[Column]:
+    """K minhash values over a shingle-hash array, each a map-side
+    ``array_min(transform(...))`` of an affine rehash in GF(P31) — no
+    explode, no shuffle, pure integer codegen."""
+    coeffs = minhash_coeffs(num_hashes)
+
+    def _mh(a: int, b: int) -> Column:
         # NB: the lambda must take exactly one arg — F.transform treats a
         # two-arg lambda (incl. default args) as (element, index)
-        return F.array_min(F.transform(sh, lambda s: h64_seeded(i, s)))
+        return F.array_min(F.transform(
+            shh, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(P31)))
 
-    return [_mh(i).alias(f"mh{i}") for i in range(num_hashes)]
+    return [_mh(a, b).alias(f"mh{i}") for i, (a, b) in enumerate(coeffs)]
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3,
                        num_hashes: int = 16) -> DataFrame:
     """(doc_id, mh0..mhK-1) MinHash signature table."""
-    return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        *minhash_signature_cols(shingles(_tokens(), n), num_hashes))
+    return shingle_hash_df(docs, n).select(
+        "doc_id", *minhash_signature_cols(F.col("shh"), num_hashes))
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 16,
@@ -152,14 +220,15 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 16,
             .distinct())
     sh = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
                      shingles(_tokens(), n).alias("sh"))
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
-    union = F.size(F.array_union(F.col("sa"), F.col("sb"))).cast("double")
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jac = (inter.cast("double")
+           / (F.size("sa") + F.size("sb") - inter).cast("double"))
     return (cand
             .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")),
                   "doc_a")
             .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")),
                   "doc_b")
-            .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
 
 

@@ -65,15 +65,28 @@ def process_document(doc_id: str, spans, idx: TerminologyIndex,
     return rows
 
 
-def annotate(docs_df, index, cfg: MatchConfig = MatchConfig()):
+def annotate(docs_df, index, cfg: MatchConfig = MatchConfig(),
+             min_parallelism: int | None = None):
     """documents (doc_id, spans) → mentions DataFrame.
 
     ``index`` may be a TerminologyIndex or an existing Broadcast of one.
+
+    Parallelism guard: the matcher is CPU-bound per document, so a
+    too-coarse input layout (one small parquet file = one partition)
+    would serialize the whole stage. If the input has fewer partitions
+    than ``min_parallelism`` (default: the cluster's default
+    parallelism), round-robin repartition first — a tiny shuffle of
+    (doc_id, spans) rows that unlocks full fan-out. At 100 TB the input
+    already has thousands of partitions and this is a no-op.
     """
     from nobletools_spark.session import ship_package
 
     spark = docs_df.sparkSession
     ship_package(spark)
+    want = (min_parallelism if min_parallelism is not None
+            else spark.sparkContext.defaultParallelism)
+    if docs_df.rdd.getNumPartitions() < want:
+        docs_df = docs_df.repartition(want)
     if isinstance(index, TerminologyIndex):
         bc = spark.sparkContext.broadcast(index)
     else:
