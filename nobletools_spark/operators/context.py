@@ -1,0 +1,249 @@
+"""ConText modifier detection — negation / experiencer / temporality /
+certainty qualification of concept mentions (reference:
+tools/ConText.java; algorithm: Harkema et al., J Biomed Inform 2009).
+
+The reference drives a second NobleCoder terminology (built from
+ConText.owl) over each sentence with custom flags (ConText.java:133-146:
+contiguous, ordered, gap 0, no stemming, no stop-word stripping, no
+scoring), then assigns each non-pseudo linguistic-modifier mention to
+concept mentions inside a directional word window (default 8,
+ConText.java:55), clipped by terminator mentions (ConText.java:428-471,
+getWordWindowIndex :473-499), with per-type default values
+(ConText.java:364-375) and pseudo-modifier suppression (:562-586).
+
+Spark shape: the modifier lexicon compiles into a second broadcast
+TerminologyIndex + rule table; the whole assignment is sentence-local,
+so it runs inside the same mapInPandas batch as the matcher — zero extra
+shuffle, linear scale-out. Since ConText.owl is an external artifact,
+rules are supplied as flat records (FIXTURES.md §3); DEFAULT_RULES
+carries a compact lexicon following the published ConText phrase sets.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from nobletools_spark.index import build_index
+from nobletools_spark.model import MatchConfig, TerminologyIndex
+from nobletools_spark.operators.match_core import Mention, match_sentence
+
+ACTION_FORWARD = "forward"
+ACTION_BACKWARD = "backward"
+ACTION_BIDIRECTIONAL = "bidirectional"
+ACTION_TERMINATE = "terminate"
+ACTION_DISCONTINUOUS = "discontinuous"
+
+DEFAULT_WINDOW_SIZE = 8  # ConText.java:55
+
+# terminology flags per ConText.load (ConText.java:133-146): CUSTOM
+# search, contiguous+ordered, gap 0, overlap, no subsumption, no scoring,
+# no stemming/stop-stripping, keep small words
+CONTEXT_MATCH_CFG = MatchConfig(
+    search_method="custom", stem_words=False, strip_stop_words=False,
+    ignore_small_words=False, score_concepts=False,
+    select_best_candidate=False, subsumption_mode=False, overlap_mode=True,
+    ordered_mode=True, contiguous_mode=True, partial_mode=False,
+    max_word_gap=0)
+
+
+@dataclass(frozen=True)
+class ModifierRule:
+    """One modifier concept of the lexicon. ``group`` plays the role of
+    the OWL parent class code — terminator/pseudo references point at
+    groups (ConText.getTerminators matches terminator parents against
+    the modifier's termination list, ConText.java:502-516)."""
+
+    code: str
+    terms: tuple[str, ...]
+    mod_type: str                    # Polarity / Experiencer / ... (ConText.java:58-83)
+    value: str                       # e.g. Negative_Polarity
+    action: str = ACTION_FORWARD
+    window: int = DEFAULT_WINDOW_SIZE
+    group: str = ""
+    terminated_by: tuple[str, ...] = ()
+    pseudo: tuple[str, ...] = ()     # pseudo groups that cancel this rule
+    is_pseudo: bool = False
+
+
+@dataclass
+class ContextIndex:
+    """Broadcastable compiled lexicon: matcher index + rule lookup +
+    per-type defaults (getDefaultValues, ConText.java:364-375)."""
+
+    index: TerminologyIndex
+    rules: dict[str, ModifierRule]
+    defaults: dict[str, str] = field(default_factory=dict)
+    cfg: MatchConfig = CONTEXT_MATCH_CFG
+
+
+def build_context_index(rules: list[ModifierRule] | tuple[ModifierRule, ...],
+                        defaults: dict[str, str] | None = None) -> ContextIndex:
+    concepts = [{"cui": r.code, "name": r.terms[0], "synonyms": r.terms,
+                 "semtypes": (), "sources": ("CTX",)} for r in rules]
+    # lexicon index normalization must match the match config: no
+    # stemming, keep stop words (build-time flags mirror search flags)
+    idx = _build_unstemmed_index(concepts)
+    return ContextIndex(index=idx, rules={r.code: r for r in rules},
+                        defaults=dict(defaults or DEFAULT_VALUES))
+
+
+def _build_unstemmed_index(concepts) -> TerminologyIndex:
+    """build_index with the ConText normalization flags (no stem, keep
+    stop words) — mirrors NobleCoderTerminology.getTerms honoring the
+    terminology's own stemWords/stripStopWords settings."""
+    from nobletools_spark.functions.textkit import normalize
+    from nobletools_spark.index import MAX_WORDS_IN_TERM, is_regexp
+    from nobletools_spark.model import ConceptMeta
+    from collections import defaultdict
+
+    metas: dict[str, ConceptMeta] = {}
+    term_cuis: dict[str, set] = defaultdict(set)
+    for c in concepts:
+        meta = ConceptMeta(c["cui"], c["name"], tuple(c["synonyms"]),
+                           tuple(c["semtypes"]), tuple(c["sources"]))
+        metas[meta.cui] = meta
+        for s in {c["name"], *c["synonyms"]}:
+            if is_regexp(s) or s.count(" ") > MAX_WORDS_IN_TERM:
+                continue
+            t = normalize(s, do_stem=False, strip_digits=False,
+                          strip_stop_words=False, unique_words=True,
+                          sort_words=False)
+            if t:
+                term_cuis[t].add(meta.cui)
+    word_terms: dict[str, set] = defaultdict(set)
+    for term in term_cuis:
+        for w in term.split(" "):
+            word_terms[w].add(term)
+    return TerminologyIndex(
+        word_terms={w: tuple(sorted(ts)) for w, ts in word_terms.items()},
+        term_cuis={t: tuple(sorted(cs)) for t, cs in term_cuis.items()},
+        word_term_count={w: len(ts) for w, ts in word_terms.items()},
+        concepts=metas)
+
+
+def _word_window_end(text: str, pos: int, window: int) -> int:
+    """getWordWindowIndex beforeModifier=true (ConText.java:473-486):
+    scan spaces forward from the modifier end; cut after `window`."""
+    offs = len(text)
+    i, j = pos, 0
+    while 0 <= i < len(text):
+        if j >= window:
+            return i
+        i = text.find(" ", i + 1)
+        j += 1
+    return offs
+
+
+def _word_window_start(text: str, pos: int, window: int) -> int:
+    """getWordWindowIndex beforeModifier=false (ConText.java:487-499)."""
+    i, j = pos, 0
+    while i >= 0:
+        if j > window:
+            return i
+        i = text.rfind(" ", 0, i) if i > 0 else -1
+        j += 1
+    return 0
+
+
+def apply_context(text: str, mentions: list[Mention],
+                  ctx: ContextIndex) -> None:
+    """Assign modifier values to ``mentions`` (sentence-relative offsets),
+    mutating each mention's ``modifiers`` dict — ConText.process
+    (ConText.java:385-409)."""
+    for m in mentions:
+        m.modifiers = dict(ctx.defaults)
+
+    matched = match_sentence(text, ctx.index, ctx.cfg)
+    if not matched:
+        return
+    with_rules = [(mm, ctx.rules[mm.cui]) for mm in matched
+                  if mm.cui in ctx.rules]
+
+    pseudo = [(mm, r) for mm, r in with_rules if r.is_pseudo]
+    terminators = [(mm, r) for mm, r in with_rules
+                   if r.action == ACTION_TERMINATE]
+
+    for mm, rule in with_rules:
+        if rule.is_pseudo or rule.action == ACTION_TERMINATE:
+            continue
+        # pseudo suppression: intersecting pseudo whose group is listed
+        # (ConText.isPseudo :562-586)
+        if any(not (mm.end < pm.start or pm.end < mm.start)
+               and pr.group in rule.pseudo for pm, pr in pseudo):
+            continue
+        forward = rule.action in (ACTION_FORWARD, ACTION_BIDIRECTIONAL)
+        backward = rule.action in (ACTION_BACKWARD, ACTION_BIDIRECTIONAL)
+        start = _word_window_start(text, mm.start, rule.window)
+        end = _word_window_end(text, mm.end, rule.window)
+        # terminator clipping (getTargetMentions :437-446)
+        for tm, tr in terminators:
+            if tr.group not in rule.terminated_by and tr.code not in rule.terminated_by:
+                continue
+            if forward and mm.end <= tm.start and tm.start < end:
+                end = tm.start
+            if backward and tm.end <= mm.start and tm.start > start:
+                start = tm.start
+        for target in mentions:
+            hit = (forward and mm.start <= target.start <= end) or \
+                  (backward and mm.start >= target.start >= start)
+            if hit:
+                target.modifiers[rule.mod_type] = rule.value
+
+
+# ---------------------------------------------------------------------------
+# Default lexicon — compact phrase sets per the published ConText
+# algorithm (Harkema 2009); extend/replace via build_context_index(rules).
+# ---------------------------------------------------------------------------
+
+DEFAULT_VALUES = {
+    "Polarity": "Positive_Polarity",
+    "Experiencer": "Patient_Experiencer",
+    "Temporality": "Recent_Temporality",
+    "ContextualModality": "Actual_ContextualModality",
+}
+
+_NEG_FWD = ("no", "no evidence of", "without", "denies", "negative for",
+            "absence of", "free of", "not demonstrate", "rules out")
+_NEG_BWD = ("is ruled out", "are ruled out", "was ruled out",
+            "were ruled out", "unlikely")
+_NEG_PSEUDO = ("no increase", "no change", "not rule out", "not ruled out",
+               "gram negative")
+_TERM_CONJ = ("but", "however", "although", "aside from", "except")
+_FAMILY = ("family history of", "mother", "father", "brother", "sister",
+           "grandmother", "grandfather")
+_HIST = ("history of", "past medical history")
+_HEDGE = ("possible", "probable", "suspected", "suggestive of",
+          "consistent with", "may represent", "questionable")
+
+DEFAULT_RULES: tuple[ModifierRule, ...] = tuple(
+    [ModifierRule(f"neg_f_{i}", (t,), "Polarity", "Negative_Polarity",
+                  ACTION_FORWARD, group="negation",
+                  terminated_by=("conj",), pseudo=("pseudoneg",))
+     for i, t in enumerate(_NEG_FWD)]
+    + [ModifierRule(f"neg_b_{i}", (t,), "Polarity", "Negative_Polarity",
+                    ACTION_BACKWARD, group="negation",
+                    terminated_by=("conj",), pseudo=("pseudoneg",))
+       for i, t in enumerate(_NEG_BWD)]
+    + [ModifierRule(f"neg_p_{i}", (t,), "Polarity", "Positive_Polarity",
+                    group="pseudoneg", is_pseudo=True)
+       for i, t in enumerate(_NEG_PSEUDO)]
+    + [ModifierRule(f"term_{i}", (t,), "", "", ACTION_TERMINATE,
+                    group="conj")
+       for i, t in enumerate(_TERM_CONJ)]
+    + [ModifierRule(f"fam_{i}", (t,), "Experiencer",
+                    "FamilyMember_Experiencer", ACTION_FORWARD,
+                    group="experiencer", terminated_by=("conj",))
+       for i, t in enumerate(_FAMILY)]
+    + [ModifierRule(f"hist_{i}", (t,), "Temporality", "Before_DocTimeRel",
+                    ACTION_FORWARD, group="temporality",
+                    terminated_by=("conj",))
+       for i, t in enumerate(_HIST)]
+    + [ModifierRule(f"hedge_{i}", (t,), "ContextualModality",
+                    "Hedged_ContextualModality", ACTION_FORWARD,
+                    group="modality", terminated_by=("conj",))
+       for i, t in enumerate(_HEDGE)]
+)
+
+
+def default_context_index() -> ContextIndex:
+    return build_context_index(DEFAULT_RULES, DEFAULT_VALUES)

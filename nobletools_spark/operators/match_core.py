@@ -50,7 +50,7 @@ class Mention:
     """
 
     __slots__ = ("cui", "matched_term", "term_norm", "score", "annotations",
-                 "search_string")
+                 "search_string", "modifiers")
 
     def __init__(self, cui: str, matched_term: str, term_norm: str,
                  score: float, annotations: list[tuple[str, int]],
@@ -61,6 +61,7 @@ class Mention:
         self.score = score
         self.annotations = annotations  # [(word, sentence_rel_offset)]
         self.search_string = search_string
+        self.modifiers: dict[str, str] = {}  # type -> value (ConText)
 
     @property
     def start(self) -> int:

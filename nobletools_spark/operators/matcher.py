@@ -26,7 +26,8 @@ from nobletools_spark.operators import match_core
 MENTIONS_DDL = (
     "doc_id string, sent_offset int, cui string, matched_term string, "
     "term_norm string, score double, start int, end int, "
-    "annotations array<struct<text:string, offset:int>>"
+    "annotations array<struct<text:string, offset:int>>, "
+    "modifiers map<string,string>"
 )
 
 
@@ -39,9 +40,12 @@ def _span_fields(span) -> tuple[str, Optional[str], Optional[str], int]:
 
 
 def process_document(doc_id: str, spans, idx: TerminologyIndex,
-                     cfg: MatchConfig) -> list[tuple]:
+                     cfg: MatchConfig, context=None) -> list[tuple]:
     """Annotate one document; returns mention rows (pure function — reused
-    by the pytest oracle harness and the Spark UDF)."""
+    by the pytest oracle harness and the Spark UDF). ``context`` is an
+    optional ContextIndex: modifier assignment runs per sentence after
+    the acronym pass (NobleCoder.process order, coder/NobleCoder.java:
+    379-389: terminology → acronyms → ConText)."""
     sentences: list[tuple[str, int, list[match_core.Mention]]] = []
     if spans is None:
         spans = ()
@@ -54,6 +58,10 @@ def process_document(doc_id: str, spans, idx: TerminologyIndex,
             sentences.append((sent_text, sent_off, mentions))
     # document-local acronym pass (tools/AcronymDetector.java:118-196)
     match_core.acronym_pass(sentences)
+    if context is not None:
+        from nobletools_spark.operators.context import apply_context
+        for sent_text, _off, mentions in sentences:
+            apply_context(sent_text, mentions, context)
     rows = []
     for _text, sent_off, mentions in sentences:
         for m in mentions:
@@ -61,15 +69,19 @@ def process_document(doc_id: str, spans, idx: TerminologyIndex,
             rows.append((
                 doc_id, sent_off, m.cui, m.matched_term, m.term_norm,
                 float(m.score), sent_off + m.start, sent_off + m.end, anns,
+                dict(m.modifiers),
             ))
     return rows
 
 
 def annotate(docs_df, index, cfg: MatchConfig = MatchConfig(),
-             min_parallelism: int | None = None):
+             min_parallelism: int | None = None, context=None):
     """documents (doc_id, spans) → mentions DataFrame.
 
     ``index`` may be a TerminologyIndex or an existing Broadcast of one.
+    ``context`` (optional ContextIndex) enables ConText modifier
+    assignment inside the same map-only stage — the ``modifiers`` column
+    is empty maps otherwise.
 
     Parallelism guard: the matcher is CPU-bound per document, so a
     too-coarse input layout (one small parquet file = one partition)
@@ -91,15 +103,19 @@ def annotate(docs_df, index, cfg: MatchConfig = MatchConfig(),
         bc = spark.sparkContext.broadcast(index)
     else:
         bc = index
+    ctx_bc = (spark.sparkContext.broadcast(context)
+              if context is not None and not hasattr(context, "value")
+              else context)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = bc.value
+        ctx = ctx_bc.value if ctx_bc is not None else None
         cols = ["doc_id", "sent_offset", "cui", "matched_term", "term_norm",
-                "score", "start", "end", "annotations"]
+                "score", "start", "end", "annotations", "modifiers"]
         for pdf in batches:
             out: list[tuple] = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                out.extend(process_document(doc_id, spans, idx, cfg))
+                out.extend(process_document(doc_id, spans, idx, cfg, ctx))
             yield pd.DataFrame(out, columns=cols)
 
     return docs_df.select("doc_id", "spans").mapInPandas(fn, MENTIONS_DDL)

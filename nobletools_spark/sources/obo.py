@@ -1,0 +1,121 @@
+"""OBO and tab-indented text terminology loaders (reference:
+ConceptImporter.loadOBO util/ConceptImporter.java:181-279, loadText +
+createClass :442-553). Terminologies are tiny relative to the corpus, so
+these parse driver-side and emit a concepts DataFrame in
+build_index_df's input schema; the isa edges feed the closure operator.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable
+
+_SYN_RE = re.compile(r'synonym:\s*"([^"]*)"')
+_ISA_RE = re.compile(r"is_a:\s*(\S+)")
+_REL_RE = re.compile(r"relationship:\s*(\S+)\s+(\S+)")
+# loadText token recognizers (ConceptImporter.java:500-516)
+_CUI_RE = re.compile(r"CL?\d{4,7}")
+_TUI_RE = re.compile(r"T\d{2,3}")
+
+
+def parse_obo(text: str) -> tuple[list[dict], list[tuple[str, str]]]:
+    """Parse `[Term]` stanzas → (concepts, isa_edges). Fields: id, name,
+    synonym ("..." any scope), def, is_a, relationship, is_obsolete
+    (obsolete terms dropped, ConceptImporter.java:219-221)."""
+    concepts: list[dict] = []
+    edges: list[tuple[str, str]] = []
+    cur: dict | None = None
+
+    def flush():
+        nonlocal cur
+        if cur is not None and cur.get("cui") and not cur.get("obsolete"):
+            concepts.append({
+                "cui": cur["cui"], "name": cur.get("name") or cur["cui"],
+                "synonyms": tuple(dict.fromkeys(
+                    [cur.get("name") or cur["cui"], *cur.get("synonyms", [])])),
+                "semtypes": (), "sources": ("OBO",),
+                "definition": cur.get("definition"),
+            })
+            for p in cur.get("is_a", []):
+                edges.append((cur["cui"], p))
+        cur = None
+
+    for line in text.splitlines():
+        line = line.strip()
+        if line == "[Term]":
+            flush()
+            cur = {"synonyms": [], "is_a": []}
+        elif cur is None:
+            continue
+        elif line.startswith("[") and line.endswith("]"):  # other stanza
+            flush()
+        elif line.startswith("id:"):
+            cur["cui"] = line[3:].strip()
+        elif line.startswith("name:"):
+            cur["name"] = line[5:].strip()
+        elif line.startswith("synonym:"):
+            m = _SYN_RE.match(line)
+            if m:
+                cur["synonyms"].append(m.group(1))
+        elif line.startswith("def:"):
+            m = re.match(r'def:\s*"([^"]*)"', line)
+            if m:
+                cur["definition"] = m.group(1)
+        elif line.startswith("is_a:"):
+            m = _ISA_RE.match(line)
+            if m:
+                cur["is_a"].append(m.group(1))
+        elif line.startswith("relationship:"):
+            m = _REL_RE.match(line)
+            if m and m.group(1) == "part_of":
+                cur["is_a"].append(m.group(2))
+        elif line.startswith("is_obsolete:") and "true" in line:
+            cur["obsolete"] = True
+    flush()
+    return concepts, edges
+
+
+def parse_text_terminology(text: str,
+                           root: str = "ROOT") -> tuple[list[dict],
+                                                        list[tuple[str, str]]]:
+    """Tab-indented hierarchy: depth = leading tabs, synonyms separated
+    by ``|``/``;``/``,``; CUI/TUI-shaped tokens recognized as codes
+    (ConceptImporter.createClass :500-553)."""
+    concepts: list[dict] = []
+    edges: list[tuple[str, str]] = []
+    stack: list[str] = [root]
+    auto = 0
+    for raw in text.splitlines():
+        if not raw.strip() or raw.lstrip().startswith("#"):
+            continue
+        depth = len(raw) - len(raw.lstrip("\t"))
+        parts = [p.strip() for p in re.split(r"[|;,]", raw.strip()) if p.strip()]
+        cui = next((p for p in parts if _CUI_RE.fullmatch(p)), None)
+        tuis = tuple(p for p in parts if _TUI_RE.fullmatch(p))
+        names = [p for p in parts
+                 if p != cui and p not in tuis]
+        if not names:
+            continue
+        if cui is None:
+            auto += 1
+            cui = f"TX{auto:07d}"
+        concepts.append({"cui": cui, "name": names[0],
+                         "synonyms": tuple(names), "semtypes": tuis,
+                         "sources": ("TXT",)})
+        del stack[depth + 1:]
+        parent = stack[depth] if depth < len(stack) else stack[-1]
+        if parent != root:
+            edges.append((cui, parent))
+        if depth + 1 == len(stack):
+            stack.append(cui)
+        else:
+            stack[depth + 1] = cui
+    return concepts, edges
+
+
+def concepts_df_from_records(spark, concepts: Iterable[dict]):
+    rows = [(c["cui"], c["name"], list(c["synonyms"]), list(c["semtypes"]),
+             list(c["sources"])) for c in concepts]
+    return spark.createDataFrame(
+        rows, "cui string, name string, synonyms array<string>, "
+              "semtypes array<string>, sources array<string>")

@@ -1,0 +1,190 @@
+"""UMLS RRF terminology ingestion — the reference's 650-line streaming
+loader (util/ConceptImporter.loadRRF :580-1235) re-expressed as five
+declarative csv scans + joins/aggregations. The reference hand-rolls an
+external group-by through temp word files (:920-961); Spark's shuffle IS
+that external group-by.
+
+Column positions (pipe-delimited, no header):
+- MRCONSO (ConceptImporter.java:800-810): cui=0 lat=1 ts=2 ispref=6
+  sab=11 tty=12 code=13 str=14 suppress=16
+- MRDEF   (:998-1026): cui=0 sab=4 def=5
+- MRSTY   (:1049-1073): cui=0 tui=1 sty=3
+- MRREL   (:1097-1153): cui1=0 rel=3 cui2=4 sab=10 — keep RB/RN/PAR/CHD,
+  emit BROADER edges (+ inverse for RN/CHD)
+- MRSAB   (:698-727): rsab=3 son=4 sver=6 sf=23
+
+Filters (ConceptImporter.java:828-851): language ∈ languages (default
+ENG), source ∈ sources (if given), semantic-type prefetch semi-join
+(:736-769,843-847), suppress='O' dropped.
+
+Output: dict of DataFrames — concepts (broadcastable dimension),
+semtypes, relations (BROADER edge table for the isa closure), sources,
+definitions — plus ``concepts_for_index`` shaped for build_index_df.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MRCONSO_MIN_COLS = 17
+BROADER_RELS = {"RB", "PAR"}   # cui2 is broader than cui1 → edge cui1→cui2
+NARROWER_RELS = {"RN", "CHD"}  # inverse edge cui2→cui1
+                               # (ConceptImporter.java:1117-1126)
+
+
+def _read_rrf(spark: SparkSession, path: str, n_cols: int) -> DataFrame:
+    """Pipe-delimited RRF scan with positional columns _c0.._cN.
+    Explicit schema (all strings) — no inference pass over the file."""
+    schema = ", ".join(f"_c{i} string" for i in range(n_cols))
+    return spark.read.csv(path, sep="|", schema=schema, header=False)
+
+
+def load_rrf(spark: SparkSession, rrf_dir: str,
+             languages: tuple[str, ...] = ("ENG",),
+             source_filter: tuple[str, ...] = (),
+             semtype_filter: tuple[str, ...] = (),
+             suppress_obsolete: bool = True) -> dict[str, DataFrame]:
+    conso = (_read_rrf(spark, f"{rrf_dir}/MRCONSO.RRF", MRCONSO_MIN_COLS)
+             .select(F.col("_c0").alias("cui"), F.col("_c1").alias("lat"),
+                     F.col("_c2").alias("ts"), F.col("_c6").alias("ispref"),
+                     F.col("_c11").alias("sab"), F.col("_c12").alias("tty"),
+                     F.col("_c13").alias("code"), F.col("_c14").alias("str"),
+                     F.col("_c16").alias("suppress")))
+    if languages:
+        conso = conso.filter(F.col("lat").isin(*languages))
+    if source_filter:
+        # SRC rows always pass — they carry the V-<SAB> root markers
+        conso = conso.filter(F.col("sab").isin(*source_filter)
+                             | (F.col("sab") == "SRC"))
+    if suppress_obsolete:
+        # empty fields scan as NULL — keep them (only explicit 'O' drops)
+        conso = conso.filter(~F.col("suppress").eqNullSafe("O"))
+
+    sty = (_read_rrf(spark, f"{rrf_dir}/MRSTY.RRF", 4)
+           .select(F.col("_c0").alias("cui"), F.col("_c1").alias("tui"),
+                   F.col("_c3").alias("sty"))
+           .distinct())
+    if semtype_filter:
+        # semantic-type prefetch: keep only CUIs holding an allowed TUI
+        # (ConceptImporter.java:736-769,843-847) — a semi-join, and the
+        # kosher-CUI side is terminology-sized → broadcast
+        kosher = sty.filter(F.col("tui").isin(*semtype_filter)
+                            | F.col("sty").isin(*semtype_filter)) \
+                    .select("cui").distinct()
+        conso = conso.join(F.broadcast(kosher), "cui", "left_semi")
+
+    # preferred name: TS='P' & ISPREF='Y' preferred, deterministic
+    # tie-break on (sab, tty, str)
+    from pyspark.sql import Window
+    pref_rank = (F.when((F.col("ts") == "P") & (F.col("ispref") == "Y"), 0)
+                 .when(F.col("ispref") == "Y", 1).otherwise(2))
+    w = Window.partitionBy("cui").orderBy(pref_rank, "sab", "tty", "str")
+    atoms = conso.filter(F.col("sab") != "SRC")
+    names = (atoms.withColumn("_rk", F.row_number().over(w))
+             .filter(F.col("_rk") == 1)
+             .select("cui", F.col("str").alias("name")))
+
+    concepts = (atoms.groupBy("cui")
+                .agg(F.sort_array(F.collect_set("str")).alias("synonyms"),
+                     F.sort_array(F.collect_set("sab")).alias("sources"),
+                     F.sort_array(F.collect_set(
+                         F.struct("sab", "code"))).alias("codes"))
+                .join(names, "cui", "left")
+                .join(sty.groupBy("cui")
+                      .agg(F.sort_array(F.collect_set("tui")).alias("semtypes")),
+                      "cui", "left")
+                .withColumn("semtypes",
+                            F.coalesce("semtypes", F.array().cast("array<string>"))))
+
+    rel = (_read_rrf(spark, f"{rrf_dir}/MRREL.RRF", 11)
+           .select(F.col("_c0").alias("cui1"), F.col("_c3").alias("rel"),
+                   F.col("_c4").alias("cui2"), F.col("_c10").alias("sab")))
+    broader = rel.filter(F.col("rel").isin(*BROADER_RELS)) \
+        .select(F.col("cui1").alias("cui"), F.col("cui2").alias("parent"))
+    inverse = rel.filter(F.col("rel").isin(*NARROWER_RELS)) \
+        .select(F.col("cui2").alias("cui"), F.col("cui1").alias("parent"))
+    relations = (broader.unionByName(inverse)
+                 .filter(F.col("cui") != F.col("parent")).distinct())
+
+    defs_df = None
+    try:
+        defs_df = (_read_rrf(spark, f"{rrf_dir}/MRDEF.RRF", 6)
+                   .select(F.col("_c0").alias("cui"), F.col("_c4").alias("sab"),
+                           F.col("_c5").alias("definition")))
+    except Exception:  # MRDEF is optional
+        pass
+
+    sab_df = None
+    try:
+        sab_df = (_read_rrf(spark, f"{rrf_dir}/MRSAB.RRF", 24)
+                  .select(F.col("_c3").alias("sab"), F.col("_c4").alias("name"),
+                          F.col("_c6").alias("version"),
+                          F.col("_c23").alias("description")))
+    except Exception:  # MRSAB is optional
+        pass
+
+    out = {"concepts": concepts, "semtypes": sty, "relations": relations}
+    if defs_df is not None:
+        out["definitions"] = defs_df
+    if sab_df is not None:
+        out["sources"] = sab_df
+    return out
+
+
+def concepts_for_index(tables: dict[str, DataFrame]) -> DataFrame:
+    """Project the loadRRF output into build_index_df's input schema."""
+    return tables["concepts"].select(
+        "cui", F.coalesce("name", F.element_at("synonyms", 1)).alias("name"),
+        "synonyms", "semtypes", "sources")
+
+
+def conso_row(cui: str, s: str, lat: str = "ENG", ts: str = "P",
+              ispref: str = "Y", sab: str = "TST", tty: str = "PT",
+              code: str = "", suppress: str = "") -> tuple:
+    r = [""] * MRCONSO_MIN_COLS
+    r[0], r[1], r[2], r[6] = cui, lat, ts, ispref
+    r[11], r[12], r[13], r[14], r[16] = sab, tty, code or cui, s, suppress
+    return tuple(r)
+
+
+def sty_row(cui: str, tui: str, sty: str) -> tuple:
+    return (cui, tui, "", sty)
+
+
+def rel_row(cui1: str, rel: str, cui2: str, sab: str = "TST") -> tuple:
+    r = [""] * 11
+    r[0], r[3], r[4], r[10] = cui1, rel, cui2, sab
+    return tuple(r)
+
+
+def sab_row(sab: str, name: str, version: str, description: str) -> tuple:
+    r = [""] * 24
+    r[3], r[4], r[6], r[23] = sab, name, version, description
+    return tuple(r)
+
+
+def write_fixture_rrf(path: str, mrconso: list[tuple], mrsty: list[tuple],
+                      mrrel: list[tuple], mrdef: list[tuple] = (),
+                      mrsab: list[tuple] = ()) -> None:
+    """Write tiny pipe-delimited RRF fixture files (FIXTURES.md §2) for
+    tests. Row shapes match the full positional layouts."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+
+    def pad(row: tuple, n: int) -> str:
+        vals = list(row) + [""] * (n - len(row))
+        return "|".join(str(v) for v in vals)
+
+    def dump(name: str, rows, n: int) -> None:
+        with open(os.path.join(path, name), "w") as f:
+            for r in rows:
+                f.write(pad(r, n) + "\n")
+
+    dump("MRCONSO.RRF", mrconso, MRCONSO_MIN_COLS)
+    dump("MRSTY.RRF", mrsty, 4)
+    dump("MRREL.RRF", mrrel, 11)
+    if mrdef:
+        dump("MRDEF.RRF", mrdef, 6)
+    if mrsab:
+        dump("MRSAB.RRF", mrsab, 24)

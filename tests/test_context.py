@@ -1,0 +1,111 @@
+"""ConText modifier assignment goldens (reference semantics:
+tools/ConText.java:385-409,428-516,562-586) + Spark integration."""
+
+import pytest
+
+from nobletools_spark.model import MatchConfig
+from nobletools_spark.operators.context import (
+    apply_context,
+    default_context_index,
+)
+from nobletools_spark.operators.match_core import match_sentence
+from nobletools_spark.sources.fixtures import pytest_index
+
+CFG = MatchConfig()
+CTX = default_context_index()
+IDX = pytest_index()
+
+
+def _mods(text: str, want_cui: str) -> dict:
+    mentions = match_sentence(text, IDX, CFG)
+    apply_context(text, mentions, CTX)
+    for m in mentions:
+        if m.cui == want_cui:
+            return m.modifiers
+    raise AssertionError(f"{want_cui} not found in {text!r}: "
+                         f"{[m.cui for m in mentions]}")
+
+
+def test_defaults_applied():
+    mods = _mods("Melanoma was seen.", "C013")
+    assert mods["Polarity"] == "Positive_Polarity"
+    assert mods["Experiencer"] == "Patient_Experiencer"
+
+
+def test_forward_negation():
+    mods = _mods("No evidence of melanoma.", "C013")
+    assert mods["Polarity"] == "Negative_Polarity"
+
+
+def test_backward_negation():
+    mods = _mods("Melanoma is ruled out.", "C013")
+    assert mods["Polarity"] == "Negative_Polarity"
+
+
+def test_terminator_clips_forward_scope():
+    # negation applies to septum only: "but" terminates before melanoma
+    text = "No evidence of nasal septum deviation but melanoma was seen."
+    assert _mods(text, "C004")["Polarity"] == "Negative_Polarity"
+    assert _mods(text, "C013")["Polarity"] == "Positive_Polarity"
+
+
+def test_forward_scope_does_not_reach_backward():
+    text = "Melanoma was seen without any margins."
+    assert _mods(text, "C013")["Polarity"] == "Positive_Polarity"
+    assert _mods(text, "C003")["Polarity"] == "Negative_Polarity"
+
+
+def test_pseudo_suppression():
+    # "no change" is pseudo-negation: cancels the "no" trigger it overlaps
+    mods = _mods("No change in melanoma today.", "C013")
+    assert mods["Polarity"] == "Positive_Polarity"
+
+
+def test_word_window_limit():
+    # modifier more than 8 words before the target: out of scope
+    text = ("No evidence right now in any of the reviewed and archived "
+            "slides of melanoma.")
+    assert _mods(text, "C013")["Polarity"] == "Positive_Polarity"
+
+
+def test_family_and_history():
+    mods = _mods("Family history of melanoma.", "C013")
+    assert mods["Experiencer"] == "FamilyMember_Experiencer"
+    # greedy used-word marking (ignoreUsedWords, default in the reference
+    # ConText terminology too): "family history of" consumes
+    # history+of, so the narrower "history of" trigger never fires
+    assert mods["Temporality"] == "Recent_Temporality"
+
+
+def test_history_alone():
+    mods = _mods("History of melanoma.", "C013")
+    assert mods["Temporality"] == "Before_DocTimeRel"
+    assert mods["Experiencer"] == "Patient_Experiencer"
+
+
+def test_hedging():
+    mods = _mods("Findings suggestive of melanoma.", "C013")
+    assert mods["ContextualModality"] == "Hedged_ContextualModality"
+
+
+def test_spark_annotate_with_context(spark):
+    from nobletools_spark.operators.matcher import annotate
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+
+    docs = spark.createDataFrame(
+        [("d1", [("text", "No evidence of melanoma. FISH was positive.",
+                  None, 0)])], SPANS_DDL)
+    rows = annotate(docs, IDX, CFG, context=CTX).collect()
+    by_cui = {r.cui: r for r in rows}
+    assert by_cui["C013"].modifiers["Polarity"] == "Negative_Polarity"
+    assert by_cui["C005"].modifiers["Polarity"] == "Positive_Polarity"
+
+
+def test_modifiers_column_empty_without_context(spark):
+    from nobletools_spark.operators.matcher import annotate
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+
+    docs = spark.createDataFrame(
+        [("d1", [("text", "No evidence of melanoma.", None, 0)])], SPANS_DDL)
+    rows = annotate(docs, IDX, CFG).collect()
+    assert rows and all(r.modifiers == {} for r in rows)

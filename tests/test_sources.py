@@ -1,0 +1,171 @@
+"""Terminology source loaders: RRF (pipe-delimited fixtures per
+FIXTURES.md §2), OBO, tab-indented text — and index-build round trips."""
+
+import pytest
+
+from nobletools_spark.sources.obo import (
+    concepts_df_from_records,
+    parse_obo,
+    parse_text_terminology,
+)
+from nobletools_spark.sources.rrf import (
+    concepts_for_index,
+    conso_row,
+    load_rrf,
+    rel_row,
+    sab_row,
+    sty_row,
+    write_fixture_rrf,
+)
+
+OBO_SAMPLE = """\
+format-version: 1.2
+
+[Term]
+id: GO:0001
+name: melanoma
+def: "a malignant neoplasm" [src]
+synonym: "malignant melanoma" EXACT []
+synonym: "MM" ABBREV []
+is_a: GO:0002 ! neoplasm
+
+[Term]
+id: GO:0002
+name: neoplasm
+is_a: GO:0003
+
+[Term]
+id: GO:0003
+name: disease
+
+[Term]
+id: GO:0004
+name: old concept
+is_obsolete: true
+
+[Typedef]
+id: part_of
+name: part of
+"""
+
+
+def test_parse_obo():
+    concepts, edges = parse_obo(OBO_SAMPLE)
+    by_id = {c["cui"]: c for c in concepts}
+    assert set(by_id) == {"GO:0001", "GO:0002", "GO:0003"}  # obsolete dropped
+    assert by_id["GO:0001"]["synonyms"] == (
+        "melanoma", "malignant melanoma", "MM")
+    assert by_id["GO:0001"]["definition"] == "a malignant neoplasm"
+    assert ("GO:0001", "GO:0002") in edges and ("GO:0002", "GO:0003") in edges
+
+
+def test_parse_text_terminology():
+    txt = ("Disease; C0000001\n"
+           "\tNeoplasm; C0000002; T191\n"
+           "\t\tMelanoma | Malignant Melanoma; C0000003; T191\n"
+           "\tInfection; C0000004\n")
+    concepts, edges = parse_text_terminology(txt)
+    by_id = {c["cui"]: c for c in concepts}
+    assert by_id["C0000003"]["synonyms"] == ("Melanoma", "Malignant Melanoma")
+    assert by_id["C0000003"]["semtypes"] == ("T191",)
+    assert ("C0000003", "C0000002") in edges
+    assert ("C0000002", "C0000001") in edges
+    assert ("C0000004", "C0000001") in edges
+    # siblings don't nest
+    assert ("C0000004", "C0000002") not in edges
+
+
+@pytest.fixture(scope="module")
+def rrf_dir(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("rrf"))
+    write_fixture_rrf(
+        p,
+        mrconso=[
+            conso_row("C0000001", "Melanoma", tty="PT"),
+            conso_row("C0000001", "Malignant Melanoma", ts="S", ispref="N",
+                      tty="SY"),
+            conso_row("C0000001", "Melanom", lat="GER"),       # language filter
+            conso_row("C0000001", "Old Name", suppress="O"),   # suppressed
+            conso_row("C0000001", "MM", ts="S", ispref="N", sab="ALT",
+                      tty="AB", code="A-1"),
+            conso_row("C0000002", "Neoplasm"),
+            conso_row("C0000003", "Skin Margin", sab="ALT"),
+            conso_row("V-TST", "Test Vocabulary", sab="SRC", tty="VPT",
+                      code="V-TST"),
+        ],
+        mrsty=[
+            sty_row("C0000001", "T191", "Neoplastic Process"),
+            sty_row("C0000002", "T191", "Neoplastic Process"),
+            sty_row("C0000003", "T023", "Body Part"),
+        ],
+        mrrel=[
+            rel_row("C0000001", "PAR", "C0000002"),   # parent edge
+            rel_row("C0000002", "CHD", "C0000001"),   # inverse of the same
+            rel_row("C0000001", "RO", "C0000003"),    # ignored rel type
+        ],
+        mrsab=[sab_row("TST", "Test Source", "2025", "A test vocabulary")],
+    )
+    return p
+
+
+def test_load_rrf(spark, rrf_dir):
+    t = load_rrf(spark, rrf_dir)
+    concepts = {r["cui"]: r for r in t["concepts"].collect()}
+    c1 = concepts["C0000001"]
+    assert c1["name"] == "Melanoma"
+    assert "Melanom" not in c1["synonyms"]          # non-ENG dropped
+    assert "Old Name" not in c1["synonyms"]         # suppressed dropped
+    assert set(c1["synonyms"]) == {"Melanoma", "Malignant Melanoma", "MM"}
+    assert c1["sources"] == ["ALT", "TST"]
+    assert c1["semtypes"] == ["T191"]
+    rels = {(r["cui"], r["parent"]) for r in t["relations"].collect()}
+    assert rels == {("C0000001", "C0000002")}       # PAR+CHD dedup, RO dropped
+    assert t["sources"].collect()[0]["name"] == "Test Source"
+
+
+def test_rrf_semtype_filter(spark, rrf_dir):
+    t = load_rrf(spark, rrf_dir, semtype_filter=("T191",))
+    cuis = {r["cui"] for r in t["concepts"].collect()}
+    assert cuis == {"C0000001", "C0000002"}
+
+
+def test_rrf_source_filter(spark, rrf_dir):
+    t = load_rrf(spark, rrf_dir, source_filter=("TST",))
+    concepts = {r["cui"]: r for r in t["concepts"].collect()}
+    assert "MM" not in concepts["C0000001"]["synonyms"]
+    assert "C0000003" not in concepts
+
+
+def test_rrf_to_index_end_to_end(spark, rrf_dir):
+    """RRF → concepts_df → broadcast index → annotate finds the concept."""
+    from nobletools_spark.index import build_index_df
+    from nobletools_spark.model import MatchConfig
+    from nobletools_spark.operators.matcher import annotate
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+
+    idx = build_index_df(spark, concepts_for_index(load_rrf(spark, rrf_dir)))
+    docs = spark.createDataFrame(
+        [("d1", [("text", "Findings include malignant melanomas.", None, 0)])],
+        SPANS_DDL)
+    rows = annotate(docs, idx, MatchConfig()).collect()
+    assert {r.cui for r in rows} == {"C0000001"}
+
+
+def test_obo_to_index_end_to_end(spark):
+    from nobletools_spark.index import build_index_df
+    from nobletools_spark.model import MatchConfig
+    from nobletools_spark.operators.matcher import annotate
+    from nobletools_spark.operators.triples import ancestors
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+
+    concepts, edges = parse_obo(OBO_SAMPLE)
+    idx = build_index_df(spark, concepts_df_from_records(spark, concepts))
+    docs = spark.createDataFrame(
+        [("d1", [("text", "Consistent with malignant melanoma.", None, 0)])],
+        SPANS_DDL)
+    rows = annotate(docs, idx, __import__(
+        "nobletools_spark.model", fromlist=["MatchConfig"]).MatchConfig()).collect()
+    assert {r.cui for r in rows} == {"GO:0001"}
+    anc = ancestors(spark.createDataFrame(edges, "cui string, parent string"))
+    got = {(r.cui, r.ancestor, r.depth) for r in anc.collect()}
+    assert ("GO:0001", "GO:0003", 2) in got
