@@ -285,7 +285,9 @@ def split_sentences(text: str, offset: int = 0) -> list[tuple[str, int]]:
 # **TAG[...] patterns so downstream offsets stay valid.
 # ---------------------------------------------------------------------------
 
-_DEID_RE = re.compile(r"\*\*[A-Z-]+(\[[^\]]*\])?")
+# exact reference pattern (DeIDUtils.java:55): greedy bracket body — two
+# tags on one line are blanked as one span, including the text between
+_DEID_RE = re.compile(r"\*?\*\*[A-Z\-]+(\[.*\])?")
 
 
 def filter_deid_tags(text: str) -> str:

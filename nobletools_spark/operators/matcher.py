@@ -19,7 +19,6 @@ from typing import Iterator, Optional
 
 import pandas as pd
 
-from nobletools_spark.functions.textkit import split_sentences
 from nobletools_spark.model import MatchConfig, TerminologyIndex
 from nobletools_spark.operators import match_core
 
@@ -40,12 +39,22 @@ def _span_fields(span) -> tuple[str, Optional[str], Optional[str], int]:
 
 
 def process_document(doc_id: str, spans, idx: TerminologyIndex,
-                     cfg: MatchConfig, context=None) -> list[tuple]:
+                     cfg: MatchConfig, context=None,
+                     process_filter: int | None = None) -> list[tuple]:
     """Annotate one document; returns mention rows (pure function — reused
     by the pytest oracle harness and the Spark UDF). ``context`` is an
     optional ContextIndex: modifier assignment runs per sentence after
     the acronym pass (NobleCoder.process order, coder/NobleCoder.java:
-    379-389: terminology → acronyms → ConText)."""
+    379-389: terminology → acronyms → ConText).
+
+    Each text span goes through the document-structure pipeline
+    (DocumentProcessor: sectioning, prose/line classification, worksheet
+    detection) and the sentence filters + DeID scrub
+    (NobleCoder.filterSentence :415-435, filterText :443-447)."""
+    from nobletools_spark.functions import docproc
+    from nobletools_spark.functions.textkit import filter_deid_tags
+
+    pf = docproc.DEFAULT_PROCESS_FILTER if process_filter is None else process_filter
     sentences: list[tuple[str, int, list[match_core.Mention]]] = []
     if spans is None:
         spans = ()
@@ -53,7 +62,12 @@ def process_document(doc_id: str, spans, idx: TerminologyIndex,
         kind, text, _media, offset = _span_fields(span)
         if kind != "text" or not text:
             continue  # media spans carried through untouched
-        for sent_text, sent_off in split_sentences(text, offset):
+        parsed = docproc.process_document_text(text, offset)
+        for sent_text, sent_off, sent_type in parsed.sentences:
+            if docproc.filter_sentence(sent_text.strip(), sent_type, pf):
+                continue
+            if pf & docproc.FILTER_DEID:
+                sent_text = filter_deid_tags(sent_text)
             mentions = match_core.match_sentence(sent_text, idx, cfg)
             sentences.append((sent_text, sent_off, mentions))
     # document-local acronym pass (tools/AcronymDetector.java:118-196)
