@@ -147,6 +147,20 @@ def q_kg_word_stats(spark, sf_dir):
     return word_stats_df(terms_df(spark, cdf))
 
 
+def q_kg_mentions_by_ancestor(spark, sf_dir):
+    """Ancestry-gated mention filter (TemplateItem.java:396-418 shape):
+    distinct (doc, cui) mentions whose concept descends from C120
+    ('Relational Operator') in the builtin isa hierarchy."""
+    from nobletools_spark.operators.triples import mentions_with_ancestor
+
+    m = _builtin_mentions(spark, sf_dir)
+    edges = spark.createDataFrame(list(BUILTIN_ISA_EDGES),
+                                  "cui string, parent string")
+    return (mentions_with_ancestor(m, edges, "C120")
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "cui")
+            .distinct())
+
+
 def q_text_token_stats(spark, sf_dir):
     return token_stats(_docs(spark, sf_dir))
 
@@ -213,6 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": q_kg_mentions,
         "kg_mentions_full": q_kg_mentions_full,
         "kg_doc_concepts": q_kg_doc_concepts,
+        "kg_mentions_by_ancestor": q_kg_mentions_by_ancestor,
         "kg_cooccurrence": q_kg_cooccurrence,
         "kg_isa_closure": q_kg_isa_closure,
         "kg_semtypes": q_kg_semtypes,
@@ -260,7 +275,7 @@ def _norm_chain(expr: str) -> str:
     return f"' ' || trim(regexp_replace({out}, ' +', ' ', 'g')) || ' '"
 
 
-def _mentions_cte() -> str:
+def _mentions_cte(recursive: bool = False) -> str:
     branches = []
     for word, cui in BUILTIN_SINGLE_TERMS:
         branches.append(
@@ -275,7 +290,8 @@ def _mentions_cte() -> str:
             f"SELECT doc_id::BIGINT AS doc_id, '{cui}' AS cui FROM norm "
             f"WHERE regexp_matches(t, '{p1}') OR regexp_matches(t, '{p2}')")
     union = " UNION ALL ".join(branches)
-    return (f"WITH norm AS (SELECT doc_id, {_norm_chain('text')} AS t "
+    kw = "WITH RECURSIVE" if recursive else "WITH"
+    return (f"{kw} norm AS (SELECT doc_id, {_norm_chain('text')} AS t "
             f"FROM documents), m AS ({union})")
 
 
@@ -335,6 +351,22 @@ def oracle_sql() -> dict[str, str]:
           " count(*)::BIGINT AS n_docs"
           " FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.cui < b.cui"
           " GROUP BY a.cui, b.cui")
+
+    sql["kg_mentions_by_ancestor"] = (
+        _mentions_cte(recursive=True)
+        + ", edges AS (SELECT * FROM "
+        + _values(BUILTIN_ISA_EDGES, ("cui", "parent")) + "), "
+        "anc AS ("
+        " SELECT cui, parent AS ancestor, 1 AS depth FROM edges"
+        " WHERE cui <> parent"
+        " UNION ALL"
+        " SELECT a.cui, e.parent, a.depth + 1 FROM anc a"
+        " JOIN edges e ON a.ancestor = e.cui"
+        " WHERE a.depth < 7 AND a.cui <> e.parent), "
+        "gate AS (SELECT DISTINCT cui FROM anc WHERE ancestor = 'C120'"
+        " UNION SELECT 'C120') "
+        "SELECT DISTINCT m.doc_id, m.cui FROM m"
+        " WHERE m.cui IN (SELECT cui FROM gate)")
 
     sql["kg_isa_closure"] = (
         "WITH RECURSIVE edges AS (SELECT * FROM "

@@ -1,0 +1,130 @@
+"""Public facade — the Terminology-interface surface of the reference
+(terminology/Terminology.java:18-185: search / lookupConcept /
+getRelatedConcepts / filters) re-expressed over the Spark engine.
+
+`NobleCoderSpark` bundles a broadcastable index + match config +
+optional ConText lexicon. Corpus-scale work goes through
+``annotate(docs_df)``; ``search(text)`` is the driver-side ad-hoc probe
+(NobleCoderTerminology.search :1297-1334) — it runs the same matcher
+kernel locally against the broadcast artifact, no cluster roundtrip.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+from nobletools_spark.model import ConceptMeta, MatchConfig, TerminologyIndex
+from nobletools_spark.operators import match_core
+
+
+@dataclass
+class RankedConcept:
+    """search() result row — concept with merged matched terms and
+    annotations, ranked by score (search comparator :1298-1307)."""
+
+    cui: str
+    name: str
+    score: float
+    matched_terms: tuple[str, ...]
+    annotations: tuple[tuple[str, int], ...]
+    semtypes: tuple[str, ...]
+    sources: tuple[str, ...]
+
+
+class NobleCoderSpark:
+    def __init__(self, index: TerminologyIndex,
+                 cfg: MatchConfig = MatchConfig(), context=None):
+        self.index = index
+        self.cfg = cfg
+        self.context = context
+
+    # ------------------------------------------------------------------
+    # constructors (Terminology loading surface)
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_concepts(cls, concepts, **kw) -> "NobleCoderSpark":
+        from nobletools_spark.index import build_index
+
+        return cls(build_index(concepts), **kw)
+
+    @classmethod
+    def from_rrf(cls, spark, rrf_dir: str, cfg: MatchConfig = MatchConfig(),
+                 context=None, **filters) -> "NobleCoderSpark":
+        from nobletools_spark.index import build_index_df
+        from nobletools_spark.sources.rrf import concepts_for_index, load_rrf
+
+        tables = load_rrf(spark, rrf_dir, **filters)
+        idx = build_index_df(spark, concepts_for_index(tables))
+        inst = cls(idx, cfg, context)
+        inst.tables = tables
+        return inst
+
+    @classmethod
+    def from_obo(cls, spark, obo_text: str, cfg: MatchConfig = MatchConfig(),
+                 context=None) -> "NobleCoderSpark":
+        from nobletools_spark.index import build_index_df
+        from nobletools_spark.sources.obo import (
+            concepts_df_from_records,
+            parse_obo,
+        )
+
+        concepts, edges = parse_obo(obo_text)
+        idx = build_index_df(spark, concepts_df_from_records(spark, concepts))
+        inst = cls(idx, cfg, context)
+        inst.isa_edges = tuple(edges)
+        return inst
+
+    # ------------------------------------------------------------------
+    # corpus path
+    # ------------------------------------------------------------------
+
+    def annotate(self, docs_df, **kw):
+        from nobletools_spark.operators.matcher import annotate
+
+        return annotate(docs_df, self.index, self.cfg,
+                        context=self.context, **kw)
+
+    # ------------------------------------------------------------------
+    # ad-hoc probes (driver-side, no cluster)
+    # ------------------------------------------------------------------
+
+    def search(self, text: str, method: str | None = None) -> list[RankedConcept]:
+        """Ranked concepts for a free-text query: run the matcher, merge
+        mentions per concept (matched terms + annotations unioned), order
+        by (score desc, code desc) — search(String,String) :1297-1334."""
+        cfg = self.cfg if method is None else replace(self.cfg,
+                                                     search_method=method)
+        mentions = match_core.match_sentence(text, self.index, cfg)
+        merged: dict[str, dict] = {}
+        for m in mentions:
+            e = merged.setdefault(m.cui, {
+                "score": m.score, "terms": [], "anns": []})
+            e["score"] = max(e["score"], m.score)
+            if m.matched_term not in e["terms"]:
+                e["terms"].append(m.matched_term)
+            e["anns"].extend(m.annotations)
+        out = []
+        for cui, e in merged.items():
+            meta = self.lookup_concept(cui) or ConceptMeta(cui, cui, (), (), ())
+            out.append(RankedConcept(
+                cui=cui, name=meta.name, score=e["score"],
+                matched_terms=tuple(e["terms"]),
+                annotations=tuple(sorted(set(e["anns"]), key=lambda a: a[1])),
+                semtypes=meta.semtypes, sources=meta.sources))
+        out.sort(key=lambda c: c.cui, reverse=True)   # tie: code desc
+        out.sort(key=lambda c: c.score, reverse=True)  # stable → score desc
+        return out
+
+    def lookup_concept(self, cui: str) -> ConceptMeta | None:
+        """lookupConcept (:1901-1913)."""
+        return self.index.concepts.get(cui)
+
+    def get_concepts(self) -> dict[str, ConceptMeta]:
+        return self.index.concepts
+
+    def set_filters(self, sources: tuple[str, ...] = (),
+                    semtypes: tuple[str, ...] = ()) -> None:
+        """setSourceFilter / setSemanticTypeFilter equivalents."""
+        self.cfg = replace(self.cfg, source_filter=tuple(sources),
+                           semtype_filter=tuple(semtypes))

@@ -194,8 +194,12 @@ def process_report(text: str, offset: int = 0) -> ParsedDocument:
         if not _merge_lines(last, s):
             joined = "".join(x + "\n" for x in buf)
             if joined.strip():
-                stype = (SENT_PROSE if "\n" in joined.strip()
-                         or _PROSE_RE.fullmatch(joined.strip()) else SENT_LINE)
+                js = joined.strip()
+                # "." pre-screen: _PROSE_RE needs a period and backtracks
+                # quadratically on long period-free lines
+                stype = (SENT_PROSE if "\n" in js
+                         or ("." in js and _PROSE_RE.fullmatch(js))
+                         else SENT_LINE)
                 _parse_region(doc, joined, buf_off, stype, doc.sections)
             buf = []
             buf_off = off
@@ -205,7 +209,8 @@ def process_report(text: str, offset: int = 0) -> ParsedDocument:
     joined = "".join(x + "\n" for x in buf)
     if joined:
         stype = (SENT_PROSE if "\n" in joined.strip()
-                 or _LAST_PROSE_RE.search(joined) else SENT_LINE)
+                 or ("." in joined and _LAST_PROSE_RE.search(joined))
+                 else SENT_LINE)
         if joined.strip():
             _parse_region(doc, joined, buf_off, stype, doc.sections)
     return doc
@@ -216,7 +221,7 @@ def process_medline(text: str, offset: int = 0) -> ParsedDocument:
     doc = ParsedDocument()
     doc.sections = split_sections(text, TYPE_MEDLINE_RECORD, offset)
     for sec in doc.sections:
-        if _PROSE_RE.fullmatch(sec.body.strip()):
+        if "." in sec.body and _PROSE_RE.fullmatch(sec.body.strip()):
             _parse_region(doc, sec.body, sec.body_offset, SENT_PROSE,
                           doc.sections)
         else:

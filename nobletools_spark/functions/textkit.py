@@ -212,6 +212,18 @@ def normalize_words(
     return words
 
 
+@lru_cache(maxsize=262144)
+def normalize_word_cached(word: str, do_stem: bool = True,
+                          strip_digits: bool = False,
+                          strip_stop_words: bool = True) -> tuple[str, ...]:
+    """Per-token normalize_words with memoization — the matcher calls
+    this once per corpus token and natural-language word frequencies are
+    Zipf, so the cache hit rate is ~99%+; turns the 7-regex chain into a
+    dict probe on the hot path."""
+    return tuple(normalize_words(word, do_stem, strip_digits,
+                                 strip_stop_words))
+
+
 def normalize(
     text: str,
     do_stem: bool = True,

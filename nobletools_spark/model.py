@@ -63,6 +63,11 @@ class MatchConfig:
     partial_match_threshold: float = 0.5
     max_words_in_term: int = 10
     compacted: bool = False
+    # search-time result filters (isFilteredOut,
+    # NobleCoderTerminology.java:1706-1782): applied AFTER best-candidate
+    # selection; a concept with an empty source/semtype list always passes
+    source_filter: tuple[str, ...] = ()
+    semtype_filter: tuple[str, ...] = ()
 
     def for_search(self) -> "MatchConfig":
         """Apply setupSearch flag fixing (NobleCoderTerminology.java:1168-1211)."""

@@ -36,6 +36,7 @@ from nobletools_spark.functions.textkit import (
     is_likely_abbreviation,
     is_plural,
     is_stop_word,
+    normalize_word_cached,
     normalize_words,
     strip_diacritics,
 )
@@ -83,8 +84,8 @@ def _normalized_word_map(text: str, cfg: MatchConfig):
     norm_map: dict[str, str] = {}
     norm_list: list[str] = []
     for w in original_words:
-        ws = normalize_words(w, cfg.stem_words, cfg.strip_digits,
-                             cfg.strip_stop_words)
+        ws = normalize_word_cached(w, cfg.stem_words, cfg.strip_digits,
+                                   cfg.strip_stop_words)
         if ws and ws[0] not in norm_map:
             norm_map[ws[0]] = w
         norm_list.extend(ws)
@@ -328,17 +329,20 @@ def match_sentence(text: str, idx: TerminologyIndex,
     swords = _iteration_order(words, idx, cfg)
     used: set[str] = set()
     hash_words = set(words)
+    count = 0
     for word in swords:
+        count += 1
         if cfg.ignore_small_words and len(word) <= 1:
             continue
         if cfg.ignore_common_words and is_common_word(word):
             continue
         if cfg.ignore_used_words and word in used:
             continue
-        for term in _get_best_terms(words, hash_words, used, word, idx, cfg):
+        text_words, text_hash = _text_words(words, hash_words, count, cfg)
+        for term in _get_best_terms(text_words, text_hash, used, word, idx, cfg):
             result_terms.setdefault(term)
             if cfg.ignore_used_words:
-                used.update(_get_used_words(words, term, cfg))
+                used.update(_get_used_words(text_words, term, cfg))
 
     # global subsumption sweep (:2309-2323)
     if cfg.subsumption_mode:
@@ -377,9 +381,42 @@ def match_sentence(text: str, idx: TerminologyIndex,
                 candidates = [c for c in candidates if c[1] >= 0.0]
         annotations = _annotations_for(oterm, original_words, text)
         for meta, score in candidates:
+            # source/semtype result filter AFTER best-candidate selection
+            # (:2361-2364 → isFilteredOut :1706-1782): a filtered best
+            # candidate is dropped, not replaced by the runner-up
+            if _is_filtered_out(meta, cfg):
+                continue
             for chunk in _re_chunk(annotations, [oterm], text, cfg.max_word_gap):
                 result.append(Mention(meta.cui, oterm, term, score, chunk, text))
     return result
+
+
+def _is_filtered_out(meta: ConceptMeta, cfg: MatchConfig) -> bool:
+    """isFilteredOut (NobleCoderTerminology.java:1706-1782): with a
+    non-empty filter, keep the concept iff it has at least one matching
+    source/semtype OR carries none at all."""
+    if cfg.source_filter:
+        if meta.sources and not set(meta.sources) & set(cfg.source_filter):
+            return True
+    if cfg.semtype_filter:
+        if meta.semtypes and not set(meta.semtypes) & set(cfg.semtype_filter):
+            return True
+    return False
+
+
+def _text_words(words: list[str], hash_words: set[str], count: int,
+                cfg: MatchConfig) -> tuple[list[str], set[str]]:
+    """getTextWords (:1350-1361): optional sliding window limiting the
+    candidate span for very long inputs; disabled under ignoreUsedWords
+    (reference comment: 'currently there is a bug')."""
+    if cfg.ignore_used_words or cfg.window_size <= 0:
+        return words, hash_words
+    c = count - 1
+    if len(words) > cfg.window_size and c < len(words):
+        end = min(c + cfg.window_size, len(words))
+        sub = words[c:end]
+        return sub, set(sub)
+    return words, hash_words
 
 
 def _search_regexp(text: str, idx: TerminologyIndex) -> list[Mention]:
@@ -462,7 +499,9 @@ def acronym_pass(sentences: list[tuple[str, int, list[Mention]]],
     """
     acronyms = acronyms if acronyms is not None else {}
     for text, _off, mentions in sentences:
-        m = _ACRO_RE.search(strip_diacritics(text))
+        # cheap pre-screen: the acronym pattern needs parentheses, and
+        # backtracks quadratically on long paren-free sentences
+        m = _ACRO_RE.search(strip_diacritics(text)) if "(" in text else None
         if m:
             expanded = m.group(1)
             acronym = m.group(3)

@@ -94,6 +94,22 @@ def isa_closure_triples(edges_df: DataFrame,
                     F.col("ancestor").alias("obj"), "depth"))
 
 
+def mentions_with_ancestor(mentions_df: DataFrame, edges_df: DataFrame,
+                           ancestor_cui: str,
+                           max_depth: int = PATH_DEPTH_LIMIT) -> DataFrame:
+    """Ancestry-gated mention filter — the template-extraction join shape
+    (TemplateItem.java:396-418: `paths.hasAncestor(c, getConcept())`):
+    keep mentions whose concept IS the ancestor or descends from it in
+    the isa closure. The closure side is terminology-sized → broadcast
+    semi-join; no corpus shuffle."""
+    desc = (ancestors(edges_df, max_depth)
+            .filter(F.col("ancestor") == ancestor_cui)
+            .select("cui"))
+    gate = desc.union(
+        desc.sparkSession.createDataFrame([(ancestor_cui,)], "cui string"))
+    return mentions_df.join(F.broadcast(gate.distinct()), "cui", "left_semi")
+
+
 def cooccurrence_triples(mentions_df: DataFrame,
                          salt_buckets: int = 0) -> DataFrame:
     """Same-document co-mention pairs with document counts:

@@ -1,0 +1,80 @@
+"""Output sinks — RESULTS.tsv mention export (util/CSVExporter.java:
+92-147) and RRF terminology export (util/ConceptExporter.java:66-238),
+as distributed DataFrame writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Mention.getModifierTypes order = ConText.MODIFIER_TYPES
+# (tools/ConText.java:76-84): sorted modifier type list
+MODIFIER_COLUMNS = ("Certainty", "ContextualAspect", "ContextualModality",
+                    "Degree", "Experiencer", "Permanence", "Polarity",
+                    "Temporality")
+
+
+def results_tsv_df(mentions_df: DataFrame,
+                   concepts_df: DataFrame | None = None) -> DataFrame:
+    """Shape the mentions table into RESULTS.tsv rows: `Document |
+    Matched Term | Code | Concept Name | Semantic Type | Annotations |
+    <8 modifier columns>` (CSVExporter.java:108,144). Annotations render
+    as "text/offset, text/offset"."""
+    anns = F.concat_ws(", ", F.transform(
+        "annotations",
+        lambda a: F.concat(a["text"], F.lit("/"), a["offset"].cast("string"))))
+    df = mentions_df.select(
+        F.col("doc_id").alias("Document"),
+        F.col("matched_term").alias("Matched Term"),
+        F.col("cui").alias("Code"),
+        anns.alias("Annotations"),
+        "modifiers",
+    )
+    if concepts_df is not None:
+        names = concepts_df.select(
+            F.col("cui").alias("Code"),
+            F.col("name").alias("Concept Name"),
+            F.concat_ws(", ", "semtypes").alias("Semantic Type"))
+        df = df.join(F.broadcast(names), "Code", "left")
+    else:
+        df = df.withColumn("Concept Name", F.col("Code")) \
+               .withColumn("Semantic Type", F.lit(""))
+    cols = ["Document", "Matched Term", "Code", "Concept Name",
+            "Semantic Type", "Annotations"]
+    for mt in MODIFIER_COLUMNS:
+        df = df.withColumn(mt, F.coalesce(F.col("modifiers")[mt], F.lit("")))
+    return df.select(*cols, *MODIFIER_COLUMNS)
+
+
+def write_results_tsv(mentions_df: DataFrame, path: str,
+                      concepts_df: DataFrame | None = None) -> None:
+    (results_tsv_df(mentions_df, concepts_df)
+     .write.mode("overwrite")
+     .option("sep", "\t").option("header", True).csv(path))
+
+
+def export_rrf(concepts_df: DataFrame, path: str, lat: str = "ENG",
+               sab: str = "NOBLE") -> None:
+    """Write concepts back to MRCONSO.RRF shape (ConceptExporter.toRRF
+    :66-238): one pipe-delimited row per synonym; the preferred name row
+    carries TS=P/ISPREF=Y."""
+    rows = (concepts_df
+            .select("cui", "name", F.explode("synonyms").alias("str"))
+            .select(
+                "cui", F.lit(lat).alias("lat"),
+                F.when(F.col("str") == F.col("name"), "P").otherwise("S")
+                 .alias("ts"),
+                F.lit("").alias("lui"), F.lit("").alias("stt"),
+                F.lit("").alias("sui"),
+                F.when(F.col("str") == F.col("name"), "Y").otherwise("N")
+                 .alias("ispref"),
+                F.lit("").alias("aui"), F.lit("").alias("saui"),
+                F.lit("").alias("scui"), F.lit("").alias("sdui"),
+                F.lit(sab).alias("sab"),
+                F.when(F.col("str") == F.col("name"), "PT").otherwise("SY")
+                 .alias("tty"),
+                F.col("cui").alias("code"), F.col("str").alias("str_"),
+                F.lit("").alias("srl"), F.lit("").alias("suppress"),
+                F.lit("").alias("cvf")))
+    (rows.select(F.concat_ws("|", *rows.columns).alias("line"))
+     .write.mode("overwrite").text(path))

@@ -1,0 +1,126 @@
+"""Facade (search rollup, filters, lookup), sinks (RESULTS.tsv, RRF
+export), and the ancestry-gated mention filter."""
+
+import pytest
+
+from nobletools_spark.api import NobleCoderSpark
+from nobletools_spark.model import MatchConfig
+from nobletools_spark.sources.fixtures import (
+    PYTEST_CONCEPTS,
+    PYTEST_ISA_EDGES,
+    SPANS_DDL,
+    pytest_index,
+)
+
+NC = NobleCoderSpark(pytest_index())
+
+
+def test_search_rollup_merges_mentions():
+    # melanoma appears twice → one ranked concept with merged annotations
+    # (annotation collection is case-sensitive on the original surface,
+    # getAnnotations :1277-1292 — so both occurrences share the case)
+    res = NC.search("Melanoma was seen; then Melanoma was excised.")
+    assert [c.cui for c in res][0] == "C013"
+    top = res[0]
+    assert len(top.annotations) == 2
+    assert top.name == "Melanoma"
+
+
+def test_search_ranking_score_desc():
+    res = NC.search("The deep margin near the nasal septum.")
+    assert len(res) >= 2
+    scores = [c.score for c in res]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_search_method_override():
+    # all-match keeps subsumed concepts that best-match subsumes away
+    best = {c.cui for c in NC.search("deep margin")}
+    allm = {c.cui for c in NC.search("deep margin", method="all-match")}
+    assert "C001" in best and "C002" not in best
+    assert {"C001", "C002", "C003"} <= allm
+
+
+def test_source_filter_drops_best_candidate():
+    nc = NobleCoderSpark(pytest_index(),
+                         MatchConfig(source_filter=("NOPE",)))
+    # every pytest concept carries TST (+others) → all filtered out
+    assert nc.search("Melanoma was seen.") == []
+    nc.set_filters(sources=("TST",))
+    assert {c.cui for c in nc.search("Melanoma was seen.")} == {"C013"}
+
+
+def test_semtype_filter():
+    nc = NobleCoderSpark(pytest_index(),
+                         MatchConfig(semtype_filter=("T191",)))
+    res = {c.cui for c in nc.search("Melanoma near the deep margin.")}
+    assert res == {"C013"}  # T047 margin concepts filtered
+
+
+def test_lookup():
+    c = NC.lookup_concept("C013")
+    assert c.name == "Melanoma" and "ALT" in c.sources
+    assert NC.lookup_concept("C999") is None
+
+
+def test_mentions_with_ancestor(spark):
+    from nobletools_spark.operators.matcher import annotate
+    from nobletools_spark.operators.triples import mentions_with_ancestor
+
+    docs = spark.createDataFrame(
+        [("d1", [("text", "Melanoma and a deep margin and FISH.", None, 0)])],
+        SPANS_DDL)
+    m = annotate(docs, pytest_index(), MatchConfig())
+    edges = spark.createDataFrame(list(PYTEST_ISA_EDGES),
+                                  "cui string, parent string")
+    # C015 (disease) ancestors: melanoma (C013 via C014), FISH (C005 via
+    # C016), margins (C003/C012/C001 via C003→C015) — but not itself-only
+    got = {r.cui for r in mentions_with_ancestor(m, edges, "C015").collect()}
+    assert "C013" in got and "C005" in got
+    got14 = {r.cui for r in mentions_with_ancestor(m, edges, "C014").collect()}
+    assert got14 == {"C013"}
+
+
+def test_results_tsv(spark):
+    from nobletools_spark.operators.context import default_context_index
+    from nobletools_spark.operators.matcher import annotate
+    from nobletools_spark.sources.obo import concepts_df_from_records
+    from nobletools_spark.sources.sinks import MODIFIER_COLUMNS, results_tsv_df
+
+    docs = spark.createDataFrame(
+        [("d1", [("text", "No evidence of melanoma.", None, 0)])], SPANS_DDL)
+    m = annotate(docs, pytest_index(), MatchConfig(),
+                 context=default_context_index())
+    cdf = concepts_df_from_records(spark, PYTEST_CONCEPTS)
+    out = results_tsv_df(m, cdf)
+    assert out.columns == ["Document", "Matched Term", "Code", "Concept Name",
+                           "Semantic Type", "Annotations", *MODIFIER_COLUMNS]
+    row = [r for r in out.collect() if r.Code == "C013"][0]
+    assert row.Polarity == "Negative_Polarity"
+    assert row["Concept Name"] == "Melanoma"
+    assert "/" in row.Annotations
+
+
+def test_rrf_export_roundtrip(spark, tmp_path):
+    from nobletools_spark.sources.obo import concepts_df_from_records
+    from nobletools_spark.sources.rrf import load_rrf
+    from nobletools_spark.sources.sinks import export_rrf
+
+    cdf = concepts_df_from_records(spark, PYTEST_CONCEPTS[:4])
+    out = str(tmp_path / "rrf_out")
+    export_rrf(cdf, out)
+    # exported files are MRCONSO-shaped: re-load through the RRF scanner
+    import glob
+    import os
+    merged = str(tmp_path / "rrf_merged")
+    os.makedirs(merged)
+    with open(f"{merged}/MRCONSO.RRF", "w") as f:
+        for part in sorted(glob.glob(f"{out}/part-*")):
+            f.write(open(part).read())
+    open(f"{merged}/MRSTY.RRF", "w").close()
+    open(f"{merged}/MRREL.RRF", "w").close()
+    t = load_rrf(spark, merged)
+    back = {r["cui"]: r for r in t["concepts"].collect()}
+    assert set(back) == {c["cui"] for c in PYTEST_CONCEPTS[:4]}
+    assert back["C001"]["name"] == "Deep Margin"
+    assert set(back["C004"]["synonyms"]) == {"Nasal Septum", "Septum of Nose"}

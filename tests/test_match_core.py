@@ -185,3 +185,41 @@ def test_index_stats():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_window_size_limits_span():
+    """getTextWords (:1350-1361): with windowSize set (and
+    ignoreUsedWords off — the reference disables the window under it),
+    term words further apart than the window can't combine."""
+    # 'skin ... margin' with the pair split beyond a 3-word window
+    text = "skin was very clearly near margin"
+    # all-match sets ignore_used_words False; contiguity off
+    far = match(text, search_method="all-match", window_size=3)
+    assert "C012" not in cuis(far)
+    near = match("skin margin", search_method="all-match", window_size=3)
+    assert "C012" in cuis(near)
+    # window disabled → word-set match succeeds at any distance
+    nolimit = match(text, search_method="all-match")
+    assert "C012" in cuis(nolimit)
+
+
+def test_blacklist_restricts_hot_words():
+    """BlacklistHandler (:82-106): blacklisted word probes consult the
+    restricted term list instead of the full wordMap."""
+    idx = pytest_index()
+    # force 'margin' onto the blacklist with an empty allowed-term list
+    idx.blacklist = {"margin": ()}
+    got = match_sentence("A margin was seen.", idx, MatchConfig())
+    assert "C003" not in [m.cui for m in got]
+    # non-blacklisted probes unaffected
+    got2 = match_sentence("Melanoma was seen.", idx, MatchConfig())
+    assert "C013" in [m.cui for m in got2]
+
+
+def test_source_semtype_filter_core():
+    got = match_sentence("Melanoma near the deep margin.", IDX,
+                         MatchConfig(semtype_filter=("T191",)))
+    assert set(cuis(got)) == {"C013"}
+    got = match_sentence("Melanoma near the deep margin.", IDX,
+                         MatchConfig(source_filter=("NOPE",)))
+    assert got == []

@@ -1,0 +1,82 @@
+"""Checkpoint/resume + lineage + metrics (SURVEY.md §5.2 item 5: kill
+after stage N, rerun, byte-identical triples)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nobletools_spark.model import MatchConfig
+from nobletools_spark.plans.pipeline import Pipeline, kg_stages
+from nobletools_spark.sources.fixtures import (
+    PYTEST_ISA_EDGES,
+    pytest_index,
+    synthetic_corpus_df,
+)
+
+
+@pytest.fixture(scope="module")
+def pipe_run(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg_out"))
+    docs = synthetic_corpus_df(spark, 60, seed=7)
+    edges = spark.createDataFrame(list(PYTEST_ISA_EDGES),
+                                  "cui string, parent string")
+    pipe = Pipeline(out, kg_stages(pytest_index(), cfg=MatchConfig()))
+    res = pipe.run(spark, {"documents": docs, "isa_edges": edges},
+                   run_config={"corpus": "test60"})
+    return out, docs, edges, pipe, res
+
+
+def _collect_triples(res):
+    return sorted(tuple(r) for r in
+                  res["triples"].select("subj", "pred", "obj").collect())
+
+
+def test_pipeline_outputs(spark, pipe_run):
+    out, _, _, pipe, res = pipe_run
+    assert [r.status for r in pipe.reports] == ["computed"] * 4
+    triples = _collect_triples(res)
+    assert triples
+    preds = {t[1] for t in triples}
+    assert preds == {"mentions-concept", "co-occurs-with", "isa"}
+    # partitioned layout on disk
+    assert any(d.startswith("pred=") for d in os.listdir(f"{out}/triples"))
+
+
+def test_metrics_and_lineage_tables(spark, pipe_run):
+    out, _, _, pipe, res = pipe_run
+    m = spark.read.parquet(f"{out}/_metrics")
+    assert {r.stage for r in m.collect()} >= {
+        "mentions", "mention_triples", "cooccurrence", "triples"}
+    lin = spark.read.parquet(f"{out}/_lineage")
+    got = lin.groupBy("stage").agg(F.sum("rows").alias("n")).collect()
+    by_stage = {r.stage: r.n for r in got}
+    assert by_stage["mentions"] == res["mentions"].count()
+    assert pipe.verify_lineage(spark, "triples")
+
+
+def test_resume_skips_completed_stages(spark, pipe_run):
+    out, docs, edges, pipe, res = pipe_run
+    before = _collect_triples(res)
+    # simulate a crash after stage 2: drop the last two stage outputs
+    import shutil
+    for stage in ("cooccurrence", "triples"):
+        shutil.rmtree(f"{out}/{stage}")
+        os.remove(f"{out}/{stage}.manifest.json")
+    pipe2 = Pipeline(out, kg_stages(pytest_index(), cfg=MatchConfig()))
+    res2 = pipe2.run(spark, {"documents": docs, "isa_edges": edges},
+                     run_config={"corpus": "test60"})
+    statuses = {r.stage: r.status for r in pipe2.reports}
+    assert statuses["mentions"] == "resumed"
+    assert statuses["mention_triples"] == "resumed"
+    assert statuses["cooccurrence"] == "computed"
+    assert statuses["triples"] == "computed"
+    assert _collect_triples(res2) == before  # byte-identical result
+
+
+def test_config_change_invalidates_downstream(spark, pipe_run):
+    out, docs, edges, pipe, _ = pipe_run
+    pipe3 = Pipeline(out, kg_stages(pytest_index(), cfg=MatchConfig()))
+    res3 = pipe3.run(spark, {"documents": docs, "isa_edges": edges},
+                     run_config={"corpus": "DIFFERENT"})
+    assert all(r.status == "computed" for r in pipe3.reports)
