@@ -111,7 +111,10 @@ def annotate(docs_df, index, cfg: MatchConfig = MatchConfig(),
     ship_package(spark)
     want = (min_parallelism if min_parallelism is not None
             else spark.sparkContext.defaultParallelism)
-    if docs_df.rdd.getNumPartitions() < want:
+    # .rdd is illegal on a streaming DataFrame; micro-batch parallelism
+    # is governed by the source's file splitting instead
+    if (want > 1 and not docs_df.isStreaming
+            and docs_df.rdd.getNumPartitions() < want):
         docs_df = docs_df.repartition(want)
     if isinstance(index, TerminologyIndex):
         bc = spark.sparkContext.broadcast(index)
@@ -133,6 +136,19 @@ def annotate(docs_df, index, cfg: MatchConfig = MatchConfig(),
             yield pd.DataFrame(out, columns=cols)
 
     return docs_df.select("doc_id", "spans").mapInPandas(fn, MENTIONS_DDL)
+
+
+def annotate_multi(docs_df, indexes, cfg: MatchConfig = MatchConfig(),
+                   **kw):
+    """CompositTerminology analog (terminology/CompositTerminology.java:
+    115-160): annotate against several terminologies and concatenate the
+    mention streams — in Spark, a unionByName of map-only stages over
+    the same scan (Catalyst shares the cached input)."""
+    out = None
+    for idx in indexes:
+        m = annotate(docs_df, idx, cfg, **kw)
+        out = m if out is None else out.unionByName(m)
+    return out
 
 
 def span_invariant_violations(docs_in, docs_out) -> int:

@@ -1,0 +1,82 @@
+"""Structured Streaming annotate: file-source micro-batches produce the
+same mentions as the batch path, exactly-once via checkpoint."""
+
+import pytest
+
+from nobletools_spark.model import MatchConfig
+from nobletools_spark.operators.matcher import annotate, annotate_multi
+from nobletools_spark.sources.fixtures import (
+    builtin_index,
+    pytest_index,
+    synthetic_corpus_df,
+)
+from nobletools_spark.streaming.stream import (
+    annotate_stream,
+    read_document_stream,
+    start_mentions_sink,
+)
+
+
+def _key(rows):
+    return sorted((r.doc_id, r.sent_offset, r.cui, r.start, r.end)
+                  for r in rows)
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    docs = synthetic_corpus_df(spark, 40, seed=11)
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    docs.write.parquet(in_path)
+
+    idx = pytest_index()
+    batch = annotate(docs, idx, MatchConfig()).collect()
+
+    stream = annotate_stream(read_document_stream(spark, in_path), idx)
+    assert stream.isStreaming
+    q = start_mentions_sink(stream, out_path, ck)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_path).collect()
+    assert _key(got) == _key(batch)
+
+    # restart with same checkpoint: no new files → no duplicates
+    q2 = start_mentions_sink(
+        annotate_stream(read_document_stream(spark, in_path), idx),
+        out_path, ck)
+    q2.awaitTermination(120)
+    again = spark.read.parquet(out_path).collect()
+    assert _key(again) == _key(batch)
+
+
+def test_stream_incremental_files(spark, tmp_path):
+    in_path = str(tmp_path / "in2")
+    out_path = str(tmp_path / "out2")
+    ck = str(tmp_path / "ck2")
+    d1 = synthetic_corpus_df(spark, 20, seed=1)
+    d1.write.parquet(in_path)
+    idx = pytest_index()
+    start_mentions_sink(
+        annotate_stream(read_document_stream(spark, in_path), idx),
+        out_path, ck).awaitTermination(120)
+    n1 = spark.read.parquet(out_path).count()
+    # new files arrive → only the delta is processed
+    from pyspark.sql import functions as F
+    d2 = synthetic_corpus_df(spark, 20, seed=2)
+    d2.withColumn("doc_id", F.concat("doc_id", F.lit("x"))) \
+      .write.mode("append").parquet(in_path)
+    start_mentions_sink(
+        annotate_stream(read_document_stream(spark, in_path), idx),
+        out_path, ck).awaitTermination(120)
+    n2 = spark.read.parquet(out_path).count()
+    assert n2 > n1
+
+
+def test_annotate_multi_union(spark):
+    docs = spark.createDataFrame(
+        [("d1", [("text", "Melanoma near a table scan.", None, 0)])],
+        "doc_id string, spans array<struct<kind:string, text:string, "
+        "media_ref:string, offset:int>>")
+    m = annotate_multi(docs, [pytest_index(), builtin_index()], MatchConfig())
+    got = {r.cui for r in m.collect()}
+    assert "C013" in got   # pytest terminology
+    assert "C105" in got   # builtin terminology
