@@ -300,6 +300,41 @@ def split_sentences(text: str, offset: int = 0) -> list[tuple[str, int]]:
 # exact reference pattern (DeIDUtils.java:55): greedy bracket body — two
 # tags on one line are blanked as one span, including the text between
 _DEID_RE = re.compile(r"\*?\*\*[A-Z\-]+(\[.*\])?")
+_DEID_DATE_RE = re.compile(r"\*\*DATE\[(.*?)\](\s+(\d{1,2})(\d{2}))?")
+
+
+def get_ngrams(text: str, n: int) -> list[str]:
+    """All contiguous 1..n-grams of the token stream
+    (TextTools.getNGrams tools/TextTools.java:346-364)."""
+    words = get_words(text)
+    out: list[str] = []
+    for size in range(1, n + 1):
+        for i in range(len(words) - size + 1):
+            out.append(" ".join(words[i:i + size]))
+    return out
+
+
+def parse_deid_date(text: str):
+    """DeID date tag → datetime (util/DeIDUtils.java:15-33):
+    '**DATE[Oct 15 2007] 1453' — optional trailing military time."""
+    from datetime import datetime
+
+    m = _DEID_DATE_RE.search(text)
+    if not m:
+        return None
+    body = m.group(1).strip()
+    for fmt in ("%b %d %Y", "%b %d, %Y", "%m/%d/%Y", "%m/%d/%y", "%b %Y",
+                "%Y"):
+        try:
+            dt = datetime.strptime(body, fmt)
+            break
+        except ValueError:
+            continue
+    else:
+        return None
+    if m.group(3) is not None:
+        dt = dt.replace(hour=int(m.group(3)) % 24, minute=int(m.group(4)))
+    return dt
 
 
 def filter_deid_tags(text: str) -> str:

@@ -121,6 +121,23 @@ class TerminologyIndex:
     blacklist: dict[str, tuple[str, ...]] = field(default_factory=dict)
     compacted: bool = False
 
+    def save(self, path: str) -> None:
+        """Persist the index artifact (terminology persistence sink,
+        NobleCoderTerminology.Storage.save :265-306 — here one pickled
+        blob; on a cluster also ship via SparkFiles for executor-local
+        mmap when too big to broadcast)."""
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(self, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+    @staticmethod
+    def load(path: str) -> "TerminologyIndex":
+        import pickle
+
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
     def stats(self) -> dict[str, float]:
         """Global index stats (ConceptImporter.java:963-969)."""
         tpw = [len(v) for v in self.word_terms.values()]

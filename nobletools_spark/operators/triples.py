@@ -94,6 +94,35 @@ def isa_closure_triples(edges_df: DataFrame,
                     F.col("ancestor").alias("obj"), "depth"))
 
 
+MAX_PATHS = 10  # util/PathHelper.java:28
+
+
+def root_paths(edges: list[tuple[str, str]], cui: str,
+               max_depth: int = PATH_DEPTH_LIMIT,
+               max_paths: int = MAX_PATHS) -> list[list[str]]:
+    """Path enumeration to roots (PathHelper.getPaths semantics: DFS over
+    BROADER edges, depth cap 7, at most 10 paths, cycle-guarded).
+    Driver-side — the edge set is terminology-sized; the corpus-scale
+    variant is the ``ancestors`` closure."""
+    parents: dict[str, list[str]] = {}
+    for c, p in edges:
+        parents.setdefault(c, []).append(p)
+    paths: list[list[str]] = []
+
+    def dfs(node: str, path: list[str]) -> None:
+        if len(paths) >= max_paths or len(path) > max_depth:
+            return
+        ps = [p for p in parents.get(node, []) if p not in path]
+        if not ps:
+            paths.append(path)
+            return
+        for p in sorted(ps):
+            dfs(p, path + [p])
+
+    dfs(cui, [cui])
+    return paths[:max_paths]
+
+
 def mentions_with_ancestor(mentions_df: DataFrame, edges_df: DataFrame,
                            ancestor_cui: str,
                            max_depth: int = PATH_DEPTH_LIMIT) -> DataFrame:

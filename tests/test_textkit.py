@@ -162,3 +162,39 @@ def test_strip_diacritics():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_get_ngrams():
+    from nobletools_spark.functions.textkit import get_ngrams
+    assert get_ngrams("a b c", 2) == ["a", "b", "c", "a b", "b c"]
+    assert get_ngrams("one", 3) == ["one"]
+
+
+def test_parse_deid_date():
+    from nobletools_spark.functions.textkit import parse_deid_date
+    dt = parse_deid_date("**DATE[Oct 15 2007] 1453")
+    assert (dt.year, dt.month, dt.day, dt.hour, dt.minute) == (2007, 10, 15, 14, 53)
+    assert parse_deid_date("**DATE[10/15/2007]").day == 15
+    assert parse_deid_date("no tag here") is None
+
+
+def test_index_save_load(tmp_path):
+    from nobletools_spark.sources.fixtures import pytest_index
+    p = str(tmp_path / "idx.pkl")
+    idx = pytest_index()
+    idx.save(p)
+    from nobletools_spark.model import TerminologyIndex
+    back = TerminologyIndex.load(p)
+    assert back.term_cuis == idx.term_cuis
+    assert back.word_terms == idx.word_terms
+
+
+def test_root_paths():
+    from nobletools_spark.operators.triples import root_paths
+    from nobletools_spark.sources.fixtures import PYTEST_ISA_EDGES
+    paths = root_paths(list(PYTEST_ISA_EDGES), "C012")
+    # diamond: two paths to C015
+    assert ["C012", "C003", "C015"] in paths
+    assert ["C012", "C017", "C015"] in paths
+    # cycle guard terminates
+    assert root_paths([("A", "B"), ("B", "A")], "A") == [["A", "B"]]

@@ -1,0 +1,104 @@
+"""spark-submit entry point for the full KG-construction pipeline
+(north_rule: "run via spark-submit --py-files on a multi-executor
+cluster").
+
+    zip -r nobletools_spark.zip nobletools_spark
+    spark-submit --py-files nobletools_spark.zip tools/run_pipeline.py \
+        --input  <interleaved docs parquet/iceberg path> \
+        --rrf    <MRCONSO/... dir>       (or --obo file.obo) \
+        --output <triples output dir>
+
+In this sandbox it runs on local[*]; on a cluster the same script runs
+unchanged under YARN/K8s masters — the pipeline stages checkpoint under
+--output so a killed run resumes at the last completed stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--rrf")
+    ap.add_argument("--obo")
+    ap.add_argument("--search", default="best-match")
+    ap.add_argument("--sources", default="")
+    ap.add_argument("--semtypes", default="")
+    ap.add_argument("--context", action="store_true",
+                    help="enable ConText modifier assignment")
+    ap.add_argument("--salt", type=int, default=8)
+    ap.add_argument("--force", action="store_true",
+                    help="recompute all stages (ignore checkpoints)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from nobletools_spark.index import build_index_df
+    from nobletools_spark.model import MatchConfig
+    from nobletools_spark.operators.context import default_context_index
+    from nobletools_spark.plans.pipeline import Pipeline, kg_stages
+    from nobletools_spark.session import ship_package
+
+    spark = SparkSession.builder.appName("nobletools-kg").getOrCreate()
+    ship_package(spark)
+
+    if args.rrf:
+        from nobletools_spark.sources.rrf import concepts_for_index, load_rrf
+
+        filters = {}
+        if args.sources:
+            filters["source_filter"] = tuple(args.sources.split(","))
+        if args.semtypes:
+            filters["semtype_filter"] = tuple(args.semtypes.split(","))
+        tables = load_rrf(spark, args.rrf, **filters)
+        concepts_df = concepts_for_index(tables)
+        isa_edges = tables["relations"]
+        semtypes = tables["semtypes"]
+    elif args.obo:
+        from nobletools_spark.sources.obo import (
+            concepts_df_from_records,
+            parse_obo,
+        )
+
+        with open(args.obo) as f:
+            concepts, edges = parse_obo(f.read())
+        concepts_df = concepts_df_from_records(spark, concepts)
+        isa_edges = spark.createDataFrame(edges, "cui string, parent string")
+        semtypes = None
+    else:
+        ap.error("one of --rrf / --obo is required")
+        return
+
+    index = build_index_df(spark, concepts_df)
+    cfg = MatchConfig(search_method=args.search)
+    ctx = default_context_index() if args.context else None
+
+    docs = spark.read.parquet(args.input)
+    pipe = Pipeline(args.output,
+                    kg_stages(index, context=ctx, cfg=cfg,
+                              cooccurrence_salt=args.salt))
+    inputs = {"documents": docs, "isa_edges": isa_edges}
+    if semtypes is not None:
+        inputs["semtypes"] = semtypes
+    run_config = {"search": args.search, "input": args.input,
+                  "context": bool(ctx), "salt": args.salt}
+    res = pipe.run(spark, inputs, run_config=run_config, force=args.force)
+    print(json.dumps({
+        "stages": [{"stage": r.stage, "status": r.status, "rows": r.rows,
+                    "wall_s": r.wall_s} for r in pipe.reports],
+        "triples": res["triples"].count(),
+        "output": args.output,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
