@@ -177,6 +177,18 @@ def q_text_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_events_rollup(spark, sf_dir):
+    from nobletools_spark.operators.events import daily_rollup
+
+    return daily_rollup(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_events_sessionize(spark, sf_dir):
+    from nobletools_spark.operators.events import sessionize
+
+    return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_dedup_exact_bag(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir), by="bag")
 
@@ -237,6 +249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprints": q_text_fingerprints,
+        "events_rollup": q_events_rollup,
+        "events_sessionize": q_events_sessionize,
         "dedup_exact_bag": q_dedup_exact_bag,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -450,6 +464,27 @@ def oracle_sql() -> dict[str, str]:
         f" list_transform({toks}, x -> {h64_x})),"
         f" (a, b) -> (a * 31 + b) % 2147483648) AS rolling_h"
         f" FROM documents")
+
+    sql["events_rollup"] = (
+        "SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,"
+        " count(*)::BIGINT AS n_events,"
+        " sum(round(value * 100)::BIGINT)::BIGINT AS value_cents,"
+        " min(value) AS min_value, max(value) AS max_value"
+        " FROM events GROUP BY 1, 2")
+
+    sql["events_sessionize"] = (
+        "WITH g AS (SELECT user_id::BIGINT AS user_id, event_id, ts,"
+        " CASE WHEN lag(epoch_us(ts)) OVER w IS NULL"
+        "  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000"
+        " THEN 1 ELSE 0 END AS new_sess"
+        " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT user_id, ts,"
+        " sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx FROM g) "
+        "SELECT user_id, session_idx, count(*)::BIGINT AS n_events,"
+        " min(ts) AS session_start, max(ts) AS session_end,"
+        " (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS duration_us"
+        " FROM s GROUP BY user_id, session_idx")
 
     sql["dedup_exact_bag"] = (
         f"SELECT md5(array_to_string(list_sort(list_distinct({toks})), ' '))"

@@ -41,8 +41,12 @@ def mentions(spark, corpus):
 
 
 def test_annotate_matches_local_oracle(spark, corpus, mentions):
-    """E2E P/R gate: Spark pipeline output must agree with the local
-    literal implementation run on the same rows (target 1.0)."""
+    """E2E P/R gate (BASELINE.json: triple P/R ≥ 0.95 vs reference
+    semantics): the Spark pipeline's mentions vs the literal local
+    implementation of the cited reference algorithm on the same rows.
+    Engine and oracle share the per-sentence kernel, so the expected
+    agreement is exact (P = R = 1.0) — the ≥0.95 bound is asserted as
+    the contractual floor, exactness as the actual bar."""
     idx = pytest_index()
     local = []
     for doc_id, spans in synthetic_corpus(200, seed=42):
@@ -50,9 +54,11 @@ def test_annotate_matches_local_oracle(spark, corpus, mentions):
     got = {(r.doc_id, r.sent_offset, r.cui, r.matched_term, r.start, r.end)
            for r in mentions.collect()}
     want = {(r[0], r[1], r[2], r[3], r[6], r[7]) for r in local}
-    missing = want - got
-    extra = got - want
-    assert not missing and not extra, (len(missing), len(extra))
+    tp = len(got & want)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(want) if want else 0.0
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    assert got == want  # actual bar: exact agreement
     assert len(got) > 100  # corpus actually contains plants
 
 

@@ -80,3 +80,29 @@ def test_annotate_multi_union(spark):
     got = {r.cui for r in m.collect()}
     assert "C013" in got   # pytest terminology
     assert "C105" in got   # builtin terminology
+
+def test_watermarked_event_rollup(spark, tmp_path):
+    """Streaming tumbling-window counts with a watermark: in append
+    mode only windows the watermark has passed emit; every emitted row
+    must agree with the batch rollup."""
+    from pyspark.sql import functions as F
+    from nobletools_spark.operators.events import daily_rollup, streaming_rollup
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_path = str(tmp_path / "ev")
+    events.write.parquet(in_path)
+    stream = spark.readStream.schema(events.schema).parquet(in_path)
+    out = streaming_rollup(stream)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("ev_rollup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.window_start, r.event_type): r.n_events
+           for r in spark.sql("select * from ev_rollup").collect()}
+    assert got  # closed windows emitted
+    batch = {(r.day, r.event_type): r.n_events
+             for r in daily_rollup(events).collect()}
+    for k, v in got.items():
+        assert batch[k] == v
+    # the open tail window (not yet passed by the watermark) is withheld
+    assert len(got) < len(batch)
