@@ -314,13 +314,6 @@ def _values(rows, cols) -> str:
     return f"(VALUES {vals}) AS v({', '.join(cols)})"
 
 
-def _shingle_sql(tok_expr: str) -> str:
-    return (f"CASE WHEN len({tok_expr}) >= 3 THEN list_distinct("
-            f"list_transform(generate_series(1, len({tok_expr}) - 2), "
-            f"i -> array_to_string({tok_expr}[i:i+2], ' '))) "
-            f"ELSE [array_to_string({tok_expr}, ' ')] END")
-
-
 def _dot_sql(a: str, b: str, n: str = "64") -> str:
     return (f"list_reduce(list_prepend(0.0, list_transform("
             f"generate_series(1, {n}), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), "
@@ -491,11 +484,21 @@ def oracle_sql() -> dict[str, str]:
         f" AS sig, min(doc_id)::BIGINT AS keep_doc_id,"
         f" count(*)::BIGINT AS n_docs FROM documents GROUP BY 1")
 
-    sh = _shingle_sql("t")
+    w1, w2, w3 = SHINGLE_WEIGHTS[:3]
+    h32_x = "(('0x' || substring(md5(x), 1, 8))::UBIGINT)::BIGINT"
+    shh_expr = (
+        f"list_distinct(CASE WHEN len(t) >= 3 THEN"
+        f" list_transform(generate_series(0, len(t) - 3), i ->"
+        f" ((ht[i+1] * {w1}) % {P31} + (ht[i+2] * {w2}) % {P31}"
+        f" + (ht[i+3] * {w3}) % {P31}) % {P31})"
+        f" ELSE [list_reduce(list_prepend(0::BIGINT, ht),"
+        f" (a, b) -> (a * {w1} + b) % {P31})] END)")
     sql["dedup_jaccard"] = (
-        f"WITH s AS (SELECT lang, source, doc_id::BIGINT AS doc_id,"
-        f" {sh} AS sh FROM (SELECT lang, source, doc_id, {toks} AS t"
-        f" FROM documents)) "
+        f"WITH s AS (SELECT lang, source, doc_id, {shh_expr} AS sh"
+        f" FROM (SELECT lang, source, doc_id::BIGINT AS doc_id, t,"
+        f" list_transform(t, x -> {h32_x}) AS ht"
+        f" FROM (SELECT lang, source, doc_id, {toks} AS t"
+        f" FROM documents))) "
         f"SELECT * FROM ("
         f" SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
         f" len(list_intersect(a.sh, b.sh))::DOUBLE /"
@@ -504,17 +507,8 @@ def oracle_sql() -> dict[str, str]:
         f" FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source"
         f" AND a.doc_id < b.doc_id) WHERE jaccard >= {_JACCARD_T}")
 
-    w1, w2, w3 = SHINGLE_WEIGHTS[:3]
-    h32_x = "(('0x' || substring(md5(x), 1, 8))::UBIGINT)::BIGINT"
     seed_vals = ", ".join(f"({i}, {a}, {b})"
                           for i, (a, b) in enumerate(minhash_coeffs(16)))
-    shh_expr = (
-        f"list_distinct(CASE WHEN len(t) >= 3 THEN"
-        f" list_transform(generate_series(0, len(t) - 3), i ->"
-        f" ((ht[i+1] * {w1}) % {P31} + (ht[i+2] * {w2}) % {P31}"
-        f" + (ht[i+3] * {w3}) % {P31}) % {P31})"
-        f" ELSE [list_reduce(list_prepend(0::BIGINT, ht),"
-        f" (a, b) -> (a * {w1} + b) % {P31})] END)")
     sql["dedup_minhash_lsh"] = (
         f"WITH aug AS ("
         f" SELECT doc_id::BIGINT AS doc_id, text FROM documents"
@@ -523,7 +517,6 @@ def oracle_sql() -> dict[str, str]:
         f" array_to_string(t[2:len(t)], ' ')"
         f" FROM (SELECT doc_id, {toks} AS t FROM documents)), "
         f"tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug), "
-        f"s AS (SELECT doc_id, {sh} AS sh FROM tt), "
         f"hh AS (SELECT doc_id, {shh_expr} AS shh"
         f" FROM (SELECT doc_id, t, list_transform(t, x -> {h32_x}) AS ht"
         f" FROM tt)), "
@@ -542,11 +535,11 @@ def oracle_sql() -> dict[str, str]:
         f" FROM capped x JOIN capped y ON x.band = y.band"
         f" AND x.bkey = y.bkey AND x.doc_id < y.doc_id) "
         f"SELECT * FROM (SELECT doc_a, doc_b,"
-        f" len(list_intersect(a.sh, b.sh))::DOUBLE /"
-        f" (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE"
+        f" len(list_intersect(a.shh, b.shh))::DOUBLE /"
+        f" (len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh)))::DOUBLE"
         f" AS jaccard FROM cand"
-        f" JOIN s a ON cand.doc_a = a.doc_id"
-        f" JOIN s b ON cand.doc_b = b.doc_id)"
+        f" JOIN hh a ON cand.doc_a = a.doc_id"
+        f" JOIN hh b ON cand.doc_b = b.doc_id)"
         f" WHERE jaccard >= {_LSH_JACCARD_T}")
 
     vsum = ", ".join(

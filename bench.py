@@ -52,9 +52,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        _force(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: first run pays codegen JIT
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     t0 = time.perf_counter()

@@ -112,8 +112,17 @@ def jaccard_pairs(docs: DataFrame, n: int = 3,
     exact rational in double (|∩| / |∪|) ⇒ bit-stable cross-engine."""
     base = docs.select(
         *group_cols, F.col("doc_id").cast("long").alias("doc_id"),
-        shingles(_tokens(), n).alias("sh"))
+        F.transform(_tokens(), h32).alias("ht"))
+    # 31-bit hashed shingles: integer array_intersect is ~5× cheaper
+    # than string intersect per pair, and the oracle shares the exact
+    # hash construction so Jaccard values stay bit-identical
+    base = base.select(*group_cols, "doc_id",
+                       _set_barrier(shingle_hashes(F.col("ht"), n)).alias("sh"))
     base = base.withColumn("nsh", F.size("sh"))
+    # co-partition by group below the self-join (reused exchange) — the
+    # correct 100 TB join shape; the _set_barrier above additionally
+    # pins the shingle computation below this exchange (see its doc)
+    base = base.repartition(*group_cols)
     a, b = base.alias("a"), base.alias("b")
     # |∪| = |a|+|b|-|∩| (arrays are distinct) — one array op per pair
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -154,13 +163,25 @@ def shingle_hashes(ht: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(F.size(ht) >= n, grams).otherwise(short))
 
 
+def _set_barrier(col: Column) -> Column:
+    """Optimizer barrier for a SET-valued array column: F.shuffle marks
+    the expression nondeterministic, which stops InferFiltersFromConstraints
+    from inlining the whole (expensive, O(tokens²) when element_at sits
+    over an inline transform) expression into scan-level isnotnull
+    filters, and stops CollapseProject/ColumnPruning from floating it
+    above joins (per-pair re-evaluation). Only legal because every
+    consumer — array_min, array_intersect, size — is order-insensitive."""
+    return F.shuffle(col)
+
+
 def shingle_hash_df(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shh) — staged projections so the expensive md5 token-hash
     array is computed once per row (CollapseProject keeps non-cheap
     multiply-referenced aliases in their own projection)."""
     base = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
                        F.transform(_tokens(), h32).alias("ht"))
-    return base.select("doc_id", shingle_hashes(F.col("ht"), n).alias("shh"))
+    return base.select(
+        "doc_id", _set_barrier(shingle_hashes(F.col("ht"), n)).alias("shh"))
 
 
 def minhash_signature_cols(shh: Column, num_hashes: int) -> list[Column]:
@@ -218,8 +239,8 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 16,
             .select(F.col("x.doc_id").alias("doc_a"),
                     F.col("y.doc_id").alias("doc_b"))
             .distinct())
-    sh = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
-                     shingles(_tokens(), n).alias("sh"))
+    # verification over the same hashed shingles the signatures used
+    sh = shingle_hash_df(docs, n).withColumnRenamed("shh", "sh")
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     jac = (inter.cast("double")
            / (F.size("sa") + F.size("sb") - inter).cast("double"))
@@ -265,6 +286,7 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.98,
     base = emb.select(F.col(group_col).alias("g"),
                       F.col("vec_id").cast("long").alias("vec_id"),
                       vec.alias("v"), norm.alias("nrm"))
+    base = base.repartition("g")  # materialize v/nrm below the join
     dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
                       F.lit(0.0), lambda a, x: a + x)
     cos = dot / (F.col("a.nrm") * F.col("b.nrm"))

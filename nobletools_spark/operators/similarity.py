@@ -83,7 +83,8 @@ def lsh_topk(emb: DataFrame, planes: list[list[float]], k: int = 3) -> DataFrame
     base = (emb.select(F.col("vec_id").cast("long").alias("vec_id"),
                        _vec_double().alias("v"))
             .withColumn("nrm", _norm(F.col("v")))
-            .join(lsh_buckets(emb, planes), "vec_id"))
+            .join(lsh_buckets(emb, planes), "vec_id")
+            .repartition("bucket"))  # materialize v/nrm below the join
     cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     pairs = (base.alias("a").join(base.alias("b"), "bucket")
              .filter(F.col("a.vec_id") != F.col("b.vec_id"))
