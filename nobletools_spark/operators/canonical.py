@@ -62,3 +62,19 @@ def canonical_map(edges: DataFrame) -> DataFrame:
     return (connected_components(edges)
             .select(F.col("node").alias("cui"),
                     F.col("component").alias("canonical_cui")))
+
+
+def canonicalize_triples(triples: DataFrame, mapping: DataFrame,
+                         cols: tuple[str, ...] = ("subj", "obj")) -> DataFrame:
+    """Rewrite triple endpoints through the canonical map (CUIs not in
+    the map pass through unchanged) and re-distinct. The map is
+    terminology-sized → broadcast left joins; the corpus-scale triple
+    table is never shuffled except for the final distinct."""
+    out = triples
+    for c in cols:
+        m = mapping.select(F.col("cui").alias(c),
+                           F.col("canonical_cui").alias(f"_canon_{c}"))
+        out = (out.join(F.broadcast(m), c, "left")
+               .withColumn(c, F.coalesce(f"_canon_{c}", c))
+               .drop(f"_canon_{c}"))
+    return out.select(*triples.columns).distinct()

@@ -53,6 +53,51 @@ def write_results_tsv(mentions_df: DataFrame, path: str,
      .option("sep", "\t").option("header", True).csv(path))
 
 
+def html_report_df(docs_df: DataFrame, mentions_df: DataFrame) -> DataFrame:
+    """Per-document annotated HTML (util/HTMLExporter.java:424-519
+    equivalent): mention spans wrapped in <span class=mention
+    title=CUI> — (doc_id, html). Distributed: a doc-local groupBy +
+    string assembly in a pandas-grouped UDF-free expression path would
+    need offset math, so this uses applyInPandas per document."""
+    import pandas as pd
+    from html import escape
+
+    spans = (docs_df
+             .select("doc_id", F.explode("spans").alias("s"))
+             .filter(F.col("s.kind") == "text")
+             .select("doc_id", F.col("s.text").alias("text"),
+                     F.col("s.offset").alias("offset")))
+    anns = (mentions_df
+            .select("doc_id", "cui", "start", "end"))
+    joined = spans.join(anns, "doc_id", "left")
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (doc_id,), g in pdf.groupby(["doc_id"]):
+            parts = []
+            for (text, offset), gg in g.groupby(["text", "offset"]):
+                ms = sorted({(int(r.start) - int(offset),
+                              int(r.end) - int(offset), r.cui)
+                             for r in gg.itertuples()
+                             if pd.notna(r.start)})
+                html, pos = [], 0
+                for st, en, cui in ms:
+                    if st < pos or st < 0 or en > len(text):
+                        continue  # overlapping/foreign span: keep first
+                    html.append(escape(text[pos:st]))
+                    html.append(f'<span class="mention" title="{cui}">'
+                                f"{escape(text[st:en])}</span>")
+                    pos = en
+                html.append(escape(text[pos:]))
+                parts.append((int(offset), "".join(html)))
+            body = "\n<br/>\n".join(h for _, h in sorted(parts))
+            out.append((doc_id, f"<html><body>{body}</body></html>"))
+        return pd.DataFrame(out, columns=["doc_id", "html"])
+
+    return joined.groupBy("doc_id").applyInPandas(
+        render, "doc_id string, html string")
+
+
 def export_rrf(concepts_df: DataFrame, path: str, lat: str = "ENG",
                sab: str = "NOBLE") -> None:
     """Write concepts back to MRCONSO.RRF shape (ConceptExporter.toRRF

@@ -124,3 +124,35 @@ def test_rrf_export_roundtrip(spark, tmp_path):
     assert set(back) == {c["cui"] for c in PYTEST_CONCEPTS[:4]}
     assert back["C001"]["name"] == "Deep Margin"
     assert set(back["C004"]["synonyms"]) == {"Nasal Septum", "Septum of Nose"}
+
+def test_canonicalize_triples(spark):
+    from nobletools_spark.operators.canonical import (
+        canonical_map,
+        canonicalize_triples,
+    )
+    from nobletools_spark.sources.fixtures import BUILTIN_SYNONYM_EDGES
+
+    edges = spark.createDataFrame(list(BUILTIN_SYNONYM_EDGES),
+                                  "a string, b string")
+    triples = spark.createDataFrame(
+        [("C201", "isa", "C404"),       # both endpoints alias CUIs
+         ("C201", "isa", "C304"),       # same canonical triple as above
+         ("C999", "isa", "C888")],      # unmapped: passes through
+        "subj string, pred string, obj string")
+    got = {tuple(r) for r in
+           canonicalize_triples(triples, canonical_map(edges)).collect()}
+    assert got == {("C101", "isa", "C104"), ("C999", "isa", "C888")}
+
+
+def test_html_report(spark):
+    from nobletools_spark.operators.matcher import annotate
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+    from nobletools_spark.sources.sinks import html_report_df
+
+    docs = spark.createDataFrame(
+        [("d1", [("text", "Melanoma was seen.", None, 0)]),
+         ("d2", [("text", "Nothing here.", None, 0)])], SPANS_DDL)
+    m = annotate(docs, pytest_index(), MatchConfig())
+    html = {r.doc_id: r.html for r in html_report_df(docs, m).collect()}
+    assert '<span class="mention" title="C013">Melanoma</span>' in html["d1"]
+    assert "Nothing here." in html["d2"] and "<span" not in html["d2"]
