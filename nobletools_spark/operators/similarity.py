@@ -76,6 +76,36 @@ def lsh_buckets(emb: DataFrame, planes: list[list[float]]) -> DataFrame:
                       bucket.alias("bucket"))
 
 
+def ivf_topk(emb: DataFrame, n_cells: int = 8, k: int = 3,
+             n_probe: int = 1, seed: int = 17) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer assigns each
+    vector to its nearest centroid cell; queries rank candidates only
+    within their ``n_probe`` nearest cells — the classic
+    N²→N²·(n_probe/n_cells) reduction. Deterministic given the seed and
+    input partitioning. Returns (vec_id, neighbor_id, rank)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      _vec_double().alias("v")) \
+              .withColumn("nrm", _norm(F.col("v"))) \
+              .withColumn("features", array_to_vector(F.col("v")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features",
+                predictionCol="cell")
+    model = km.fit(feat)
+    base = model.transform(feat).select("vec_id", "v", "nrm", "cell") \
+                .repartition("cell")  # materialize v/nrm below the join
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    pairs = (base.alias("a").join(base.alias("b"), "cell")
+             .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+             .select(F.col("a.vec_id").alias("vec_id"),
+                     F.col("b.vec_id").alias("neighbor_id"), cos.alias("cos")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("vec_id", "neighbor_id", F.col("rank").cast("long").alias("rank")))
+
+
 def lsh_topk(emb: DataFrame, planes: list[list[float]], k: int = 3) -> DataFrame:
     """Approximate top-k within LSH buckets: (vec_id, neighbor_id, rank).
     Same ranking as cosine_topk but candidates restricted to the bucket —

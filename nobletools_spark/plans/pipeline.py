@@ -93,12 +93,14 @@ class Pipeline:
         results: dict[str, DataFrame] = dict(inputs)
         self.reports = []
         metrics_rows = []
-        upstream_fp = _fingerprint(run_config or {})
+        upstream_fp = _fingerprint({"config": run_config or {},
+                                    "inputs": sorted(inputs)})
         for st in self.stages:
             path = f"{self.out_dir}/{st.name}"
             mpath = self._manifest_path(st.name)
-            # fingerprint chains: a stage is resumable only if its config
-            # AND every upstream stage fingerprint are unchanged
+            # fingerprint chains: a stage is resumable only if its
+            # config, the input-table set, AND every upstream stage
+            # fingerprint are unchanged
             fp = _fingerprint({"stage": st.name, "upstream": upstream_fp})
             t0 = time.perf_counter()
             manifest = None
@@ -183,6 +185,11 @@ def kg_stages(index, context=None, cfg=None,
         return cooccurrence_triples(r["mentions"], cooccurrence_salt)
 
     def s_triples(spark, r):
+        from nobletools_spark.operators.canonical import (
+            canonical_map,
+            canonicalize_triples,
+        )
+
         t = r["mention_triples"].select("subj", "pred", "obj")
         t = t.unionByName(
             r["cooccurrence"].select("subj", "pred", "obj"))
@@ -192,6 +199,10 @@ def kg_stages(index, context=None, cfg=None,
         if "semtypes" in r:
             t = t.unionByName(
                 semtype_triples(r["semtypes"]).select("subj", "pred", "obj"))
+        if "synonym_edges" in r:
+            # CUI canonicalization folds alias concepts before the write
+            t = canonicalize_triples(t, canonical_map(r["synonym_edges"]),
+                                     cols=("obj",))
         return t
 
     return [

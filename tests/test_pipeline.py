@@ -80,3 +80,33 @@ def test_config_change_invalidates_downstream(spark, pipe_run):
     res3 = pipe3.run(spark, {"documents": docs, "isa_edges": edges},
                      run_config={"corpus": "DIFFERENT"})
     assert all(r.status == "computed" for r in pipe3.reports)
+
+
+def test_canonicalization_stage(spark, tmp_path):
+    """synonym_edges input folds alias CUIs in the triples stage, and
+    adding the input invalidates stale checkpoints (fingerprint covers
+    the input-table set)."""
+    from nobletools_spark.sources.fixtures import (
+        BUILTIN_CONCEPTS,
+        BUILTIN_ISA_EDGES,
+    )
+    from nobletools_spark.sources.fixtures import builtin_index
+
+    out = str(tmp_path / "kg_canon")
+    docs = spark.createDataFrame(
+        [("d1", [("text", "spark and vector and a hash join", None, 0)])],
+        "doc_id string, spans array<struct<kind:string, text:string, "
+        "media_ref:string, offset:int>>")
+    syn = spark.createDataFrame([("C101", "C104")], "a string, b string")
+    pipe = Pipeline(out, kg_stages(builtin_index()))
+    res = pipe.run(spark, {"documents": docs}, run_config={"v": 1})
+    objs = {r.obj for r in res["triples"].filter("pred='mentions-concept'").collect()}
+    assert {"C101", "C104"} <= objs
+    # rerun with synonym edges: C104 folds into C101
+    pipe2 = Pipeline(out, kg_stages(builtin_index()))
+    res2 = pipe2.run(spark, {"documents": docs, "synonym_edges": syn},
+                     run_config={"v": 1})
+    statuses = {r.stage: r.status for r in pipe2.reports}
+    assert statuses["triples"] == "computed"  # input set change invalidates
+    objs2 = {r.obj for r in res2["triples"].filter("pred='mentions-concept'").collect()}
+    assert "C104" not in objs2 and "C101" in objs2

