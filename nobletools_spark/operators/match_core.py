@@ -279,15 +279,19 @@ def _score_concept(meta: ConceptMeta, term_norm: str, oterm: str,
 
 
 def _re_chunk(annotations: list[tuple[str, int]], matched_terms: list[str],
-              search_string: str, gap: int) -> list[list[tuple[str, int]]]:
+              search_string: str, gap: int,
+              words: Optional[list[str]] = None) -> list[list[tuple[str, int]]]:
     """Mention.getMentions re-chunking (coder/model/Mention.java:117-179):
     one concept whose term repeats across the sentence becomes multiple
-    mentions, each covering a contiguous span."""
+    mentions, each covering a contiguous span. ``words`` is the caller's
+    pre-tokenized search string (pure perf: avoids re-tokenizing the
+    sentence once per mention)."""
     if not annotations:
         return []
     if len(matched_terms) == 1 and len(annotations) == len(get_words(matched_terms[0])):
         return [annotations]
-    words = get_words(search_string)
+    if words is None:
+        words = get_words(search_string)
     chunks: list[list[tuple[str, int]]] = []
     for term in matched_terms:
         twords = get_words(term)
@@ -386,7 +390,8 @@ def match_sentence(text: str, idx: TerminologyIndex,
             # candidate is dropped, not replaced by the runner-up
             if _is_filtered_out(meta, cfg):
                 continue
-            for chunk in _re_chunk(annotations, [oterm], text, cfg.max_word_gap):
+            for chunk in _re_chunk(annotations, [oterm], text,
+                                   cfg.max_word_gap, original_words):
                 result.append(Mention(meta.cui, oterm, term, score, chunk, text))
     return result
 
