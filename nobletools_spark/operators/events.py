@@ -62,6 +62,81 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             .withColumn("user_id", F.col("user_id").cast("long")))
 
 
+SESSION_OUT_DDL = ("user_id long, session_start timestamp, "
+                   "session_end timestamp, n_events long, duration_us long")
+_SESSION_STATE_DDL = "start_us long, last_us long, n long"
+
+
+def streaming_sessionize(events_stream: DataFrame,
+                         gap_minutes: int = 30,
+                         watermark: str = "1 hour",
+                         idle_flush: bool = False) -> DataFrame:
+    """Stateful streaming sessionization via ``applyInPandasWithState``
+    (the custom-stateful-operator pattern): per-user state holds the
+    open session (start, last event, count); a batch of events extends
+    or closes sessions (gap exceeded → emit the closed session, start a
+    new one). Event-time processing with a watermark bounds state and
+    late data; state for idle users expires via the processing-time
+    timeout and flushes the open session.
+
+    Batch equivalence: emitted rows are exactly ``sessionize``'s closed
+    sessions; with ``idle_flush`` open tails also emit after 1 h of
+    processing-time inactivity (only for continuous 24/7 queries — a
+    pending timeout keeps Trigger.AvailableNow from terminating).
+    Per-user state is O(1) — no buffering of events, so power-user skew
+    cannot blow memory."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        user_id = int(key[0])
+
+        def row(start_us: int, last_us: int, n: int) -> dict:
+            return {"user_id": user_id,
+                    "session_start": pd.Timestamp(start_us, unit="us"),
+                    "session_end": pd.Timestamp(last_us, unit="us"),
+                    "n_events": n, "duration_us": last_us - start_us}
+
+        out = []
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n = state.get
+                out.append(row(start_us, last_us, n))
+                state.remove()
+            yield pd.DataFrame(out)
+            return
+        ts = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
+        # datetime64[ns] → microseconds
+        micros = (ts.astype("int64") // 1000 if ts.dtype.kind == "M"
+                  else ts.astype("int64"))
+        start_us = last_us = None
+        n = 0
+        if state.exists:
+            start_us, last_us, n = state.get
+        for t in (int(x) for x in pd.Series(micros)):
+            if last_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                out.append(row(start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+        state.update((start_us, last_us, n))
+        if idle_flush:
+            state.setTimeoutDuration(60 * 60 * 1000)  # 1h processing-time
+        yield pd.DataFrame(out)
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if idle_flush
+               else GroupStateTimeout.NoTimeout)
+    return (_with_ts(events_stream)
+            .withWatermark("ts", watermark)
+            .groupBy(F.col("user_id").cast("long").alias("user_id"))
+            .applyInPandasWithState(
+                fn, SESSION_OUT_DDL, _SESSION_STATE_DDL, "append", timeout))
+
+
 def streaming_rollup(events_stream: DataFrame,
                      watermark: str = "1 day",
                      window: str = "1 day") -> DataFrame:

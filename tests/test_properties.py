@@ -67,10 +67,12 @@ def test_normalize_words_subset_of_lowercase(words):
         assert w in low
 
 
+# domain [0, P31): shingle hashes are reduced mod P31 = 2^31 - 1, so
+# P31 itself never occurs (it would alias 0 under the affine map)
 @settings(max_examples=50, deadline=None)
-@given(st.lists(st.integers(min_value=0, max_value=2 ** 31 - 1),
+@given(st.lists(st.integers(min_value=0, max_value=2 ** 31 - 2),
                 min_size=1, max_size=60, unique=True),
-       st.lists(st.integers(min_value=0, max_value=2 ** 31 - 1),
+       st.lists(st.integers(min_value=0, max_value=2 ** 31 - 2),
                 min_size=1, max_size=60, unique=True))
 def test_minhash_band_equality_implies_shared_min(a, b):
     """For any affine rehash, equal minhash over two sets implies the

@@ -138,3 +138,29 @@ def test_annotate_plan_is_map_only(spark, corpus):
     plan = annotate(corpus, pytest_index(), CFG)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+@pytest.mark.parametrize("method", [
+    "best-match", "all-match", "precise-match", "nonoverlap-match",
+    "partial-match"])
+def test_search_methods_through_spark_path(spark, method):
+    """Every setupSearch strategy produces identical results through the
+    distributed annotate path and the local kernel (flag plumbing survives
+    broadcast + Arrow)."""
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+
+    texts = ["The deep margin and the deep tumor margins.",
+             "Septum of the nose deviates; nasal septum noted.",
+             "FISH was positive for DCIS."]
+    docs = spark.createDataFrame(
+        [(f"d{i}", [("text", t, None, 0)]) for i, t in enumerate(texts)],
+        SPANS_DDL)
+    cfg = MatchConfig(search_method=method)
+    idx = pytest_index()
+    got = {(r.doc_id, r.cui, r.start, r.end)
+           for r in annotate(docs, idx, cfg).collect()}
+    want = set()
+    for i, t in enumerate(texts):
+        for r in process_document(f"d{i}", [("text", t, None, 0)], idx, cfg):
+            want.add((r[0], r[2], r[6], r[7]))
+    assert got == want and got

@@ -122,3 +122,36 @@ def test_ivf_topk(spark):
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 3
+
+
+def test_stateful_streaming_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionization: emitted (closed) sessions
+    must be exactly a prefix subset of the batch sessionization — same
+    boundaries, counts, and durations."""
+    from nobletools_spark.operators.events import sessionize, streaming_sessionize
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .limit(400).cache()
+    in_path = str(tmp_path / "sess_in")
+    events.coalesce(1).write.parquet(in_path)
+    stream = spark.readStream.schema(events.schema).parquet(in_path)
+    # state-store instances = shuffle partitions: keep the test cheap
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (streaming_sessionize(stream, gap_minutes=30)
+             .writeStream.format("memory").queryName("sess_out")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events,
+            r.duration_us)
+           for r in spark.sql("select * from sess_out").collect()}
+    assert got
+    batch = {(r.user_id, r.session_start, r.session_end, r.n_events,
+              r.duration_us)
+             for r in sessionize(events, gap_minutes=30).collect()}
+    assert got <= batch
+    # everything except the per-user open tail session is emitted
+    assert len(got) >= len(batch) - events.select("user_id").distinct().count()
