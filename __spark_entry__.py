@@ -416,6 +416,8 @@ def oracle_sql() -> dict[str, str]:
         "SELECT word, count(DISTINCT term)::BIGINT AS term_count"
         " FROM w GROUP BY word")
 
+    from nobletools_spark.operators.textstats import BPE_TOKEN_RE
+
     sql["text_token_stats"] = (
         f"SELECT doc_id::BIGINT AS doc_id,"
         f" len({toks})::BIGINT AS n_tokens,"
@@ -423,7 +425,9 @@ def oracle_sql() -> dict[str, str]:
         f" len(list_distinct({toks}))::DOUBLE / len({toks})::DOUBLE"
         f" AS distinct_ratio,"
         f" list_aggregate(list_transform({toks}, x -> len(x)), 'sum')::DOUBLE"
-        f" / len({toks})::DOUBLE AS avg_token_len"
+        f" / len({toks})::DOUBLE AS avg_token_len,"
+        f" len(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}'))::BIGINT"
+        f" AS n_bpe_tokens"
         f" FROM documents")
 
     en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])

@@ -31,20 +31,28 @@ def _tokens(col: str = "text") -> Column:
     return F.split(F.col(col), " ")
 
 
+# BPE-ish pre-tokenizer: alnum runs OR single non-alnum-non-space marks —
+# the subword-count proxy used to estimate training-token budgets
+BPE_TOKEN_RE = "[a-z0-9]+|[^a-z0-9 ]"
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-document token counts: (doc_id, n_tokens, n_distinct,
-    distinct_ratio, avg_token_len). Whitespace tokenization (the BPE-ish
-    regex path lives in quality_score's punct stats)."""
+    distinct_ratio, avg_token_len, n_bpe_tokens) — whitespace counts
+    plus the BPE-ish regex count (JVM regexp_extract_all)."""
     toks = _tokens()
     n = F.size(toks)
     nd = F.size(F.array_distinct(toks))
     total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n_bpe = F.size(F.expr(
+        f"regexp_extract_all(lower(text), '{BPE_TOKEN_RE}', 0)"))
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         n.cast("long").alias("n_tokens"),
         nd.cast("long").alias("n_distinct"),
         (nd.cast("double") / n.cast("double")).alias("distinct_ratio"),
         (total_len.cast("double") / n.cast("double")).alias("avg_token_len"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
     )
 
 

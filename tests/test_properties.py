@@ -24,11 +24,18 @@ TEXT = st.text(
 
 @settings(max_examples=200, deadline=None)
 @given(TEXT)
-def test_normalize_idempotent(text):
-    """normalize of normalized output is a fixed point (stemming and
-    stop-stripping are projections)."""
-    once = normalize(text)
-    assert normalize(once) == once
+def test_normalize_output_invariants(text):
+    """Normalized output is lowercase, single-spaced, and free of the
+    characters the chain removes. NOTE: normalize is deliberately NOT
+    idempotent — the reference strips stop words BEFORE stemming
+    (TextTools.java:700-765), so a stem can itself be a stop word
+    (hypothesis found inputs stemming to 'is'); we pin the real
+    invariants instead."""
+    out = normalize(text)
+    assert out == out.lower()
+    assert "  " not in out and out == out.strip()
+    for w in out.split(" "):
+        assert w == "" or not set(w) & set(",!?;:()[]\"'")
 
 
 @settings(max_examples=200, deadline=None)
