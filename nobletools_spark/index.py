@@ -185,7 +185,8 @@ def word_stats_df(terms):
             .agg(F.count_distinct("term").cast("long").alias("term_count")))
 
 
-def build_index_df(spark, concepts_df, compact: bool = False) -> TerminologyIndex:
+def build_index_df(spark, concepts_df, compact: bool = False,
+                   blacklist: bool = False) -> TerminologyIndex:
     """DataFrame-path index build — the shape that scales on a cluster.
 
     ``concepts_df`` schema: (cui string, name string,
@@ -257,7 +258,7 @@ def build_index_df(spark, concepts_df, compact: bool = False) -> TerminologyInde
             compacted[rarest].add(term)
         word_terms = compacted
 
-    return TerminologyIndex(
+    idx = TerminologyIndex(
         word_terms={w: tuple(sorted(ts)) for w, ts in word_terms.items()},
         term_cuis=term_cuis,
         word_term_count=word_term_count,
@@ -267,3 +268,6 @@ def build_index_df(spark, concepts_df, compact: bool = False) -> TerminologyInde
                                           key=lambda x: (x["re"], x["cui"]))),
         compacted=compact,
     )
+    if blacklist:
+        idx.blacklist = build_blacklist(idx)
+    return idx

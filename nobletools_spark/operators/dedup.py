@@ -276,13 +276,22 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
 
 
 def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.98,
-                        group_col: str = "label") -> DataFrame:
+                        group_col: str | None = "label",
+                        planes: list[list[float]] | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within candidate groups:
     (vec_a, vec_b, cos). Cosine in double precision via ordered fold
-    (F.aggregate) so the SQL oracle reproduces it. At scale the group is
-    an LSH bucket (similarity.lsh_buckets) instead of a label."""
+    (F.aggregate) so the SQL oracle reproduces it. Candidate grouping:
+    an explicit ``group_col`` (oracle-checkable), or — the scale path —
+    sign-random-projection LSH buckets via ``planes``
+    (similarity.hyperplanes): N²→N²/2^P candidate work."""
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    if planes is not None:
+        from nobletools_spark.operators.similarity import lsh_buckets
+
+        emb = (emb.withColumn("vec_id", F.col("vec_id").cast("long"))
+               .join(lsh_buckets(emb, planes), "vec_id"))
+        group_col = "bucket"
     base = emb.select(F.col(group_col).alias("g"),
                       F.col("vec_id").cast("long").alias("vec_id"),
                       vec.alias("v"), norm.alias("nrm"))

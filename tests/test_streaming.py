@@ -155,3 +155,18 @@ def test_stateful_streaming_sessionize(spark, tmp_path):
     assert got <= batch
     # everything except the per-user open tail session is emitted
     assert len(got) >= len(batch) - events.select("user_id").distinct().count()
+
+
+def test_embedding_dup_lsh_buckets(spark):
+    """LSH-bucketed embedding dedup (scale path) finds a superset-agreeing
+    set: every reported pair also passes the brute-force cosine check."""
+    from nobletools_spark.operators.dedup import embedding_dup_pairs
+    from nobletools_spark.operators.similarity import hyperplanes
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes = hyperplanes(4, 64, seed=7)
+    lsh_pairs = embedding_dup_pairs(emb, threshold=0.3, group_col=None,
+                                    planes=planes).collect()
+    assert lsh_pairs
+    for r in lsh_pairs:
+        assert r.cos >= 0.3 and r.vec_a < r.vec_b
