@@ -255,3 +255,66 @@ def synthetic_corpus(n_docs: int, seed: int = 42,
 def synthetic_corpus_df(spark, n_docs: int, seed: int = 42, **kw):
     rows = synthetic_corpus(n_docs, seed, **kw)
     return spark.createDataFrame(rows, schema=SPANS_DDL)
+
+
+# ---------------------------------------------------------------------------
+# Rich structured corpus: sections, DeID tags, acronym definitions,
+# negation, worksheets — exercises the FULL document pipeline
+# (docproc + matcher + acronym pass + ConText) end-to-end.
+# ---------------------------------------------------------------------------
+
+_RICH_HEADERS = ("FINAL DIAGNOSIS:", "GROSS DESCRIPTION:", "MARGIN STATUS:",
+                 "CLINICAL HISTORY:")
+_RICH_PROSE = (
+    "No evidence of {m} was identified. The margins are clear.",
+    "Findings are consistent with {m} in the specimen.",
+    "The {m} was excised; no residual tumor seen.",
+    "Family history of {m} reported by the patient.",
+    "Sections show {m} but no evidence of deep margin involvement.",
+    "World Health Organization (WHO) criteria applied. WHO grade given.",
+    "Possible {m} cannot be excluded.",
+)
+_RICH_LINES = (
+    "Tumor Size....{k}.5 cm",
+    "Margins ( )  involved  (X)  not involved",
+    "**NAME[Case-{k}] reviewed by **DATE[Jan {d} 2020] 1200",
+)
+_RICH_SURFACES = ("melanoma", "nasal septum", "FISH", "DCIS", "deep margin",
+                  "skin margin", "stage iv", "margins", "churches")
+
+
+def rich_corpus(n_docs: int, seed: int = 7,
+                media_frac: float = 0.3) -> list[tuple]:
+    """Deterministic structured documents: each doc = 2-3 sections with
+    prose sentences (negation / hedging / acronym-definition traps from
+    the pytest terminology) plus worksheet/DeID lines, and media spans
+    interleaved for a third of documents."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for d in range(n_docs):
+        parts = []
+        n_sections = int(rng.integers(2, 4))
+        for s in range(n_sections):
+            header = _RICH_HEADERS[int(rng.integers(0, len(_RICH_HEADERS)))]
+            body = []
+            for _ in range(int(rng.integers(1, 4))):
+                tpl = _RICH_PROSE[int(rng.integers(0, len(_RICH_PROSE)))]
+                m = _RICH_SURFACES[int(rng.integers(0, len(_RICH_SURFACES)))]
+                body.append(tpl.format(m=m))
+            section = f"{header}  " + " ".join(body)
+            if rng.random() < 0.5:
+                line = _RICH_LINES[int(rng.integers(0, len(_RICH_LINES)))]
+                section += "\n" + line.format(k=int(rng.integers(1, 9)),
+                                              d=int(rng.integers(1, 28)))
+            parts.append(section)
+        text = "\n\n".join(parts)
+        spans = [("text", text, None, 0)]
+        if rng.random() < media_frac:
+            spans.append(("media", None, f"media://rich-{d}", len(text) + 1))
+        rows.append((f"rdoc-{d:05d}", spans))
+    return rows
+
+
+def rich_corpus_df(spark, n_docs: int, seed: int = 7, **kw):
+    return spark.createDataFrame(rich_corpus(n_docs, seed, **kw),
+                                 schema=SPANS_DDL)

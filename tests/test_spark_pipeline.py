@@ -164,3 +164,34 @@ def test_search_methods_through_spark_path(spark, method):
         for r in process_document(f"d{i}", [("text", t, None, 0)], idx, cfg):
             want.add((r[0], r[2], r[6], r[7]))
     assert got == want and got
+
+
+def test_rich_corpus_full_pipeline_e2e(spark):
+    """Full-feature e2e gate: structured documents (sections, DeID tags,
+    worksheets, acronym definitions, negation/hedging) through the
+    distributed path with ConText — mentions AND modifiers must agree
+    exactly with the local literal implementation (P = R = 1.0), and
+    headers must never be matched."""
+    from nobletools_spark.operators.context import default_context_index
+    from nobletools_spark.sources.fixtures import rich_corpus, rich_corpus_df
+
+    idx = pytest_index()
+    ctx = default_context_index()
+    docs = rich_corpus_df(spark, 120, seed=7)
+    got = {(r.doc_id, r.sent_offset, r.cui, r.start, r.end,
+            tuple(sorted(r.modifiers.items())))
+           for r in annotate(docs, idx, CFG, context=ctx).collect()}
+    want = set()
+    for doc_id, spans in rich_corpus(120, seed=7):
+        for r in process_document(doc_id, spans, idx, CFG, context=ctx):
+            want.add((r[0], r[1], r[2], r[6], r[7],
+                      tuple(sorted(r[9].items()))))
+    assert got == want and len(got) > 200
+    # negation actually fires somewhere in the corpus
+    assert any(dict(mods).get("Polarity") == "Negative_Polarity"
+               for *_, mods in got)
+    # hedging too
+    assert any(dict(mods).get("ContextualModality") ==
+               "Hedged_ContextualModality" for *_, mods in got)
+    # acronym doc-pass: WHO resolves to C009 somewhere
+    assert any(cui == "C009" for _, _, cui, *_ in got)
