@@ -19,7 +19,12 @@ instead (tests/test_match_core.py).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# importable regardless of the driver's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
