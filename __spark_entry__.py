@@ -105,8 +105,15 @@ def q_kg_mentions(spark, sf_dir):
 def q_kg_mentions_full(spark, sf_dir):
     """Full mention rows (offsets, scores, matched terms) — the
     RESULTS.tsv equivalent (util/CSVExporter.java:92-111). Not
-    SQL-expressible (greedy matcher internals) → rows-only check."""
-    return _builtin_mentions(spark, sf_dir).drop("annotations")
+    SQL-expressible (greedy matcher internals) → rows-only check.
+
+    The ``modifiers`` map is serialized to a deterministic sorted-key
+    JSON string: the driver's rows-only canonicalization sorts values
+    with pandas, which cannot hash dict cells."""
+    return (_builtin_mentions(spark, sf_dir)
+            .drop("annotations")
+            .withColumn("modifiers",
+                        F.to_json(F.array_sort(F.map_entries("modifiers")))))
 
 
 def q_kg_doc_concepts(spark, sf_dir):
@@ -502,12 +509,17 @@ def oracle_sql() -> dict[str, str]:
         f" + (ht[i+3] * {w3}) % {P31}) % {P31})"
         f" ELSE [list_reduce(list_prepend(0::BIGINT, ht),"
         f" (a, b) -> (a * {w1} + b) % {P31})] END)")
+    # the count filter mirrors jaccard_pairs' max_group=10000 scale guard
     sql["dedup_jaccard"] = (
-        f"WITH s AS (SELECT lang, source, doc_id, {shh_expr} AS sh"
+        f"WITH gc AS (SELECT lang, source FROM documents"
+        f" GROUP BY lang, source HAVING count(*) <= 10000), "
+        f"d AS (SELECT documents.* FROM documents"
+        f" JOIN gc USING (lang, source)), "
+        f"s AS (SELECT lang, source, doc_id, {shh_expr} AS sh"
         f" FROM (SELECT lang, source, doc_id::BIGINT AS doc_id, t,"
         f" list_transform(t, x -> {h32_x}) AS ht"
         f" FROM (SELECT lang, source, doc_id, {toks} AS t"
-        f" FROM documents))) "
+        f" FROM d))) "
         f"SELECT * FROM ("
         f" SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
         f" len(list_intersect(a.sh, b.sh))::DOUBLE /"
@@ -593,9 +605,13 @@ def oracle_sql() -> dict[str, str]:
         plane_bits.append(f"(CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END)")
     bucket = " + ".join(plane_bits)
     dot_ab2 = _dot_sql("a.embedding", "b.embedding")
+    # the window count filter mirrors lsh_topk's max_bucket skew cap
     sql["sim_lsh_topk"] = (
-        f"WITH base AS (SELECT vec_id::BIGINT AS vec_id, embedding,"
+        f"WITH base0 AS (SELECT vec_id::BIGINT AS vec_id, embedding,"
         f" {nrm} AS nrm, ({bucket})::BIGINT AS bucket FROM embeddings), "
+        f"base AS (SELECT vec_id, embedding, nrm, bucket FROM"
+        f" (SELECT *, count(*) OVER (PARTITION BY bucket) AS bn FROM base0)"
+        f" WHERE bn <= 1024), "
         f"pairs AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,"
         f" {dot_ab2} / (a.nrm * b.nrm) AS cos"
         f" FROM base a JOIN base b ON a.bucket = b.bucket"

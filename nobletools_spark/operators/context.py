@@ -195,11 +195,19 @@ def apply_context(text: str, mentions: list[Mention],
 # algorithm (Harkema 2009); extend/replace via build_context_index(rules).
 # ---------------------------------------------------------------------------
 
+# All 8 modifier types (ConText.MODIFIER_TYPES, ConText.java:58-83).
+# Defaults mirror getDefaultValues (ConText.java:364-375): only types
+# whose lexicon class carries hasDefaultValue contribute a default —
+# ContextualAspect / Degree / Permanence have N/A defaults in the THYME
+# convention the reference's value names follow (Before_DocTimeRel,
+# Actual/Hedged_ContextualModality), so they appear only when a rule
+# fires; the RESULTS.tsv sink renders them as empty columns otherwise.
 DEFAULT_VALUES = {
     "Polarity": "Positive_Polarity",
     "Experiencer": "Patient_Experiencer",
     "Temporality": "Recent_Temporality",
     "ContextualModality": "Actual_ContextualModality",
+    "Certainty": "Certain_Certainty",
 }
 
 _NEG_FWD = ("no", "no evidence of", "without", "denies", "negative for",
@@ -214,6 +222,21 @@ _FAMILY = ("family history of", "mother", "father", "brother", "sister",
 _HIST = ("history of", "past medical history")
 _HEDGE = ("possible", "probable", "suspected", "suggestive of",
           "consistent with", "may represent", "questionable")
+# The 4 remaining ConText types (ConText.java:61-65). The reference loads
+# their phrase sets from the external web-hosted ConText.owl (not bundled
+# in the repo), so these are compact published phrase sets in the same
+# THYME value convention; replace via build_context_index(rules).
+_CERT_HIGH = ("definite", "definitive", "unequivocal", "diagnostic of")
+_CERT_MOD = ("probable", "probably", "likely", "presumed")
+_CERT_LOW_F = ("doubt", "doubtful", "low suspicion for")
+_CERT_LOW_B = ("cannot be excluded", "cannot be ruled out")
+_ASPECT_INTERMITTENT = ("intermittent", "episodic", "recurrent",
+                        "waxing and waning")
+_ASPECT_NOVEL = ("new onset", "newly diagnosed", "newly identified")
+_DEGREE_MOST = ("severe", "extensive", "marked", "widespread")
+_DEGREE_LITTLE = ("mild", "slight", "minimal", "focal")
+_PERM_PERMANENT = ("chronic", "longstanding", "permanent", "lifelong")
+_PERM_FINITE = ("transient", "temporary", "resolving")
 
 DEFAULT_RULES: tuple[ModifierRule, ...] = tuple(
     [ModifierRule(f"neg_f_{i}", (t,), "Polarity", "Negative_Polarity",
@@ -242,6 +265,44 @@ DEFAULT_RULES: tuple[ModifierRule, ...] = tuple(
                     "Hedged_ContextualModality", ACTION_FORWARD,
                     group="modality", terminated_by=("conj",))
        for i, t in enumerate(_HEDGE)]
+    + [ModifierRule(f"cert_h_{i}", (t,), "Certainty", "High_Certainty",
+                    ACTION_FORWARD, group="certainty",
+                    terminated_by=("conj",))
+       for i, t in enumerate(_CERT_HIGH)]
+    + [ModifierRule(f"cert_m_{i}", (t,), "Certainty", "Moderate_Certainty",
+                    ACTION_FORWARD, group="certainty",
+                    terminated_by=("conj",))
+       for i, t in enumerate(_CERT_MOD)]
+    + [ModifierRule(f"cert_lf_{i}", (t,), "Certainty", "Low_Certainty",
+                    ACTION_FORWARD, group="certainty",
+                    terminated_by=("conj",))
+       for i, t in enumerate(_CERT_LOW_F)]
+    + [ModifierRule(f"cert_lb_{i}", (t,), "Certainty", "Low_Certainty",
+                    ACTION_BACKWARD, group="certainty",
+                    terminated_by=("conj",))
+       for i, t in enumerate(_CERT_LOW_B)]
+    + [ModifierRule(f"asp_i_{i}", (t,), "ContextualAspect",
+                    "Intermittent_ContextualAspect", ACTION_FORWARD,
+                    group="aspect", terminated_by=("conj",))
+       for i, t in enumerate(_ASPECT_INTERMITTENT)]
+    + [ModifierRule(f"asp_n_{i}", (t,), "ContextualAspect",
+                    "Novel_ContextualAspect", ACTION_FORWARD,
+                    group="aspect", terminated_by=("conj",))
+       for i, t in enumerate(_ASPECT_NOVEL)]
+    + [ModifierRule(f"deg_m_{i}", (t,), "Degree", "Most_Degree",
+                    ACTION_FORWARD, group="degree", terminated_by=("conj",))
+       for i, t in enumerate(_DEGREE_MOST)]
+    + [ModifierRule(f"deg_l_{i}", (t,), "Degree", "Little_Degree",
+                    ACTION_FORWARD, group="degree", terminated_by=("conj",))
+       for i, t in enumerate(_DEGREE_LITTLE)]
+    + [ModifierRule(f"perm_p_{i}", (t,), "Permanence",
+                    "Permanent_Permanence", ACTION_FORWARD,
+                    group="permanence", terminated_by=("conj",))
+       for i, t in enumerate(_PERM_PERMANENT)]
+    + [ModifierRule(f"perm_f_{i}", (t,), "Permanence", "Finite_Permanence",
+                    ACTION_FORWARD, group="permanence",
+                    terminated_by=("conj",))
+       for i, t in enumerate(_PERM_FINITE)]
 )
 
 

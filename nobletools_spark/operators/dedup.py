@@ -104,12 +104,26 @@ def exact_dedup(docs: DataFrame, by: str = "content") -> DataFrame:
 
 def jaccard_pairs(docs: DataFrame, n: int = 3,
                   group_cols: tuple[str, ...] = ("lang", "source"),
-                  threshold: float = 0.125) -> DataFrame:
+                  threshold: float = 0.125,
+                  max_group: int = 10_000) -> DataFrame:
     """n-gram Jaccard near-dup pairs within candidate groups:
     (doc_a, doc_b, jaccard). ``group_cols`` bounds the quadratic
-    blow-up — at scale the grouping is an LSH bucket (minhash_lsh_pairs);
-    here it doubles as the SQL-oracle-checkable variant. Jaccard is an
-    exact rational in double (|∩| / |∪|) ⇒ bit-stable cross-engine."""
+    blow-up — at scale the grouping is an LSH bucket (minhash_lsh_pairs,
+    where this op is the verification stage); here it doubles as the
+    SQL-oracle-checkable variant. ``max_group`` is the hard scale guard:
+    groups larger than it are dropped entirely (window count filter, same
+    trade as minhash's max_bucket) rather than silently running an O(n²)
+    straggler — a coarse grouping on a real corpus must go through LSH,
+    not through this cap. max_group<=0 disables. Jaccard is an exact
+    rational in double (|∩| / |∪|) ⇒ bit-stable cross-engine."""
+    if max_group > 0:
+        # group_cols are low-cardinality ⇒ the count table is tiny:
+        # partial-aggregated count + broadcast anti-join beats shuffling
+        # full rows through a window (the right cap shape here; LSH
+        # bucket keys are high-cardinality, hence the window cap there)
+        big = (docs.groupBy(*group_cols).count()
+               .filter(F.col("count") > max_group).drop("count"))
+        docs = docs.join(F.broadcast(big), list(group_cols), "left_anti")
     base = docs.select(
         *group_cols, F.col("doc_id").cast("long").alias("doc_id"),
         F.transform(_tokens(), h32).alias("ht"))
@@ -277,20 +291,25 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
 
 def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.98,
                         group_col: str | None = "label",
-                        planes: list[list[float]] | None = None) -> DataFrame:
+                        planes: list[list[float]] | None = None,
+                        max_bucket: int = 1024) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within candidate groups:
     (vec_a, vec_b, cos). Cosine in double precision via ordered fold
     (F.aggregate) so the SQL oracle reproduces it. Candidate grouping:
     an explicit ``group_col`` (oracle-checkable), or — the scale path —
     sign-random-projection LSH buckets via ``planes``
-    (similarity.hyperplanes): N²→N²/2^P candidate work."""
+    (similarity.hyperplanes, use ≥16 in production): N²→N²/2^P candidate
+    work, with ``max_bucket`` bounding the worst bucket's quadratic task
+    (same trade as minhash_lsh_pairs; applies to the planes path only —
+    an explicit group_col is the caller's contract)."""
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
     if planes is not None:
-        from nobletools_spark.operators.similarity import lsh_buckets
+        from nobletools_spark.operators.similarity import cap_buckets, lsh_buckets
 
         emb = (emb.withColumn("vec_id", F.col("vec_id").cast("long"))
                .join(lsh_buckets(emb, planes), "vec_id"))
+        emb = cap_buckets(emb, ["bucket"], max_bucket)
         group_col = "bucket"
     base = emb.select(F.col(group_col).alias("g"),
                       F.col("vec_id").cast("long").alias("vec_id"),

@@ -21,47 +21,124 @@ from nobletools_spark.operators.match_core import Mention
 
 WINDOW_SIZE = 6  # NegEx.java:459
 
-PRE_NEGATION = tuple(p.strip() for p in """
-absence of|cannot|cannot see|checked for|declined|declines|denied|denies
-|denying|fails to reveal|free of|negative for|never developed|never had
-|no abnormal|no cause of|no complaints of|no evidence|no evidence of
-|no new evidence|no other evidence|no evidence to suggest|no findings of
-|no findings to indicate|no sign of|no significant|no signs of
-|no suggestion of|no suspicious|no new|no|not appear|not appreciate
-|not associated with|not complain of|not demonstrate|not exhibit
-|not feel|not had|not have|not know of|not known to have|not reveal
-|not see|not to be|not|non|patient was not|rather than|resolved|test for
-|to exclude|unremarkable for|with no|without|w/o evidence of
-|without any evidence of|without evidence|without evidence of
-|without indication of|without sign of|lacks|rule out|rules out
-|ruled out|ruled out for|did rule out|can rule out|adequate to rule out
-|sufficient to rule out|neither|nor""".replace("\n", "").split("|"))
+# Phrase lists transcribed VERBATIM (content and order) from the reference
+# resource files (src/main/resources/resources/NegEx*.lst), loaded with
+# loadResourceAsList semantics (TextTools.java:169-199: trim, skip blanks
+# and '#'). Order is semantic: findMatch is first-prefix-wins
+# (NegEx.java:125-140). Entries with punctuation ('w/o evidence of',
+# ': no') can never match because parse() strips the sentence with
+# \W->space BEFORE matching (NegEx.java:207) while phrases keep their
+# punctuation — dead in the reference too; kept verbatim for parity.
+# (NegExPossibilityPhrase.lst is commented out in the reference,
+# NegEx.java:55 — intentionally not loaded here either.)
 
-POST_NEGATION = tuple(p.strip() for p in """
-is absent|are absent|unlikely|free|was ruled out|is ruled out
-|are ruled out|have been ruled out|has been ruled out|is not seen
-|are not seen|not seen|can be ruled out|ruled out|not identified
-|not observed|not visible|not detected|not been found|not found
-|not present|: no|none|negative""".replace("\n", "").split("|"))
+PRE_NEGATION = (  # NegExPreNegationPhrases.lst, 133 entries, file order
+    'absence of', 'cannot', 'cannot see', 'checked for', 'declined',
+    'declines', 'denied', 'denies', 'denying', 'fails to reveal',
+    'free of', 'negative for', 'never developed', 'never had',
+    'no abnormal', 'no cause of', 'no complaints of', 'no evidence',
+    'no evidence of', 'no new evidence', 'no other evidence',
+    'no evidence to suggest', 'no findings of', 'no findings to indicate',
+    'no mammographic evidence of', 'no new', 'no radiographic evidence of',
+    'no sign of', 'no significant', 'no signs of', 'no suggestion of',
+    'no suspicious', 'no', 'not appear', 'not appreciate',
+    'not associated with', 'not complain of', 'not demonstrate',
+    'not exhibit', 'not feel', 'not had', 'not have', 'not know of',
+    'not known to have', 'not reveal', 'not see', 'not to be', 'not',
+    'non', 'patient was not', 'rather than', 'resolved', 'test for',
+    'to exclude', 'unremarkable for', 'with no', 'with no evidence of',
+    'w/o evidence of', 'without', 'without any evidence of',
+    'without evidence', 'without evidence of', 'without indication of',
+    'without sign of', 'lacks', 'rule out', 'rules out', 'rules him out',
+    'rules her out', 'rules the patient out', 'rules out for',
+    'rules him out for', 'rules her out for', 'rules the patient out for',
+    'ruled out', 'ruled him out', 'ruled her out', 'ruled the patient out',
+    'ruled out for', 'ruled him out for', 'ruled her out for',
+    'ruled the patient out for', 'ruled out against',
+    'ruled him out against', 'ruled her out against',
+    'ruled the patient out against', 'did rule out', 'did rule out for',
+    'did rule out against', 'did rule him out', 'did rule her out',
+    'did rule the patient out', 'did rule him out for',
+    'did rule her out for', 'did rule him out against',
+    'did rule her out against', 'did rule the patient out for',
+    'did rule the patient out against', 'can rule out', 'can rule out for',
+    'can rule out against', 'can rule him out', 'can rule her out',
+    'can rule the patient out', 'can rule him out for',
+    'can rule her out for', 'can rule the patinet out for',
+    'can rule him out against', 'can rule her out against',
+    'can rule the patinet out against', 'adequate to rule out',
+    'adequate to rule him out', 'adequate to rule her out',
+    'adequate to rule the patient out', 'adequate to rule out for',
+    'adequate to rule him out for', 'adequate to rule her out for',
+    'adequate to rule the patient out for',
+    'adequate to rule the patient out against', 'sufficient to rule out',
+    'sufficient to rule him out', 'sufficient to rule her out',
+    'sufficient to rule the patient out', 'sufficient to rule out for',
+    'sufficient to rule him out for', 'sufficient to rule her out for',
+    'sufficient to rule the patient out for',
+    'sufficient to rule out against', 'sufficient to rule him out against',
+    'sufficient to rule her out against',
+    'sufficient to rule the patient out against', 'neither', 'nor',
+)
 
-INDETERMINATE = tuple(p.strip() for p in """
-cannot be determined|cannot be evaluated|cannot be assessed
-|cannot be seen|cannot be found|not evaluable|cannot determine
-|cannot evaluate|unable to assess""".replace("\n", "").split("|"))
+POST_NEGATION = (  # NegExPostNegationPhrases.lst, 24 entries, file order
+    'is absent', 'are absent', 'unlikely', 'free', 'was ruled out',
+    'is ruled out', 'are ruled out', 'have been ruled out',
+    'has been ruled out', 'is not seen', 'are not seen', 'not seen',
+    'can be ruled out', 'ruled out', 'not identified', 'not observed',
+    'not visible', 'not detected', 'not been found', 'not found',
+    'not present', ': no', 'none', 'negative',
+)
 
-PSEUDO_NEGATION = tuple(p.strip() for p in """
-no increase|no suspicious change|no significant change|no change
-|no interval change|no definite change|no significant interval change
-|not extend|not cause|not drain|not certain if|not certain whether
-|gram negative|without difficulty|not necessarily|not only
-|impossible to rule out|no interpretation|cannot be ruled out
-|can not be ruled out""".replace("\n", "").split("|"))
+INDETERMINATE = (  # NegExIndeterminatePhrases.lst, 9 entries, file order
+    'cannot be determined', 'cannot be evaluated', 'cannot be assessed',
+    'cannot be seen', 'cannot be found', 'not evaluable',
+    'cannot determine', 'cannot evaluate', 'unable to assess',
+)
 
-CONJUNCTIONS = tuple(p.strip() for p in """
-but|however|nevertheless|yet|though|although|still|aside from|except
-|apart from|secondary to|as the cause of|as the source of
-|as the reason of|as a cause of|as a source of|as a reason
-of""".replace("\n", "").split("|"))
+PSEUDO_NEGATION = (  # NegExPseudoNegationPhrases.lst, 20 entries, file order
+    'no increase', 'no suspicious change', 'no significant change',
+    'no change', 'no interval change', 'no definite change',
+    'no significant interval change', 'not extend', 'not cause',
+    'not drain', 'not certain if', 'not certain whether', 'gram negative',
+    'without difficulty', 'not necessarily', 'not only',
+    'impossible to rule out', 'no interpretation', 'cannot be ruled out',
+    'can not be ruled out',
+)
+
+CONJUNCTIONS = (  # NegExPseudoConjunctions.lst, 89 entries, file order
+    'but', 'however', 'nevertheless', 'yet', 'though', 'although', 'still',
+    'aside from', 'except', 'apart from', 'secondary to',
+    'as the cause of', 'as the source of', 'as the reason of',
+    'as the etiology of', 'as the origin of', 'as the cause for',
+    'as the source for', 'as the reason for', 'as the etiology for',
+    'as the origin for', 'as the secondary cause of',
+    'as the secondary source of', 'as the secondary reason of',
+    'as the secondary etiology of', 'as the secondary origin of',
+    'as the secondary cause for', 'as the secondary source for',
+    'as the secondary reason for', 'as the secondary etiology for',
+    'as the secondary origin for', 'as a cause of', 'as a source of',
+    'as a reason of', 'as a etiology of', 'as a cause for',
+    'as a source for', 'as a reason for', 'as a etiology for',
+    'as a secondary cause of', 'as a secondary source of',
+    'as a secondary reason of', 'as a secondary etiology of',
+    'as a secondary origin of', 'as a secondary cause for',
+    'as a secondary source for', 'as a secondary reason for',
+    'as a secondary etiology for', 'as a secondary origin for',
+    'as an cause of', 'as an source of', 'as an reason of',
+    'as an etiology of', 'as an origin of', 'as an cause for',
+    'as an source for', 'as an reason for', 'as an etiology for',
+    'as an origin for', 'as an secondary cause of',
+    'as an secondary source of', 'as an secondary reason of',
+    'as an secondary etiology of', 'as an secondary origin of',
+    'as an secondary cause for', 'as an secondary source for',
+    'as an secondary reason for', 'as an secondary etiology for',
+    'as an secondary origin for', 'cause of', 'cause for', 'causes of',
+    'causes for', 'source of', 'source for', 'sources of', 'sources for',
+    'reason of', 'reason for', 'reasons of', 'reasons for', 'etiology of',
+    'etiology for', 'trigger event for', 'origin of', 'origin for',
+    'origins of', 'origins for', 'other possibilities of',
+)
 
 _NONWORD = re.compile(r"\W")
 

@@ -79,10 +79,14 @@ def lsh_buckets(emb: DataFrame, planes: list[list[float]]) -> DataFrame:
 def ivf_topk(emb: DataFrame, n_cells: int = 8, k: int = 3,
              n_probe: int = 1, seed: int = 17) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer assigns each
-    vector to its nearest centroid cell; queries rank candidates only
-    within their ``n_probe`` nearest cells — the classic
-    N²→N²·(n_probe/n_cells) reduction. Deterministic given the seed and
-    input partitioning. Returns (vec_id, neighbor_id, rank)."""
+    vector to its nearest centroid cell; queries rank candidates within
+    their ``n_probe`` nearest cells — the classic
+    N²→N²·(n_probe/n_cells) reduction. Each query explodes to its
+    n_probe nearest centroids (broadcast crossJoin against the tiny
+    centroid table, rank by squared distance), then probes candidates
+    cell-by-cell; candidate cells are disjoint so no pair dedup is
+    needed. Deterministic given the seed and input partitioning.
+    Returns (vec_id, neighbor_id, rank)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -95,8 +99,25 @@ def ivf_topk(emb: DataFrame, n_cells: int = 8, k: int = 3,
     model = km.fit(feat)
     base = model.transform(feat).select("vec_id", "v", "nrm", "cell") \
                 .repartition("cell")  # materialize v/nrm below the join
+    # query side: explode each vector to its n_probe nearest cells
+    # (rank 1 is its own cell — n_probe=1 degenerates to cell-local)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    cdf = emb.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "cell long, cvec array<double>")
+    d2 = F.aggregate(F.zip_with(F.col("v"), F.col("cvec"),
+                                lambda x, y: (x - y) * (x - y)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    cw = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    probe = (model.transform(feat).select("vec_id", "v", "nrm")
+             .crossJoin(F.broadcast(cdf))
+             .withColumn("d2", d2)
+             .withColumn("crank", F.row_number().over(cw))
+             .filter(F.col("crank") <= n_probe)
+             .select("vec_id", "v", "nrm", "cell")
+             .repartition("cell"))
     cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    pairs = (base.alias("a").join(base.alias("b"), "cell")
+    pairs = (probe.alias("a").join(base.alias("b"), "cell")
              .filter(F.col("a.vec_id") != F.col("b.vec_id"))
              .select(F.col("a.vec_id").alias("vec_id"),
                      F.col("b.vec_id").alias("neighbor_id"), cos.alias("cos")))
@@ -106,14 +127,36 @@ def ivf_topk(emb: DataFrame, n_cells: int = 8, k: int = 3,
             .select("vec_id", "neighbor_id", F.col("rank").cast("long").alias("rank")))
 
 
-def lsh_topk(emb: DataFrame, planes: list[list[float]], k: int = 3) -> DataFrame:
+def cap_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """Drop rows in groups larger than ``max_bucket`` — the hard skew
+    bound every LSH self-join needs: one boilerplate-heavy bucket is an
+    O(n²) straggler task at corpus scale. max_bucket<=0 disables.
+    (Mirrors dedup.minhash_lsh_pairs; dropped groups are countable by
+    the caller from the uncapped bucket table.)"""
+    if max_bucket <= 0:
+        return df
+    w = Window.partitionBy(*keys)
+    return (df.withColumn("_bucket_n", F.count("*").over(w))
+            .filter(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n"))
+
+
+def lsh_topk(emb: DataFrame, planes: list[list[float]], k: int = 3,
+             max_bucket: int = 1024) -> DataFrame:
     """Approximate top-k within LSH buckets: (vec_id, neighbor_id, rank).
     Same ranking as cosine_topk but candidates restricted to the bucket —
-    the N²→N²/2^P reduction that makes ANN feasible at corpus scale."""
+    the N²→N²/2^P reduction that makes ANN feasible at corpus scale.
+
+    Scale notes: use ≥16 planes in production so the bucket key space
+    (2^P) exceeds the target parallelism — 4 planes caps the self-join
+    at 16 tasks; ``max_bucket`` bounds the worst bucket's quadratic work
+    (vectors in oversized buckets are dropped from both sides, same
+    trade as minhash_lsh_pairs)."""
     base = (emb.select(F.col("vec_id").cast("long").alias("vec_id"),
                        _vec_double().alias("v"))
             .withColumn("nrm", _norm(F.col("v")))
-            .join(lsh_buckets(emb, planes), "vec_id")
+            .join(lsh_buckets(emb, planes), "vec_id"))
+    base = (cap_buckets(base, ["bucket"], max_bucket)
             .repartition("bucket"))  # materialize v/nrm below the join
     cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     pairs = (base.alias("a").join(base.alias("b"), "bucket")

@@ -273,6 +273,10 @@ _RICH_PROSE = (
     "Sections show {m} but no evidence of deep margin involvement.",
     "World Health Organization (WHO) criteria applied. WHO grade given.",
     "Possible {m} cannot be excluded.",
+    "Severe {m} was noted with mild atypia elsewhere.",
+    "Chronic {m} present; transient inflammation resolving.",
+    "Intermittent episodes of {m} were reported by the patient.",
+    "Newly diagnosed {m}; probable invasion, definite ulceration.",
 )
 _RICH_LINES = (
     "Tumor Size....{k}.5 cm",

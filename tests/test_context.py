@@ -88,6 +88,54 @@ def test_hedging():
     assert mods["ContextualModality"] == "Hedged_ContextualModality"
 
 
+def test_certainty():
+    mods = _mods("Probable melanoma in the specimen.", "C013")
+    assert mods["Certainty"] == "Moderate_Certainty"
+    # 'probable' also carries the modality hedge (shared trigger)
+    assert mods["ContextualModality"] == "Hedged_ContextualModality"
+    assert _mods("Definite melanoma identified.",
+                 "C013")["Certainty"] == "High_Certainty"
+    # backward low-certainty
+    assert _mods("Melanoma cannot be excluded.",
+                 "C013")["Certainty"] == "Low_Certainty"
+    # default applies when nothing fires
+    assert _mods("Melanoma was seen.", "C013")["Certainty"] == \
+        "Certain_Certainty"
+
+
+def test_contextual_aspect():
+    assert _mods("Recurrent melanoma was found.",
+                 "C013")["ContextualAspect"] == \
+        "Intermittent_ContextualAspect"
+    assert _mods("Newly diagnosed melanoma.",
+                 "C013")["ContextualAspect"] == "Novel_ContextualAspect"
+    # no THYME default: absent unless a rule fires
+    assert "ContextualAspect" not in _mods("Melanoma was seen.", "C013")
+
+
+def test_degree():
+    assert _mods("Severe melanoma was found.", "C013")["Degree"] == \
+        "Most_Degree"
+    assert _mods("Mild melanoma was found.", "C013")["Degree"] == \
+        "Little_Degree"
+    assert "Degree" not in _mods("Melanoma was seen.", "C013")
+
+
+def test_permanence():
+    assert _mods("Chronic melanoma noted.", "C013")["Permanence"] == \
+        "Permanent_Permanence"
+    assert _mods("Transient melanoma noted.", "C013")["Permanence"] == \
+        "Finite_Permanence"
+    assert "Permanence" not in _mods("Melanoma was seen.", "C013")
+
+
+def test_new_type_terminator_clipping():
+    # 'but' clips the forward degree scope like any other modifier
+    text = "Severe margins but melanoma was seen."
+    assert _mods(text, "C003")["Degree"] == "Most_Degree"
+    assert "Degree" not in _mods(text, "C013")
+
+
 def test_spark_annotate_with_context(spark):
     from nobletools_spark.operators.matcher import annotate
     from nobletools_spark.sources.fixtures import SPANS_DDL

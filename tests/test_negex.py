@@ -52,3 +52,60 @@ def test_indeterminate_hedges_retroactively():
 
 def test_pseudo_negation_not_negated():
     assert "Polarity" not in _mods("No change in melanoma.", "C013")
+
+
+def test_gendered_rule_out_variants():
+    # entries beyond the round-1 truncation point of the pre-negation list
+    assert _mods("Rules her out for melanoma.", "C013")["Polarity"] == \
+        "Negative_Polarity"
+    assert _mods("Did rule the patient out against melanoma.",
+                 "C013")["Polarity"] == "Negative_Polarity"
+
+
+def test_never_developed():
+    assert _mods("Never developed melanoma.", "C013")["Polarity"] == \
+        "Negative_Polarity"
+
+
+def test_as_a_cause_for_clears_scope():
+    # 'as a cause for' is a conjunction past the round-1 truncation point;
+    # it must clear the pre-negation scope (and the round-1 transcription
+    # typo 'as a reasonof' must be gone).
+    text = "No evidence of margins as a cause for melanoma."
+    assert _mods(text, "C003")["Polarity"] == "Negative_Polarity"
+    assert "Polarity" not in _mods(text, "C013")
+
+
+def test_punctuation_phrases_dead_for_parity():
+    # 'w/o evidence of' can never fire: parse() strips the sentence with
+    # \W->space before matching while the list entry keeps its slash —
+    # dead in the reference too (NegEx.java:207 vs the .lst). Parity.
+    assert "Polarity" not in _mods("W/o evidence of melanoma.", "C013")
+
+
+def test_lists_match_reference_lst_files():
+    """Each tuple must equal the parsed .lst file verbatim (content AND
+    order — findMatch is first-prefix-wins, NegEx.java:125-140)."""
+    import os
+
+    import pytest
+
+    from nobletools_spark.operators import negex as nx
+
+    base = "/root/reference/src/main/resources/resources/"
+    if not os.path.isdir(base):
+        pytest.skip("reference checkout not present")
+
+    def load(fn):
+        out = []
+        for line in open(base + fn, encoding="utf-8"):
+            line = line.strip()
+            if line and not line.startswith("#"):
+                out.append(line)
+        return tuple(out)
+
+    assert nx.PRE_NEGATION == load("NegExPreNegationPhrases.lst")
+    assert nx.POST_NEGATION == load("NegExPostNegationPhrases.lst")
+    assert nx.INDETERMINATE == load("NegExIndeterminatePhrases.lst")
+    assert nx.PSEUDO_NEGATION == load("NegExPseudoNegationPhrases.lst")
+    assert nx.CONJUNCTIONS == load("NegExPseudoConjunctions.lst")

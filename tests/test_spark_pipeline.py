@@ -195,3 +195,8 @@ def test_rich_corpus_full_pipeline_e2e(spark):
                "Hedged_ContextualModality" for *_, mods in got)
     # acronym doc-pass: WHO resolves to C009 somewhere
     assert any(cui == "C009" for _, _, cui, *_ in got)
+    # each of the 4 round-2 modifier types fires on the corpus
+    fired = {v for *_, mods in got for _, v in mods}
+    assert {"Low_Certainty", "Most_Degree", "Permanent_Permanence",
+            "Intermittent_ContextualAspect",
+            "Novel_ContextualAspect"} <= fired, fired

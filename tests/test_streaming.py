@@ -124,6 +124,73 @@ def test_ivf_topk(spark):
         assert len(ranks) <= 3
 
 
+def test_ivf_topk_n_probe_finds_adjacent_cell_neighbor(spark):
+    """A boundary vector whose true nearest-by-cosine neighbor sits in
+    the ADJACENT k-means cell: lost with n_probe=1 (cell-local probe),
+    found and ranked first with n_probe=2 — the r01 bug was n_probe
+    being accepted but ignored."""
+    from nobletools_spark.operators.similarity import ivf_topk
+
+    # Euclidean clusters: ids 0-2 near (1,0), ids 10-12 near (10,11).
+    # id 5 = (4,3): Euclidean-assigned to the (1,0) cell, but its
+    # direction (37°) is far closer to the (10,11) cluster (~48°) than
+    # to the x-axis cluster by cosine.
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [1.0, 0.2]),
+            (10, [10.0, 10.0]), (11, [10.0, 11.0]), (12, [10.0, 12.0]),
+            (5, [4.0, 3.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    near = {r.rank: r.neighbor_id
+            for r in ivf_topk(emb, n_cells=2, k=3, n_probe=1).collect()
+            if r.vec_id == 5}
+    assert set(near.values()) <= {0, 1, 2}          # cell-local only
+    near2 = {r.rank: r.neighbor_id
+             for r in ivf_topk(emb, n_cells=2, k=3, n_probe=2).collect()
+             if r.vec_id == 5}
+    assert near2[1] in {10, 11, 12}                 # true neighbor found
+    # non-boundary vectors keep dense ranks (no duplicate candidates)
+    all_rows = ivf_topk(emb, n_cells=2, k=3, n_probe=2).collect()
+    by_q = {}
+    for r in all_rows:
+        by_q.setdefault(r.vec_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_lsh_topk_bucket_cap_drops_boilerplate_bucket(spark):
+    """max_bucket drops oversized (boilerplate) buckets from both sides
+    of the self-join; vectors in small buckets keep identical results."""
+    from nobletools_spark.operators.similarity import hyperplanes, lsh_topk
+
+    planes = hyperplanes(4, 4, seed=7)
+    # 12 identical vectors -> one giant bucket; 3 distinct-direction
+    # vectors land elsewhere
+    rows = [(i, [1.0, 1.0, 1.0, 1.0]) for i in range(12)]
+    rows += [(100, [-1.0, -2.0, -1.0, -3.0]), (101, [-1.0, -2.0, -1.1, -3.0]),
+             (102, [-1.0, -2.1, -1.0, -3.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = {(r.vec_id, r.neighbor_id, r.rank)
+                for r in lsh_topk(emb, planes, k=2, max_bucket=0).collect()}
+    capped = {(r.vec_id, r.neighbor_id, r.rank)
+              for r in lsh_topk(emb, planes, k=2, max_bucket=4).collect()}
+    assert not any(q < 100 for q, *_ in capped)      # giant bucket dropped
+    assert capped == {t for t in uncapped if t[0] >= 100}  # others intact
+    assert capped                                    # small bucket survives
+
+
+def test_embedding_dup_pairs_bucket_cap(spark):
+    from nobletools_spark.operators.dedup import embedding_dup_pairs
+    from nobletools_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(4, 4, seed=7)
+    rows = [(i, [1.0, 1.0, 1.0, 1.0]) for i in range(12)]
+    rows += [(100, [-1.0, -2.0, -1.0, -3.0]), (101, [-1.0, -2.0, -1.1, -3.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = embedding_dup_pairs(emb, threshold=0.9, group_col=None,
+                                 planes=planes, max_bucket=4).collect()
+    ids = {r.vec_a for r in capped} | {r.vec_b for r in capped}
+    assert ids == {100, 101}                         # big bucket dropped
+
+
 def test_stateful_streaming_sessionize(spark, tmp_path):
     """applyInPandasWithState sessionization: emitted (closed) sessions
     must be exactly a prefix subset of the batch sessionization — same

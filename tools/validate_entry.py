@@ -41,7 +41,17 @@ def main() -> int:
         sdf = fn(spark, sf_dir)
         spd = sdf.toPandas()
         if name not in oracles:
-            print(f"{name:24s} rows={len(spd):7d}  (no oracle — rows-only)")
+            # Mimic the driver's rows-only canonicalization: it still
+            # sorts rows with pandas, which dies on unhashable cells
+            # (dict/list) — exactly the kg_mentions_full r01 failure.
+            try:
+                cols = sorted(spd.columns)
+                spd[cols].sort_values(cols).reset_index(drop=True)
+                print(f"{name:24s} rows={len(spd):7d}  "
+                      "(no oracle — rows-only, canonicalizes OK)")
+            except Exception as e:
+                print(f"{name:24s} CANONICALIZE ERROR: {e}")
+                failures += 1
             continue
         try:
             opd = con.sql(oracles[name]).df()
