@@ -75,6 +75,21 @@ class NobleCoderSpark:
         inst.isa_edges = tuple(edges)
         return inst
 
+    @classmethod
+    def from_owl(cls, spark, owl_xml: str, cfg: MatchConfig = MatchConfig(),
+                 context=None) -> "NobleCoderSpark":
+        """Terminology from an RDF/XML OWL ontology
+        (ConceptImporter.loadOntology parity, sources/owl.py)."""
+        from nobletools_spark.index import build_index_df
+        from nobletools_spark.sources.obo import concepts_df_from_records
+        from nobletools_spark.sources.owl import parse_owl
+
+        concepts, edges = parse_owl(owl_xml)
+        idx = build_index_df(spark, concepts_df_from_records(spark, concepts))
+        inst = cls(idx, cfg, context)
+        inst.isa_edges = tuple(edges)
+        return inst
+
     # ------------------------------------------------------------------
     # corpus path
     # ------------------------------------------------------------------
@@ -117,8 +132,10 @@ class NobleCoderSpark:
         return out
 
     def lookup_concept(self, cui: str) -> ConceptMeta | None:
-        """lookupConcept (:1901-1913)."""
-        return self.index.concepts.get(cui)
+        """lookupConcept (:1901-1913): concept map first, then the
+        any-code codeMap fallback — an NCIt/SNOMED/alternate source code
+        resolves to its CUI's concept."""
+        return self.index.lookup_by_code(cui)
 
     def get_concepts(self) -> dict[str, ConceptMeta]:
         return self.index.concepts

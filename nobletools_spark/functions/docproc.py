@@ -137,6 +137,35 @@ def split_sections(text: str, doc_type: str = TYPE_MEDICAL_REPORT,
     return out
 
 
+_PART_RE = re.compile(r"PARTS?\s+\d+(\s+AND\s+\d+)?:",
+                      re.MULTILINE | re.DOTALL)  # PartProcessor.java:12
+
+
+def split_parts(body: str, body_offset: int = 0) -> list[SectionSpan]:
+    """PartProcessor.process (coder/processor/PartProcessor.java:27-63):
+    sub-section a section body at ``PART(S) <n>[ AND <m>]:`` markers —
+    multi-part pathology reports ("PART 1:", "PARTS 2 AND 3:"). Each
+    part spans from its marker to the next marker (or end of body);
+    the part title is the marker text, the part body starts right after
+    the marker. Offsets are document-absolute via ``body_offset``
+    (updateOffset parity). Text before the first marker belongs to the
+    parent section, as in the reference."""
+    parts: list[SectionSpan] = []
+    prev: tuple[str, int, int] | None = None  # (title, t_off, b_off)
+    for mt in _PART_RE.finditer(body):
+        if prev is not None:
+            title, t_off, b_off = prev
+            parts.append(SectionSpan(title, body_offset + t_off,
+                                     body[b_off:mt.start()],
+                                     body_offset + b_off))
+        prev = (mt.group(), mt.start(), mt.end())
+    if prev is not None:
+        title, t_off, b_off = prev
+        parts.append(SectionSpan(title, body_offset + t_off,
+                                 body[b_off:], body_offset + b_off))
+    return parts
+
+
 def _merge_lines(last: str | None, s: str) -> bool:
     if last is None:
         return False

@@ -84,6 +84,7 @@ def build_index(concepts: Iterable[ConceptMeta | Mapping],
                 synonyms=tuple(c.get("synonyms", ()) or ()),
                 semtypes=tuple(c.get("semtypes", ()) or ()),
                 sources=tuple(c.get("sources", ()) or ()),
+                codes=tuple((s, k) for s, k in (c.get("codes", ()) or ())),
             )
         metas[c.cui] = c
         terms, regexes = concept_terms(c.name, c.synonyms)
@@ -115,10 +116,23 @@ def build_index(concepts: Iterable[ConceptMeta | Mapping],
         concepts=metas,
         regex_terms=tuple(regex_terms),
         compacted=compact,
+        code_map=build_code_map(metas),
     )
     if blacklist:
         idx.blacklist = build_blacklist(idx)
     return idx
+
+
+def build_code_map(metas: dict[str, ConceptMeta]) -> dict[str, str]:
+    """code -> CUI, first-wins per concept insertion order (addConcept
+    NobleCoderTerminology.java:1092-1095: codes of later concepts do not
+    overwrite)."""
+    code_map: dict[str, str] = {}
+    for cui, meta in metas.items():
+        for _src, code in meta.codes:
+            if code and code not in code_map:
+                code_map[code] = cui
+    return code_map
 
 
 def build_blacklist(idx: TerminologyIndex,
@@ -228,15 +242,19 @@ def build_index_df(spark, concepts_df, compact: bool = False,
                       .collect())
     regex_rows = (base.select("cui", F.explode("regexes").alias("re"))
                   .distinct().collect())
-    meta_rows = concepts_df.select(
-        "cui", "name", "synonyms", "semtypes", "sources").collect()
+    has_codes = "codes" in concepts_df.columns
+    meta_cols = ["cui", "name", "synonyms", "semtypes", "sources"] \
+        + (["codes"] if has_codes else [])
+    meta_rows = concepts_df.select(*meta_cols).collect()
 
     term_cuis = {r["term"]: tuple(r["cuis"]) for r in term_cuis_rows}
     metas = {
         r["cui"]: ConceptMeta(
             r["cui"], r["name"],
             tuple(r["synonyms"] or ()), tuple(r["semtypes"] or ()),
-            tuple(r["sources"] or ()))
+            tuple(r["sources"] or ()),
+            tuple((c[0], c[1]) for c in (r["codes"] or ()))
+            if has_codes else ())
         for r in meta_rows
     }
 
@@ -267,6 +285,7 @@ def build_index_df(spark, concepts_df, compact: bool = False,
                           for r in sorted(regex_rows,
                                           key=lambda x: (x["re"], x["cui"]))),
         compacted=compact,
+        code_map=build_code_map(metas),
     )
     if blacklist:
         idx.blacklist = build_blacklist(idx)

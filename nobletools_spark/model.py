@@ -29,6 +29,8 @@ class ConceptMeta(NamedTuple):
     synonyms: tuple[str, ...]      # original surface forms (incl. name)
     semtypes: tuple[str, ...]      # TUIs
     sources: tuple[str, ...]       # SABs
+    codes: tuple[tuple[str, str], ...] = ()  # (source, code) alt codes
+    #   (Concept.getCodes; cross-source codes ConceptImporter.java:877)
 
 
 BEST_MATCH = "best-match"
@@ -120,6 +122,18 @@ class TerminologyIndex:
     regex_terms: tuple[tuple[str, str], ...] = ()
     blacklist: dict[str, tuple[str, ...]] = field(default_factory=dict)
     compacted: bool = False
+    # any-code -> CUI (Storage.codeMap, NobleCoderTerminology.java:163,
+    # populated first-wins at addConcept :1092-1095); lookup fallback in
+    # lookup_by_code below (:1901-1913 lookupConcept)
+    code_map: dict[str, str] = field(default_factory=dict)
+
+    def lookup_by_code(self, code: str) -> ConceptMeta | None:
+        """lookupConcept parity (NobleCoderTerminology.java:1901-1913):
+        try the concept map, then resolve through codeMap."""
+        c = self.concepts.get(code)
+        if c is None and code in self.code_map:
+            c = self.concepts.get(self.code_map[code])
+        return c
 
     def save(self, path: str) -> None:
         """Persist the index artifact (terminology persistence sink,

@@ -52,6 +52,14 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    else:
+        # silently returning partial labels would merge CUIs wrongly
+        # downstream (canonicalize_triples) with no signal
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — the graph has a "
+            f"component with diameter > {max_iter}; raise max_iter or "
+            f"use a doubling propagation (GraphFrames) for this input")
     return labels
 
 

@@ -57,6 +57,30 @@ def _fingerprint(payload: dict) -> str:
         json.dumps(payload, sort_keys=True).encode()).hexdigest()
 
 
+def _input_content_fingerprint(name: str, df: DataFrame) -> dict:
+    """Content identity of an input table: its source file listing with
+    sizes + mtimes (the parquet-on-disk equivalent of an Iceberg
+    snapshot id) plus the schema. Changing the files at the same path —
+    the silent-stale-resume trap — changes the fingerprint and forces a
+    recompute. In-memory inputs (no backing files) contribute schema
+    only; callers feeding non-file inputs must bump run_config when the
+    data changes (documented in run())."""
+    files = []
+    try:
+        for uri in sorted(df.inputFiles()):
+            path = uri[7:] if uri.startswith("file:///") else uri
+            path = "/" + path.lstrip("/") if not path.startswith("/") else path
+            try:
+                st = os.stat(path)
+                files.append([uri, st.st_size, int(st.st_mtime)])
+            except OSError:
+                files.append([uri])
+    except Exception:  # noqa: BLE001 — streaming DFs raise on inputFiles
+        pass
+    return {"name": name, "files": files,
+            "schema": df.schema.simpleString()}
+
+
 def partition_lineage(df: DataFrame) -> DataFrame:
     """(part_id, rows, checksum) per partition — checksum =
     bit_xor(xxhash64(all columns)), order-insensitive within and across
@@ -93,8 +117,10 @@ class Pipeline:
         results: dict[str, DataFrame] = dict(inputs)
         self.reports = []
         metrics_rows = []
-        upstream_fp = _fingerprint({"config": run_config or {},
-                                    "inputs": sorted(inputs)})
+        upstream_fp = _fingerprint({
+            "config": run_config or {},
+            "inputs": [_input_content_fingerprint(n, inputs[n])
+                       for n in sorted(inputs)]})
         for st in self.stages:
             path = f"{self.out_dir}/{st.name}"
             mpath = self._manifest_path(st.name)
@@ -144,13 +170,21 @@ class Pipeline:
     def verify_lineage(self, spark: SparkSession, stage: str) -> bool:
         """Recompute the per-partition checksums of a stage's stored
         output and compare the total against the recorded lineage —
-        detects bit-rot / partial overwrite between runs."""
+        detects bit-rot / partial overwrite between runs. The _lineage
+        table is append-only across runs, so only the rows from the run
+        that actually produced the current stage parquet (the run_id in
+        the stage manifest) are compared — summing across runs would
+        falsely report corruption after any recompute into the same
+        out_dir."""
+        with open(self._manifest_path(stage)) as f:
+            run_id = json.load(f)["run_id"]
         df = spark.read.parquet(f"{self.out_dir}/{stage}")
         now = partition_lineage(df).agg(
             F.sum("rows").alias("rows"),
             F.expr("bit_xor(checksum)").alias("checksum")).collect()[0]
         rec = (spark.read.parquet(f"{self.out_dir}/_lineage")
-               .filter(F.col("stage") == stage)
+               .filter((F.col("stage") == stage)
+                       & (F.col("run_id") == run_id))
                .agg(F.sum("rows").alias("rows"),
                     F.expr("bit_xor(checksum)").alias("checksum"))
                .collect()[0])

@@ -115,7 +115,10 @@ def parse_text_terminology(text: str,
 
 def concepts_df_from_records(spark, concepts: Iterable[dict]):
     rows = [(c["cui"], c["name"], list(c["synonyms"]), list(c["semtypes"]),
-             list(c["sources"])) for c in concepts]
+             list(c["sources"]),
+             [(s, k) for s, k in c.get("codes", ()) or ()])
+            for c in concepts]
     return spark.createDataFrame(
         rows, "cui string, name string, synonyms array<string>, "
-              "semtypes array<string>, sources array<string>")
+              "semtypes array<string>, sources array<string>, "
+              "codes array<struct<sab:string, code:string>>")

@@ -1,0 +1,164 @@
+"""OWL (RDF/XML) ontology terminology loader (reference:
+ConceptImporter.loadOntology util/ConceptImporter.java:311-413 over
+ontology/owl/OOntology.java; per-class concept derivation:
+terminology/Concept.java:325-400 Concept(IResource), pretty-naming:
+ontology/OntologyUtils.toPrettyName:166-193).
+
+Like the OBO/tab-text loaders, terminologies are tiny relative to the
+corpus, so parsing is driver-side (stdlib ElementTree — no OWL-API) and
+emits concept dicts in build_index_df's input schema plus isa edges
+(direct rdfs:subClassOf, the Relation.BROADER edges the reference adds
+at ConceptImporter.java:375-377) for the closure operator.
+
+Reference semantics reproduced:
+- code = the class's local name (URI fragment after '#', else last path
+  segment) — Concept.java:334 (``this.code = cls.getName()``).
+- name = first rdfs:label if present, else the prettified local name
+  (camelCase split + underscores→spaces); a ``pref*(term|label)``
+  annotation property overrides it (Concept.java:342-348,373-374).
+- synonyms = all rdfs:labels plus values of annotation properties whose
+  name matches ``(?i).*(abbr|synonym|term|variant|label|name|regex|
+  misspell).*`` unless it starts with 'legacy' (Concept.java:375-380);
+  ``*regex*`` property values are wrapped ``/…/`` (:363-371) so the
+  index routes them to the regex matcher.
+- semantic types from ``Sem(antic)?_?Type`` properties (:359-362).
+- definitions from ``*(definition|description)`` properties (:382-386).
+- alternate codes from ``*(cui|code|id)`` properties (:387-398), kept
+  as (source, code) pairs for the codeMap lookup.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+
+RDF = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}"
+RDFS = "{http://www.w3.org/2000/01/rdf-schema#}"
+OWL = "{http://www.w3.org/2002/07/owl#}"
+
+_PREF_RE = re.compile(r"(?i)pref.*(term|label).*")
+_SYN_RE = re.compile(r"(?i).*(abbr|synonym|term|variant|label|name|regex"
+                     r"|misspell).*")
+_REGEX_RE = re.compile(r"(?i).*(regex).*")
+_SEMTYPE_RE = re.compile(r"(?i)Sem(antic)?_?Type")
+_DEF_RE = re.compile(r"(?i).*(definition|description)")
+_CODE_RE = re.compile(r"(?i).*(cui|code|id)")
+_CAMEL_RE = re.compile(r"([a-z]+)([A-Z][a-z]+)")
+
+
+def local_name(uri: str) -> str:
+    """Class local name — OClass.getName: fragment after '#', else the
+    last path segment."""
+    if "#" in uri:
+        return uri.rsplit("#", 1)[1]
+    return uri.rstrip("/").rsplit("/", 1)[-1]
+
+
+def pretty_name(resource_name: str) -> str:
+    """OntologyUtils.toPrettyName:166-193 — fragment after '#', strip
+    'prefix:', last '/' segment, split camelCase, underscores→spaces."""
+    i = resource_name.rfind("#")
+    if i > -1:
+        resource_name = resource_name[i + 1:]
+    i = resource_name.find(":")
+    if i > -1:
+        resource_name = resource_name[i + 1:]
+    i = resource_name.rfind("/")
+    if i > -1:
+        resource_name = resource_name[i + 1:]
+    resource_name = _CAMEL_RE.sub(r"\1 \2", resource_name)
+    return resource_name.replace("_", " ")
+
+
+def _tag_local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1] if "}" in tag else tag
+
+
+def parse_owl(xml_text: str,
+              source_name: str | None = None) -> tuple[list[dict],
+                                                       list[tuple[str, str]]]:
+    """Parse an RDF/XML OWL document → (concepts, isa_edges), same
+    output shape as ``parse_obo``. Anonymous classes (no rdf:about /
+    rdf:ID) and owl:Restriction-valued subClassOf axioms are skipped —
+    the reference's class iterator only yields named classes
+    (ConceptImporter.java:359-361 skips null/duplicate codes)."""
+    root = ET.fromstring(xml_text)
+    base = root.get("{http://www.w3.org/XML/1998/namespace}base", "")
+    if source_name is None:
+        onto = root.find(f"{OWL}Ontology")
+        uri = (onto.get(f"{RDF}about") if onto is not None else "") or base
+        source_name = local_name(uri) if uri else "OWL"
+
+    concepts: list[dict] = []
+    edges: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    for cls in root.iter(f"{OWL}Class"):
+        about = cls.get(f"{RDF}about")
+        if about is None:
+            rid = cls.get(f"{RDF}ID")
+            about = f"{base}#{rid}" if rid else None
+        if about is None:
+            continue  # anonymous class (e.g. inside a restriction)
+        code = local_name(about)
+        if not code or code in seen or code == "Thing":
+            continue
+        seen.add(code)
+
+        labels: list[str] = []
+        name: str | None = None
+        synonyms: list[str] = []
+        semtypes: list[str] = []
+        definition: str | None = None
+        # the class URI is always an alternate code (Concept.java:340
+        # addCode(uri, Source.URI); ConceptImporter.java:368)
+        codes: list[tuple[str, str]] = [("URI", about)]
+        deprecated = False
+
+        for child in cls:
+            tag = _tag_local(child.tag)
+            text = (child.text or "").strip()
+            if child.tag == f"{RDFS}label" and text:
+                labels.append(text)
+            elif child.tag == f"{RDFS}subClassOf":
+                parent = child.get(f"{RDF}resource")
+                if parent is None:  # nested named class node
+                    named = child.find(f"{OWL}Class")
+                    parent = named.get(f"{RDF}about") if named is not None \
+                        else None
+                if parent:
+                    edges.append((code, local_name(parent)))
+            elif child.tag == f"{OWL}deprecated" and text.lower() == "true":
+                deprecated = True
+            elif not text:
+                continue
+            elif _SEMTYPE_RE.fullmatch(tag):
+                semtypes.append(text)
+            elif _REGEX_RE.fullmatch(tag):
+                synonyms.append(text if _is_regexp(text) else f"/{text}/")
+            elif _PREF_RE.fullmatch(tag):
+                name = text
+            elif _SYN_RE.fullmatch(tag) and \
+                    not tag.lower().startswith("legacy"):
+                synonyms.append(text)
+            elif _DEF_RE.fullmatch(tag):
+                definition = definition or text
+            elif _CODE_RE.fullmatch(tag):
+                codes.append((tag, text))
+        if deprecated:
+            continue
+
+        if name is None:
+            name = labels[0] if labels else pretty_name(code)
+        concepts.append({
+            "cui": code, "name": name,
+            "synonyms": tuple(dict.fromkeys([name, *labels, *synonyms])),
+            "semtypes": tuple(dict.fromkeys(semtypes)),
+            "sources": (source_name,),
+            "definition": definition,
+            "codes": tuple(codes),
+        })
+    return concepts, edges
+
+
+def _is_regexp(s: str) -> bool:
+    return len(s) > 1 and s.startswith("/") and s.endswith("/")

@@ -132,10 +132,12 @@ def load_rrf(spark: SparkSession, rrf_dir: str,
 
 
 def concepts_for_index(tables: dict[str, DataFrame]) -> DataFrame:
-    """Project the loadRRF output into build_index_df's input schema."""
+    """Project the loadRRF output into build_index_df's input schema
+    (incl. the collected (sab, code) pairs feeding the codeMap lookup,
+    NobleCoderTerminology.java:1092-1095)."""
     return tables["concepts"].select(
         "cui", F.coalesce("name", F.element_at("synonyms", 1)).alias("name"),
-        "synonyms", "semtypes", "sources")
+        "synonyms", "semtypes", "sources", "codes")
 
 
 def conso_row(cui: str, s: str, lat: str = "ENG", ts: str = "P",

@@ -131,3 +131,36 @@ def test_headers_not_matched_in_pipeline():
     for r in rows:
         for a in r[8]:
             assert text[a["offset"]:a["offset"] + len(a["text"])] == a["text"]
+
+
+def test_split_parts_multipart_report():
+    """PartProcessor golden (PartProcessor.java:27-63): PART/PARTS
+    markers sub-section a body; offsets are document-absolute; text
+    before the first marker stays with the parent."""
+    from nobletools_spark.functions.docproc import split_parts
+
+    body = ("Three specimens received.\n"
+            "PART 1: skin of the back with melanoma.\n"
+            "PARTS 2 AND 3: two lymph nodes, negative.\n"
+            "PART 4: margin tissue.")
+    parts = split_parts(body, body_offset=100)
+    assert [p.title for p in parts] == ["PART 1:", "PARTS 2 AND 3:",
+                                       "PART 4:"]
+    # each part's body runs from after its marker to the next marker
+    assert parts[0].body == " skin of the back with melanoma.\n"
+    assert parts[1].body == " two lymph nodes, negative.\n"
+    assert parts[2].body == " margin tissue."
+    # document-absolute offsets: title at marker, body right after it
+    for p in parts:
+        assert body[p.title_offset - 100:
+                    p.title_offset - 100 + len(p.title)] == p.title
+        assert body[p.body_offset - 100:
+                    p.body_offset - 100 + len(p.body)] == p.body
+    # preamble before the first marker is not a part
+    assert all("Three specimens" not in p.body for p in parts)
+
+
+def test_split_parts_no_markers():
+    from nobletools_spark.functions.docproc import split_parts
+
+    assert split_parts("FINAL DIAGNOSIS: benign nevus.") == []

@@ -110,3 +110,46 @@ def test_canonicalization_stage(spark, tmp_path):
     assert statuses["triples"] == "computed"  # input set change invalidates
     objs2 = {r.obj for r in res2["triples"].filter("pred='mentions-concept'").collect()}
     assert "C104" not in objs2 and "C101" in objs2
+
+
+def test_changed_input_files_invalidate_resume(spark, tmp_path):
+    """Rewriting the input parquet at the SAME path (same config, same
+    table names) must force a recompute — the content fingerprint covers
+    the source file listing with sizes/mtimes, not just table names."""
+    out = str(tmp_path / "kg_fp")
+    in_path = str(tmp_path / "docs_in")
+    docs = synthetic_corpus_df(spark, 20, seed=7)
+    docs.write.mode("overwrite").parquet(in_path)
+    pipe = Pipeline(out, kg_stages(pytest_index(), cfg=MatchConfig()))
+    pipe.run(spark, {"documents": spark.read.parquet(in_path)},
+             run_config={"v": 1})
+    assert all(r.status == "computed" for r in pipe.reports)
+    # same files untouched -> full resume
+    pipe2 = Pipeline(out, kg_stages(pytest_index(), cfg=MatchConfig()))
+    pipe2.run(spark, {"documents": spark.read.parquet(in_path)},
+              run_config={"v": 1})
+    assert all(r.status == "resumed" for r in pipe2.reports)
+    # rewrite the input data at the same path -> everything recomputes
+    synthetic_corpus_df(spark, 25, seed=8).write.mode("overwrite") \
+        .parquet(in_path)
+    pipe3 = Pipeline(out, kg_stages(pytest_index(), cfg=MatchConfig()))
+    res3 = pipe3.run(spark, {"documents": spark.read.parquet(in_path)},
+                     run_config={"v": 1})
+    assert all(r.status == "computed" for r in pipe3.reports)
+    assert res3["mentions"].count() > 0
+
+
+def test_verify_lineage_after_recompute_same_outdir(spark, tmp_path):
+    """_lineage is append-only across runs; verify_lineage must compare
+    against the run that produced the current stage parquet (manifest
+    run_id), not the sum of all runs."""
+    out = str(tmp_path / "kg_lin")
+    docs = synthetic_corpus_df(spark, 20, seed=7)
+    pipe = Pipeline(out, kg_stages(pytest_index(), cfg=MatchConfig()))
+    pipe.run(spark, {"documents": docs}, run_config={"v": 1})
+    assert pipe.verify_lineage(spark, "triples")
+    # recompute every stage into the same out_dir (config change)
+    pipe2 = Pipeline(out, kg_stages(pytest_index(), cfg=MatchConfig()))
+    pipe2.run(spark, {"documents": docs}, run_config={"v": 2})
+    assert pipe2.verify_lineage(spark, "triples")
+    assert pipe2.verify_lineage(spark, "mentions")

@@ -169,3 +169,108 @@ def test_obo_to_index_end_to_end(spark):
     anc = ancestors(spark.createDataFrame(edges, "cui string, parent string"))
     got = {(r.cui, r.ancestor, r.depth) for r in anc.collect()}
     assert ("GO:0001", "GO:0003", 2) in got
+
+
+OWL_SAMPLE = """\
+<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:oboInOwl="http://www.geneontology.org/formats/oboInOwl#"
+         xmlns:T="http://example.org/thesaurus#"
+         xml:base="http://example.org/thesaurus">
+  <owl:Ontology rdf:about="http://example.org/thesaurus"/>
+  <owl:Class rdf:about="http://example.org/thesaurus#C0001">
+    <rdfs:label>melanoma</rdfs:label>
+    <oboInOwl:hasExactSynonym>malignant melanoma</oboInOwl:hasExactSynonym>
+    <T:Semantic_Type>Neoplastic Process</T:Semantic_Type>
+    <T:NCI_Thesaurus_Code>C0025202</T:NCI_Thesaurus_Code>
+    <T:definition>a malignant neoplasm of melanocytes</T:definition>
+    <rdfs:subClassOf rdf:resource="http://example.org/thesaurus#Neoplasm"/>
+  </owl:Class>
+  <owl:Class rdf:about="http://example.org/thesaurus#Neoplasm">
+    <T:preferred_Label>neoplasm</T:preferred_Label>
+    <rdfs:subClassOf rdf:resource="http://example.org/thesaurus#Disease_Or_Syndrome"/>
+  </owl:Class>
+  <owl:Class rdf:about="http://example.org/thesaurus#Disease_Or_Syndrome"/>
+  <owl:Class rdf:about="http://example.org/thesaurus#StageFinding">
+    <T:match_regex>stage [ivx]+</T:match_regex>
+  </owl:Class>
+  <owl:Class rdf:about="http://example.org/thesaurus#Gone">
+    <owl:deprecated>true</owl:deprecated>
+  </owl:Class>
+  <owl:Class rdf:about="http://example.org/thesaurus#Nested">
+    <rdfs:subClassOf><owl:Class rdf:about="http://example.org/thesaurus#Neoplasm"/></rdfs:subClassOf>
+  </owl:Class>
+</rdf:RDF>
+"""
+
+
+def test_parse_owl():
+    from nobletools_spark.sources.owl import parse_owl, pretty_name
+
+    concepts, edges = parse_owl(OWL_SAMPLE)
+    by = {c["cui"]: c for c in concepts}
+    # label becomes the name; synonyms include exact synonyms
+    assert by["C0001"]["name"] == "melanoma"
+    assert set(by["C0001"]["synonyms"]) == {"melanoma", "malignant melanoma"}
+    assert by["C0001"]["semtypes"] == ("Neoplastic Process",)
+    assert by["C0001"]["definition"].startswith("a malignant")
+    # alternate codes: URI always + the *code* property
+    codes = dict(by["C0001"]["codes"])
+    assert codes["URI"].endswith("#C0001")
+    assert codes["NCI_Thesaurus_Code"] == "C0025202"
+    # pref label property overrides the pretty name
+    assert by["Neoplasm"]["name"] == "neoplasm"
+    # no label at all: prettified local name (underscores -> spaces)
+    assert by["Disease_Or_Syndrome"]["name"] == "Disease Or Syndrome"
+    # *regex* properties become /…/ synonyms -> regex matcher route
+    assert "/stage [ivx]+/" in by["StageFinding"]["synonyms"]
+    # deprecated classes dropped (obsolete parity with OBO)
+    assert "Gone" not in by
+    # subClassOf via rdf:resource AND via nested named class
+    assert ("C0001", "Neoplasm") in edges
+    assert ("Neoplasm", "Disease_Or_Syndrome") in edges
+    assert ("Nested", "Neoplasm") in edges
+    # camelCase split in pretty_name (OntologyUtils:186)
+    assert pretty_name("deepMargin") == "deep Margin"
+
+
+def test_owl_to_index_end_to_end(spark):
+    """OWL fixture → index → annotate round-trip (same gate as OBO),
+    including the regex synonym route and the codeMap lookup."""
+    from nobletools_spark.api import NobleCoderSpark
+    from nobletools_spark.operators.triples import ancestors
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+
+    nc = NobleCoderSpark.from_owl(spark, OWL_SAMPLE)
+    docs = spark.createDataFrame(
+        [("d1", [("text", "Consistent with malignant melanoma, stage iv.",
+                  None, 0)])], SPANS_DDL)
+    rows = nc.annotate(docs).collect()
+    assert {r.cui for r in rows} == {"C0001", "StageFinding"}
+    anc = ancestors(spark.createDataFrame(list(nc.isa_edges),
+                                          "cui string, parent string"))
+    got = {(r.cui, r.ancestor, r.depth) for r in anc.collect()}
+    assert ("C0001", "Disease_Or_Syndrome", 2) in got
+    # any-code lookup: NCIt code and full URI resolve to the concept
+    assert nc.lookup_concept("C0025202").cui == "C0001"
+    assert nc.lookup_concept(
+        "http://example.org/thesaurus#C0001").cui == "C0001"
+    assert nc.lookup_concept("C0001").cui == "C0001"
+    assert nc.lookup_concept("nope") is None
+
+
+def test_code_map_first_wins():
+    from nobletools_spark.index import build_index
+
+    idx = build_index([
+        {"cui": "C1", "name": "alpha", "synonyms": ("alpha",),
+         "codes": (("SRC", "X1"),)},
+        {"cui": "C2", "name": "beta", "synonyms": ("beta",),
+         "codes": (("SRC", "X1"), ("SRC2", "X2"))},
+    ])
+    # first concept to claim a code keeps it (addConcept :1092-1095)
+    assert idx.code_map["X1"] == "C1"
+    assert idx.code_map["X2"] == "C2"
+    assert idx.lookup_by_code("X2").cui == "C2"

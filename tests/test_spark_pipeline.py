@@ -200,3 +200,20 @@ def test_rich_corpus_full_pipeline_e2e(spark):
     assert {"Low_Certainty", "Most_Degree", "Permanent_Permanence",
             "Intermittent_ContextualAspect",
             "Novel_ContextualAspect"} <= fired, fired
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain longer than max_iter rounds must raise, not silently
+    return wrong components (r2 advice: canonicalize_triples would merge
+    CUIs incorrectly with no signal)."""
+    import pytest as _pytest
+
+    from nobletools_spark.operators.canonical import connected_components
+
+    chain = [(f"C{i:03d}", f"C{i + 1:03d}") for i in range(24)]
+    edges = spark.createDataFrame(chain, "a string, b string")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=5)
+    labels = {r.node: r.component
+              for r in connected_components(edges, max_iter=30).collect()}
+    assert set(labels.values()) == {"C000"}

@@ -29,6 +29,7 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--rrf")
     ap.add_argument("--obo")
+    ap.add_argument("--owl", help="RDF/XML ontology terminology")
     ap.add_argument("--search", default="best-match")
     ap.add_argument("--sources", default="")
     ap.add_argument("--semtypes", default="")
@@ -73,8 +74,17 @@ def main() -> None:
         concepts_df = concepts_df_from_records(spark, concepts)
         isa_edges = spark.createDataFrame(edges, "cui string, parent string")
         semtypes = None
+    elif args.owl:
+        from nobletools_spark.sources.obo import concepts_df_from_records
+        from nobletools_spark.sources.owl import parse_owl
+
+        with open(args.owl) as f:
+            concepts, edges = parse_owl(f.read())
+        concepts_df = concepts_df_from_records(spark, concepts)
+        isa_edges = spark.createDataFrame(edges, "cui string, parent string")
+        semtypes = None
     else:
-        ap.error("one of --rrf / --obo is required")
+        ap.error("one of --rrf / --obo / --owl is required")
         return
 
     index = build_index_df(spark, concepts_df)
