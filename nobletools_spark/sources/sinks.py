@@ -123,3 +123,86 @@ def export_rrf(concepts_df: DataFrame, path: str, lat: str = "ENG",
                 F.lit("").alias("cvf")))
     (rows.select(F.concat_ws("|", *rows.columns).alias("line"))
      .write.mode("overwrite").text(path))
+
+
+def export_orf(concepts_df: DataFrame, path: str, lat: str = "ENG",
+               sab: str = "NOBLE") -> None:
+    """ORF (Original Release Format) export variant
+    (ConceptExporter.exportORF :66-238): MRCON + MRSO + MRSTY +
+    CUI2CODE under ``path``, pipe-delimited with trailing pipe.
+
+    ID maps (getCUI/getLUI/getSUI :405-430) are first-seen counters in
+    the reference; the distributed equivalent assigns dense ranks over a
+    deterministic sort (same referential integrity — equal string ⇒
+    equal SUI, equal normalized string ⇒ equal LUI — with stable rather
+    than visit-order ids). The terminology is index-sized, so the
+    global-order windows here are driver-scale by design, exactly like
+    the reference's in-memory maps."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from nobletools_spark.functions.textkit import normalize
+
+    norm_udf = F.udf(lambda s: normalize(s), T.StringType())
+
+    base = (concepts_df
+            .select("cui", "name", F.explode("synonyms").alias("str"))
+            .withColumn("ts", F.when(F.col("str") == F.col("name"), "P")
+                        .otherwise("S"))
+            .withColumn("nrm", norm_udf("str")))
+    # CUI passthrough when already [A-Z]\d{7}, else dense-rank C%07d
+    cui_ok = F.col("cui").rlike("^[A-Z][0-9]{7}$")
+    cw = Window.orderBy("cui")
+    cui_ids = (base.select("cui").distinct().filter(~cui_ok)
+               .withColumn("cui_id", F.dense_rank().over(cw) - 1))
+    lw = Window.orderBy("nrm")
+    lui_ids = (base.select("nrm").distinct()
+               .withColumn("lui_id", F.dense_rank().over(lw) - 1))
+    sw = Window.orderBy("str")
+    sui_ids = (base.select("str").distinct()
+               .withColumn("sui_id", F.dense_rank().over(sw) - 1))
+    rows = (base
+            .join(F.broadcast(cui_ids), "cui", "left")
+            .join(F.broadcast(lui_ids), "nrm")
+            .join(F.broadcast(sui_ids), "str")
+            .withColumn("ocui", F.when(
+                F.col("cui_id").isNotNull(),
+                F.format_string("C%07d", "cui_id")).otherwise(F.col("cui")))
+            .withColumn("lui", F.format_string("L%07d", "lui_id"))
+            .withColumn("sui", F.format_string("S%07d", "sui_id"))
+            .withColumn("stt", F.when(F.col("ts") == "P", "PF")
+                        .otherwise("VO")))
+    mrcon = rows.select(
+        "ocui", F.lit(lat).alias("lat"), "ts", "lui", "stt", "sui", "str",
+        F.lit("0").alias("lrl"), F.lit("").alias("end"))
+    (mrcon.select(F.concat_ws("|", *mrcon.columns).alias("line"))
+     .write.mode("overwrite").text(f"{path}/MRCON"))
+    mrso = rows.select(
+        "ocui", "lui", "sui", F.lit(sab).alias("sab"),
+        F.when(F.col("ts") == "P", "PT").otherwise("NP").alias("tty"),
+        F.col("cui").alias("scode"), F.lit("0").alias("lrl"),
+        F.lit("").alias("end"))
+    (mrso.select(F.concat_ws("|", *mrso.columns).alias("line"))
+     .write.mode("overwrite").text(f"{path}/MRSO"))
+    if "semtypes" in concepts_df.columns:
+        # TUI passthrough when already T\d{3}, else dense-rank T%03d
+        # (getTUI :432-442)
+        st = concepts_df.select("cui", F.explode("semtypes").alias("sty"))
+        tui_ok = F.col("sty").rlike("^T[0-9]{3}$")
+        tw = Window.orderBy("sty")
+        tui_ids = (st.select("sty").distinct().filter(~tui_ok)
+                   .withColumn("tui_id", F.dense_rank().over(tw) - 1))
+        sty = (st.join(F.broadcast(cui_ids), "cui", "left")
+               .join(F.broadcast(tui_ids), "sty", "left")
+               .select(F.when(F.col("cui_id").isNotNull(),
+                              F.format_string("C%07d", "cui_id"))
+                       .otherwise(F.col("cui")).alias("ocui"),
+                       F.when(F.col("tui_id").isNotNull(),
+                              F.format_string("T%03d", "tui_id"))
+                       .otherwise(F.col("sty")).alias("tui"),
+                       F.col("sty"), F.lit("").alias("end")))
+        (sty.select(F.concat_ws("|", *sty.columns).alias("line"))
+         .write.mode("overwrite").text(f"{path}/MRSTY"))
+    cui2code = (rows.select("ocui", "cui").distinct()
+                .select(F.concat_ws("=", "ocui", "cui").alias("line")))
+    cui2code.write.mode("overwrite").text(f"{path}/CUI2CODE")

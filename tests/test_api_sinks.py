@@ -156,3 +156,57 @@ def test_html_report(spark):
     html = {r.doc_id: r.html for r in html_report_df(docs, m).collect()}
     assert '<span class="mention" title="C013">Melanoma</span>' in html["d1"]
     assert "Nothing here." in html["d2"] and "<span" not in html["d2"]
+
+
+def test_export_orf_round_trip(spark, tmp_path):
+    """ORF export (ConceptExporter.exportORF :66-238): MRCON/MRSO/MRSTY/
+    CUI2CODE layouts, trailing pipe, referential id integrity (same
+    string ⇒ same SUI, same normalized string ⇒ same LUI), CUI/TUI
+    passthrough vs assignment."""
+    from nobletools_spark.sources.sinks import export_orf
+
+    concepts = spark.createDataFrame(
+        [("C0001234", "melanoma", ["melanoma", "malignant melanoma"],
+          ["T191"]),
+         ("GO:0002", "neoplasm", ["neoplasm", "Melanomas"],
+          ["Neoplastic Process"])],
+        "cui string, name string, synonyms array<string>, "
+        "semtypes array<string>")
+    out = str(tmp_path / "orf")
+    export_orf(concepts, out)
+
+    mrcon = [l.value.split("|") for l in
+             spark.read.text(f"{out}/MRCON").collect()]
+    assert all(len(r) == 9 and r[-1] == "" for r in mrcon)  # trailing pipe
+    by_str = {}
+    for cui, lat, ts, lui, stt, sui, s, lrl, _ in mrcon:
+        assert lat == "ENG" and lrl == "0"
+        assert (ts, stt) in {("P", "PF"), ("S", "VO")}
+        by_str.setdefault(s, set()).add(sui)
+    assert set(by_str) == {"melanoma", "malignant melanoma", "neoplasm",
+                           "Melanomas"}
+    assert all(len(v) == 1 for v in by_str.values())  # same str ⇒ same SUI
+    # CUI passthrough vs assigned
+    cuis = {r[0] for r in mrcon}
+    assert "C0001234" in cuis
+    assert any(c.startswith("C000000") and c != "C0001234" for c in cuis)
+    # LUI: 'melanoma' and 'Melanomas' normalize together
+    luis = {s: next(r[3] for r in mrcon if r[6] == s) for s in by_str}
+    assert luis["melanoma"] == luis["Melanomas"]
+    # MRSO rows mirror MRCON (same cui/lui/sui), PT/NP term types
+    mrso = [l.value.split("|") for l in
+            spark.read.text(f"{out}/MRSO").collect()]
+    assert {(r[0], r[1], r[2]) for r in mrso} == \
+           {(r[0], r[3], r[5]) for r in mrcon}
+    assert {r[4] for r in mrso} == {"PT", "NP"}
+    # MRSTY: T191 passthrough, name-typed semtype gets assigned T%03d
+    mrsty = [l.value.split("|") for l in
+             spark.read.text(f"{out}/MRSTY").collect()]
+    assert ("C0001234", "T191", "T191") in {(r[0], r[1], r[2]) for r in mrsty}
+    assert any(r[1] == "T000" and r[2] == "Neoplastic Process"
+               for r in mrsty)
+    # CUI2CODE maps assigned cuis back to original codes
+    c2c = dict(l.value.split("=", 1) for l in
+               spark.read.text(f"{out}/CUI2CODE").collect())
+    assert c2c["C0001234"] == "C0001234"
+    assert "GO:0002" in c2c.values()
