@@ -72,7 +72,9 @@ from nobletools_spark.sources.fixtures import (
 )
 
 CFG = MatchConfig()
-PLANES = hyperplanes(n_planes=4, dim=64, seed=7)
+# 6 planes = 64 buckets: bucket-key parallelism above the r01 16-task
+# ceiling; the oracle SQL embeds the same matrix so both sides agree
+PLANES = hyperplanes(n_planes=6, dim=64, seed=7)
 _JACCARD_T = 0.02
 _LSH_JACCARD_T = 0.5
 _EMB_DUP_T = 0.35
