@@ -14,9 +14,11 @@ getWordWindowIndex :473-499), with per-type default values
 Spark shape: the modifier lexicon compiles into a second broadcast
 TerminologyIndex + rule table; the whole assignment is sentence-local,
 so it runs inside the same mapInPandas batch as the matcher — zero extra
-shuffle, linear scale-out. Since ConText.owl is an external artifact,
-rules are supplied as flat records (FIXTURES.md §3); DEFAULT_RULES
-carries a compact lexicon following the published ConText phrase sets.
+shuffle, linear scale-out. Rules come from flat records (FIXTURES.md §3)
+or an OWL-distributed modifier ontology via ``context_index_from_owl``
+(ConText(IOntology) parity); DEFAULT_RULES carries a compact built-in
+lexicon following the published ConText phrase sets (the web-hosted
+Modifier.owl is not bundled with the reference either).
 """
 
 from __future__ import annotations
@@ -308,3 +310,116 @@ DEFAULT_RULES: tuple[ModifierRule, ...] = tuple(
 
 def default_context_index() -> ContextIndex:
     return build_context_index(DEFAULT_RULES, DEFAULT_VALUES)
+
+
+# ---------------------------------------------------------------------------
+# OWL-distributed lexicon loading (ConText(IOntology), ConText.java:113-344)
+# — the reference's actual ConText/Modifier.owl path, rebuilt over
+# parse_owl_graph. Rules are derived with the reference's resolution:
+#   mod_type / value : getModifierValue (:222-233) — the ancestor chain
+#     from the instance's class up to a direct child of LinguisticModifier
+#     gives the TYPE (that child's name is the semantic-type the reference
+#     attaches) and the VALUE (the class on the path whose direct parent
+#     is the type class).
+#   action   : hasActionEn restriction, inherited up the chain (:589-596)
+#   window   : windowSize, inherited, default 8 (:605-611)
+#   terminated_by / pseudo : hasTermination / hasPseudo restrictions on
+#     the instance's direct class (:639-657 walk the instance's parents)
+#   pseudo rules : instances under the Pseudo root; terminate rules:
+#     action == terminate (Closure root) (:502-516,544-586)
+#   defaults : the subclass of each type class carrying an
+#     isDefaultValue=true restriction (:364-375 via addConcept :264-269)
+# ---------------------------------------------------------------------------
+
+CONTEXT_ROOTS = ("Closure", "Pseudo", "LinguisticModifier")  # ConText.java:36
+
+
+def context_index_from_owl(owl_xml: str) -> ContextIndex:
+    """Build a ContextIndex from a ConText-style modifier ontology
+    (RDF/XML). Lexical entries are the owl:NamedIndividuals; their
+    classes carry the rule attributes as owl:Restriction axioms."""
+    from nobletools_spark.sources.owl import parse_owl_graph
+
+    classes, instances = parse_owl_graph(owl_xml)
+
+    def ancestors_of(cname: str) -> list[str]:
+        out, stack = [], list(classes.get(cname, {}).get("parents", []))
+        while stack:
+            p = stack.pop(0)
+            if p in out:
+                continue
+            out.append(p)
+            stack.extend(classes.get(p, {}).get("parents", []))
+        return out
+
+    def inherited(cname: str, prop: str) -> str | None:
+        cur = [cname]
+        seen = set()
+        while cur:
+            nxt = []
+            for c in cur:
+                if c in seen or c not in classes:
+                    continue
+                seen.add(c)
+                for p, v, _ in classes[c]["restrictions"]:
+                    if p == prop:
+                        return v
+                if prop in classes[c]["props"]:
+                    return classes[c]["props"][prop][0]
+                nxt.extend(classes[c]["parents"])
+            cur = nxt
+        return None
+
+    def type_and_value(cname: str) -> tuple[str, str] | None:
+        """Walk up from the instance's class to a direct child of
+        LinguisticModifier: (type, value-class-on-path)."""
+        path = [cname] + ancestors_of(cname)
+        for i, c in enumerate(path):
+            parents = classes.get(c, {}).get("parents", [])
+            if "LinguisticModifier" in parents:
+                # c is the TYPE class; the value is the previous node on
+                # the path (the class whose direct parent is the type)
+                return (c, path[i - 1]) if i > 0 else (c, c)
+        return None
+
+    rules: list[ModifierRule] = []
+    for iname, inst in instances.items():
+        terms = tuple(dict.fromkeys(inst["labels"] + inst["synonyms"]))
+        if not terms or not inst["types"]:
+            continue
+        vclass = inst["types"][0]
+        anc = ancestors_of(vclass)
+        is_pseudo = "Pseudo" in anc or "Pseudo" in classes.get(
+            vclass, {}).get("parents", [])
+        action = (inherited(vclass, "hasActionEn")
+                  or ACTION_FORWARD).lower()
+        window = int(inherited(vclass, "windowSize")
+                     or DEFAULT_WINDOW_SIZE)
+        terminated = tuple(v for p, v, _ in
+                           classes.get(vclass, {}).get("restrictions", [])
+                           if p == "hasTermination")
+        pseudo = tuple(v for p, v, _ in
+                       classes.get(vclass, {}).get("restrictions", [])
+                       if p == "hasPseudo")
+        tv = type_and_value(vclass)
+        if is_pseudo or action == ACTION_TERMINATE or tv is None:
+            mod_type, value = "", ""
+        else:
+            mod_type, value = tv
+        rules.append(ModifierRule(
+            code=iname, terms=terms, mod_type=mod_type, value=value,
+            action=ACTION_TERMINATE if action == ACTION_TERMINATE
+            else action,
+            window=window, group=vclass, terminated_by=terminated,
+            pseudo=pseudo, is_pseudo=is_pseudo))
+
+    defaults: dict[str, str] = {}
+    for cname, c in classes.items():
+        if "LinguisticModifier" in c.get("parents", []):
+            for sub, sc in classes.items():
+                if cname in sc.get("parents", []) and any(
+                        p == "isDefaultValue" and str(v).lower() == "true"
+                        for p, v, _ in sc["restrictions"]):
+                    defaults[cname] = sub
+                    break
+    return build_context_index(rules, defaults)

@@ -162,3 +162,98 @@ def parse_owl(xml_text: str,
 
 def _is_regexp(s: str) -> bool:
     return len(s) > 1 and s.startswith("/") and s.endswith("/")
+
+
+# ---------------------------------------------------------------------------
+# Graph-level parse: classes + instances + value restrictions — enough to
+# rebuild rule-carrying ontologies like the ConText modifier ontology
+# (tools/ConText.java:129-344 loads Modifier.owl through this shape).
+# ---------------------------------------------------------------------------
+
+
+def parse_owl_graph(xml_text: str) -> tuple[dict, dict]:
+    """→ (classes, instances).
+
+    classes[name] = {parents: [names], labels: [...], props:
+    {local_prop: [values]}, restrictions: [(prop, value, is_resource)]}
+    — restrictions are owl:Restriction axioms under rdfs:subClassOf
+    (owl:onProperty + owl:hasValue / owl:someValuesFrom), how the
+    ConText ontology attaches hasActionEn / windowSize / isDefaultValue /
+    hasTermination / hasPseudo to modifier classes.
+
+    instances[name] = {types: [class names], labels: [...],
+    synonyms: [...]} — owl:NamedIndividual nodes; labels + *synonym*/
+    *term*/*label* annotation properties are the lexical surface forms."""
+    root = ET.fromstring(xml_text)
+    base = root.get("{http://www.w3.org/XML/1998/namespace}base", "")
+
+    def name_of(el) -> str | None:
+        about = el.get(f"{RDF}about")
+        if about is None:
+            rid = el.get(f"{RDF}ID")
+            about = f"{base}#{rid}" if rid else None
+        return local_name(about) if about else None
+
+    classes: dict[str, dict] = {}
+    for cls in root.iter(f"{OWL}Class"):
+        cname = name_of(cls)
+        if not cname:
+            continue
+        c = classes.setdefault(cname, {"parents": [], "labels": [],
+                                       "props": {}, "restrictions": []})
+        for child in cls:
+            text = (child.text or "").strip()
+            if child.tag == f"{RDFS}label" and text:
+                c["labels"].append(text)
+            elif child.tag == f"{RDFS}subClassOf":
+                res = child.get(f"{RDF}resource")
+                if res is not None:
+                    c["parents"].append(local_name(res))
+                    continue
+                named = child.find(f"{OWL}Class")
+                if named is not None and named.get(f"{RDF}about"):
+                    c["parents"].append(local_name(named.get(f"{RDF}about")))
+                    continue
+                for restr in child.iter(f"{OWL}Restriction"):
+                    on = restr.find(f"{OWL}onProperty")
+                    if on is None or on.get(f"{RDF}resource") is None:
+                        continue
+                    prop = local_name(on.get(f"{RDF}resource"))
+                    val = restr.find(f"{OWL}hasValue")
+                    if val is None:
+                        val = restr.find(f"{OWL}someValuesFrom")
+                    if val is None:
+                        continue
+                    res_v = val.get(f"{RDF}resource")
+                    if res_v is not None:
+                        c["restrictions"].append(
+                            (prop, local_name(res_v), True))
+                    elif (val.text or "").strip():
+                        c["restrictions"].append(
+                            (prop, val.text.strip(), False))
+            elif text:
+                tag = _tag_local(child.tag)
+                c["props"].setdefault(tag, []).append(text)
+
+    instances: dict[str, dict] = {}
+    for ind in root.iter(f"{OWL}NamedIndividual"):
+        iname = name_of(ind)
+        if not iname:
+            continue
+        inst = instances.setdefault(iname, {"types": [], "labels": [],
+                                            "synonyms": []})
+        for child in ind:
+            text = (child.text or "").strip()
+            tag = _tag_local(child.tag)
+            if child.tag == f"{RDF}type":
+                res = child.get(f"{RDF}resource")
+                if res is not None:
+                    t = local_name(res)
+                    if t != "NamedIndividual":
+                        inst["types"].append(t)
+            elif child.tag == f"{RDFS}label" and text:
+                inst["labels"].append(text)
+            elif text and _SYN_RE.fullmatch(tag) and \
+                    not tag.lower().startswith("legacy"):
+                inst["synonyms"].append(text)
+    return classes, instances

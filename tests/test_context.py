@@ -157,3 +157,130 @@ def test_modifiers_column_empty_without_context(spark):
         [("d1", [("text", "No evidence of melanoma.", None, 0)])], SPANS_DDL)
     rows = annotate(docs, IDX, CFG).collect()
     assert rows and all(r.modifiers == {} for r in rows)
+
+
+CONTEXT_OWL = """\
+<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xml:base="http://example.org/ConText.owl">
+  <owl:Class rdf:about="#LinguisticModifier"/>
+  <owl:Class rdf:about="#Pseudo"/>
+  <owl:Class rdf:about="#Closure"/>
+
+  <owl:Class rdf:about="#Polarity">
+    <rdfs:subClassOf rdf:resource="#LinguisticModifier"/>
+  </owl:Class>
+  <owl:Class rdf:about="#Negative_Polarity">
+    <rdfs:subClassOf rdf:resource="#Polarity"/>
+    <rdfs:subClassOf><owl:Restriction>
+      <owl:onProperty rdf:resource="#hasActionEn"/>
+      <owl:hasValue>forward</owl:hasValue>
+    </owl:Restriction></rdfs:subClassOf>
+    <rdfs:subClassOf><owl:Restriction>
+      <owl:onProperty rdf:resource="#hasTermination"/>
+      <owl:someValuesFrom rdf:resource="#ConjunctionTerm"/>
+    </owl:Restriction></rdfs:subClassOf>
+    <rdfs:subClassOf><owl:Restriction>
+      <owl:onProperty rdf:resource="#hasPseudo"/>
+      <owl:someValuesFrom rdf:resource="#PseudoNeg"/>
+    </owl:Restriction></rdfs:subClassOf>
+  </owl:Class>
+  <owl:Class rdf:about="#Positive_Polarity">
+    <rdfs:subClassOf rdf:resource="#Polarity"/>
+    <rdfs:subClassOf><owl:Restriction>
+      <owl:onProperty rdf:resource="#isDefaultValue"/>
+      <owl:hasValue>true</owl:hasValue>
+    </owl:Restriction></rdfs:subClassOf>
+  </owl:Class>
+
+  <owl:Class rdf:about="#Temporality">
+    <rdfs:subClassOf rdf:resource="#LinguisticModifier"/>
+  </owl:Class>
+  <owl:Class rdf:about="#Before_DocTimeRel">
+    <rdfs:subClassOf rdf:resource="#Temporality"/>
+    <rdfs:subClassOf><owl:Restriction>
+      <owl:onProperty rdf:resource="#hasActionEn"/>
+      <owl:hasValue>forward</owl:hasValue>
+    </owl:Restriction></rdfs:subClassOf>
+    <rdfs:subClassOf><owl:Restriction>
+      <owl:onProperty rdf:resource="#windowSize"/>
+      <owl:hasValue>2</owl:hasValue>
+    </owl:Restriction></rdfs:subClassOf>
+  </owl:Class>
+
+  <owl:Class rdf:about="#PseudoNeg">
+    <rdfs:subClassOf rdf:resource="#Pseudo"/>
+  </owl:Class>
+  <owl:Class rdf:about="#ConjunctionTerm">
+    <rdfs:subClassOf rdf:resource="#Closure"/>
+    <rdfs:subClassOf><owl:Restriction>
+      <owl:onProperty rdf:resource="#hasActionEn"/>
+      <owl:hasValue>terminate</owl:hasValue>
+    </owl:Restriction></rdfs:subClassOf>
+  </owl:Class>
+
+  <owl:NamedIndividual rdf:about="#no_evidence_of">
+    <rdf:type rdf:resource="#Negative_Polarity"/>
+    <rdfs:label>no evidence of</rdfs:label>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="#history_of">
+    <rdf:type rdf:resource="#Before_DocTimeRel"/>
+    <rdfs:label>history of</rdfs:label>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="#no_change">
+    <rdf:type rdf:resource="#PseudoNeg"/>
+    <rdfs:label>no change</rdfs:label>
+  </owl:NamedIndividual>
+  <owl:NamedIndividual rdf:about="#but">
+    <rdf:type rdf:resource="#ConjunctionTerm"/>
+    <rdfs:label>but</rdfs:label>
+  </owl:NamedIndividual>
+</rdf:RDF>
+"""
+
+
+def _mods_owl(ctx, text, want_cui):
+    mentions = match_sentence(text, IDX, CFG)
+    apply_context(text, mentions, ctx)
+    for m in mentions:
+        if m.cui == want_cui:
+            return m.modifiers
+    raise AssertionError(want_cui)
+
+
+def test_context_index_from_owl():
+    """OWL-distributed modifier lexicon (ConText(IOntology) parity,
+    ConText.java:113-344): rules, defaults, pseudo, terminators, and
+    per-class windowSize all derive from the ontology axioms."""
+    from nobletools_spark.operators.context import context_index_from_owl
+
+    ctx = context_index_from_owl(CONTEXT_OWL)
+    # rule derivation: type/value from the class chain
+    r = ctx.rules["no_evidence_of"]
+    assert (r.mod_type, r.value) == ("Polarity", "Negative_Polarity")
+    assert r.action == "forward"
+    assert r.terminated_by == ("ConjunctionTerm",)
+    assert r.pseudo == ("PseudoNeg",)
+    assert ctx.rules["no_change"].is_pseudo
+    assert ctx.rules["but"].action == "terminate"
+    # defaults via isDefaultValue restriction
+    assert ctx.defaults == {"Polarity": "Positive_Polarity"}
+    # behavior: negation fires, default applies elsewhere
+    assert _mods_owl(ctx, "No evidence of melanoma.", "C013")["Polarity"] \
+        == "Negative_Polarity"
+    assert _mods_owl(ctx, "Melanoma was seen.", "C013")["Polarity"] \
+        == "Positive_Polarity"
+    # pseudo suppression
+    assert _mods_owl(ctx, "No change in melanoma.", "C013")["Polarity"] \
+        == "Positive_Polarity"
+    # terminator clipping
+    text = "No evidence of margins but melanoma was seen."
+    assert _mods_owl(ctx, text, "C003")["Polarity"] == "Negative_Polarity"
+    assert _mods_owl(ctx, text, "C013")["Polarity"] == "Positive_Polarity"
+    # per-class windowSize=2: history within 2 words only
+    assert _mods_owl(ctx, "History of melanoma.",
+                     "C013")["Temporality"] == "Before_DocTimeRel"
+    assert "Temporality" not in _mods_owl(
+        ctx, "History of quite old resolved melanoma.", "C013")
