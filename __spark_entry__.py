@@ -225,6 +225,25 @@ def q_dedup_embedding(spark, sf_dir):
     return embedding_dup_pairs(_emb(spark, sf_dir), threshold=_EMB_DUP_T)
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """The SCALE path of embedding dedup — sign-projection LSH buckets
+    instead of an explicit group column — oracle-checked: the SQL embeds
+    the identical plane matrix, bucket bits, and max_bucket cap."""
+    return embedding_dup_pairs(_emb(spark, sf_dir), threshold=_EMB_DUP_T,
+                               group_col=None, planes=PLANES)
+
+
+def q_sim_ivf_topk(spark, sf_dir):
+    """IVF ANN (k-means cells, n_probe=2). The coarse quantizer is
+    Spark MLlib k-means — not reproducible in SQL, so this is a
+    rows-only entry (the adjacent-cell recall semantics are pinned by
+    tests/test_streaming.py::test_ivf_topk_n_probe_finds_adjacent_cell_neighbor)."""
+    from nobletools_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), n_cells=8, k=3, n_probe=2) \
+        .withColumnRenamed("rank", "rnk")
+
+
 def q_sim_topk(spark, sf_dir):
     return cosine_topk(_emb(spark, sf_dir), n_queries=10, k=5) \
         .withColumnRenamed("rank", "rnk")
@@ -270,8 +289,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "sim_topk": q_sim_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
     }
 
 
@@ -623,5 +644,18 @@ def oracle_sql() -> dict[str, str]:
         f" FROM pairs) "
         f"SELECT vec_id, neighbor_id, rnk::BIGINT AS rnk FROM r"
         f" WHERE rnk <= 3")
+
+    # scale-path embedding dedup: same plane matrix + bucket cap as the
+    # Spark side (embedding_dup_pairs(planes=PLANES, max_bucket=1024))
+    sql["dedup_embedding_lsh"] = (
+        f"WITH base0 AS (SELECT vec_id::BIGINT AS vec_id, embedding,"
+        f" {nrm} AS nrm, ({bucket})::BIGINT AS bucket FROM embeddings), "
+        f"base AS (SELECT vec_id, embedding, nrm, bucket FROM"
+        f" (SELECT *, count(*) OVER (PARTITION BY bucket) AS bn FROM base0)"
+        f" WHERE bn <= 1024) "
+        f"SELECT * FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
+        f" {dot_ab2} / (a.nrm * b.nrm) AS cos"
+        f" FROM base a JOIN base b ON a.bucket = b.bucket"
+        f" AND a.vec_id < b.vec_id) WHERE cos >= {_EMB_DUP_T}")
 
     return sql
