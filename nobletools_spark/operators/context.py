@@ -391,7 +391,11 @@ def context_index_from_owl(owl_xml: str) -> ContextIndex:
         anc = ancestors_of(vclass)
         is_pseudo = "Pseudo" in anc or "Pseudo" in classes.get(
             vclass, {}).get("parents", [])
-        action = (inherited(vclass, "hasActionEn")
+        # instance-level hasActionEn assertion wins (the real Modifier.owl
+        # shape, read by ConText.getAction :589-596 from the instance
+        # concept's properties); class restrictions are the fallback
+        inst_action = (inst.get("props", {}).get("hasActionEn") or [None])[0]
+        action = (inst_action or inherited(vclass, "hasActionEn")
                   or ACTION_FORWARD).lower()
         window = int(inherited(vclass, "windowSize")
                      or DEFAULT_WINDOW_SIZE)

@@ -182,8 +182,12 @@ def parse_owl_graph(xml_text: str) -> tuple[dict, dict]:
     hasTermination / hasPseudo to modifier classes.
 
     instances[name] = {types: [class names], labels: [...],
-    synonyms: [...]} — owl:NamedIndividual nodes; labels + *synonym*/
-    *term*/*label* annotation properties are the lexical surface forms."""
+    synonyms: [...], props: {local_prop: [local names]}} —
+    owl:NamedIndividual nodes; labels + *synonym*/*term*/*label*
+    annotation properties are the lexical surface forms; resource-valued
+    object properties (e.g. the ConText ontology's per-instance
+    hasActionEn assertions, read by ConText.getAction via the instance
+    concept's properties) land in ``props``."""
     root = ET.fromstring(xml_text)
     base = root.get("{http://www.w3.org/XML/1998/namespace}base", "")
 
@@ -241,7 +245,7 @@ def parse_owl_graph(xml_text: str) -> tuple[dict, dict]:
         if not iname:
             continue
         inst = instances.setdefault(iname, {"types": [], "labels": [],
-                                            "synonyms": []})
+                                            "synonyms": [], "props": {}})
         for child in ind:
             text = (child.text or "").strip()
             tag = _tag_local(child.tag)
@@ -253,6 +257,9 @@ def parse_owl_graph(xml_text: str) -> tuple[dict, dict]:
                         inst["types"].append(t)
             elif child.tag == f"{RDFS}label" and text:
                 inst["labels"].append(text)
+            elif child.get(f"{RDF}resource") is not None:
+                inst["props"].setdefault(tag, []).append(
+                    local_name(child.get(f"{RDF}resource")))
             elif text and _SYN_RE.fullmatch(tag) and \
                     not tag.lower().startswith("legacy"):
                 inst["synonyms"].append(text)

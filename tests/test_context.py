@@ -164,7 +164,12 @@ CONTEXT_OWL = """\
 <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
          xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
          xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:ctx="http://example.org/ConText.owl#"
          xml:base="http://example.org/ConText.owl">
+  <owl:Ontology rdf:about="http://example.org/ConText.owl"/>
+  <owl:ObjectProperty rdf:about="#hasActionEn"/>
+  <owl:ObjectProperty rdf:about="#hasTermination"/>
+  <owl:ObjectProperty rdf:about="#hasPseudo"/>
   <owl:Class rdf:about="#LinguisticModifier"/>
   <owl:Class rdf:about="#Pseudo"/>
   <owl:Class rdf:about="#Closure"/>
@@ -180,11 +185,11 @@ CONTEXT_OWL = """\
     </owl:Restriction></rdfs:subClassOf>
     <rdfs:subClassOf><owl:Restriction>
       <owl:onProperty rdf:resource="#hasTermination"/>
-      <owl:someValuesFrom rdf:resource="#ConjunctionTerm"/>
+      <owl:someValuesFrom rdf:resource="#Conjunction_Closure"/>
     </owl:Restriction></rdfs:subClassOf>
     <rdfs:subClassOf><owl:Restriction>
       <owl:onProperty rdf:resource="#hasPseudo"/>
-      <owl:someValuesFrom rdf:resource="#PseudoNeg"/>
+      <owl:someValuesFrom rdf:resource="#Pseudo_Negation"/>
     </owl:Restriction></rdfs:subClassOf>
   </owl:Class>
   <owl:Class rdf:about="#Positive_Polarity">
@@ -210,10 +215,10 @@ CONTEXT_OWL = """\
     </owl:Restriction></rdfs:subClassOf>
   </owl:Class>
 
-  <owl:Class rdf:about="#PseudoNeg">
+  <owl:Class rdf:about="#Pseudo_Negation">
     <rdfs:subClassOf rdf:resource="#Pseudo"/>
   </owl:Class>
-  <owl:Class rdf:about="#ConjunctionTerm">
+  <owl:Class rdf:about="#Conjunction_Closure">
     <rdfs:subClassOf rdf:resource="#Closure"/>
     <rdfs:subClassOf><owl:Restriction>
       <owl:onProperty rdf:resource="#hasActionEn"/>
@@ -221,21 +226,26 @@ CONTEXT_OWL = """\
     </owl:Restriction></rdfs:subClassOf>
   </owl:Class>
 
+  <owl:NamedIndividual rdf:about="#forward"/>
+  <owl:NamedIndividual rdf:about="#terminate"/>
   <owl:NamedIndividual rdf:about="#no_evidence_of">
     <rdf:type rdf:resource="#Negative_Polarity"/>
     <rdfs:label>no evidence of</rdfs:label>
+    <ctx:hasActionEn rdf:resource="#forward"/>
   </owl:NamedIndividual>
   <owl:NamedIndividual rdf:about="#history_of">
     <rdf:type rdf:resource="#Before_DocTimeRel"/>
     <rdfs:label>history of</rdfs:label>
+    <ctx:hasActionEn rdf:resource="#forward"/>
   </owl:NamedIndividual>
   <owl:NamedIndividual rdf:about="#no_change">
-    <rdf:type rdf:resource="#PseudoNeg"/>
+    <rdf:type rdf:resource="#Pseudo_Negation"/>
     <rdfs:label>no change</rdfs:label>
   </owl:NamedIndividual>
   <owl:NamedIndividual rdf:about="#but">
-    <rdf:type rdf:resource="#ConjunctionTerm"/>
+    <rdf:type rdf:resource="#Conjunction_Closure"/>
     <rdfs:label>but</rdfs:label>
+    <ctx:hasActionEn rdf:resource="#terminate"/>
   </owl:NamedIndividual>
 </rdf:RDF>
 """
@@ -261,8 +271,8 @@ def test_context_index_from_owl():
     r = ctx.rules["no_evidence_of"]
     assert (r.mod_type, r.value) == ("Polarity", "Negative_Polarity")
     assert r.action == "forward"
-    assert r.terminated_by == ("ConjunctionTerm",)
-    assert r.pseudo == ("PseudoNeg",)
+    assert r.terminated_by == ("Conjunction_Closure",)
+    assert r.pseudo == ("Pseudo_Negation",)
     assert ctx.rules["no_change"].is_pseudo
     assert ctx.rules["but"].action == "terminate"
     # defaults via isDefaultValue restriction

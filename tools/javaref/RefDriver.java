@@ -1,0 +1,70 @@
+import java.io.File;
+import java.io.PrintStream;
+import java.util.Map;
+import java.util.TreeMap;
+
+import edu.pitt.dbmi.nlp.noble.coder.NobleCoder;
+import edu.pitt.dbmi.nlp.noble.coder.model.Document;
+import edu.pitt.dbmi.nlp.noble.coder.model.Mention;
+import edu.pitt.dbmi.nlp.noble.coder.model.Sentence;
+import edu.pitt.dbmi.nlp.noble.ontology.owl.OOntology;
+import edu.pitt.dbmi.nlp.noble.terminology.impl.NobleCoderTerminology;
+import edu.pitt.dbmi.nlp.noble.tools.ConText;
+import edu.pitt.dbmi.nlp.noble.util.ConceptImporter;
+
+/**
+ * Headless parity driver: build an in-memory terminology from an OBO
+ * file, run NobleCoder over every .txt in a directory, emit mentions as
+ * TSV (doc, start, end, code, matched text[, modifiers]) for diffing
+ * against the Spark engine's annotate() output on identical inputs.
+ *
+ * Usage: java RefDriver terms.obo docs_dir out.tsv [search-method] [context.owl]
+ */
+public class RefDriver {
+    public static void main(String[] args) throws Exception {
+        NobleCoderTerminology.setPersistenceDirectory(
+                new File("/tmp/noble_terms"));  // keep JDBM spill in /tmp
+        ConceptImporter imp = ConceptImporter.getInstance();
+        imp.setInMemory(true);
+        NobleCoderTerminology term = new NobleCoderTerminology();
+        imp.loadOBO(term, new File(args[0]));
+        term.setSelectBestCandidate(true);  // batch pipeline default (NobleCoder.java:61)
+        if (args.length > 3 && !"-".equals(args[3]))
+            term.setDefaultSearchMethod(args[3]);
+
+        NobleCoder nc = new NobleCoder(term);
+        ConText ctx = null;
+        if (args.length > 4) {
+            ctx = new ConText(OOntology.loadOntology(new File(args[4])));
+            nc.setContextDetection(true);
+            nc.setConText(ctx);
+        } else {
+            nc.setContextDetection(false);
+        }
+        PrintStream out = new PrintStream(new File(args[2]), "UTF-8");
+        File[] files = new File(args[1]).listFiles();
+        java.util.Arrays.sort(files);
+        for (File f : files) {
+            if (!f.getName().endsWith(".txt"))
+                continue;
+            Document doc = nc.process(f);
+            for (Sentence s : doc.getSentences()) {
+                for (Mention m : s.getMentions()) {
+                    StringBuilder mods = new StringBuilder();
+                    Map<String, String> mm = new TreeMap<String, String>();
+                    for (String ty : m.getModifiers().keySet())
+                        mm.put(ty, m.getModifierValue(ty));
+                    for (Map.Entry<String, String> e : mm.entrySet())
+                        mods.append(e.getKey()).append("=")
+                            .append(e.getValue()).append(";");
+                    out.println(f.getName() + "\t" + m.getStartPosition()
+                            + "\t" + m.getEndPosition() + "\t"
+                            + m.getConcept().getCode() + "\t"
+                            + m.getText() + "\t" + mods);
+                }
+            }
+        }
+        out.close();
+        System.out.println("done");
+    }
+}
