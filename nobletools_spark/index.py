@@ -77,6 +77,7 @@ def build_index(concepts: Iterable[ConceptMeta | Mapping],
     metas: dict[str, ConceptMeta] = {}
     term_cuis: dict[str, set[str]] = defaultdict(set)
     regex_terms: list[tuple[str, str]] = []
+    word_terms: dict[str, set[str]] = defaultdict(set)
     for c in concepts:
         if isinstance(c, Mapping):
             c = ConceptMeta(
@@ -92,11 +93,20 @@ def build_index(concepts: Iterable[ConceptMeta | Mapping],
             term_cuis[t].add(c.cui)
         for r in regexes:
             regex_terms.append((r"\b(" + r + r")\b", c.cui))
+        # wordMap per addConcept (NobleCoderTerminology.java:1080-1085 →
+        # ConceptImporter.saveWordTerms :1299-1355): for each WORD of a
+        # normal term, attach every of the CONCEPT's terms containing the
+        # word as a SUBSTRING (filterTerms :1348-1355) — including the
+        # raw '/regex/' strings. Regex pseudo-terms in the word map never
+        # produce results (no termMap entry) but they count toward word
+        # stats and the rarest-first sweep order, and in partial mode
+        # they participate in used-word marking — all reference-visible.
+        concept_all_terms = set(terms) | {f"/{r}/" for r in regexes}
+        for t in terms:
+            for w in t.split(" "):
+                word_terms[w].update(
+                    x for x in concept_all_terms if w in x)
 
-    word_terms: dict[str, set[str]] = defaultdict(set)
-    for term in term_cuis:
-        for w in term.split(" "):
-            word_terms[w].add(term)
     word_term_count = {w: len(ts) for w, ts in word_terms.items()}
 
     if compact:
@@ -258,13 +268,26 @@ def build_index_df(spark, concepts_df, compact: bool = False,
         for r in meta_rows
     }
 
-    # word explode + stats as DataFrame aggregations (the scale path)
-    word_terms_rows = (terms.select(F.explode(F.split("term", " ")).alias("word"),
-                                    "term")
-                       .distinct()
-                       .groupBy("word")
-                       .agg(F.sort_array(F.collect_set("term")).alias("terms"))
-                       .collect())
+    # word explode + stats as DataFrame aggregations (the scale path).
+    # saveWordTerms/filterTerms parity (ConceptImporter.java:1299-1355):
+    # a word of a normal term attaches every of its CONCEPT's terms that
+    # contains the word as a SUBSTRING — including raw '/regex/' strings
+    # (they never resolve via termMap but count toward word stats, the
+    # rarest-first sweep order, and partial-mode used-word marking).
+    all_terms = F.concat(
+        F.col("terms"),
+        F.transform("regexes", lambda r: F.concat(F.lit("/"), r, F.lit("/"))))
+    word_terms_rows = (
+        base.select(F.explode("terms").alias("term"),
+                    all_terms.alias("all_terms"))
+        .select(F.explode(F.split("term", " ")).alias("word"), "all_terms")
+        .select("word", F.explode(F.filter(
+            "all_terms",
+            lambda t: t.contains(F.col("word")))).alias("term"))
+        .distinct()
+        .groupBy("word")
+        .agg(F.sort_array(F.collect_set("term")).alias("terms"))
+        .collect())
     word_terms = {r["word"]: set(r["terms"]) for r in word_terms_rows}
     word_term_count = {w: len(ts) for w, ts in word_terms.items()}
 

@@ -112,10 +112,23 @@ def _build_unstemmed_index(concepts) -> TerminologyIndex:
                           sort_words=False)
             if t:
                 term_cuis[t].add(meta.cui)
+    # filterTerms substring semantics per concept (saveWordTerms,
+    # ConceptImporter.java:1299-1355) — matters for sweep order when a
+    # lexicon word is a substring of a sibling term ('no' / 'no change')
     word_terms: dict[str, set] = defaultdict(set)
-    for term in term_cuis:
-        for w in term.split(" "):
-            word_terms[w].add(term)
+    for c in concepts:
+        cterms = set()
+        for s in {c["name"], *c["synonyms"]}:
+            if is_regexp(s) or s.count(" ") > MAX_WORDS_IN_TERM:
+                continue
+            t = normalize(s, do_stem=False, strip_digits=False,
+                          strip_stop_words=False, unique_words=True,
+                          sort_words=False)
+            if t:
+                cterms.add(t)
+        for t in cterms:
+            for w in t.split(" "):
+                word_terms[w].update(x for x in cterms if w in x)
     return TerminologyIndex(
         word_terms={w: tuple(sorted(ts)) for w, ts in word_terms.items()},
         term_cuis={t: tuple(sorted(cs)) for t, cs in term_cuis.items()},

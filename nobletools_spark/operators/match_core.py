@@ -158,7 +158,10 @@ def _get_best_terms(words: list[str], swords: set[str], used: set[str],
     for term in terms:
         all_match = True
         hits = 0
-        twords = term.split(" ")
+        # TextTools.getWords, NOT a plain split: regex pseudo-terms from
+        # the word map (e.g. '/stage [ivx]+/') tokenize through the same
+        # delimiter set as the reference (getBestTerms :1574)
+        twords = get_words(term)
         for tword in twords:
             if tword not in swords:
                 all_match = False
@@ -193,7 +196,7 @@ def _get_used_words(words: list[str], term: str, cfg: MatchConfig) -> list[str]:
     """getUsedWords (:1459-1487)."""
     if not cfg.ignore_used_words and cfg.overlap_mode:
         return []
-    twords = term.split(" ")
+    twords = get_words(term)
     used: list[str] = []
     if cfg.overlap_mode:
         used.extend(twords)

@@ -40,7 +40,8 @@ def _span_fields(span) -> tuple[str, Optional[str], Optional[str], int]:
 
 def process_document(doc_id: str, spans, idx: TerminologyIndex,
                      cfg: MatchConfig, context=None,
-                     process_filter: int | None = None) -> list[tuple]:
+                     process_filter: int | None = None,
+                     negex: bool = False) -> list[tuple]:
     """Annotate one document; returns mention rows (pure function — reused
     by the pytest oracle harness and the Spark UDF). ``context`` is an
     optional ContextIndex: modifier assignment runs per sentence after
@@ -76,6 +77,12 @@ def process_document(doc_id: str, spans, idx: TerminologyIndex,
         from nobletools_spark.operators.context import apply_context
         for sent_text, _off, mentions in sentences:
             apply_context(sent_text, mentions, context)
+    elif negex:
+        # the lighter NegEx fallback (tools/NegEx.java; the reference
+        # wires ConText by default, NegEx on request)
+        from nobletools_spark.operators.negex import negex as negex_fn
+        for sent_text, _off, mentions in sentences:
+            negex_fn(sent_text, mentions)
     rows = []
     for _text, sent_off, mentions in sentences:
         for m in mentions:
@@ -89,7 +96,8 @@ def process_document(doc_id: str, spans, idx: TerminologyIndex,
 
 
 def annotate(docs_df, index, cfg: MatchConfig = MatchConfig(),
-             min_parallelism: int | None = None, context=None):
+             min_parallelism: int | None = None, context=None,
+             negex: bool = False):
     """documents (doc_id, spans) → mentions DataFrame.
 
     ``index`` may be a TerminologyIndex or an existing Broadcast of one.
@@ -132,7 +140,8 @@ def annotate(docs_df, index, cfg: MatchConfig = MatchConfig(),
         for pdf in batches:
             out: list[tuple] = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                out.extend(process_document(doc_id, spans, idx, cfg, ctx))
+                out.extend(process_document(doc_id, spans, idx, cfg, ctx,
+                                            negex=negex))
             yield pd.DataFrame(out, columns=cols)
 
     return docs_df.select("doc_id", "spans").mapInPandas(fn, MENTIONS_DDL)

@@ -155,8 +155,9 @@ _TYPED_LISTS = (
 
 def _find_match(text: str, phrases: tuple[str, ...]) -> str | None:
     """findMatch (:125-140): first list entry that prefixes text at a
-    word boundary (list order wins, not longest-match)."""
-    low = text.lower()
+    word boundary (list order wins, not longest-match); text is
+    lowercased AND trimmed before the length comparisons."""
+    low = text.lower().strip()
     for term in phrases:
         if len(low) > len(term):
             if low.startswith(term + " "):
@@ -166,37 +167,68 @@ def _find_match(text: str, phrases: tuple[str, ...]) -> str | None:
     return None
 
 
+def _find_concept_match(tmp: str, clean: str,
+                        mentions: list[Mention]) -> Mention | None:
+    """findConceptMatch (:146-173): first mention (list order) whose
+    cleaned surface text prefixes ``tmp`` at a word boundary — note it
+    string-matches ANY mention's text, not the mention at this offset,
+    so with duplicate surfaces the first occurrence's Mention object
+    receives the modifier (reference behavior)."""
+    low = tmp.lower()
+    for m in mentions:
+        ttext = clean[m.start:m.end]
+        if not ttext:
+            continue
+        term_text = ttext.lower()
+        if len(low) > len(ttext):
+            # Java: text.matches(term_text+"\\b.*") — term_text is all
+            # word chars/spaces after the \W cleanup, so safe as regex
+            if re.match(term_text + r"\b", low):
+                return m
+        elif len(low) == len(ttext) and low.startswith(term_text):
+            return m
+    return None
+
+
 def negex(text: str, mentions: list[Mention]) -> None:
     """Mutate each mention's ``modifiers``: Polarity=Negative_Polarity
     for negated concepts, ContextualModality=Hedged_ContextualModality
     for indeterminate scope (getNegativeMention/getHedgedMention usage,
     NegEx.java:475-495)."""
     clean = _NONWORD.sub(" ", text)
-    by_start = sorted(mentions, key=lambda m: m.start)
+    by_start = sorted(mentions, key=lambda m: (m.start, m.end))
 
-    # tokenize with offsets and type each position (parse :199-330)
+    # tokenize with offsets and type each position (parse :199-330).
+    # Tokenization reproduces the reference's quirks EXACTLY: each word
+    # gets the offset of its FIRST substring occurrence in the sentence
+    # (parse :216 ``text.indexOf(word)`` — so a trigger word that also
+    # appears as a substring earlier, e.g. 'no' inside 'melanoma', lands
+    # behind the consumed offset and is dropped), and the consumed
+    # offset advances by the matched length from its PREVIOUS value
+    # (:237 ``offset = offset+t.length()``), not from the token start.
     elements: list[tuple[int, str, int, Mention | None]] = []
-    consumed_until = 0
-    for wm in re.finditer(r"\S+", clean):
-        off = wm.start()
-        if off < consumed_until:
+    offset = 0
+    for word in clean.split():
+        start = clean.find(word)
+        if start < offset:
             continue
-        rest = clean[off:]
+        tmp = clean[start:]
         typed = None
         for phrases, etype in _TYPED_LISTS:
-            t = _find_match(rest, phrases)
+            t = _find_match(tmp, phrases)
             if t is not None:
-                typed = (off, t, etype, None)
-                consumed_until = off + len(t)
+                typed = (start, t, etype, None)
+                offset = offset + len(t)
                 break
         if typed is None:
-            men = next((m for m in by_start if m.start == off), None)
+            men = _find_concept_match(tmp, clean, by_start)
             if men is not None:
-                typed = (off, clean[men.start:men.end], _CONCEPT, men)
-                consumed_until = men.end
+                ctext = clean[men.start:men.end]
+                typed = (start, ctext, _CONCEPT, men)
+                offset = offset + len(ctext)
             else:
-                typed = (off, wm.group(), _PLAIN, None)
-                consumed_until = wm.end()
+                typed = (start, word, _PLAIN, None)
+                offset = start + len(word)
         elements.append(typed)
 
     # scope pass (process :455-545)

@@ -109,3 +109,20 @@ def test_lists_match_reference_lst_files():
     assert nx.INDETERMINATE == load("NegExIndeterminatePhrases.lst")
     assert nx.PSEUDO_NEGATION == load("NegExPseudoNegationPhrases.lst")
     assert nx.CONJUNCTIONS == load("NegExPseudoConjunctions.lst")
+
+
+def test_indexof_tokenization_quirk_parity():
+    """Reference parse() assigns each word the offset of its FIRST
+    substring occurrence (NegEx.java:216 text.indexOf(word)); a trigger
+    word that also appears inside an earlier word is dropped. 'no' after
+    'melanoma' (mela-NO-ma) never fires — verified against the compiled
+    reference (tools/java_parity.py negex leg)."""
+    text = "Sections show melanoma but no evidence of deep margin involvement."
+    mentions = match_sentence(text, IDX, MatchConfig())
+    negex(text, mentions)
+    mods = {m.cui: m.modifiers for m in mentions}
+    assert "Polarity" not in mods["C001"]   # 'no evidence of' token lost
+    assert "Polarity" not in mods["C013"]
+    # without a preceding 'no'-containing word, the same phrase fires
+    assert _mods("Sections show no evidence of melanoma.",
+                 "C013")["Polarity"] == "Negative_Polarity"

@@ -82,49 +82,82 @@ def emit_fixture(n_docs: int) -> None:
     for doc_id, spans in rich_corpus(n_docs, seed=7):
         text = "".join(t for k, t, _m, _o in spans if k == "text")
         open(f"{DOCS}/{doc_id}.txt", "w").write(text)
+    # adversarial seeds: the reference mains' own trap strings plus the
+    # NegEx/ConText phrases the round-2 list work added
+    for i, text in enumerate(ADVERSARIAL):
+        open(f"{DOCS}/zadv-{i:03d}.txt", "w", encoding="utf-8").write(text)
     from tests.test_context import CONTEXT_OWL
 
     open(CTX_OWL, "w").write(CONTEXT_OWL)
 
 
-def run_reference(context: bool = False) -> set:
-    cmd = ["java", "-cp", CP, "RefDriver", OBO, DOCS, REF_TSV]
-    if context:
-        cmd += ["-", CTX_OWL]
+ADVERSARIAL = (
+    "The nasal septum deviates to the left with a rather large spur.",
+    "There is a fish under the sea. I had a genetic test done using a "
+    "FISH method. WHERE ARE ALL OF THE FISH?",
+    "He has DCIS as a diagnosis. What about dcis?",
+    "The deep margin and the deep tumor margins were examined.",
+    "Septum of the nose deviates; nasal septum noted.",
+    "Stage IV melanoma; stage iv was confirmed.",
+    "World Health Organization (WHO) criteria applied. WHO grade given.",
+    "No evidence of melanoma. Melanoma was ruled out.",
+    "Never developed melanoma. Rules her out for melanoma.",
+    "No evidence of margins as a cause for melanoma.",
+    "Melanoma cannot be evaluated. No change in melanoma.",
+    "W/o evidence of melanoma. Without evidence of margins.",
+    "Free of melanoma but margins are unlikely.",
+    "Skin margin of the deep skin margins; the skin of the margin.",
+    "History of melanoma. No evidence of nasal septum deviation but "
+    "melanoma was seen.",
+)
+
+
+def run_reference(mode: str | None = None,
+                  method: str = "-") -> set:
+    """mode: None (mentions only) | 'context' | 'negex'."""
+    cmd = ["java", "-cp", CP, "RefDriver", OBO, DOCS, REF_TSV, method]
+    if mode == "context":
+        cmd += [CTX_OWL]
+    elif mode == "negex":
+        cmd += ["negex"]
     subprocess.run(cmd, check=True, capture_output=True)
     out = set()
     for line in open(REF_TSV):
         doc, st, en, code, _text, mods = \
             (line.rstrip("\n").split("\t") + [""])[:6]
         key = (doc[:-4], int(st), int(en), code)
-        if context:
+        if mode is not None:
             key += (tuple(sorted(m for m in mods.split(";") if m)),)
         out.add(key)
     return out
 
 
-def run_spark(n_docs: int, context: bool = False) -> set:
+def run_spark(spark, mode: str | None = None,
+              method: str | None = None) -> set:
     from nobletools_spark.api import NobleCoderSpark
+    from nobletools_spark.model import MatchConfig
     from nobletools_spark.operators.context import context_index_from_owl
-    from nobletools_spark.session import get_spark
     from nobletools_spark.sources.fixtures import SPANS_DDL
 
-    spark = get_spark(cores=8)
-    ctx = context_index_from_owl(open(CTX_OWL).read()) if context else None
-    nc = NobleCoderSpark.from_obo(spark, open(OBO).read(), context=ctx)
+    cfg = MatchConfig() if method is None else \
+        MatchConfig(search_method=method)
+    ctx = context_index_from_owl(open(CTX_OWL).read()) \
+        if mode == "context" else None
+    nc = NobleCoderSpark.from_obo(spark, open(OBO).read(), cfg=cfg,
+                                  context=ctx)
     rows = []
     for fn in sorted(os.listdir(DOCS)):
         rows.append((fn[:-4],
-                     [("text", open(f"{DOCS}/{fn}").read(), None, 0)]))
+                     [("text", open(f"{DOCS}/{fn}",
+                                    encoding="utf-8").read(), None, 0)]))
     docs = spark.createDataFrame(rows, SPANS_DDL)
     out = set()
-    for r in nc.annotate(docs).collect():
+    for r in nc.annotate(docs, negex=(mode == "negex")).collect():
         key = (r.doc_id, r.start, r.end, r.cui)
-        if context:
+        if mode is not None:
             key += (tuple(sorted(f"{k}={v}"
                                  for k, v in r.modifiers.items())),)
         out.add(key)
-    spark.stop()
     return out
 
 
@@ -143,18 +176,28 @@ def compare(ref: set, eng: set, label: str) -> dict:
 
 
 def main() -> None:
+    from nobletools_spark.session import get_spark
+
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 60
     compile_reference()
     emit_fixture(n_docs)
-    results = {"n_docs": n_docs}
-    results["mentions"] = compare(run_reference(), run_spark(n_docs),
+    spark = get_spark(cores=8)
+    results = {"n_docs": n_docs, "adversarial_docs": len(ADVERSARIAL)}
+    results["mentions"] = compare(run_reference(), run_spark(spark),
                                   "mentions")
     # ConText leg: both engines load the SAME modifier ontology
     # (tests/test_context.py CONTEXT_OWL) and must agree on the full
     # (mention, sorted modifier set) tuples
-    results["context"] = compare(run_reference(context=True),
-                                 run_spark(n_docs, context=True),
-                                 "context")
+    results["context"] = compare(run_reference("context"),
+                                 run_spark(spark, "context"), "context")
+    # NegEx leg: the verbatim .lst phrase lists vs tools/NegEx.java
+    results["negex"] = compare(run_reference("negex"),
+                               run_spark(spark, "negex"), "negex")
+    # every setupSearch strategy
+    for m in ("all-match", "precise-match", "nonoverlap-match",
+              "partial-match"):
+        results[m] = compare(run_reference(method=m),
+                             run_spark(spark, method=m), m)
     json.dump(results, open(f"{REPO}/JAVA_PARITY.json", "w"), indent=1)
     print("JAVA_PARITY.json written")
 

@@ -33,14 +33,17 @@ public class RefDriver {
             term.setDefaultSearchMethod(args[3]);
 
         NobleCoder nc = new NobleCoder(term);
+        boolean negex = args.length > 4 && "negex".equals(args[4]);
         ConText ctx = null;
-        if (args.length > 4) {
+        if (args.length > 4 && !negex) {
             ctx = new ConText(OOntology.loadOntology(new File(args[4])));
             nc.setContextDetection(true);
             nc.setConText(ctx);
         } else {
             nc.setContextDetection(false);
         }
+        edu.pitt.dbmi.nlp.noble.tools.NegEx ng =
+                negex ? new edu.pitt.dbmi.nlp.noble.tools.NegEx() : null;
         PrintStream out = new PrintStream(new File(args[2]), "UTF-8");
         File[] files = new File(args[1]).listFiles();
         java.util.Arrays.sort(files);
@@ -49,6 +52,8 @@ public class RefDriver {
                 continue;
             Document doc = nc.process(f);
             for (Sentence s : doc.getSentences()) {
+                if (ng != null)
+                    ng.process(s);
                 for (Mention m : s.getMentions()) {
                     StringBuilder mods = new StringBuilder();
                     Map<String, String> mm = new TreeMap<String, String>();
