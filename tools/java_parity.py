@@ -33,6 +33,7 @@ CP = (f"{PATCH}:{CLS}:{REF}/src/main/resources:{REF}/lib/jdbm-3.0.jar:"
       f"{REF}/lib/owlapi-distribution-3.5.0.jar")  # resources: .lst tables
 DOCS = "/tmp/parity_docs"
 OBO = "/tmp/parity_terms.obo"
+RRF = "/tmp/parity_rrf"
 CTX_OWL = "/tmp/context_fixture.owl"
 REF_TSV = "/tmp/parity_ref.tsv"
 
@@ -89,6 +90,21 @@ def emit_fixture(n_docs: int) -> None:
     from tests.test_context import CONTEXT_OWL
 
     open(CTX_OWL, "w").write(CONTEXT_OWL)
+    # same concepts as RRF (MRCONSO/MRSTY) for the RRF-scan parity leg
+    from nobletools_spark.sources.rrf import (
+        conso_row, sab_row, sty_row, write_fixture_rrf)
+
+    mrconso, mrsty = [], []
+    for c in PYTEST_CONCEPTS:
+        mrconso.append(conso_row(c["cui"], c["name"], tty="PT", suppress="N"))
+        for s in c["synonyms"]:
+            if s != c["name"]:
+                mrconso.append(conso_row(c["cui"], s, ts="S", ispref="N",
+                                         tty="SY", suppress="N"))
+        for t in c["semtypes"]:
+            mrsty.append(sty_row(c["cui"], t, t))
+    write_fixture_rrf(RRF, mrconso=mrconso, mrsty=mrsty, mrrel=[],
+                      mrsab=[sab_row("TST", "Test Source", "2025", "t")])
 
 
 ADVERSARIAL = (
@@ -113,9 +129,9 @@ ADVERSARIAL = (
 
 
 def run_reference(mode: str | None = None,
-                  method: str = "-") -> set:
+                  method: str = "-", term_src: str = OBO) -> set:
     """mode: None (mentions only) | 'context' | 'negex'."""
-    cmd = ["java", "-cp", CP, "RefDriver", OBO, DOCS, REF_TSV, method]
+    cmd = ["java", "-cp", CP, "RefDriver", term_src, DOCS, REF_TSV, method]
     if mode == "context":
         cmd += [CTX_OWL]
     elif mode == "negex":
@@ -133,7 +149,7 @@ def run_reference(mode: str | None = None,
 
 
 def run_spark(spark, mode: str | None = None,
-              method: str | None = None) -> set:
+              method: str | None = None, term_src: str = OBO) -> set:
     from nobletools_spark.api import NobleCoderSpark
     from nobletools_spark.model import MatchConfig
     from nobletools_spark.operators.context import context_index_from_owl
@@ -143,8 +159,11 @@ def run_spark(spark, mode: str | None = None,
         MatchConfig(search_method=method)
     ctx = context_index_from_owl(open(CTX_OWL).read()) \
         if mode == "context" else None
-    nc = NobleCoderSpark.from_obo(spark, open(OBO).read(), cfg=cfg,
-                                  context=ctx)
+    if term_src.endswith(".obo"):
+        nc = NobleCoderSpark.from_obo(spark, open(term_src).read(), cfg=cfg,
+                                      context=ctx)
+    else:
+        nc = NobleCoderSpark.from_rrf(spark, term_src, cfg=cfg, context=ctx)
     rows = []
     for fn in sorted(os.listdir(DOCS)):
         rows.append((fn[:-4],
@@ -193,6 +212,11 @@ def main() -> None:
     # NegEx leg: the verbatim .lst phrase lists vs tools/NegEx.java
     results["negex"] = compare(run_reference("negex"),
                                run_spark(spark, "negex"), "negex")
+    # RRF scan leg: both engines build the terminology from the SAME
+    # MRCONSO/MRSTY fixture directory (preferred-name choice, TS/ISPREF/
+    # language/suppress handling all visible in the mention diff)
+    results["rrf"] = compare(run_reference(term_src=RRF),
+                             run_spark(spark, term_src=RRF), "rrf")
     # every setupSearch strategy
     for m in ("all-match", "precise-match", "nonoverlap-match",
               "partial-match"):

@@ -27,7 +27,10 @@ public class RefDriver {
         ConceptImporter imp = ConceptImporter.getInstance();
         imp.setInMemory(true);
         NobleCoderTerminology term = new NobleCoderTerminology();
-        imp.loadOBO(term, new File(args[0]));
+        if (args[0].endsWith(".obo"))
+            imp.loadOBO(term, new File(args[0]));
+        else
+            imp.loadRRF(term, new File(args[0]));  // dir of MRCONSO.RRF etc
         term.setSelectBestCandidate(true);  // batch pipeline default (NobleCoder.java:61)
         if (args.length > 3 && !"-".equals(args[3]))
             term.setDefaultSearchMethod(args[3]);
