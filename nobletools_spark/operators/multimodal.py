@@ -7,12 +7,15 @@ frame-sample operators a training-data pipeline needs.
 Design: media payloads are opaque ``binary`` columns with typed metadata
 (media_type, width/height/duration where known). All heavy work runs in
 Arrow-batched ``mapInPandas`` — one Python worker call per batch of
-media rows, the right shape for multi-GB media partitions. The actual
-codec calls are STUBBED in this environment (no PIL/ffmpeg in the
-container): ``decoder='fake'`` produces deterministic bytes-derived
-outputs so the plumbing (schemas, batching, partitioning, joins) is real
-and tested; ``decoder='pil'``/'ffmpeg' raise NotImplementedError unless
-the library import succeeds on the executor.
+media rows, the right shape for multi-GB media partitions.
+
+Codecs: BMP (24-bit), PNG (8-bit gray/RGB/RGBA, all filter types), and
+WAV (PCM) decode for REAL with stdlib-only parsers (struct/zlib/wave) —
+``decoder='auto'`` sniffs the magic bytes; exotic formats fall back to
+``decoder='fake'`` deterministic bytes-derived outputs so the plumbing
+stays exercised, and ``decoder='pil'`` raises NotImplementedError unless
+Pillow imports on the executor (not in this container). Video frame
+sampling remains a stub (no container demuxer without ffmpeg).
 """
 
 from __future__ import annotations
@@ -55,9 +58,9 @@ def media_table_from_docs(docs_df: DataFrame) -> DataFrame:
 
 
 def _fake_decode(content: bytes) -> tuple[int, int, bytes]:
-    """Deterministic stand-in for an image codec: dimensions and pixel
-    bytes derived from a content digest. STUB — replace with PIL decode
-    on a cluster image that has it."""
+    """Deterministic stand-in for an exotic codec: dimensions and pixel
+    bytes derived from a content digest (keeps the plumbing exercised
+    for formats the stdlib decoders below don't cover)."""
     d = hashlib.md5(content or b"").digest()
     width = 16 + d[0] % 16
     height = 16 + d[1] % 16
@@ -65,10 +68,144 @@ def _fake_decode(content: bytes) -> tuple[int, int, bytes]:
     return width, height, pixels
 
 
-def decode_media(media_df: DataFrame, decoder: str = "fake") -> DataFrame:
+# ---------------------------------------------------------------------------
+# Real stdlib-only codecs
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(content: bytes) -> tuple[int, int, int, bytes]:
+    """Uncompressed 24-bit BMP → (width, height, channels, RGB bytes,
+    top-down row order). Pure struct parsing: BITMAPFILEHEADER (14 B) +
+    BITMAPINFOHEADER; rows are 4-byte padded, stored bottom-up, BGR."""
+    import struct
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", content, 10)[0]
+    w, h = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} comp={compression}")
+    bottom_up = h > 0
+    h = abs(h)
+    row_stride = (w * 3 + 3) & ~3
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        src_y = (h - 1 - y) if bottom_up else y
+        row = content[data_off + src_y * row_stride:
+                      data_off + src_y * row_stride + w * 3]
+        for x in range(w):
+            b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
+            i = (y * w + x) * 3
+            out[i:i + 3] = bytes((r, g, b))
+    return w, h, 3, bytes(out)
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def decode_png(content: bytes) -> tuple[int, int, int, bytes]:
+    """8-bit non-interlaced PNG → (width, height, channels, raw bytes,
+    top-down). Stdlib only: chunk walk + zlib inflate + scanline
+    unfilter (all five filter types, RFC 2083 §6)."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat, w = 8, b"", None
+    while pos < len(content):
+        ln, ctype = struct.unpack_from(">I4s", content, pos)
+        body = content[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} color={color}")
+            ch = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("no IHDR")
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ftype == 1:
+                line[i] = (line[i] + a) & 0xFF
+            elif ftype == 2:
+                line[i] = (line[i] + b) & 0xFF
+            elif ftype == 3:
+                line[i] = (line[i] + (a + b) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    return w, h, ch, bytes(out)
+
+
+def decode_wav(content: bytes) -> tuple[int, int, int, bytes]:
+    """PCM WAV → (n_channels, framerate, n_frames, sample bytes) via the
+    stdlib ``wave`` module."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content)) as wf:
+        return (wf.getnchannels(), wf.getframerate(), wf.getnframes(),
+                wf.readframes(wf.getnframes()))
+
+
+def sniff_media(content: bytes) -> str:
+    if content[:2] == b"BM":
+        return "image/bmp"
+    if content[:8] == _PNG_MAGIC:
+        return "image/png"
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return "audio/wav"
+    return "unknown"
+
+
+def _decode_any(content: bytes) -> tuple[str, int, int, bytes]:
+    """(kind, width|channels, height|framerate, payload) — real decode
+    when the magic bytes are recognized, fake otherwise."""
+    kind = sniff_media(content)
+    if kind == "image/bmp":
+        w, h, _ch, px = decode_bmp(content)
+        return kind, w, h, px
+    if kind == "image/png":
+        w, h, _ch, px = decode_png(content)
+        return kind, w, h, px
+    if kind == "audio/wav":
+        nch, rate, nframes, samples = decode_wav(content)
+        return kind, nch, rate, samples
+    w, h, px = _fake_decode(content)
+    return "image/fake", w, h, px
+
+
+def decode_media(media_df: DataFrame, decoder: str = "auto") -> DataFrame:
     """(media_ref, media_type, width, height, pixels binary) via
-    mapInPandas. decoder='pil' requires PIL on executors."""
-    if decoder not in ("fake", "pil"):
+    mapInPandas. decoder='auto' sniffs magic bytes and REALLY decodes
+    BMP/PNG/WAV (stdlib codecs above; media_type rewritten to the
+    sniffed kind — for WAV, width=channels / height=framerate and
+    pixels=PCM samples); 'fake' forces the deterministic stub;
+    'pil' requires Pillow on executors."""
+    if decoder not in ("auto", "fake", "pil"):
         raise ValueError(decoder)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -78,13 +215,17 @@ def decode_media(media_df: DataFrame, decoder: str = "fake") -> DataFrame:
             except ImportError as e:  # pragma: no cover - env-dependent
                 raise NotImplementedError(
                     "decoder='pil' needs Pillow on executors; use "
-                    "decoder='fake' in this environment") from e
+                    "decoder='auto' in this environment") from e
         for pdf in batches:
             rows = []
             for ref, mtype, content in zip(pdf["media_ref"],
                                            pdf["media_type"], pdf["content"]):
-                w, h, px = _fake_decode(bytes(content) if content is not None
-                                        else b"")
+                raw = bytes(content) if content is not None else b""
+                if decoder == "auto":
+                    kind, w, h, px = _decode_any(raw)
+                    mtype = kind if kind != "image/fake" else mtype
+                else:
+                    w, h, px = _fake_decode(raw)
                 rows.append((ref, mtype, w, h, px))
             yield pd.DataFrame(rows, columns=["media_ref", "media_type",
                                               "width", "height", "pixels"])
@@ -94,20 +235,78 @@ def decode_media(media_df: DataFrame, decoder: str = "fake") -> DataFrame:
             "pixels binary")
 
 
+def image_features(pixels: bytes, w: int, h: int, ch: int,
+                   dim: int = _FEATURE_DIM) -> list[float]:
+    """Real image features: per-channel mean/std + a 3×3 mean-pooled
+    grayscale grid + aspect, padded/truncated to ``dim`` (numpy)."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8)[:w * h * ch] \
+        .reshape(h, w, ch).astype(np.float64) / 255.0
+    gray = arr.mean(axis=2)
+    feats = []
+    for c in range(min(ch, 3)):
+        feats += [float(arr[:, :, c].mean()), float(arr[:, :, c].std())]
+    ys = np.array_split(np.arange(h), 3)
+    xs = np.array_split(np.arange(w), 3)
+    for yy in ys:
+        for xx in xs:
+            block = gray[np.ix_(yy, xx)] if len(yy) and len(xx) else gray
+            feats.append(float(block.mean()))
+    feats.append(w / h if h else 0.0)
+    feats = feats[:dim] + [0.0] * max(0, dim - len(feats))
+    return [float(x) for x in feats]
+
+
+def audio_features(samples: bytes, n_channels: int, framerate: int,
+                   dim: int = _FEATURE_DIM) -> list[float]:
+    """Real audio features: RMS, zero-crossing rate, and mean magnitude
+    of ``dim - 2`` FFT bands over 16-bit PCM (numpy)."""
+    import numpy as np
+
+    x = np.frombuffer(samples, dtype="<i2").astype(np.float64) / 32768.0
+    if n_channels > 1:
+        x = x[:len(x) - len(x) % n_channels] \
+            .reshape(-1, n_channels).mean(axis=1)
+    if len(x) == 0:
+        return [0.0] * dim
+    rms = float(np.sqrt((x ** 2).mean()))
+    zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) \
+        if len(x) > 1 else 0.0
+    mag = np.abs(np.fft.rfft(x))
+    bands = [float(b.mean()) if len(b) else 0.0
+             for b in np.array_split(mag, dim - 2)]
+    return [rms, zcr, *bands][:dim]
+
+
 def extract_features(media_df: DataFrame, dim: int = _FEATURE_DIM) -> DataFrame:
-    """Deterministic feature vector per media row (mapInPandas, Arrow
-    batches) — the embedding-extraction stage shape; the fake extractor
-    hashes content into `dim` floats in [0,1)."""
+    """Feature vector per media row (mapInPandas, Arrow batches) — the
+    embedding-extraction stage. REAL features for BMP/PNG (channel
+    stats + pooled grid) and WAV (RMS/ZCR/FFT bands); hash-derived
+    floats for unrecognized payloads so the pipeline shape holds for
+    any format."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for ref, mtype, content in zip(pdf["media_ref"],
                                            pdf["media_type"], pdf["content"]):
-                w, h, _ = _fake_decode(bytes(content) if content is not None
-                                       else b"")
-                d = hashlib.sha256(bytes(content or b"")).digest()
-                feat = [d[i % len(d)] / 256.0 for i in range(dim)]
+                raw = bytes(content) if content is not None else b""
+                kind = sniff_media(raw)
+                if kind == "image/bmp":
+                    w, h, ch, px = decode_bmp(raw)
+                    feat = image_features(px, w, h, ch, dim)
+                elif kind == "image/png":
+                    w, h, ch, px = decode_png(raw)
+                    feat = image_features(px, w, h, ch, dim)
+                elif kind == "audio/wav":
+                    nch, rate, _n, samples = decode_wav(raw)
+                    feat = audio_features(samples, nch, rate, dim)
+                    w, h = nch, rate
+                else:
+                    w, h, _ = _fake_decode(raw)
+                    d = hashlib.sha256(raw).digest()
+                    feat = [d[i % len(d)] / 256.0 for i in range(dim)]
                 rows.append((ref, mtype, feat, w, h))
             yield pd.DataFrame(rows, columns=["media_ref", "media_type",
                                               "feature", "width", "height"])

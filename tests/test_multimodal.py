@@ -74,3 +74,164 @@ def test_span_invariant_after_media_ops(spark, docs, media):
     # media processing never mutates the documents table
     decode_media(media).count()
     assert span_invariant_violations(docs, docs.select("doc_id", "spans")) == 0
+
+
+def _make_bmp(w, h, rgb_rows):
+    """Minimal 24-bit BMP writer (bottom-up, padded rows)."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    pix = b""
+    for row in reversed(rgb_rows):               # bottom-up storage
+        line = b"".join(bytes((b, g, r)) for r, g, b in row)
+        pix += line + b"\0" * (stride - len(line))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                       2835, 2835, 0, 0)
+    return header + info + pix
+
+
+def _make_png(w, h, ch, raw, filters=None):
+    """Minimal PNG writer with per-row filter types."""
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        c = ctype + body
+        return struct.pack(">I", len(body)) + c + \
+            struct.pack(">I", zlib.crc32(c))
+
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    stride = w * ch
+    filters = filters or [0] * h
+    scan = b""
+    prev = bytearray(stride)
+    for y in range(h):
+        line = bytearray(raw[y * stride:(y + 1) * stride])
+        ft = filters[y]
+        enc = bytearray(line)
+        for i in reversed(range(stride)):
+            a = line[i - ch] if i >= ch else 0
+            b_ = prev[i]
+            c_ = prev[i - ch] if i >= ch else 0
+            if ft == 1:
+                enc[i] = (line[i] - a) & 0xFF
+            elif ft == 2:
+                enc[i] = (line[i] - b_) & 0xFF
+            elif ft == 3:
+                enc[i] = (line[i] - (a + b_) // 2) & 0xFF
+            elif ft == 4:
+                p = a + b_ - c_
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c_)
+                pr = a if (pa <= pb and pa <= pc) else \
+                    (b_ if pb <= pc else c_)
+                enc[i] = (line[i] - pr) & 0xFF
+        scan += bytes([ft]) + bytes(enc)
+        prev = line
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+
+
+def _make_wav(samples, framerate=8000, channels=1):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(framerate)
+        wf.writeframes(samples)
+    return buf.getvalue()
+
+
+def test_decode_bmp_exact():
+    from nobletools_spark.operators.multimodal import decode_bmp
+
+    rows = [[(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+            [(10, 20, 30), (40, 50, 60), (70, 80, 90)]]
+    w, h, ch, px = decode_bmp(_make_bmp(3, 2, rows))
+    assert (w, h, ch) == (3, 2, 3)
+    # top-down RGB, row padding stripped
+    assert px[:9] == bytes((255, 0, 0, 0, 255, 0, 0, 0, 255))
+    assert px[9:12] == bytes((10, 20, 30))
+
+
+def test_decode_png_all_filters():
+    from nobletools_spark.operators.multimodal import decode_png
+
+    raw = bytes(range(0, 60))                    # 4x5 RGB gradient
+    for ft in (0, 1, 2, 3, 4):
+        blob = _make_png(4, 5, 3, raw, filters=[ft] * 5)
+        w, h, ch, px = decode_png(blob)
+        assert (w, h, ch) == (4, 5, 3)
+        assert px == raw, f"filter {ft}"
+    # mixed filters + grayscale
+    blob = _make_png(4, 5, 3, raw, filters=[0, 1, 2, 3, 4])
+    assert decode_png(blob)[3] == raw
+    gray = bytes(range(20))
+    assert decode_png(_make_png(5, 4, 1, gray))[3] == gray
+
+
+def test_decode_wav_round_trip():
+    import struct
+
+    from nobletools_spark.operators.multimodal import decode_wav
+
+    samples = struct.pack("<8h", 0, 1000, -1000, 32000, -32000, 5, -5, 0)
+    nch, rate, n, out = decode_wav(_make_wav(samples, 8000, 1))
+    assert (nch, rate, n) == (1, 8000, 8)
+    assert out == samples
+
+
+def test_decode_media_auto_spark(spark):
+    """decoder='auto' really decodes BMP/PNG/WAV through the distributed
+    mapInPandas path and falls back to the fake codec for unknowns."""
+    from nobletools_spark.operators.multimodal import decode_media
+
+    rows = [("m://bmp", "application/octet-stream",
+             _make_bmp(3, 2, [[(1, 2, 3)] * 3, [(4, 5, 6)] * 3]), {}),
+            ("m://png", "application/octet-stream",
+             _make_png(2, 2, 3, bytes(range(12))), {}),
+            ("m://wav", "application/octet-stream",
+             _make_wav(b"\x00\x01" * 4), {}),
+            ("m://junk", "application/octet-stream", b"garbage", {})]
+    media = spark.createDataFrame(
+        rows, "media_ref string, media_type string, content binary, "
+              "metadata map<string,string>")
+    got = {r.media_ref: r for r in decode_media(media).collect()}
+    assert got["m://bmp"].media_type == "image/bmp"
+    assert (got["m://bmp"].width, got["m://bmp"].height) == (3, 2)
+    assert bytes(got["m://bmp"].pixels)[:3] == bytes((1, 2, 3))
+    assert got["m://png"].media_type == "image/png"
+    assert bytes(got["m://png"].pixels) == bytes(range(12))
+    assert got["m://wav"].media_type == "audio/wav"
+    assert got["m://wav"].width == 1 and got["m://wav"].height == 8000
+    assert got["m://junk"].media_type == "application/octet-stream"
+
+
+def test_real_features_spark(spark):
+    """Image features carry real channel stats; audio features carry
+    real RMS — both computed distributed."""
+    import numpy as np
+
+    from nobletools_spark.operators.multimodal import extract_features
+
+    red = _make_bmp(4, 4, [[(255, 0, 0)] * 4] * 4)     # solid red
+    loud = _make_wav(np.full(1000, 16384, dtype="<i2").tobytes())
+    quiet = _make_wav(np.zeros(1000, dtype="<i2").tobytes())
+    media = spark.createDataFrame(
+        [("m://red", "x", red, {}), ("m://loud", "x", loud, {}),
+         ("m://quiet", "x", quiet, {})],
+        "media_ref string, media_type string, content binary, "
+        "metadata map<string,string>")
+    got = {r.media_ref: list(r.feature)
+           for r in extract_features(media).collect()}
+    # solid red: R mean 1.0 / std 0, G mean 0
+    assert got["m://red"][0] == pytest.approx(1.0)
+    assert got["m://red"][1] == pytest.approx(0.0)
+    assert got["m://red"][2] == pytest.approx(0.0)
+    # RMS separates loud from silent
+    assert got["m://loud"][0] == pytest.approx(0.5, abs=1e-3)
+    assert got["m://quiet"][0] == pytest.approx(0.0)
