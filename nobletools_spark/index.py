@@ -110,14 +110,25 @@ def build_index(concepts: Iterable[ConceptMeta | Mapping],
     word_term_count = {w: len(ts) for w, ts in word_terms.items()}
 
     if compact:
-        # rare-word compaction (ConceptImporter.java:1363-1443): keep each
-        # term only under its rarest word (ties: lexicographic).
+        # rare-word compaction (ConceptImporter.java:1363-1443): keep
+        # each term only under its rarest word
         compacted: dict[str, set[str]] = defaultdict(set)
         for term in term_cuis:
-            words = term.split(" ")
-            rarest = min(words, key=lambda w: (word_term_count[w], w))
+            # getRarestWord (ConceptImporter.java:1258-1270): strict <,
+            # so ties keep the FIRST word in term order (not lexicographic)
+            rarest, best_n = None, float("inf")
+            for w in term.split(" "):
+                n = word_term_count.get(w, float("inf"))
+                if n < best_n:
+                    rarest, best_n = w, n
             compacted[rarest].add(term)
         word_terms = compacted
+        # post-compact word stats are recomputed per surviving word
+        # (saveWordTerms re-run over the term files :1420); words no
+        # longer hosting any term keep their stale pre-compact counts,
+        # exactly like the reference's un-backed-up wordStatMap
+        word_term_count = dict(word_term_count)
+        word_term_count.update({w: len(ts) for w, ts in compacted.items()})
 
     idx = TerminologyIndex(
         word_terms={w: tuple(sorted(ts)) for w, ts in word_terms.items()},
@@ -294,10 +305,21 @@ def build_index_df(spark, concepts_df, compact: bool = False,
     if compact:
         compacted: dict[str, set[str]] = defaultdict(set)
         for term in term_cuis:
-            words = term.split(" ")
-            rarest = min(words, key=lambda w: (word_term_count[w], w))
+            # getRarestWord (ConceptImporter.java:1258-1270): strict <,
+            # so ties keep the FIRST word in term order (not lexicographic)
+            rarest, best_n = None, float("inf")
+            for w in term.split(" "):
+                n = word_term_count.get(w, float("inf"))
+                if n < best_n:
+                    rarest, best_n = w, n
             compacted[rarest].add(term)
         word_terms = compacted
+        # post-compact word stats are recomputed per surviving word
+        # (saveWordTerms re-run over the term files :1420); words no
+        # longer hosting any term keep their stale pre-compact counts,
+        # exactly like the reference's un-backed-up wordStatMap
+        word_term_count = dict(word_term_count)
+        word_term_count.update({w: len(ts) for w, ts in compacted.items()})
 
     idx = TerminologyIndex(
         word_terms={w: tuple(sorted(ts)) for w, ts in word_terms.items()},

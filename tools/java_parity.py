@@ -69,6 +69,14 @@ def emit_fixture(n_docs: int) -> None:
     from nobletools_spark.sources.fixtures import PYTEST_CONCEPTS, rich_corpus
 
     lines = ["format-version: 1.2", ""]
+    # 110 word-disjoint filler concepts: the reference's compact()
+    # progress arithmetic floors n/100 and modulos by it — under 100
+    # terms it divides by zero, so pad the terminology (fillers never
+    # occur in the corpus and, filterTerms being per-concept, they
+    # cannot perturb any real word's statistics)
+    for i in range(110):
+        lines += ["[Term]", f"id: FILL:{i:04d}", f"name: qfiller{i:04d}x",
+                  ""]
     for c in PYTEST_CONCEPTS:
         lines += ["[Term]", f"id: {c['cui']}", f"name: {c['name']}"]
         for s in c["synonyms"]:
@@ -131,6 +139,8 @@ ADVERSARIAL = (
 def run_reference(mode: str | None = None,
                   method: str = "-", term_src: str = OBO) -> set:
     """mode: None (mentions only) | 'context' | 'negex'."""
+    import shutil
+    shutil.rmtree("/tmp/noble_terms", ignore_errors=True)
     cmd = ["java", "-cp", CP, "RefDriver", term_src, DOCS, REF_TSV, method]
     if mode == "context":
         cmd += [CTX_OWL]
@@ -155,11 +165,23 @@ def run_spark(spark, mode: str | None = None,
     from nobletools_spark.operators.context import context_index_from_owl
     from nobletools_spark.sources.fixtures import SPANS_DDL
 
-    cfg = MatchConfig() if method is None else \
-        MatchConfig(search_method=method)
+    compact = method == "compact"
+    cfg = MatchConfig(compacted=True) if compact else (
+        MatchConfig() if method is None else
+        MatchConfig(search_method=method))
     ctx = context_index_from_owl(open(CTX_OWL).read()) \
         if mode == "context" else None
-    if term_src.endswith(".obo"):
+    if compact:
+        from nobletools_spark.api import NobleCoderSpark as NC
+        from nobletools_spark.index import build_index_df
+        from nobletools_spark.sources.obo import (
+            concepts_df_from_records, parse_obo)
+
+        concepts, _ = parse_obo(open(term_src).read())
+        idx = build_index_df(spark, concepts_df_from_records(spark, concepts),
+                             compact=True)
+        nc = NC(idx, cfg, ctx)
+    elif term_src.endswith(".obo"):
         nc = NobleCoderSpark.from_obo(spark, open(term_src).read(), cfg=cfg,
                                       context=ctx)
     else:
@@ -222,6 +244,10 @@ def main() -> None:
               "partial-match"):
         results[m] = compare(run_reference(method=m),
                              run_spark(spark, method=m), m)
+    # compacted rare-word index (disk-backed import + ignoreUsedWords off)
+    results["compact"] = compare(run_reference(method="compact"),
+                                 run_spark(spark, method="compact"),
+                                 "compact")
     json.dump(results, open(f"{REPO}/JAVA_PARITY.json", "w"), indent=1)
     print("JAVA_PARITY.json written")
 

@@ -24,15 +24,18 @@ public class RefDriver {
     public static void main(String[] args) throws Exception {
         NobleCoderTerminology.setPersistenceDirectory(
                 new File("/tmp/noble_terms"));  // keep JDBM spill in /tmp
+        boolean compact = args.length > 3 && "compact".equals(args[3]);
         ConceptImporter imp = ConceptImporter.getInstance();
-        imp.setInMemory(true);
+        // compaction needs file-backed storage (temp word files)
+        imp.setInMemory(!compact);
+        imp.setCompact(compact);
         NobleCoderTerminology term = new NobleCoderTerminology();
         if (args[0].endsWith(".obo"))
             imp.loadOBO(term, new File(args[0]));
         else
             imp.loadRRF(term, new File(args[0]));  // dir of MRCONSO.RRF etc
         term.setSelectBestCandidate(true);  // batch pipeline default (NobleCoder.java:61)
-        if (args.length > 3 && !"-".equals(args[3]))
+        if (args.length > 3 && !"-".equals(args[3]) && !compact)
             term.setDefaultSearchMethod(args[3]);
 
         NobleCoder nc = new NobleCoder(term);
