@@ -42,6 +42,7 @@ from nobletools_spark.operators.dedup import (
     minhash_coeffs,
     minhash_lsh_pairs,
     simhash,
+    dedup_clusters,
     embedding_dup_pairs,
     with_near_duplicates,
 )
@@ -217,6 +218,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):
                              threshold=_LSH_JACCARD_T)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering over the planted-duplicate corpus: one row
+    per document with its cluster id and keep flag (the dedup decision
+    a training pipeline acts on)."""
+    return dedup_clusters(with_near_duplicates(_docs(spark, sf_dir)),
+                          threshold=_LSH_JACCARD_T)
+
+
 def q_dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
@@ -287,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_bag": q_dedup_exact_bag,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -553,7 +563,7 @@ def oracle_sql() -> dict[str, str]:
 
     seed_vals = ", ".join(f"({i}, {a}, {b})"
                           for i, (a, b) in enumerate(minhash_coeffs(16)))
-    sql["dedup_minhash_lsh"] = (
+    mh_pairs_sql = (
         f"WITH aug AS ("
         f" SELECT doc_id::BIGINT AS doc_id, text FROM documents"
         f" UNION ALL"
@@ -585,6 +595,29 @@ def oracle_sql() -> dict[str, str]:
         f" JOIN hh a ON cand.doc_a = a.doc_id"
         f" JOIN hh b ON cand.doc_b = b.doc_id)"
         f" WHERE jaccard >= {_LSH_JACCARD_T}")
+    sql["dedup_minhash_lsh"] = mh_pairs_sql
+
+    # near-dup clustering: components over the SAME pair query via a
+    # recursive CTE (transitive closure + min label), mirroring
+    # dedup_clusters' connected-components + left join to the corpus
+    sql["dedup_clusters"] = (
+        f"WITH RECURSIVE pairs AS ({mh_pairs_sql}), "
+        f"edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs"
+        f" UNION SELECT doc_b, doc_a FROM pairs), "
+        f"reach(node, r) AS ("
+        f" SELECT a, b FROM edges"
+        f" UNION"
+        f" SELECT reach.node, edges.b FROM reach"
+        f" JOIN edges ON reach.r = edges.a), "
+        f"comp AS (SELECT node, min(r) AS mn FROM reach GROUP BY node), "
+        f"alldocs AS (SELECT doc_id::BIGINT AS doc_id FROM documents"
+        f" UNION ALL SELECT doc_id::BIGINT + {NEAR_DUP_ID_OFFSET}"
+        f" FROM documents) "
+        f"SELECT d.doc_id,"
+        f" coalesce(least(comp.mn, d.doc_id), d.doc_id) AS cluster_id,"
+        f" (d.doc_id = coalesce(least(comp.mn, d.doc_id), d.doc_id))"
+        f" AS keep"
+        f" FROM alldocs d LEFT JOIN comp ON d.doc_id = comp.node")
 
     vsum = ", ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"

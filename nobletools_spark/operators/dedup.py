@@ -323,3 +323,35 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.98,
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"), cos.alias("cos"))
             .filter(F.col("cos") >= threshold))
+
+
+def dedup_clusters(docs: DataFrame, n: int = 3, num_hashes: int = 16,
+                   bands: int = 4, threshold: float = 0.125,
+                   max_bucket: int = 64) -> DataFrame:
+    """The dedup DECISION step: near-duplicate pairs
+    (minhash_lsh_pairs) → undirected connected components → one row per
+    document (doc_id, cluster_id, keep) where cluster_id is the min
+    doc_id of the near-dup cluster and keep marks its canonical
+    representative. Downstream training-data pipelines anti-join on
+    keep=false.
+
+    Scale shape: the pair table is tiny relative to the corpus (only
+    near-dups), so the component computation runs on edges only
+    (iterative min-label propagation, O(cluster diameter) rounds —
+    near-dup clusters are shallow; GraphFrames swap documented in
+    operators/canonical.py) and joins back to the corpus once,
+    broadcast when the dup set is small."""
+    from nobletools_spark.operators.canonical import connected_components
+
+    pairs = minhash_lsh_pairs(docs, n, num_hashes, bands, threshold,
+                              max_bucket)
+    edges = pairs.select(F.col("doc_a").alias("a"),
+                         F.col("doc_b").alias("b"))
+    comp = connected_components(edges) \
+        .withColumnRenamed("node", "doc_id")
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    return (base.join(comp, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.least("component", "doc_id"),
+                               F.col("doc_id")).alias("cluster_id"))
+            .withColumn("keep", F.col("doc_id") == F.col("cluster_id")))

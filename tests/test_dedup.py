@@ -39,3 +39,29 @@ def test_jaccard_cap_plan_uses_broadcast_anti_join(spark):
     plan = jaccard_pairs(docs, max_group=10)._jdf.queryExecution() \
         .optimizedPlan().toString()
     assert "LeftAnti" in plan
+
+
+def test_dedup_clusters_planted(spark):
+    """Planted near-dups cluster with their source; originals keep."""
+    from nobletools_spark.operators.dedup import (
+        NEAR_DUP_ID_OFFSET,
+        dedup_clusters,
+        with_near_duplicates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(50)
+    out = {r.doc_id: r for r in
+           dedup_clusters(with_near_duplicates(docs),
+                          threshold=0.5).collect()}
+    n_orig = 50
+    assert len(out) == 2 * n_orig
+    clustered = 0
+    for doc_id, r in out.items():
+        if doc_id >= NEAR_DUP_ID_OFFSET:
+            src = doc_id - NEAR_DUP_ID_OFFSET
+            if r.cluster_id == src:
+                clustered += 1
+                assert not r.keep                   # clone never keeps
+                assert out[src].keep                # original does
+    assert clustered >= n_orig * 0.9                # LSH recall on plants
