@@ -18,11 +18,35 @@ from nobletools_spark.functions.hashing import HASH_MOD, h64
 
 # Stop-word lists for the language-ID voting heuristic. Deterministic,
 # tiny, broadcast as literals inside the plan (no lookup table needed).
+# Top function words per language (public frequency lists) — the voting
+# signal. Overlapping words across languages are expected; the argmax
+# cascade resolves them. Both the Spark expression and the DuckDB oracle
+# are generated from this one table.
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "a", "of", "and", "to", "in", "is"),
-    "de": ("der", "die", "das", "und", "ist", "nicht"),
-    "es": ("el", "los", "las", "y", "es", "que"),
-    "fr": ("le", "les", "et", "est", "une", "dans"),
+    "en": ("the", "a", "an", "of", "and", "to", "in", "is", "that", "it",
+           "for", "on", "with", "as", "was", "at", "by", "be", "this",
+           "are", "from", "or", "not", "but"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+           "zu", "den", "von", "mit", "auf", "für", "im", "des", "dem",
+           "sich", "auch", "es", "als", "wie", "aus", "wird"),
+    "es": ("el", "la", "los", "las", "y", "es", "que", "en", "un", "una",
+           "del", "se", "no", "con", "por", "para", "su", "al", "lo",
+           "como", "más", "pero", "sus", "le"),
+    "fr": ("le", "la", "les", "et", "est", "une", "un", "dans", "des",
+           "du", "que", "qui", "ne", "pas", "pour", "sur", "se", "ce",
+           "il", "au", "plus", "par", "avec", "son"),
+    "it": ("il", "lo", "le", "gli", "che", "di", "un", "una", "per",
+           "non", "con", "si", "da", "come", "del", "della", "dei",
+           "al", "ma", "anche", "più", "nel", "sono", "alla"),
+    "nl": ("de", "het", "een", "en", "niet", "van", "dat", "die", "op",
+           "te", "met", "voor", "aan", "er", "maar", "als", "ook", "om",
+           "bij", "naar", "dan", "zijn", "uit", "worden"),
+    "pt": ("o", "os", "as", "é", "em", "um", "uma", "do", "da", "dos",
+           "das", "não", "com", "para", "por", "se", "no", "na", "mais",
+           "ao", "seu", "sua", "ou", "quando"),
+    "sv": ("och", "att", "det", "som", "en", "ett", "är", "av", "på",
+           "med", "den", "till", "inte", "om", "har", "jag", "du",
+           "han", "var", "men", "sig", "efter", "vid", "kan"),
 }
 LANGS = tuple(sorted(LANG_STOPWORDS))  # deterministic cascade order
 

@@ -65,3 +65,24 @@ def test_dedup_clusters_planted(spark):
                 assert not r.keep                   # clone never keeps
                 assert out[src].keep                # original does
     assert clustered >= n_orig * 0.9                # LSH recall on plants
+
+
+def test_lang_id_discriminates_eight_languages(spark):
+    from nobletools_spark.operators.textstats import lang_id
+
+    samples = [
+        (0, "the cat sat on the mat and it was not a dog", "en"),
+        (1, "der hund ist nicht auf der straße und die katze", "de"),
+        (2, "el perro no es un gato y la casa es grande", "es"),
+        (3, "le chien est dans la maison et il ne dort pas", "fr"),
+        (4, "il cane non è un gatto ma anche la casa è grande", "it"),
+        (5, "de hond is niet een kat maar ook het huis", "nl"),
+        (6, "o cão não é um gato e a casa é grande", "pt"),
+        (7, "hunden är inte en katt och det är ett stort hus", "sv"),
+        (8, "zxqv wvutk pqrs", "und"),
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t, _ in samples],
+                                 "doc_id long, text string")
+    got = {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}
+    for i, _t, want in samples:
+        assert got[i] == want, (i, got[i], want)
