@@ -47,3 +47,36 @@ def start_mentions_sink(mentions_stream: DataFrame, out_path: str,
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def streaming_exact_dedup(docs_stream: DataFrame,
+                          ts_col: str = "ingest_ts",
+                          watermark: str = "10 minutes",
+                          by: str = "content") -> DataFrame:
+    """Streaming exact-dedup on ingest: drop re-arriving duplicate
+    documents within the watermark horizon — ``dropDuplicates`` over the
+    content signature keyed with an event-time watermark so the
+    signature state store is BOUNDED (without the watermark the state
+    grows with the corpus forever; at 100 TB/day that is the difference
+    between a working stream and an OOM). Exact batch counterpart:
+    ``operators.dedup.exact_dedup``.
+
+    ``by``: 'content' (raw text md5) or 'bag' (sorted distinct token
+    set). Late duplicates beyond the watermark are passed through —
+    downstream batch dedup (dedup_clusters) is the safety net, the
+    standard lambda-ish split for ingest pipelines."""
+    from pyspark.sql import functions as F
+
+    if by == "content":
+        sig = F.md5(F.col("text"))
+    elif by == "bag":
+        sig = F.md5(F.concat_ws(" ", F.array_sort(
+            F.array_distinct(F.split(F.col("text"), " ")))))
+    else:
+        raise ValueError(by)
+    return (docs_stream
+            .withColumn("_sig", sig)
+            .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicates(["_sig"])
+            .drop("_sig"))

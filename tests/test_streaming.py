@@ -237,3 +237,30 @@ def test_embedding_dup_lsh_buckets(spark):
     assert lsh_pairs
     for r in lsh_pairs:
         assert r.cos >= 0.3 and r.vec_a < r.vec_b
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Duplicate documents arriving in the stream are dropped once the
+    first copy is seen (state bounded by the watermark); distinct
+    documents all pass."""
+    from pyspark.sql import functions as F
+
+    from nobletools_spark.streaming.stream import streaming_exact_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "2024-01-01 10:00:00"),
+         (2, "alpha beta gamma", "2024-01-01 10:01:00"),   # dup of 1
+         (3, "delta epsilon", "2024-01-01 10:02:00"),
+         (4, "gamma beta alpha", "2024-01-01 10:03:00")],  # bag-dup of 1
+        "doc_id long, text string, ingest_ts string") \
+        .withColumn("ingest_ts", F.col("ingest_ts").cast("timestamp"))
+    in_path = str(tmp_path / "sdd_in")
+    docs.coalesce(1).write.parquet(in_path)
+    stream = spark.readStream.schema(docs.schema).parquet(in_path)
+    q = (streaming_exact_dedup(stream, by="bag")
+         .writeStream.format("memory").queryName("sdd_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.sql("select * from sdd_out").collect()}
+    assert 3 in got                       # distinct passes
+    assert len(got & {1, 2, 4}) == 1      # one survivor per dup group
