@@ -190,3 +190,51 @@ def write_fixture_rrf(path: str, mrconso: list[tuple], mrsty: list[tuple],
         dump("MRDEF.RRF", mrdef, 6)
     if mrsab:
         dump("MRSAB.RRF", mrsab, 24)
+
+
+def concepts_from_sql(spark, url: str, table: str,
+                      properties: dict | None = None,
+                      partition_column: str | None = None,
+                      num_partitions: int = 8):
+    """JDBC terminology source (SURVEY §2.1 optional row; the reference's
+    SQL-database terminology lives behind its repository abstraction).
+    Reads a relational concepts table via ``spark.read.jdbc`` and
+    projects it into build_index_df's input schema with
+    ``concepts_from_sql_df``. Expected columns: cui, name, and either
+    array or '|'-joined string columns for synonyms/semtypes/sources.
+
+    ``partition_column`` + ``num_partitions`` split the read for large
+    vocabularies (JDBC reads are single-threaded otherwise)."""
+    reader = spark.read
+    kwargs = {"url": url, "table": table,
+              "properties": properties or {}}
+    if partition_column is not None:
+        bounds = spark.read.jdbc(
+            url, f"(SELECT min({partition_column}) lo,"
+                 f" max({partition_column}) hi FROM {table}) b",
+            properties=properties or {}).first()
+        kwargs.update(column=partition_column, lowerBound=bounds["lo"],
+                      upperBound=bounds["hi"], numPartitions=num_partitions)
+    return concepts_from_sql_df(reader.jdbc(**kwargs))
+
+
+def concepts_from_sql_df(df: DataFrame) -> DataFrame:
+    """Normalize a relational concepts table (array OR '|'-delimited
+    string list columns) into build_index_df's input schema — the
+    testable core of the JDBC source."""
+    from pyspark.sql import types as T
+
+    def as_array(col: str) -> F.Column:
+        if col not in df.columns:
+            return F.array().cast("array<string>")
+        if isinstance(df.schema[col].dataType, T.ArrayType):
+            return F.col(col)
+        return F.filter(F.split(F.coalesce(F.col(col), F.lit("")), r"\|"),
+                        lambda x: x != "")
+    return df.select(
+        F.col("cui").cast("string").alias("cui"),
+        F.coalesce(F.col("name"),
+                   F.element_at(as_array("synonyms"), 1)).alias("name"),
+        as_array("synonyms").alias("synonyms"),
+        as_array("semtypes").alias("semtypes"),
+        as_array("sources").alias("sources"))

@@ -274,3 +274,26 @@ def test_code_map_first_wins():
     assert idx.code_map["X1"] == "C1"
     assert idx.code_map["X2"] == "C2"
     assert idx.lookup_by_code("X2").cui == "C2"
+
+
+def test_concepts_from_sql_df(spark):
+    """JDBC-source projection: pipe-delimited string list columns (the
+    relational shape) normalize into the index-builder schema and build
+    a working index."""
+    from nobletools_spark.index import build_index_df
+    from nobletools_spark.sources.rrf import concepts_from_sql_df
+
+    rel = spark.createDataFrame(
+        [("C1", "Melanoma", "Melanoma|Malignant Melanoma", "T191", "TST"),
+         ("C2", None, "Neoplasm", None, "TST|ALT")],
+        "cui string, name string, synonyms string, semtypes string, "
+        "sources string")
+    out = concepts_from_sql_df(rel)
+    rows = {r.cui: r for r in out.collect()}
+    assert rows["C1"].synonyms == ["Melanoma", "Malignant Melanoma"]
+    assert rows["C2"].name == "Neoplasm"        # falls back to synonym 1
+    assert rows["C2"].sources == ["TST", "ALT"]
+    assert rows["C2"].semtypes == []
+    idx = build_index_df(spark, out)
+    assert idx.lookup_by_code("C1").name == "Melanoma"
+    assert "melanoma" in idx.term_cuis
