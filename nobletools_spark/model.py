@@ -33,6 +33,8 @@ class ConceptMeta(NamedTuple):
     #   (Concept.getCodes; cross-source codes ConceptImporter.java:877)
 
 
+_FOR_SEARCH_CACHE: dict = {}  # frozen dataclass ⇒ hashable key
+
 BEST_MATCH = "best-match"
 ALL_MATCH = "all-match"
 PRECISE_MATCH = "precise-match"
@@ -72,7 +74,18 @@ class MatchConfig:
     semtype_filter: tuple[str, ...] = ()
 
     def for_search(self) -> "MatchConfig":
-        """Apply setupSearch flag fixing (NobleCoderTerminology.java:1168-1211)."""
+        """Apply setupSearch flag fixing (NobleCoderTerminology.java:
+        1168-1211). Memoized per config value — the kernel calls this
+        once per sentence and the dataclasses.replace chain costs ~15%%
+        of matcher CPU otherwise."""
+        hit = _FOR_SEARCH_CACHE.get(self)
+        if hit is not None:
+            return hit
+        out = self._compute_for_search()
+        _FOR_SEARCH_CACHE[self] = out
+        return out
+
+    def _compute_for_search(self) -> "MatchConfig":
         m = self.search_method
         if m == BEST_MATCH:
             cfg = replace(self, subsumption_mode=True, overlap_mode=True,
