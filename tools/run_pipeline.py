@@ -92,6 +92,17 @@ def main() -> None:
     ctx = default_context_index() if args.context else None
 
     docs = spark.read.parquet(args.input)
+    if "spans" not in docs.columns and "text" in docs.columns:
+        # flat (doc_id, text) table → wrap into the interleaved spans
+        # schema so plain corpora run without a conversion step
+        from pyspark.sql import functions as F
+
+        docs = docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.array(F.struct(
+                F.lit("text").alias("kind"), F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"))).alias("spans"))
     pipe = Pipeline(args.output,
                     kg_stages(index, context=ctx, cfg=cfg,
                               cooccurrence_salt=args.salt))
