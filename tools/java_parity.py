@@ -133,6 +133,14 @@ ADVERSARIAL = (
     "Skin margin of the deep skin margins; the skin of the margin.",
     "History of melanoma. No evidence of nasal septum deviation but "
     "melanoma was seen.",
+    "Protégé software was used for the ontology review.",
+    "MELANOMA MELANOMA melanoma Melanoma.",
+    "The deep    margin  has   extra   spacing between words.",
+    "melanoma",
+    "Tumor stage: stage iv. PART 1: melanoma. PARTS 2 AND 3: margins.",
+    "Margins ( )  involved  (X)  not involved",
+    "**NAME[Case-3] reviewed by **DATE[Jan 5 2020] 1200 melanoma",
+    "Churches and churches; a church. Fish under the FISH method.",
 )
 
 
