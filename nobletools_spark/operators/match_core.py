@@ -539,7 +539,11 @@ def acronym_pass(sentences: list[tuple[str, int, list[Mention]]],
                             else:
                                 code_to_add = None
                     if code_to_add is not None:
+                        # propagated mentions carry the fresh concept's
+                        # default score 0.0 (AcronymDetector builds the
+                        # Mention from an unscored Concept) — verified
+                        # against the compiled reference (score leg)
                         mentions.append(Mention(
-                            code_to_add, acronym, acronym, 1.0,
+                            code_to_add, acronym, acronym, 0.0,
                             [(acronym, am.start())], text))
     return acronyms

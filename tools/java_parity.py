@@ -157,9 +157,10 @@ def run_reference(mode: str | None = None,
     subprocess.run(cmd, check=True, capture_output=True)
     out = set()
     for line in open(REF_TSV):
-        doc, st, en, code, _text, mods = \
-            (line.rstrip("\n").split("\t") + [""])[:6]
-        key = (doc[:-4], int(st), int(en), code)
+        doc, st, en, code, _text, mods, score = \
+            (line.rstrip("\n").split("\t") + ["", "0"])[:7]
+        key = (doc[:-4], int(st), int(en), code,
+               round(float(score or 0), 6))
         if mode is not None:
             key += (tuple(sorted(m for m in mods.split(";") if m)),)
         out.add(key)
@@ -202,7 +203,7 @@ def run_spark(spark, mode: str | None = None,
     docs = spark.createDataFrame(rows, SPANS_DDL)
     out = set()
     for r in nc.annotate(docs, negex=(mode == "negex")).collect():
-        key = (r.doc_id, r.start, r.end, r.cui)
+        key = (r.doc_id, r.start, r.end, r.cui, round(r.score, 6))
         if mode is not None:
             key += (tuple(sorted(f"{k}={v}"
                                  for k, v in r.modifiers.items())),)

@@ -71,7 +71,8 @@ public class RefDriver {
                     out.println(f.getName() + "\t" + m.getStartPosition()
                             + "\t" + m.getEndPosition() + "\t"
                             + m.getConcept().getCode() + "\t"
-                            + m.getText() + "\t" + mods);
+                            + m.getText() + "\t" + mods + "\t"
+                            + m.getConcept().getScore());
                 }
             }
         }
