@@ -211,6 +211,42 @@ def run_spark(spark, mode: str | None = None,
     return out
 
 
+def run_reference_docproc() -> set:
+    import shutil
+    shutil.rmtree("/tmp/noble_terms", ignore_errors=True)
+    subprocess.run(["java", "-cp", CP, "RefDriver", OBO, DOCS, REF_TSV,
+                    "-", "docproc"], check=True, capture_output=True)
+    out = set()
+    for line in open(REF_TSV):
+        doc, off, typ, sec = (line.rstrip("\n").split("\t") + [""])[:4]
+        out.add((doc[:-4], int(off), typ, sec))
+    return out
+
+
+def run_local_docproc() -> set:
+    """Sentence boundaries, types, and section assignment from the SAME
+    kernel the Spark UDF calls (functions/docproc) — mention offsets pin
+    segmentation where mentions exist; this leg pins it everywhere."""
+    from nobletools_spark.functions import docproc
+
+    out = set()
+    for fn in sorted(os.listdir(DOCS)):
+        if not fn.endswith(".txt"):
+            continue
+        text = open(f"{DOCS}/{fn}", encoding="utf-8").read()
+        parsed = docproc.process_document_text(text, 0)
+        secs = sorted(parsed.sections, key=lambda s: s.title_offset)
+        for _t, off, typ in parsed.sentences:
+            title = ""
+            for s in secs:
+                if s.title_offset <= off:
+                    title = s.title
+                else:
+                    break
+            out.add((fn[:-4], off, typ, title))
+    return out
+
+
 def compare(ref: set, eng: set, label: str) -> dict:
     tp = len(ref & eng)
     precision = tp / len(eng) if eng else 0.0
@@ -257,6 +293,10 @@ def main() -> None:
     results["compact"] = compare(run_reference(method="compact"),
                                  run_spark(spark, method="compact"),
                                  "compact")
+    # document-processor leg: sentence boundaries + types + section
+    # assignment for EVERY sentence, mentions aside
+    results["docproc"] = compare(run_reference_docproc(),
+                                 run_local_docproc(), "docproc")
     json.dump(results, open(f"{REPO}/JAVA_PARITY.json", "w"), indent=1)
     print("JAVA_PARITY.json written")
 

@@ -40,8 +40,9 @@ public class RefDriver {
 
         NobleCoder nc = new NobleCoder(term);
         boolean negex = args.length > 4 && "negex".equals(args[4]);
+        boolean docproc = args.length > 4 && "docproc".equals(args[4]);
         ConText ctx = null;
-        if (args.length > 4 && !negex) {
+        if (args.length > 4 && !negex && !docproc) {
             ctx = new ConText(OOntology.loadOntology(new File(args[4])));
             nc.setContextDetection(true);
             nc.setConText(ctx);
@@ -57,6 +58,15 @@ public class RefDriver {
             if (!f.getName().endsWith(".txt"))
                 continue;
             Document doc = nc.process(f);
+            if (docproc) {
+                for (Sentence s : doc.getSentences()) {
+                    String sec = s.getSection() != null
+                            ? s.getSection().getTitle() : "";
+                    out.println(f.getName() + "\t" + s.getOffset() + "\t"
+                            + s.getSentenceType() + "\t" + sec);
+                }
+                continue;
+            }
             for (Sentence s : doc.getSentences()) {
                 if (ng != null)
                     ng.process(s);
