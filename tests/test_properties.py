@@ -111,3 +111,52 @@ def test_scoring_sign_and_ordering():
     meta_multi = ConceptMeta("C3", "fish", ("fish",), (), ("S1", "S2", "S3"))
     assert _score_concept(meta_multi, "fish", "fish", "fish swim",
                           set()) > s_exact
+
+
+def test_png_codec_round_trip_property():
+    """decode(encode(raw)) == raw for random images across sizes,
+    channel counts, and per-row filter choices (all five types)."""
+    from hypothesis import given, settings, strategies as st
+
+    from nobletools_spark.operators.multimodal import decode_png
+    from tests.test_multimodal import _make_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def inner(data):
+        w = data.draw(st.integers(1, 9))
+        h = data.draw(st.integers(1, 7))
+        ch = data.draw(st.sampled_from([1, 3, 4]))
+        raw = bytes(data.draw(st.lists(
+            st.integers(0, 255), min_size=w * h * ch,
+            max_size=w * h * ch)))
+        filters = data.draw(st.lists(st.integers(0, 4),
+                                     min_size=h, max_size=h))
+        got_w, got_h, got_ch, got = decode_png(
+            _make_png(w, h, ch, raw, filters=filters))
+        assert (got_w, got_h, got_ch) == (w, h, ch)
+        assert got == raw
+
+    inner()
+
+
+def test_bmp_codec_round_trip_property():
+    from hypothesis import given, settings, strategies as st
+
+    from nobletools_spark.operators.multimodal import decode_bmp
+    from tests.test_multimodal import _make_bmp
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def inner(data):
+        w = data.draw(st.integers(1, 8))
+        h = data.draw(st.integers(1, 6))
+        rows = [[tuple(data.draw(st.lists(st.integers(0, 255),
+                                          min_size=3, max_size=3)))
+                 for _ in range(w)] for _ in range(h)]
+        got_w, got_h, ch, px = decode_bmp(_make_bmp(w, h, rows))
+        assert (got_w, got_h, ch) == (w, h, 3)
+        flat = b"".join(bytes(p) for row in rows for p in row)
+        assert px == flat
+
+    inner()

@@ -39,7 +39,15 @@ REF_TSV = "/tmp/parity_ref.tsv"
 
 
 def compile_reference() -> None:
-    if os.path.exists(f"{CLS}/RefDriver.class"):
+    drv_src = f"{REPO}/tools/javaref/RefDriver.java"
+    cls = f"{CLS}/RefDriver.class"
+    if os.path.exists(cls) and \
+            os.path.getmtime(cls) >= os.path.getmtime(drv_src):
+        return
+    if os.path.exists(cls):   # driver changed: recompile just RefDriver
+        subprocess.run(
+            ["javac", "-encoding", "UTF-8", "-cp", CP, "-d", CLS, drv_src],
+            check=True)
         return
     srcs = subprocess.run(
         ["find", f"{REF}/src/main/java", "-name", "*.java"],
