@@ -51,9 +51,12 @@ from nobletools_spark.operators.similarity import cosine_topk, hyperplanes, lsh_
 from nobletools_spark.operators.textstats import (
     LANG_STOPWORDS,
     LANGS,
+    PII_PATTERNS,
     fingerprints,
     lang_id,
+    pii_scrub,
     quality_score,
+    sample_by_hash,
     token_stats,
 )
 from nobletools_spark.operators.triples import (
@@ -192,6 +195,32 @@ def q_text_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+_PII_SUFFIX = (" contact a.b@example.com or 555-123-4567 ssn 123-45-6789"
+               " ip 10.0.0.1")
+
+
+def _docs_with_pii(spark, sf_dir):
+    """Deterministic PII augmentation (derived purely from doc_id, no
+    external data): every 7th document gains a synthetic contact tail so
+    the scrubber has real work at every scale factor."""
+    d = _docs(spark, sf_dir)
+    return d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(_PII_SUFFIX)))
+        .otherwise(F.col("text")))
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    return pii_scrub(_docs_with_pii(spark, sf_dir))
+
+
+def q_text_sample(spark, sf_dir):
+    """Deterministic hash sampling at 25% — stable across runs,
+    partitionings, and engines (reproducible corpus subsets)."""
+    return sample_by_hash(_docs(spark, sf_dir), 0.25)         .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+
 def q_events_rollup(spark, sf_dir):
     from nobletools_spark.operators.events import daily_rollup
 
@@ -291,6 +320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprints": q_text_fingerprints,
+        "text_pii_scrub": q_text_pii_scrub,
+        "text_sample": q_text_sample,
         "events_rollup": q_events_rollup,
         "events_sessionize": q_events_sessionize,
         "dedup_exact_bag": q_dedup_exact_bag,
@@ -506,6 +537,24 @@ def oracle_sql() -> dict[str, str]:
         f" list_transform({toks}, x -> {h64_x})),"
         f" (a, b) -> (a * 31 + b) % 2147483648) AS rolling_h"
         f" FROM documents")
+
+    pii_text = ("CASE WHEN doc_id % 7 = 0 THEN text || '"
+                + _PII_SUFFIX + "' ELSE text END")
+    scrub = pii_text
+    hits = []
+    for pat, repl in PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        hits.append(f"len(regexp_extract_all({scrub}, '{esc}'))")
+        scrub = f"regexp_replace({scrub}, '{esc}', '{repl}', 'g')"
+    sql["text_pii_scrub"] = (
+        f"SELECT doc_id::BIGINT AS doc_id, {scrub} AS text,"
+        f" ({' + '.join(hits)})::BIGINT AS n_pii FROM documents")
+
+    thresh = int(0.25 * (1 << 32))
+    sql["text_sample"] = (
+        f"SELECT doc_id::BIGINT AS doc_id, text FROM documents"
+        f" WHERE (('0x' || substring(md5('s0' || doc_id::VARCHAR), 1, 8))"
+        f"::UBIGINT)::BIGINT < {thresh}")
 
     sql["events_rollup"] = (
         "SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,"

@@ -150,3 +150,54 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.md5(F.concat_ws(" ", bag)).alias("bag_sig"),
         rolling.alias("rolling_h"),
     )
+
+
+# PII patterns (pure JVM regexp_replace — zero Python in the hot path).
+# Deliberately conservative/deterministic: emails, US-style phone
+# numbers, SSNs, IPv4s, and long digit runs (card-like). The clinical
+# **TAG[...]** DeID convention is handled separately by
+# functions/textkit.filter_deid_tags (length-preserving).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    # no leading \b: it cannot assert before '(' (both sides non-word),
+    # and RE2 (the DuckDB oracle engine) has no lookbehind alternative
+    (r"(?:\+?1[-. ])?(?:\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}\b",
+     "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{13,19}\b", "<NUMBER>"),
+)
+
+
+def pii_scrub(docs: DataFrame,
+              patterns: tuple[tuple[str, str], ...] = PII_PATTERNS
+              ) -> DataFrame:
+    """Corpus-scale PII scrubbing: chained ``regexp_replace`` over the
+    text column (whole-stage codegen, no shuffle, no Python) plus a
+    per-document count of replacements made — (doc_id, text, n_pii).
+    The count is computed as the token-length delta of each rewrite
+    round so the scan stays single-pass per pattern."""
+    out = F.col("text")
+    hits = F.lit(0).cast("long")
+    for pat, repl in patterns:
+        hits = hits + F.size(F.split(out, pat)) - 1
+        out = F.regexp_replace(out, pat, repl)
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       out.alias("text"), hits.alias("n_pii"))
+
+
+def sample_by_hash(docs: DataFrame, rate: float,
+                   key: str = "doc_id", salt: str = "s0") -> DataFrame:
+    """Deterministic reproducible sampling: keep a document iff the
+    first 8 md5 hex digits of (salt || key) fall under ``rate`` of the
+    32-bit space. Unlike ``DataFrame.sample`` this is stable across
+    runs, partitionings, and engines (the DuckDB oracle reproduces it
+    bit-exactly) — the property a training-corpus subset needs for
+    reproducibility. Adding documents never changes the verdict for
+    existing ones (pure function of the key), so incremental corpus
+    builds stay consistent."""
+    threshold = int(rate * (1 << 32))
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 8),
+        16, 10).cast("long")
+    return docs.filter(h < F.lit(threshold))

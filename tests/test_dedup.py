@@ -2,6 +2,7 @@
 pin the skew/cap semantics that only show on adversarial fixtures)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def _docs(spark, rows):
@@ -86,3 +87,38 @@ def test_lang_id_discriminates_eight_languages(spark):
     got = {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}
     for i, _t, want in samples:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_pii_scrub(spark):
+    from nobletools_spark.operators.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(1, "email j.doe@example.com phone (412) 555-1234 ok"),
+         (2, "ssn 123-45-6789 ip 192.168.0.1 card 4111111111111111"),
+         (3, "nothing sensitive here")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert out[1].text == "email <EMAIL> phone <PHONE> ok"
+    assert out[1].n_pii == 2
+    assert out[2].text == "ssn <SSN> ip <IP> card <NUMBER>"
+    assert out[2].n_pii == 3
+    assert out[3].text == "nothing sensitive here" and out[3].n_pii == 0
+
+
+def test_sample_by_hash_deterministic_and_stable(spark):
+    """Same keys always get the same verdict: repeated runs agree, the
+    kept set is a subset relation under growing rate, and adding rows
+    never flips existing ones."""
+    from nobletools_spark.operators.textstats import sample_by_hash
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"),
+                                    F.lit("x").alias("text"))
+    a = {r.doc_id for r in sample_by_hash(docs, 0.2).collect()}
+    b = {r.doc_id for r in sample_by_hash(docs, 0.2).collect()}
+    assert a == b and 0.15 < len(a) / 2000 < 0.25
+    wider = {r.doc_id for r in sample_by_hash(docs, 0.5).collect()}
+    assert a <= wider
+    grown = spark.range(4000).select(F.col("id").alias("doc_id"),
+                                     F.lit("x").alias("text"))
+    g = {r.doc_id for r in sample_by_hash(grown, 0.2).collect()}
+    assert {d for d in g if d < 2000} == a
