@@ -217,3 +217,32 @@ def test_connected_components_nonconvergence_raises(spark):
     labels = {r.node: r.component
               for r in connected_components(edges, max_iter=30).collect()}
     assert set(labels.values()) == {"C000"}
+
+
+def test_annotate_edge_inputs(spark):
+    """Degenerate rows that appear in any real 100 TB corpus — empty or
+    null spans/text, media-only documents, whitespace, 50k-word
+    sentences, unicode — must pass through the distributed path without
+    errors and with sane results."""
+    from nobletools_spark.operators.matcher import annotate
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+
+    rows = [
+        ("empty", []),
+        ("none", None),
+        ("emptytext", [("text", "", None, 0)]),
+        ("nulltext", [("text", None, None, 0)]),
+        ("mediaonly", [("media", None, "m://x", 0)]),
+        ("ws", [("text", "   \n\t  ", None, 0)]),
+        ("huge", [("text", "melanoma " + "word " * 50000, None, 0)]),
+        ("nodot", [("text", "melanoma", None, 0)]),
+        ("uni", [("text", "mélanoma Protégé ♥ melanoma.", None, 0)]),
+    ]
+    docs = spark.createDataFrame(rows, SPANS_DDL)
+    got = annotate(docs, pytest_index(), CFG).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {"huge", "nodot", "uni"}
+    assert by_doc["nodot"][0].cui == "C013"
+    assert all(r.cui == "C013" for r in by_doc["uni"])
