@@ -207,7 +207,8 @@ def _docs_with_pii(spark, sf_dir):
     return d.withColumn(
         "text",
         F.when(F.col("doc_id") % 7 == 0,
-               F.concat(F.col("text"), F.lit(_PII_SUFFIX)))
+               F.concat(F.coalesce(F.col("text"), F.lit("")),
+                        F.lit(_PII_SUFFIX)))
         .otherwise(F.col("text")))
 
 
@@ -538,8 +539,8 @@ def oracle_sql() -> dict[str, str]:
         f" (a, b) -> (a * 31 + b) % 2147483648) AS rolling_h"
         f" FROM documents")
 
-    pii_text = ("CASE WHEN doc_id % 7 = 0 THEN text || '"
-                + _PII_SUFFIX + "' ELSE text END")
+    pii_text = ("CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') || '"
+                + _PII_SUFFIX + "' ELSE coalesce(text, '') END")
     scrub = pii_text
     hits = []
     for pat, repl in PII_PATTERNS:

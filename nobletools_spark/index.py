@@ -266,7 +266,13 @@ def build_index_df(spark, concepts_df, compact: bool = False,
     has_codes = "codes" in concepts_df.columns
     meta_cols = ["cui", "name", "synonyms", "semtypes", "sources"] \
         + (["codes"] if has_codes else [])
-    meta_rows = concepts_df.select(*meta_cols).collect()
+    # sort collected rows by cui: dict insertion order feeds the
+    # first-wins code_map, and a bare collect() order varies with file
+    # splits/AQE — the local build keeps caller insertion order (the
+    # reference's addConcept order), the distributed build pins a
+    # deterministic one
+    meta_rows = sorted(concepts_df.select(*meta_cols).collect(),
+                       key=lambda r: r["cui"])
 
     term_cuis = {r["term"]: tuple(r["cuis"]) for r in term_cuis_rows}
     metas = {

@@ -185,15 +185,19 @@ def _decode_any(content: bytes) -> tuple[str, int, int, bytes]:
     """(kind, width|channels, height|framerate, payload) — real decode
     when the magic bytes are recognized, fake otherwise."""
     kind = sniff_media(content)
-    if kind == "image/bmp":
-        w, h, _ch, px = decode_bmp(content)
-        return kind, w, h, px
-    if kind == "image/png":
-        w, h, _ch, px = decode_png(content)
-        return kind, w, h, px
-    if kind == "audio/wav":
-        nch, rate, nframes, samples = decode_wav(content)
-        return kind, nch, rate, samples
+    try:
+        if kind == "image/bmp":
+            w, h, _ch, px = decode_bmp(content)
+            return kind, w, h, px
+        if kind == "image/png":
+            w, h, _ch, px = decode_png(content)
+            return kind, w, h, px
+        if kind == "audio/wav":
+            nch, rate, _nframes, samples = decode_wav(content)
+            return kind, nch, rate, samples
+    except Exception:  # noqa: BLE001 — magic matched but body malformed
+        pass           # (truncated/unsupported variant): one bad row must
+        #                not kill a multi-TB stage — fall through to fake
     w, h, px = _fake_decode(content)
     return "image/fake", w, h, px
 
@@ -293,17 +297,21 @@ def extract_features(media_df: DataFrame, dim: int = _FEATURE_DIM) -> DataFrame:
                                            pdf["media_type"], pdf["content"]):
                 raw = bytes(content) if content is not None else b""
                 kind = sniff_media(raw)
-                if kind == "image/bmp":
-                    w, h, ch, px = decode_bmp(raw)
-                    feat = image_features(px, w, h, ch, dim)
-                elif kind == "image/png":
-                    w, h, ch, px = decode_png(raw)
-                    feat = image_features(px, w, h, ch, dim)
-                elif kind == "audio/wav":
-                    nch, rate, _n, samples = decode_wav(raw)
-                    feat = audio_features(samples, nch, rate, dim)
-                    w, h = nch, rate
-                else:
+                feat = None
+                try:
+                    if kind == "image/bmp":
+                        w, h, ch, px = decode_bmp(raw)
+                        feat = image_features(px, w, h, ch, dim)
+                    elif kind == "image/png":
+                        w, h, ch, px = decode_png(raw)
+                        feat = image_features(px, w, h, ch, dim)
+                    elif kind == "audio/wav":
+                        nch, rate, _n, samples = decode_wav(raw)
+                        feat = audio_features(samples, nch, rate, dim)
+                        w, h = nch, rate
+                except Exception:  # noqa: BLE001 — malformed body: fall
+                    feat = None    # through to the hash features below
+                if feat is None:
                     w, h, _ = _fake_decode(raw)
                     d = hashlib.sha256(raw).digest()
                     feat = [d[i % len(d)] / 256.0 for i in range(dim)]

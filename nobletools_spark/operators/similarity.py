@@ -109,7 +109,7 @@ def ivf_topk(emb: DataFrame, n_cells: int = 8, k: int = 3,
                                 lambda x, y: (x - y) * (x - y)),
                      F.lit(0.0), lambda acc, x: acc + x)
     cw = Window.partitionBy("vec_id").orderBy("d2", "cell")
-    probe = (model.transform(feat).select("vec_id", "v", "nrm")
+    probe = (feat.select("vec_id", "v", "nrm")
              .crossJoin(F.broadcast(cdf))
              .withColumn("d2", d2)
              .withColumn("crank", F.row_number().over(cw))

@@ -177,7 +177,7 @@ def pii_scrub(docs: DataFrame,
     per-document count of replacements made — (doc_id, text, n_pii).
     The count is computed as the token-length delta of each rewrite
     round so the scan stays single-pass per pattern."""
-    out = F.col("text")
+    out = F.coalesce(F.col("text"), F.lit(""))  # null text scrubs to ""
     hits = F.lit(0).cast("long")
     for pat, repl in patterns:
         hits = hits + F.size(F.split(out, pat)) - 1

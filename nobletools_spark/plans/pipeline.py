@@ -176,8 +176,11 @@ class Pipeline:
         the stage manifest) are compared — summing across runs would
         falsely report corruption after any recompute into the same
         out_dir."""
-        with open(self._manifest_path(stage)) as f:
-            run_id = json.load(f)["run_id"]
+        try:
+            with open(self._manifest_path(stage)) as f:
+                run_id = json.load(f)["run_id"]
+        except FileNotFoundError:
+            return False  # crashed before/while writing the manifest
         df = spark.read.parquet(f"{self.out_dir}/{stage}")
         now = partition_lineage(df).agg(
             F.sum("rows").alias("rows"),

@@ -74,9 +74,12 @@ def streaming_exact_dedup(docs_stream: DataFrame,
             F.array_distinct(F.split(F.col("text"), " ")))))
     else:
         raise ValueError(by)
+    # dropDuplicatesWithinWatermark: plain dropDuplicates only evicts
+    # state when the event-time column is part of the key — with a
+    # signature-only key the store would grow with the corpus forever
     return (docs_stream
             .withColumn("_sig", sig)
             .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
             .withWatermark(ts_col, watermark)
-            .dropDuplicates(["_sig"])
+            .dropDuplicatesWithinWatermark(["_sig"])
             .drop("_sig"))

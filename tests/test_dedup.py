@@ -122,3 +122,13 @@ def test_sample_by_hash_deterministic_and_stable(spark):
                                      F.lit("x").alias("text"))
     g = {r.doc_id for r in sample_by_hash(grown, 0.2).collect()}
     assert {d for d in g if d < 2000} == a
+
+
+def test_pii_scrub_null_text(spark):
+    from nobletools_spark.operators.textstats import pii_scrub
+
+    docs = spark.createDataFrame([(1, None), (2, "a@b.io x")],
+                                 "doc_id long, text string")
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert out[1].text == "" and out[1].n_pii == 0
+    assert out[2].n_pii == 1

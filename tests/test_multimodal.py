@@ -235,3 +235,28 @@ def test_real_features_spark(spark):
     # RMS separates loud from silent
     assert got["m://loud"][0] == pytest.approx(0.5, abs=1e-3)
     assert got["m://quiet"][0] == pytest.approx(0.0)
+
+
+def test_malformed_recognized_payloads_fall_back(spark):
+    """A payload whose magic bytes match but whose body is truncated or
+    an unsupported variant must fall back to the fake codec, not kill
+    the stage (one bad row in a multi-TB media job)."""
+    from nobletools_spark.operators.multimodal import (
+        decode_media,
+        extract_features,
+    )
+
+    rows = [("m://bmw", "x", b"BMW is not a bitmap at all", {}),
+            ("m://trunc_png", "x", b"\x89PNG\r\n\x1a\n" + b"\x00" * 10, {}),
+            ("m://bad_wav", "x", b"RIFF1234WAVEjunk", {}),
+            ("m://good", "x", _make_bmp(2, 1, [[(9, 9, 9), (1, 1, 1)]]), {})]
+    media = spark.createDataFrame(
+        rows, "media_ref string, media_type string, content binary, "
+              "metadata map<string,string>")
+    got = {r.media_ref: r for r in decode_media(media).collect()}
+    assert len(got) == 4                       # nothing crashed
+    assert got["m://bmw"].media_type == "x"    # fake fallback, type kept
+    assert got["m://good"].media_type == "image/bmp"
+    feats = {r.media_ref: r for r in extract_features(media).collect()}
+    assert len(feats) == 4 and all(len(f.feature) == 16
+                                   for f in feats.values())

@@ -153,3 +153,13 @@ def test_verify_lineage_after_recompute_same_outdir(spark, tmp_path):
     pipe2.run(spark, {"documents": docs}, run_config={"v": 2})
     assert pipe2.verify_lineage(spark, "triples")
     assert pipe2.verify_lineage(spark, "mentions")
+
+
+def test_verify_lineage_missing_manifest_returns_false(spark, tmp_path):
+    out = str(tmp_path / "kg_nomani")
+    docs = synthetic_corpus_df(spark, 10, seed=7)
+    pipe = Pipeline(out, kg_stages(pytest_index(), cfg=MatchConfig()))
+    pipe.run(spark, {"documents": docs}, run_config={"v": 1})
+    os.remove(f"{out}/triples.manifest.json")   # crash between write+manifest
+    assert pipe.verify_lineage(spark, "triples") is False
+    assert pipe.verify_lineage(spark, "mentions") is True
