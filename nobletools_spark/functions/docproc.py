@@ -149,7 +149,12 @@ def split_parts(body: str, body_offset: int = 0) -> list[SectionSpan]:
     the part title is the marker text, the part body starts right after
     the marker. Offsets are document-absolute via ``body_offset``
     (updateOffset parity). Text before the first marker belongs to the
-    parent section, as in the reference."""
+    parent section, as in the reference.
+
+    Like the reference's PartProcessor — which no pipeline in the
+    reference invokes (zero call sites outside its own main) — this is
+    a standalone API, deliberately NOT wired into process_document; the
+    docproc parity leg confirms the default chain matches without it."""
     parts: list[SectionSpan] = []
     prev: tuple[str, int, int] | None = None  # (title, t_off, b_off)
     for mt in _PART_RE.finditer(body):

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, functions as F
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """edges(a, b) undirected → (node, component) with component =
     min node id reachable (lexicographic for strings)."""
+    if max_iter <= 0:
+        raise ValueError(f"max_iter must be positive, got {max_iter}")
     sym = (edges.select(F.col("a"), F.col("b"))
            .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
            .filter(F.col("a") != F.col("b"))

@@ -244,10 +244,9 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 16,
                .select("doc_id", F.col("bk.band").alias("band"),
                        F.col("bk.bkey").alias("bkey")))
     if max_bucket > 0:
-        w = Window.partitionBy("band", "bkey")
-        buckets = (buckets.withColumn("bucket_n", F.count("*").over(w))
-                   .filter(F.col("bucket_n") <= max_bucket)
-                   .drop("bucket_n"))
+        from nobletools_spark.operators.similarity import cap_buckets
+
+        buckets = cap_buckets(buckets, ["band", "bkey"], max_bucket)
     cand = (buckets.alias("x").join(buckets.alias("y"), ["band", "bkey"])
             .filter(F.col("x.doc_id") < F.col("y.doc_id"))
             .select(F.col("x.doc_id").alias("doc_a"),

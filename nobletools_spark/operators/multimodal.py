@@ -90,16 +90,14 @@ def decode_bmp(content: bytes) -> tuple[int, int, int, bytes]:
     bottom_up = h > 0
     h = abs(h)
     row_stride = (w * 3 + 3) & ~3
-    out = bytearray(w * h * 3)
-    for y in range(h):
-        src_y = (h - 1 - y) if bottom_up else y
-        row = content[data_off + src_y * row_stride:
-                      data_off + src_y * row_stride + w * 3]
-        for x in range(w):
-            b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
-            i = (y * w + x) * 3
-            out[i:i + 3] = bytes((r, g, b))
-    return w, h, 3, bytes(out)
+    import numpy as np
+
+    body = np.frombuffer(content, dtype=np.uint8,
+                         count=row_stride * h, offset=data_off)
+    rows = body.reshape(h, row_stride)[:, :w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return w, h, 3, rows[:, :, ::-1].tobytes()  # BGR -> RGB in C
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -160,15 +158,15 @@ def decode_png(content: bytes) -> tuple[int, int, int, bytes]:
     return w, h, ch, bytes(out)
 
 
-def decode_wav(content: bytes) -> tuple[int, int, int, bytes]:
-    """PCM WAV → (n_channels, framerate, n_frames, sample bytes) via the
-    stdlib ``wave`` module."""
+def decode_wav(content: bytes) -> tuple[int, int, int, bytes, int]:
+    """PCM WAV → (n_channels, framerate, n_frames, sample bytes,
+    sample_width_bytes) via the stdlib ``wave`` module."""
     import io
     import wave
 
     with wave.open(io.BytesIO(content)) as wf:
         return (wf.getnchannels(), wf.getframerate(), wf.getnframes(),
-                wf.readframes(wf.getnframes()))
+                wf.readframes(wf.getnframes()), wf.getsampwidth())
 
 
 def sniff_media(content: bytes) -> str:
@@ -193,7 +191,7 @@ def _decode_any(content: bytes) -> tuple[str, int, int, bytes]:
             w, h, _ch, px = decode_png(content)
             return kind, w, h, px
         if kind == "audio/wav":
-            nch, rate, _nframes, samples = decode_wav(content)
+            nch, rate, _nframes, samples, _sw = decode_wav(content)
             return kind, nch, rate, samples
     except Exception:  # noqa: BLE001 — magic matched but body malformed
         pass           # (truncated/unsupported variant): one bad row must
@@ -213,6 +211,7 @@ def decode_media(media_df: DataFrame, decoder: str = "auto") -> DataFrame:
         raise ValueError(decoder)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = None
         if decoder == "pil":
             try:
                 from PIL import Image  # noqa: F401
@@ -228,6 +227,13 @@ def decode_media(media_df: DataFrame, decoder: str = "auto") -> DataFrame:
                 if decoder == "auto":
                     kind, w, h, px = _decode_any(raw)
                     mtype = kind if kind != "image/fake" else mtype
+                elif decoder == "pil":  # pragma: no cover - env-dependent
+                    import io
+
+                    img = Image.open(io.BytesIO(raw))
+                    w, h = img.size
+                    mtype = f"image/{(img.format or 'raw').lower()}"
+                    px = img.tobytes()
                 else:
                     w, h, px = _fake_decode(raw)
                 rows.append((ref, mtype, w, h, px))
@@ -306,7 +312,9 @@ def extract_features(media_df: DataFrame, dim: int = _FEATURE_DIM) -> DataFrame:
                         w, h, ch, px = decode_png(raw)
                         feat = image_features(px, w, h, ch, dim)
                     elif kind == "audio/wav":
-                        nch, rate, _n, samples = decode_wav(raw)
+                        nch, rate, _n, samples, sw = decode_wav(raw)
+                        if sw != 2:   # features assume 16-bit PCM;
+                            raise ValueError("non-16-bit PCM")  # -> fallback
                         feat = audio_features(samples, nch, rate, dim)
                         w, h = nch, rate
                 except Exception:  # noqa: BLE001 — malformed body: fall

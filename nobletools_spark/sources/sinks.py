@@ -150,11 +150,27 @@ def export_orf(concepts_df: DataFrame, path: str, lat: str = "ENG",
             .withColumn("ts", F.when(F.col("str") == F.col("name"), "P")
                         .otherwise("S"))
             .withColumn("nrm", norm_udf("str")))
-    # CUI passthrough when already [A-Z]\d{7}, else dense-rank C%07d
+    # CUI passthrough when already [A-Z]\d{7}, else a deterministic
+    # assigned C%07d that SKIPS ids present in the passthrough set (a
+    # real C0000000 in the data must not collide with an assigned one).
+    # The id tables are terminology-sized — driver-side by design.
     cui_ok = F.col("cui").rlike("^[A-Z][0-9]{7}$")
-    cw = Window.orderBy("cui")
-    cui_ids = (base.select("cui").distinct().filter(~cui_ok)
-               .withColumn("cui_id", F.dense_rank().over(cw) - 1))
+    spark = concepts_df.sparkSession
+    all_cuis = [r["cui"] for r in base.select("cui").distinct().collect()]
+    taken = {c for c in all_cuis
+             if len(c) == 8 and c[0].isalpha() and c[0].isupper()
+             and c[1:].isdigit()}
+    need = sorted(c for c in all_cuis if c not in taken)
+    assigned, nxt = [], 0
+    for c in need:
+        while f"C{nxt:07d}" in taken:
+            nxt += 1
+        assigned.append((c, nxt))
+        nxt += 1
+    cui_ids = spark.createDataFrame(assigned or [("", -1)],
+                                    "cui string, cui_id long")
+    if not assigned:
+        cui_ids = cui_ids.filter(F.col("cui_id") >= 0)
     lw = Window.orderBy("nrm")
     lui_ids = (base.select("nrm").distinct()
                .withColumn("lui_id", F.dense_rank().over(lw) - 1))
@@ -188,10 +204,20 @@ def export_orf(concepts_df: DataFrame, path: str, lat: str = "ENG",
         # TUI passthrough when already T\d{3}, else dense-rank T%03d
         # (getTUI :432-442)
         st = concepts_df.select("cui", F.explode("semtypes").alias("sty"))
-        tui_ok = F.col("sty").rlike("^T[0-9]{3}$")
-        tw = Window.orderBy("sty")
-        tui_ids = (st.select("sty").distinct().filter(~tui_ok)
-                   .withColumn("tui_id", F.dense_rank().over(tw) - 1))
+        all_stys = [r["sty"] for r in st.select("sty").distinct().collect()]
+        ttaken = {s for s in all_stys
+                  if len(s) == 4 and s[0] == "T" and s[1:].isdigit()}
+        tneed = sorted(s for s in all_stys if s not in ttaken)
+        tassigned, tn = [], 0
+        for s in tneed:
+            while f"T{tn:03d}" in ttaken:
+                tn += 1
+            tassigned.append((s, tn))
+            tn += 1
+        tui_ids = spark.createDataFrame(tassigned or [("", -1)],
+                                        "sty string, tui_id long")
+        if not tassigned:
+            tui_ids = tui_ids.filter(F.col("tui_id") >= 0)
         sty = (st.join(F.broadcast(cui_ids), "cui", "left")
                .join(F.broadcast(tui_ids), "sty", "left")
                .select(F.when(F.col("cui_id").isNotNull(),

@@ -210,3 +210,28 @@ def test_export_orf_round_trip(spark, tmp_path):
                spark.read.text(f"{out}/CUI2CODE").collect())
     assert c2c["C0001234"] == "C0001234"
     assert "GO:0002" in c2c.values()
+
+
+def test_export_orf_no_id_collisions(spark, tmp_path):
+    """Assigned C%07d / T%03d ids must skip values already present as
+    passthrough ids in the data."""
+    from nobletools_spark.sources.sinks import export_orf
+
+    concepts = spark.createDataFrame(
+        [("C0000000", "alpha", ["alpha"], ["T000"]),
+         ("GO:0001", "beta", ["beta"], ["Odd Type"]),
+         ("GO:0002", "gamma", ["gamma"], [])],
+        "cui string, name string, synonyms array<string>, "
+        "semtypes array<string>")
+    out = str(tmp_path / "orf2")
+    export_orf(concepts, out)
+    c2c = dict(l.value.split("=", 1) for l in
+               spark.read.text(f"{out}/CUI2CODE").collect())
+    # three distinct ocuis, real C0000000 untouched, assigned skip it
+    assert len(c2c) == 3 and c2c["C0000000"] == "C0000000"
+    assert set(c2c) == {"C0000000", "C0000001", "C0000002"}
+    mrsty = [l.value.split("|") for l in
+             spark.read.text(f"{out}/MRSTY").collect()]
+    tuis = {r[2]: r[1] for r in mrsty}
+    assert tuis["T000"] == "T000"          # passthrough kept
+    assert tuis["Odd Type"] == "T001"      # assigned skips taken T000

@@ -180,8 +180,8 @@ def test_decode_wav_round_trip():
     from nobletools_spark.operators.multimodal import decode_wav
 
     samples = struct.pack("<8h", 0, 1000, -1000, 32000, -32000, 5, -5, 0)
-    nch, rate, n, out = decode_wav(_make_wav(samples, 8000, 1))
-    assert (nch, rate, n) == (1, 8000, 8)
+    nch, rate, n, out, sw = decode_wav(_make_wav(samples, 8000, 1))
+    assert (nch, rate, n, sw) == (1, 8000, 8, 2)
     assert out == samples
 
 
@@ -260,3 +260,27 @@ def test_malformed_recognized_payloads_fall_back(spark):
     feats = {r.media_ref: r for r in extract_features(media).collect()}
     assert len(feats) == 4 and all(len(f.feature) == 16
                                    for f in feats.values())
+
+
+def test_non_16bit_wav_falls_back_to_hash_features(spark):
+    """8-bit PCM silence must NOT produce near-max RMS via int16
+    misinterpretation — features fall back to the hash path."""
+    import io
+    import wave
+
+    from nobletools_spark.operators.multimodal import extract_features
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)           # 8-bit PCM
+        wf.setframerate(8000)
+        wf.writeframes(b"\x80" * 1000)   # silence in unsigned 8-bit
+    media = spark.createDataFrame(
+        [("m://8bit", "x", buf.getvalue(), {})],
+        "media_ref string, media_type string, content binary, "
+        "metadata map<string,string>")
+    feat = extract_features(media).collect()[0].feature
+    # hash fallback values are bytes/256 in [0,1); crucially the first
+    # element is NOT the bogus 0.996 RMS of misread int16 silence
+    assert len(feat) == 16 and abs(feat[0] - 0.996) > 0.05
