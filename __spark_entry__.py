@@ -272,14 +272,21 @@ def q_dedup_embedding_lsh(spark, sf_dir):
                                group_col=None, planes=PLANES)
 
 
+_IVF = dict(n_cells=8, k=3, n_probe=2, seed=17, max_cell=70,
+            fit_sample_max=4096, n_iter=10)
+
+
 def q_sim_ivf_topk(spark, sf_dir):
-    """IVF ANN (k-means cells, n_probe=2). The coarse quantizer is
-    Spark MLlib k-means — not reproducible in SQL, so this is a
-    rows-only entry (the adjacent-cell recall semantics are pinned by
-    tests/test_streaming.py::test_ivf_topk_n_probe_finds_adjacent_cell_neighbor)."""
+    """IVF ANN — now fully oracle-checked (r2 verdict task #3): the
+    coarse quantizer is a deterministic pure function of the hash-
+    selected fit sample (fit_ivf_centroids: farthest-point init +
+    Lloyd), so the oracle replays the same fit on the same rows and
+    embeds the centroid literals in SQL. max_cell=70 deliberately
+    fires at sf0.01 (two ~75-vector cells dropped) so the skew-cap
+    semantics are part of the hash-checked surface."""
     from nobletools_spark.operators.similarity import ivf_topk
 
-    return ivf_topk(_emb(spark, sf_dir), n_cells=8, k=3, n_probe=2) \
+    return ivf_topk(_emb(spark, sf_dir), **_IVF) \
         .withColumnRenamed("rank", "rnk")
 
 
@@ -395,6 +402,40 @@ def _dot_sql(a: str, b: str, n: str = "64") -> str:
     return (f"list_reduce(list_prepend(0.0, list_transform("
             f"generate_series(1, {n}), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), "
             f"(x, y) -> x + y)")
+
+
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                                "/root/testdata/sf0.01")
+_IVF_CENTS_CACHE: list[list[float]] | None = None
+
+
+def _ivf_oracle_centroids() -> list[list[float]]:
+    """Replay ivf_topk's deterministic quantizer fit for the oracle:
+    same hash-selected sample (smallest h64(seed|vec_id), then sorted
+    by vec_id), same pure-numpy fit_ivf_centroids — bit-identical to
+    what q_sim_ivf_topk computes from its Spark-side TakeOrdered
+    sample, so the centroids can be embedded as SQL double literals
+    (repr() round-trips exactly)."""
+    global _IVF_CENTS_CACHE
+    if _IVF_CENTS_CACHE is None:
+        import duckdb
+
+        from nobletools_spark.functions.hashing import h64_py
+        from nobletools_spark.operators.similarity import fit_ivf_centroids
+
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT vec_id::BIGINT, embedding FROM "
+            f"'{_ORACLE_SF_DIR}/embeddings.parquet'").fetchall()
+        con.close()
+        seed, cap = _IVF["seed"], _IVF["fit_sample_max"]
+        keyed = sorted((h64_py(f"{seed}|{vid}"), vid, emb)
+                       for vid, emb in rows)[:cap]
+        pairs = sorted((vid, [float(x) for x in emb])
+                       for _, vid, emb in keyed)
+        _IVF_CENTS_CACHE = fit_ivf_centroids(
+            pairs, n_cells=_IVF["n_cells"], seed=seed, n_iter=_IVF["n_iter"])
+    return _IVF_CENTS_CACHE
 
 
 def _lang_votes_sql() -> dict[str, str]:
@@ -727,6 +768,44 @@ def oracle_sql() -> dict[str, str]:
         f" FROM pairs) "
         f"SELECT vec_id, neighbor_id, rnk::BIGINT AS rnk FROM r"
         f" WHERE rnk <= 3")
+
+    # IVF ANN: centroid literals come from replaying the deterministic
+    # quantizer fit (see _ivf_oracle_centroids); assignment, the
+    # max_cell skew cap (fires at sf0.01: two ~75-vector cells drop),
+    # n_probe cell ranking, and the cosine top-k are replayed in SQL
+    # with the same fold order as the Spark side.
+    cents = _ivf_oracle_centroids()
+    cent_vals = ", ".join(
+        f"({i}::BIGINT, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    ivf_d2 = (f"list_reduce(list_prepend(0.0, list_transform("
+              f"generate_series(1, 64), i -> (b.embedding[i]::DOUBLE - c.cv[i])"
+              f" * (b.embedding[i]::DOUBLE - c.cv[i]))), (x, y) -> x + y)")
+    dot_pb = _dot_sql("p.embedding", "b.embedding")
+    sql["sim_ivf_topk"] = (
+        f"WITH base AS (SELECT vec_id::BIGINT AS vec_id, embedding,"
+        f" {nrm} AS nrm FROM embeddings), "
+        f"cent(cell, cv) AS (SELECT * FROM (VALUES {cent_vals})), "
+        f"ranked AS (SELECT b.vec_id, b.embedding, b.nrm, c.cell,"
+        f" row_number() OVER (PARTITION BY b.vec_id ORDER BY {ivf_d2}, c.cell)"
+        f" AS crank FROM base b CROSS JOIN cent c), "
+        f"assign AS (SELECT vec_id, embedding, nrm, cell FROM ranked"
+        f" WHERE crank = 1), "
+        f"ok AS (SELECT cell FROM assign GROUP BY cell"
+        f" HAVING count(*) <= {_IVF['max_cell']}), "
+        f"bb AS (SELECT assign.* FROM assign JOIN ok USING (cell)), "
+        f"pp AS (SELECT r.vec_id, r.embedding, r.nrm, r.cell FROM ranked r"
+        f" JOIN ok ON r.cell = ok.cell"
+        f" WHERE r.crank <= {_IVF['n_probe']}"
+        f" AND r.vec_id IN (SELECT vec_id FROM bb)), "
+        f"pairs AS (SELECT p.vec_id, b.vec_id AS neighbor_id,"
+        f" {dot_pb} / (p.nrm * b.nrm) AS cos FROM pp p JOIN bb b"
+        f" ON p.cell = b.cell AND p.vec_id <> b.vec_id), "
+        f"r AS (SELECT vec_id, neighbor_id, row_number() OVER"
+        f" (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rnk"
+        f" FROM pairs) "
+        f"SELECT vec_id, neighbor_id, rnk::BIGINT AS rnk FROM r"
+        f" WHERE rnk <= {_IVF['k']}")
 
     # scale-path embedding dedup: same plane matrix + bucket cap as the
     # Spark side (embedding_dup_pairs(planes=PLANES, max_bucket=1024))

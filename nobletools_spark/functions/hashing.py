@@ -36,6 +36,15 @@ def h64_seeded(seed: int, col: Column | str) -> Column:
     return h64(F.concat(F.lit(f"{seed}|"), c))
 
 
+def h64_py(s: str) -> int:
+    """Pure-Python rendering of ``h64`` — used where a deterministic
+    driver-side decision (e.g. the IVF quantizer's fit sample / init
+    seed) must be replayable by the DuckDB oracle without Spark."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def sql_h64(expr: str) -> str:
     """DuckDB rendering of ``h64`` over an arbitrary SQL expression."""
     return f"(('0x' || substring(md5({expr}), 1, 15))::UBIGINT)::BIGINT"

@@ -76,46 +76,114 @@ def lsh_buckets(emb: DataFrame, planes: list[list[float]]) -> DataFrame:
                       bucket.alias("bucket"))
 
 
-def ivf_topk(emb: DataFrame, n_cells: int = 8, k: int = 3,
-             n_probe: int = 1, seed: int = 17) -> DataFrame:
-    """IVF (inverted-file) ANN: k-means coarse quantizer assigns each
-    vector to its nearest centroid cell; queries rank candidates within
-    their ``n_probe`` nearest cells — the classic
-    N²→N²·(n_probe/n_cells) reduction. Each query explodes to its
-    n_probe nearest centroids (broadcast crossJoin against the tiny
-    centroid table, rank by squared distance), then probes candidates
-    cell-by-cell; candidate cells are disjoint so no pair dedup is
-    needed. Deterministic given the seed and input partitioning.
-    Returns (vec_id, neighbor_id, rank)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+def fit_ivf_centroids(pairs: list[tuple[int, list[float]]], n_cells: int,
+                      seed: int = 17, n_iter: int = 10) -> list[list[float]]:
+    """Deterministic k-means for the IVF coarse quantizer: greedy
+    farthest-point (k-center) init from a hash-seeded first point, then
+    ``n_iter`` Lloyd steps — pure numpy over an already-bounded sample,
+    so the result is a pure function of (sample, seed) reproducible by
+    the DuckDB oracle (which re-runs this exact function on the same
+    rows and embeds the centroids as SQL literals).
 
-    feat = emb.select(F.col("vec_id").cast("long").alias("vec_id"),
-                      _vec_double().alias("v")) \
-              .withColumn("nrm", _norm(F.col("v"))) \
-              .withColumn("features", array_to_vector(F.col("v")))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features",
-                predictionCol="cell")
-    model = km.fit(feat)
-    base = model.transform(feat).select("vec_id", "v", "nrm", "cell") \
-                .repartition("cell")  # materialize v/nrm below the join
-    # query side: explode each vector to its n_probe nearest cells
-    # (rank 1 is its own cell — n_probe=1 degenerates to cell-local)
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
-    cdf = emb.sparkSession.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)],
-        "cell long, cvec array<double>")
-    d2 = F.aggregate(F.zip_with(F.col("v"), F.col("cvec"),
-                                lambda x, y: (x - y) * (x - y)),
-                     F.lit(0.0), lambda acc, x: acc + x)
-    cw = Window.partitionBy("vec_id").orderBy("d2", "cell")
-    probe = (feat.select("vec_id", "v", "nrm")
-             .crossJoin(F.broadcast(cdf))
-             .withColumn("d2", d2)
-             .withColumn("crank", F.row_number().over(cw))
-             .filter(F.col("crank") <= n_probe)
-             .select("vec_id", "v", "nrm", "cell")
-             .repartition("cell"))
+    ``pairs`` must be (vec_id, vector) sorted by vec_id. Ties: the first
+    centroid is the row minimizing (h64_py(f"{seed}|{vec_id}"), vec_id);
+    farthest-point ties take the smallest vec_id; empty Lloyd cells keep
+    their previous centroid."""
+    from nobletools_spark.functions.hashing import h64_py
+
+    ids = np.array([p[0] for p in pairs], dtype=np.int64)
+    X = np.array([[float(x) for x in p[1]] for p in pairs], dtype=np.float64)
+    n = len(ids)
+    if n == 0:
+        raise ValueError("fit_ivf_centroids: empty sample")
+    n_cells = min(n_cells, n)
+    hh = np.array([h64_py(f"{seed}|{i}") for i in ids], dtype=np.uint64)
+    first = int(np.lexsort((ids, hh))[0])
+    chosen = [first]
+    d = ((X - X[first]) ** 2).sum(axis=1)
+    for _ in range(1, n_cells):
+        # farthest point, tie-break smallest vec_id: lexsort keys are
+        # (last = primary) so sort by (-d, ids) -> ids minor, -d major
+        j = int(np.lexsort((ids, -d))[0])
+        chosen.append(j)
+        d = np.minimum(d, ((X - X[j]) ** 2).sum(axis=1))
+    C = X[chosen].copy()
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # ties -> lowest cell index
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+    return [[float(x) for x in row] for row in C]
+
+
+def ivf_topk(emb: DataFrame, n_cells: int = 16, k: int = 3,
+             n_probe: int = 1, seed: int = 17, max_cell: int = 1024,
+             fit_sample_max: int = 4096, n_iter: int = 10) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer assigns each vector
+    to its nearest centroid cell; queries rank candidates within their
+    ``n_probe`` nearest cells — the classic N²→N²·(n_probe/n_cells)
+    reduction. Returns (vec_id, neighbor_id, rank).
+
+    Scale design (the r2 verdict's last uncapped self-join, fixed):
+    - The quantizer is fit driver-side on a bounded deterministic
+      sample — the ``fit_sample_max`` vectors with smallest
+      h64(seed|vec_id) (TakeOrdered, no full collect) — the standard
+      IVF practice of training the coarse quantizer on a sample. The
+      fit itself (``fit_ivf_centroids``) is a pure function of the
+      sample, so the DuckDB oracle replays it bit-for-bit.
+    - Cell assignment and probing are MAP-SIDE: the centroid matrix is
+      inlined as literals and argmin/top-n_probe computed with
+      array_min/array_sort over a (d2, cell) struct array — no
+      crossJoin, no window shuffle (the r2 version shuffled N×n_cells
+      rows through a row_number window).
+    - ``max_cell`` is the hard skew bound: cells larger than it are
+      dropped from BOTH the candidate and the probe side before the
+      join (mirrors cap_buckets/minhash_lsh_pairs) — a hot k-means cell
+      on a clustered corpus is otherwise an O(n²) straggler task.
+    - Choose ``n_cells ≈ √N`` in production (with n_probe ~ 4-16) so
+      cells average √N vectors and the capped join stays balanced;
+      the default 16 suits the sandbox corpus sizes.
+    """
+    base0 = (emb.select(F.col("vec_id").cast("long").alias("vec_id"),
+                        _vec_double().alias("v"))
+             .withColumn("nrm", _norm(F.col("v"))))
+    from nobletools_spark.functions.hashing import h64_seeded
+
+    sample = (base0.select("vec_id", "v",
+                           h64_seeded(seed, F.col("vec_id").cast("string"))
+                           .alias("hh"))
+              .orderBy("hh", "vec_id").limit(fit_sample_max).collect())
+    pairs_in = sorted(((r.vec_id, r.v) for r in sample), key=lambda p: p[0])
+    cents = fit_ivf_centroids(pairs_in, n_cells=n_cells, seed=seed,
+                              n_iter=n_iter)
+
+    def d2_to(c: list[float]) -> Column:
+        lit = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(F.zip_with(F.col("v"), lit,
+                                      lambda x, y: (x - y) * (x - y)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    darr = F.array(*[F.struct(d2_to(c).alias("d2"),
+                              F.lit(i).cast("long").alias("cell"))
+                     for i, c in enumerate(cents)])
+    # argmin (and top-n_probe) over the struct array: lexicographic
+    # (d2, cell) compare = distance order with cell-id tie-break
+    assigned = base0.withColumn("cell", F.array_min(darr)["cell"])
+    sizes = assigned.groupBy("cell").count()
+    ok = sizes.filter(F.col("count") <= max_cell).select("cell")
+    base = assigned.join(F.broadcast(ok), "cell").repartition("cell")
+    # probe side: only vectors whose HOME cell survived the cap (same
+    # both-sides drop semantics as cap_buckets), probing their n_probe
+    # nearest surviving cells
+    probe = (base.select("vec_id", "v", "nrm")
+             .withColumn(
+                 "cell",
+                 F.explode(F.transform(
+                     F.slice(F.array_sort(darr), 1, n_probe),
+                     lambda s: s["cell"])))
+             .join(F.broadcast(ok), "cell").repartition("cell"))
     cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     pairs = (probe.alias("a").join(base.alias("b"), "cell")
              .filter(F.col("a.vec_id") != F.col("b.vec_id"))

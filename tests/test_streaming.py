@@ -156,6 +156,27 @@ def test_ivf_topk_n_probe_finds_adjacent_cell_neighbor(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_ivf_topk_skewed_cell_cap(spark):
+    """A hot k-means cell holding ~90% of the corpus must be dropped
+    from BOTH join sides when it exceeds max_cell — the r2 verdict's
+    last uncapped-self-join finding: without the cap one cell is an
+    O(n²) straggler task at corpus scale."""
+    from nobletools_spark.operators.similarity import ivf_topk
+
+    # 90 near-identical vectors (one hot cell) + 8 spread vectors
+    rows = [(i, [10.0 + 0.001 * i, 10.0]) for i in range(90)]
+    rows += [(100 + j, [float(-5 - j), float(3 * j - 10)]) for j in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = ivf_topk(emb, n_cells=4, k=2, n_probe=1, max_cell=10_000).collect()
+    assert any(r.vec_id < 90 for r in uncapped)      # hot cell present
+    capped = ivf_topk(emb, n_cells=4, k=2, n_probe=2, max_cell=50).collect()
+    ids = {r.vec_id for r in capped} | {r.neighbor_id for r in capped}
+    assert not ids & set(range(90))                  # hot cell fully dropped
+    assert capped                                    # small cells survive
+    for r in capped:                                 # no hot-cell candidates
+        assert r.neighbor_id >= 100 and r.vec_id >= 100
+
+
 def test_lsh_topk_bucket_cap_drops_boilerplate_bucket(spark):
     """max_bucket drops oversized (boilerplate) buckets from both sides
     of the self-join; vectors in small buckets keep identical results."""
