@@ -385,14 +385,24 @@ def context_index_from_owl(owl_xml: str) -> ContextIndex:
 
     def type_and_value(cname: str) -> tuple[str, str] | None:
         """Walk up from the instance's class to a direct child of
-        LinguisticModifier: (type, value-class-on-path)."""
-        path = [cname] + ancestors_of(cname)
-        for i, c in enumerate(path):
+        LinguisticModifier: (type, value-class-on-path). BFS with
+        predecessor tracking so multi-parent ontologies resolve the
+        value class on the ACTUAL chain to the type class (indexing
+        into a flattened ancestor list could pick a sibling branch)."""
+        prev: dict[str, str | None] = {cname: None}
+        queue = [cname]
+        while queue:
+            c = queue.pop(0)
             parents = classes.get(c, {}).get("parents", [])
             if "LinguisticModifier" in parents:
-                # c is the TYPE class; the value is the previous node on
-                # the path (the class whose direct parent is the type)
-                return (c, path[i - 1]) if i > 0 else (c, c)
+                # c is the TYPE class; the value is the direct child
+                # through which this chain reached c
+                child = prev[c]
+                return (c, child) if child is not None else (c, c)
+            for p in parents:
+                if p not in prev:
+                    prev[p] = c
+                    queue.append(p)
         return None
 
     rules: list[ModifierRule] = []

@@ -133,6 +133,9 @@ def decode_png(content: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("no IHDR")
     raw = zlib.decompress(idat)
     stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"truncated PNG body: {len(raw)} bytes, need {h * (stride + 1)}")
     out = bytearray(h * stride)
     prev = bytearray(stride)
     for y in range(h):

@@ -178,9 +178,13 @@ class Pipeline:
         out_dir."""
         try:
             with open(self._manifest_path(stage)) as f:
-                run_id = json.load(f)["run_id"]
+                run_id = json.load(f).get("run_id")
         except FileNotFoundError:
             return False  # crashed before/while writing the manifest
+        if run_id is None:
+            return False  # pre-run_id manifest (older layout): can't
+            # attribute lineage rows to the producing run — report
+            # unverified instead of raising
         df = spark.read.parquet(f"{self.out_dir}/{stage}")
         now = partition_lineage(df).agg(
             F.sum("rows").alias("rows"),

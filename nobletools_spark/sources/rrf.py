@@ -213,8 +213,14 @@ def concepts_from_sql(spark, url: str, table: str,
             url, f"(SELECT min({partition_column}) lo,"
                  f" max({partition_column}) hi FROM {table}) b",
             properties=properties or {}).first()
-        kwargs.update(column=partition_column, lowerBound=bounds["lo"],
-                      upperBound=bounds["hi"], numPartitions=num_partitions)
+        if bounds["lo"] is None or bounds["hi"] is None:
+            # empty table: NULL bounds would make spark.read.jdbc fail
+            # with an opaque error — fall back to the unpartitioned read
+            pass
+        else:
+            kwargs.update(column=partition_column, lowerBound=bounds["lo"],
+                          upperBound=bounds["hi"],
+                          numPartitions=num_partitions)
     return concepts_from_sql_df(reader.jdbc(**kwargs))
 
 

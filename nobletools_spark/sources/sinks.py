@@ -154,7 +154,6 @@ def export_orf(concepts_df: DataFrame, path: str, lat: str = "ENG",
     # assigned C%07d that SKIPS ids present in the passthrough set (a
     # real C0000000 in the data must not collide with an assigned one).
     # The id tables are terminology-sized — driver-side by design.
-    cui_ok = F.col("cui").rlike("^[A-Z][0-9]{7}$")
     spark = concepts_df.sparkSession
     all_cuis = [r["cui"] for r in base.select("cui").distinct().collect()]
     taken = {c for c in all_cuis
@@ -232,3 +231,40 @@ def export_orf(concepts_df: DataFrame, path: str, lat: str = "ENG",
     cui2code = (rows.select("ocui", "cui").distinct()
                 .select(F.concat_ws("=", "ocui", "cui").alias("line")))
     cui2code.write.mode("overwrite").text(f"{path}/CUI2CODE")
+    # MRDEF (exportORF :115-124: cui|sab|definition| — definition's
+    # source falls back to the concept's first source)
+    first_src = (F.element_at(F.col("sources"), 1)
+                 if "sources" in concepts_df.columns else F.lit(sab))
+    mrdef_src = concepts_df
+    if "definition" not in mrdef_src.columns:
+        mrdef_src = mrdef_src.withColumn("definition",
+                                         F.lit(None).cast("string"))
+    mrdef = (mrdef_src.filter(F.col("definition").isNotNull())
+             .join(F.broadcast(cui_ids), "cui", "left")
+             .select(F.when(F.col("cui_id").isNotNull(),
+                            F.format_string("C%07d", "cui_id"))
+                     .otherwise(F.col("cui")).alias("ocui"),
+                     F.coalesce(first_src, F.lit(sab)).alias("dsab"),
+                     F.col("definition"), F.lit("").alias("end")))
+    (mrdef.select(F.concat_ws("|", *mrdef.columns).alias("line"))
+     .write.mode("overwrite").text(f"{path}/MRDEF"))
+    # MRSAB (exportORF :165-211: 23 mostly-empty fields per distinct
+    # source — vcui|rcui|vsab|rsab|son|sf|...|srl=0|...|ENG|UTF-8|Y|Y|)
+    if "sources" in concepts_df.columns:
+        sabs = (concepts_df.select(F.explode("sources").alias("s"))
+                .distinct())
+    else:
+        sabs = spark.createDataFrame([(sab,)], "s string")
+    mrsab = sabs.select(
+        F.lit("").alias("vcui"), F.col("s").alias("rcui"),
+        F.lit("").alias("vsab"), F.col("s").alias("rsab"),
+        F.lit("").alias("son"), F.col("s").alias("sf"),
+        *[F.lit("").alias(c) for c in
+          ("sver", "vstart", "vend", "imeta", "rmeta", "slc", "scc")],
+        F.lit("0").alias("srl"),
+        *[F.lit("").alias(c) for c in ("tfr", "cfr", "cxty", "ttyl", "atnl")],
+        F.lit("ENG").alias("lat"), F.lit("UTF-8").alias("cenc"),
+        F.lit("Y").alias("curver"), F.lit("Y").alias("sabin"),
+        F.lit("").alias("end"))
+    (mrsab.select(F.concat_ws("|", *mrsab.columns).alias("line"))
+     .write.mode("overwrite").text(f"{path}/MRSAB"))

@@ -210,6 +210,38 @@ def test_export_orf_round_trip(spark, tmp_path):
                spark.read.text(f"{out}/CUI2CODE").collect())
     assert c2c["C0001234"] == "C0001234"
     assert "GO:0002" in c2c.values()
+    # MRDEF/MRSAB exist (exportORF :115-124,:165-211): no definition
+    # column here ⇒ empty MRDEF; no sources ⇒ one fallback MRSAB row
+    assert spark.read.text(f"{out}/MRDEF").count() == 0
+    mrsab = [l.value.split("|") for l in
+             spark.read.text(f"{out}/MRSAB").collect()]
+    assert len(mrsab) == 1 and len(mrsab[0]) == 24  # 23 fields + trailing
+    assert mrsab[0][3] == "NOBLE" and mrsab[0][19] == "ENG"
+
+
+def test_export_orf_mrdef_and_mrsab(spark, tmp_path):
+    """MRDEF carries cui|sab|definition| rows for concepts with a
+    definition; MRSAB emits one row per distinct source."""
+    from nobletools_spark.sources.sinks import export_orf
+
+    concepts = spark.createDataFrame(
+        [("C0001234", "melanoma", ["melanoma"], ["T191"], ["NCI"],
+          "a malignant neoplasm of melanocytes"),
+         ("C0002503", "nevus", ["nevus"], ["T191"], ["NCI", "SNOMEDCT"],
+          None)],
+        "cui string, name string, synonyms array<string>, "
+        "semtypes array<string>, sources array<string>, definition string")
+    out = str(tmp_path / "orf3")
+    export_orf(concepts, out)
+    mrdef = [l.value.split("|") for l in
+             spark.read.text(f"{out}/MRDEF").collect()]
+    assert mrdef == [["C0001234", "NCI",
+                      "a malignant neoplasm of melanocytes", ""]]
+    mrsab = sorted(l.value.split("|") for l in
+                   spark.read.text(f"{out}/MRSAB").collect())
+    assert [r[3] for r in mrsab] == ["NCI", "SNOMEDCT"]
+    assert all(len(r) == 24 and r[13] == "0" and r[20] == "UTF-8"
+               for r in mrsab)
 
 
 def test_export_orf_no_id_collisions(spark, tmp_path):

@@ -251,6 +251,43 @@ CONTEXT_OWL = """\
 """
 
 
+MULTI_PARENT_OWL = """\
+<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xml:base="http://example.org/ConText.owl">
+  <owl:Ontology rdf:about="http://example.org/ConText.owl"/>
+  <owl:Class rdf:about="#LinguisticModifier"/>
+  <owl:Class rdf:about="#Annotation"/>
+  <owl:Class rdf:about="#Experiencer">
+    <rdfs:subClassOf rdf:resource="#LinguisticModifier"/>
+  </owl:Class>
+  <owl:Class rdf:about="#Patient_Experiencer">
+    <rdfs:subClassOf rdf:resource="#Annotation"/>
+    <rdfs:subClassOf rdf:resource="#Experiencer"/>
+  </owl:Class>
+  <owl:NamedIndividual rdf:about="#patient">
+    <rdf:type rdf:resource="#Patient_Experiencer"/>
+    <rdfs:label>patient</rdfs:label>
+  </owl:NamedIndividual>
+</rdf:RDF>
+"""
+
+
+def test_context_owl_multi_parent_value_class():
+    """A value class with an extra non-modifier parent (listed first)
+    must still resolve (type=Experiencer, value=Patient_Experiencer):
+    indexing into the flattened BFS ancestor list used to return the
+    sibling-branch class ('Annotation') as the value."""
+    from nobletools_spark.operators.context import context_index_from_owl
+
+    ctx = context_index_from_owl(MULTI_PARENT_OWL)
+    rule = ctx.rules["patient"]
+    assert rule.mod_type == "Experiencer"
+    assert rule.value == "Patient_Experiencer"
+
+
 def _mods_owl(ctx, text, want_cui):
     mentions = match_sentence(text, IDX, CFG)
     apply_context(text, mentions, ctx)

@@ -174,6 +174,32 @@ def test_decode_png_all_filters():
     assert decode_png(_make_png(5, 4, 1, gray))[3] == gray
 
 
+def test_decode_png_truncated_idat_raises_value_error():
+    """A PNG whose IDAT inflates to fewer bytes than h*(stride+1) must
+    raise ValueError (not IndexError) for direct callers; pipeline
+    callers still get the malformed-row fallback via _decode_any."""
+    import pytest
+
+    from nobletools_spark.operators.multimodal import decode_png
+
+    raw = bytes(range(0, 60))
+    blob = _make_png(4, 5, 3, raw, filters=[0] * 5)
+    # rebuild with IDAT holding only the first 2 rows' worth of data
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0)
+    short = zlib.compress(b"\x00" + raw[:12] + b"\x00" + raw[12:24])
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", short) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(bad)
+
+
 def test_decode_wav_round_trip():
     import struct
 
