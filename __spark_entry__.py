@@ -71,6 +71,7 @@ from nobletools_spark.sources.fixtures import (
     BUILTIN_SEMTYPES,
     BUILTIN_SINGLE_TERMS,
     BUILTIN_SYNONYM_EDGES,
+    BUILTIN_TEMPLATES,
     builtin_index,
     interleaved_docs,
 )
@@ -176,6 +177,25 @@ def q_kg_mentions_by_ancestor(spark, sf_dir):
                                   "cui string, parent string")
     return (mentions_with_ancestor(m, edges, "C120")
             .select(F.col("doc_id").cast("long").alias("doc_id"), "cui")
+            .distinct())
+
+
+def q_kg_template_items(spark, sf_dir):
+    """Extraction-template ItemInstances (TemplateItem.process
+    :347-451 ancestry gating over the builtin template fixture):
+    distinct (doc, template, item, mention-cui, absent). Value/section
+    internals are pinned by tests/test_templates.py; the gating +
+    domain wiring is oracle-checked here."""
+    from nobletools_spark.operators.templates import TEMPLATES_DDL, extract_items
+
+    m = _builtin_mentions(spark, sf_dir)
+    edges = spark.createDataFrame(list(BUILTIN_ISA_EDGES),
+                                  "cui string, parent string")
+    t = spark.createDataFrame([tuple(r) for r in BUILTIN_TEMPLATES],
+                              TEMPLATES_DDL)
+    return (extract_items(m, edges, t)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "template_id", "item", "cui", "absent")
             .distinct())
 
 
@@ -319,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_full": q_kg_mentions_full,
         "kg_doc_concepts": q_kg_doc_concepts,
         "kg_mentions_by_ancestor": q_kg_mentions_by_ancestor,
+        "kg_template_items": q_kg_template_items,
         "kg_cooccurrence": q_kg_cooccurrence,
         "kg_isa_closure": q_kg_isa_closure,
         "kg_semtypes": q_kg_semtypes,
@@ -492,6 +513,36 @@ def oracle_sql() -> dict[str, str]:
         " UNION SELECT 'C120') "
         "SELECT DISTINCT m.doc_id, m.cui FROM m"
         " WHERE m.cui IN (SELECT cui FROM gate)")
+
+    # templates: section-filtered items contribute nothing at sf0.01
+    # (the soup docs have no section headers), so the oracle only
+    # carries the NULL-filter rows — mirroring extract_items'
+    # sections_df=None path exactly
+    tmpl_rows = [(tid, item, concept) for tid, item, concept, sect, _dom
+                 in BUILTIN_TEMPLATES if sect is None]
+    sql["kg_template_items"] = (
+        _mentions_cte(recursive=True)
+        + ", edges AS (SELECT * FROM "
+        + _values(BUILTIN_ISA_EDGES, ("cui", "parent")) + "), "
+        "anc AS ("
+        " SELECT cui, parent AS ancestor, 1 AS depth FROM edges"
+        " WHERE cui <> parent"
+        " UNION ALL"
+        " SELECT a.cui, e.parent, a.depth + 1 FROM anc a"
+        " JOIN edges e ON a.ancestor = e.cui"
+        " WHERE a.depth < 7 AND a.cui <> e.parent), "
+        "closure AS (SELECT DISTINCT cui, ancestor FROM anc), "
+        "tmpl AS (SELECT * FROM "
+        + _values(tmpl_rows, ("template_id", "item", "concept")) + "), "
+        "gate AS ("
+        " SELECT m.doc_id, t.template_id, t.item, m.cui FROM m"
+        " JOIN tmpl t ON m.cui = t.concept"
+        " UNION ALL"
+        " SELECT m.doc_id, t.template_id, t.item, m.cui FROM m"
+        " JOIN closure a ON m.cui = a.cui"
+        " JOIN tmpl t ON a.ancestor = t.concept) "
+        "SELECT DISTINCT doc_id, template_id, item, cui,"
+        " false AS absent FROM gate")
 
     sql["kg_isa_closure"] = (
         "WITH RECURSIVE edges AS (SELECT * FROM "

@@ -100,6 +100,21 @@ class NobleCoderSpark:
         return annotate(docs_df, self.index, self.cfg,
                         context=self.context, **kw)
 
+    def extract(self, docs_df, templates_df, sections_df=None, **kw):
+        """Template-based information extraction (InformationExtractor
+        flow: annotate → TemplateItem.process per template item): emits
+        ItemInstance rows via operators/templates.extract_items using
+        this terminology's isa edges for the ancestry gate."""
+        from nobletools_spark.operators.templates import extract_items
+
+        edges = docs_df.sparkSession.createDataFrame(
+            list(getattr(self, "isa_edges", ()) or [("", "")]),
+            "cui string, parent string")
+        if not getattr(self, "isa_edges", ()):
+            edges = edges.filter("cui <> ''")
+        return extract_items(self.annotate(docs_df, **kw), edges,
+                             templates_df, sections_df=sections_df)
+
     # ------------------------------------------------------------------
     # ad-hoc probes (driver-side, no cluster)
     # ------------------------------------------------------------------

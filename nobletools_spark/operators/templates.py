@@ -1,0 +1,203 @@
+"""Minimal extraction/template layer: structured information extraction
+over the mention stream (reference: extract/model/Template.java,
+TemplateItem.java:347-451, ItemInstance.java:397-445).
+
+A *template* is a set of items; each item names a terminology concept,
+an optional section filter, and a value domain. ``extract_items`` emits
+one ItemInstance row per (mention × matching item):
+
+- **ancestry gating** (TemplateItem.process :396-418): a mention
+  qualifies when its concept IS the item concept or descends from it in
+  the isa closure (`PathHelper.hasAncestor` :316-318 includes
+  equality). The closure is terminology-sized → broadcast; the corpus
+  side never shuffles.
+- **section filtering** (TemplateItem.process :355-391): items with a
+  ``section_filter`` only see mentions inside sections whose title
+  full-matches the filter regex (Java ``String.matches``). Sentence
+  ranges (``title[range]``, :362-368) are not supported in this
+  minimal layer. Without a ``sections_df``, filtered items match
+  nothing — same as the reference when no section matches.
+- **value resolution** (ItemInstance.process :424-430): for
+  ``value_domain='value'`` a STRICT descendant mention is the value:
+  ``value_num`` = TextTools.parseDecimalValue over the matched term
+  (float, roman numerals, number words, int — :1036-1129), NULL when
+  the reference would return NO_VALUE; ``value_str`` keeps the term.
+  (The reference parses each annotation word; this layer parses the
+  whole matched term — one value per mention.)
+- **absent flag** (ItemInstance.process :432-435 + :500): for
+  non-attribute/value domains a negated mention (ConText
+  Polarity=Negative_Polarity) sets ``absent`` instead of dropping.
+
+Attributes/modifiers/units composition and the feature second pass
+(TemplateItem.process :420-447) are out of this minimal layer's scope.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from nobletools_spark.operators.triples import PATH_DEPTH_LIMIT, ancestors
+
+TEMPLATES_DDL = ("template_id string, item string, concept string, "
+                 "section_filter string, value_domain string")
+
+DOMAIN_SELF = "self"          # TemplateItem.java:46-50
+DOMAIN_ATTRIBUTE = "attribute"
+DOMAIN_VALUE = "value"
+DOMAIN_BOOLEAN = "boolean"
+DOMAIN_TRIGGER = "trigger"
+
+_NO_VALUE = float(-(1 << 31))  # TextTools.NO_VALUE = Integer.MIN_VALUE
+
+
+def parse_decimal_value(text: str | None) -> float | None:
+    """TextTools.parseDecimalValue (:1036-1129) with NO_VALUE → None:
+    ``\\d+.\\d+`` floats, roman numerals (subtractive: iv=4, ix=9),
+    number words zero..twelve, plain integers."""
+    if text is None:
+        return None
+    if re.fullmatch(r"\d+\.\d+", text):
+        return float(text)
+    if re.fullmatch(r"[IiVvXx]+", text):
+        value, one_less = 0, False
+        for ch in text.lower():
+            if ch == "i":
+                value, one_less = value + 1, True
+            elif ch == "v":
+                value, one_less = value + (3 if one_less else 5), False
+            elif ch == "x":
+                value, one_less = value + (8 if one_less else 10), False
+        return float(value)
+    if re.fullmatch(r"[a-zA-Z]+", text):
+        words = ("zero", "one", "two", "three", "four", "five", "six",
+                 "seven", "eight", "nine", "ten", "eleven", "twelve")
+        low = text.lower()
+        return float(words.index(low)) if low in words else None
+    try:
+        return float(int(text))
+    except ValueError:
+        return None
+
+
+def _parse_value_udf():
+    import pandas as pd
+
+    def batch(s):  # no type hints: stringized hints break inference
+        return s.map(parse_decimal_value).astype("float64")
+
+    return F.pandas_udf(batch, T.DoubleType())
+
+
+SECTIONS_DDL = "doc_id string, title string, start int, end int"
+
+
+def sections_from_docs(docs_df: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+    """Distributed sectioning: (doc_id, title, start, end) spans via
+    docproc.split_sections (DocumentProcessor.section :344-377) inside
+    mapInPandas — map-only, mirrors the matcher's zero-shuffle shape.
+    Accepts either a flat text column or the interleaved (doc_id,
+    spans) layout (text spans concatenated at their offsets)."""
+    import pandas as pd
+
+    from nobletools_spark.functions.docproc import split_sections
+
+    interleaved = "spans" in docs_df.columns and text_col not in docs_df.columns
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                if interleaved:
+                    pieces = [(s["offset"] or 0, s["text"])
+                              for s in row["spans"]
+                              if (s["kind"] if isinstance(s, dict)
+                                  else s[0]) == "text" and s["text"]]
+                    for off, txt in pieces:
+                        for sec in split_sections(txt, offset=off):
+                            out.append((row["doc_id"], sec.title,
+                                        sec.title_offset,
+                                        sec.body_offset + len(sec.body)))
+                else:
+                    for sec in split_sections(row[text_col] or ""):
+                        out.append((row["doc_id"], sec.title,
+                                    sec.title_offset,
+                                    sec.body_offset + len(sec.body)))
+            yield pd.DataFrame(out, columns=["doc_id", "title",
+                                             "start", "end"])
+
+    cols = (["doc_id", "spans"] if interleaved else ["doc_id", text_col])
+    return docs_df.select(*cols).mapInPandas(run, SECTIONS_DDL)
+
+
+def extract_items(mentions_df: DataFrame, edges_df: DataFrame,
+                  templates_df: DataFrame,
+                  sections_df: DataFrame | None = None,
+                  max_depth: int = PATH_DEPTH_LIMIT) -> DataFrame:
+    """Mentions ⋈ isa-closure ⋈ templates → ItemInstance rows:
+    (doc_id, template_id, item, concept, cui, matched_term, start, end,
+    value_str, value_num, absent).
+
+    Scale shape: templates and the isa closure are terminology-sized →
+    both broadcast; sections are per-doc metadata joined on doc_id.
+    The only corpus-sized input streams through map-side joins — no
+    corpus shuffle, linear at 10^12 documents.
+    """
+    cols = mentions_df.columns
+    m = mentions_df
+    if "modifiers" in cols:
+        negated = (F.coalesce(F.col("modifiers").getItem("Polarity"),
+                              F.lit("")) == "Negative_Polarity")
+    else:
+        negated = F.lit(False)
+    m = m.withColumn("_negated", negated)
+    if "matched_term" not in cols:
+        m = m.withColumn("matched_term", F.lit(None).cast("string"))
+    for c in ("start", "end"):
+        if c not in cols:
+            m = m.withColumn(c, F.lit(None).cast("int"))
+
+    # ancestry gate: equality branch + strict-descendant branch
+    # (hasAncestor :316-318 = equals || ancestor-closure containment)
+    t = templates_df
+    closure = (ancestors(edges_df, max_depth)
+               .select("cui", "ancestor").distinct())
+    eq = m.join(F.broadcast(t), m["cui"] == t["concept"])
+    desc = (m.join(F.broadcast(closure), "cui")
+            .join(F.broadcast(t), F.col("ancestor") == t["concept"])
+            .drop("ancestor"))
+    gated = eq.unionByName(desc)
+
+    # section scope (TemplateItem.process :355-391): Java String.matches
+    # is a FULL match — anchor the stored filter
+    if sections_df is not None:
+        s = sections_df.select(F.col("doc_id").alias("s_doc"),
+                               F.col("title").alias("s_title"),
+                               F.col("start").alias("s_start"),
+                               F.col("end").alias("s_end"))
+        in_section = (gated.filter(F.col("section_filter").isNotNull())
+                      .join(s, (F.col("doc_id") == F.col("s_doc"))
+                            & (F.col("start") >= F.col("s_start"))
+                            & (F.col("start") < F.col("s_end"))
+                            & F.expr("s_title rlike concat('^(?:', "
+                                     "section_filter, ')$')"))
+                      .drop("s_doc", "s_title", "s_start", "s_end"))
+        gated = (gated.filter(F.col("section_filter").isNull())
+                 .unionByName(in_section))
+    else:
+        gated = gated.filter(F.col("section_filter").isNull())
+
+    is_value = ((F.col("value_domain") == DOMAIN_VALUE)
+                & (F.col("cui") != F.col("concept")))
+    no_absent_domain = F.col("value_domain").isin(DOMAIN_ATTRIBUTE,
+                                                  DOMAIN_VALUE)
+    parse = _parse_value_udf()
+    return gated.select(
+        "doc_id", "template_id", "item", "concept", "cui", "matched_term",
+        "start", "end",
+        F.when(is_value, F.col("matched_term")).alias("value_str"),
+        F.when(is_value, parse(F.col("matched_term"))).alias("value_num"),
+        F.when(no_absent_domain, F.lit(False))
+         .otherwise(F.col("_negated")).alias("absent"))

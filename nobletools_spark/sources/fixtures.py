@@ -115,6 +115,19 @@ BUILTIN_SYNONYM_EDGES = (
     ("C106", "C206"), ("C107", "C206"),  # C106–C107 merge via shared code
 )
 
+# (template_id, item, concept, section_filter, value_domain) — the
+# minimal extraction-template fixture (TemplateItem.java:347-451 shape).
+# 'scoped_scan' carries a section filter; the driver testdata has no
+# section headers, so it contributes zero rows there (section semantics
+# are pinned by tests/test_templates.py on the rich corpus instead).
+BUILTIN_TEMPLATES = (
+    ("synoptic", "relational_operator", "C120", None, "boolean"),
+    ("synoptic", "join_operator", "C100", None, "boolean"),
+    ("synoptic", "entity", "C130", None, "boolean"),
+    ("synoptic", "operator_value", "C120", None, "value"),
+    ("synoptic", "scoped_scan", "C110", "GROSS DESCRIPTION:?", "boolean"),
+)
+
 # surface word -> (term_word, cui) association used by the DuckDB oracle;
 # kept here so fixture and oracle SQL are generated from one source.
 BUILTIN_SINGLE_TERMS = (("spark", "C101"), ("vector", "C102"), ("custom", "C103"))

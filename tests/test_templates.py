@@ -1,0 +1,181 @@
+"""Extraction/template layer goldens (TemplateItem.java:347-451,
+ItemInstance.java:397-445, TextTools.java:1036-1129)."""
+
+from nobletools_spark.operators.templates import (
+    TEMPLATES_DDL,
+    extract_items,
+    parse_decimal_value,
+)
+
+MENTIONS_DDL = ("doc_id string, cui string, matched_term string, "
+                "start int, end int, modifiers map<string,string>")
+
+EDGES = [("C104", "C100"), ("C106", "C100"), ("C105", "C110"),
+         ("C100", "C120"), ("C110", "C120")]
+
+
+def _mentions(spark, rows):
+    return spark.createDataFrame(rows, MENTIONS_DDL)
+
+
+def _templates(spark, rows):
+    return spark.createDataFrame(rows, TEMPLATES_DDL)
+
+
+def _edges(spark):
+    return spark.createDataFrame(EDGES, "cui string, parent string")
+
+
+def test_parse_decimal_value_reference_semantics():
+    """TextTools.parseDecimalValue: floats, subtractive roman numerals
+    (iv=1+3, ix=1+8), number words, plain ints; NO_VALUE -> None."""
+    assert parse_decimal_value("3.5") == 3.5
+    assert parse_decimal_value("IV") == 4.0
+    assert parse_decimal_value("ix") == 9.0
+    assert parse_decimal_value("vii") == 7.0
+    assert parse_decimal_value("xiv") == 14.0
+    assert parse_decimal_value("three") == 3.0
+    assert parse_decimal_value("Twelve") == 12.0
+    assert parse_decimal_value("13") == 13.0
+    assert parse_decimal_value("melanoma") is None
+    assert parse_decimal_value("x5") is None
+    assert parse_decimal_value(None) is None
+
+
+def test_extract_items_ancestry_gating(spark):
+    """TemplateItem.process :396-418: a mention qualifies iff its
+    concept IS the item concept or descends from it (hasAncestor
+    :316-318 includes equality). C105 (a scan) must not satisfy the
+    join_operator item."""
+    m = _mentions(spark, [
+        ("d1", "C104", "hash join", 0, 9, None),
+        ("d1", "C105", "table scan", 10, 20, None),
+        ("d2", "C100", "join op", 0, 7, None),
+    ])
+    t = _templates(spark, [("t1", "join_operator", "C100", None, "boolean")])
+    rows = extract_items(m, _edges(spark), t).collect()
+    got = {(r.doc_id, r.cui) for r in rows}
+    assert got == {("d1", "C104"), ("d2", "C100")}
+    assert all(r.item == "join_operator" and r.concept == "C100"
+               for r in rows)
+
+
+def test_extract_items_value_resolution(spark):
+    """ItemInstance.process :424-430: DOMAIN_VALUE parses a decimal
+    from a STRICT descendant's term; the item concept itself is not a
+    value; non-numeric terms keep value_str with NULL value_num."""
+    m = _mentions(spark, [
+        ("d1", "C104", "iv", 0, 2, None),          # roman -> 4.0
+        ("d1", "C106", "2.5", 3, 6, None),         # float
+        ("d1", "C105", "seven", 7, 12, None),      # word
+        ("d2", "C120", "stage", 0, 5, None),       # == concept: no value
+        ("d2", "C104", "melanoma", 6, 14, None),   # NO_VALUE -> str only
+    ])
+    t = _templates(spark, [("t1", "stage", "C120", None, "value")])
+    rows = {(r.doc_id, r.cui): r for r in
+            extract_items(m, _edges(spark), t).collect()}
+    assert rows[("d1", "C104")].value_num == 4.0
+    assert rows[("d1", "C106")].value_num == 2.5
+    assert rows[("d1", "C105")].value_num == 7.0
+    assert rows[("d2", "C120")].value_str is None
+    assert rows[("d2", "C120")].value_num is None
+    assert rows[("d2", "C104")].value_str == "melanoma"
+    assert rows[("d2", "C104")].value_num is None
+    # DOMAIN_VALUE never sets absent (isAttributeValueDomain :500)
+    assert not any(r.absent for r in rows.values())
+
+
+def test_extract_items_absent_flag(spark):
+    """ItemInstance.process :432-435: a ConText-negated mention sets
+    absent for boolean items; attribute/value domains never do."""
+    neg = {"Polarity": "Negative_Polarity"}
+    pos = {"Polarity": "Positive_Polarity"}
+    m = _mentions(spark, [
+        ("d1", "C104", "hash join", 0, 9, neg),
+        ("d2", "C104", "hash join", 0, 9, pos),
+        ("d3", "C104", "hash join", 0, 9, None),
+    ])
+    t = _templates(spark, [
+        ("t1", "join_b", "C100", None, "boolean"),
+        ("t1", "join_v", "C100", None, "value"),
+    ])
+    rows = {(r.doc_id, r.item): r.absent for r in
+            extract_items(m, _edges(spark), t).collect()}
+    assert rows[("d1", "join_b")] is True
+    assert rows[("d2", "join_b")] is False
+    assert rows[("d3", "join_b")] is False
+    assert rows[("d1", "join_v")] is False   # value domain: no absent
+
+
+def test_extract_items_section_filter(spark):
+    """TemplateItem.process :355-391: a section_filter restricts an
+    item to mentions inside sections whose title FULL-matches the
+    filter regex (Java String.matches); unfiltered items see all
+    mentions; with no sections_df a filtered item matches nothing."""
+    m = _mentions(spark, [
+        ("d1", "C104", "hash join", 5, 14, None),    # in GROSS DESCRIPTION
+        ("d1", "C106", "sort merge", 50, 60, None),  # in MARGIN STATUS
+        ("d2", "C104", "hash join", 5, 14, None),    # no sections in d2
+    ])
+    sections = spark.createDataFrame(
+        [("d1", "GROSS DESCRIPTION:", 0, 40),
+         ("d1", "MARGIN STATUS:", 40, 80)],
+        "doc_id string, title string, start int, end int")
+    t = _templates(spark, [
+        ("t1", "gross_item", "C120", "GROSS.*", "boolean"),
+        ("t1", "any_item", "C120", None, "boolean"),
+    ])
+    rows = extract_items(m, _edges(spark), t, sections_df=sections).collect()
+    got = {(r.item, r.doc_id, r.cui) for r in rows}
+    assert ("gross_item", "d1", "C104") in got
+    assert ("gross_item", "d1", "C106") not in got    # wrong section
+    assert ("gross_item", "d2", "C104") not in got    # doc has no sections
+    assert {(d, c) for i, d, c in got if i == "any_item"} == \
+           {("d1", "C104"), ("d1", "C106"), ("d2", "C104")}
+    # full-match semantics: 'GROSS' alone must not match 'GROSS DESC...'
+    t2 = _templates(spark, [("t1", "g", "C120", "GROSS", "boolean")])
+    assert extract_items(m, _edges(spark), t2,
+                         sections_df=sections).count() == 0
+    # no sections_df: filtered item contributes nothing
+    assert extract_items(m, _edges(spark), t).filter(
+        "item = 'gross_item'").count() == 0
+
+
+def test_extract_end_to_end_rich_corpus(spark):
+    """Full InformationExtractor flow on the structured fixture corpus:
+    annotate → sections_from_docs → extract_items. A neoplasm item
+    catches melanoma/DCIS mentions through the isa closure; a
+    GROSS-DESCRIPTION-scoped item only fires inside that section; some
+    'No evidence of melanoma' sentences must yield absent=true."""
+    from nobletools_spark.api import NobleCoderSpark
+    from nobletools_spark.operators.context import default_context_index
+    from nobletools_spark.operators.templates import sections_from_docs
+    from nobletools_spark.sources.fixtures import (
+        PYTEST_CONCEPTS,
+        PYTEST_ISA_EDGES,
+        rich_corpus_df,
+    )
+
+    docs = rich_corpus_df(spark, 40, seed=7)
+    coder = NobleCoderSpark.from_concepts(
+        PYTEST_CONCEPTS, context=default_context_index())
+    coder.isa_edges = PYTEST_ISA_EDGES
+    sections = sections_from_docs(docs)
+    assert sections.filter("title like 'GROSS%'").count() > 0
+    templates = _templates(spark, [
+        ("t1", "neoplasm", "C014", None, "boolean"),
+        ("t1", "gross_neoplasm", "C014", "GROSS DESCRIPTION:", "boolean"),
+    ])
+    items = coder.extract(docs, templates, sections_df=sections).cache()
+    rows = items.collect()
+    assert rows
+    # ancestry: every emitted cui descends from / equals C014
+    assert {r.cui for r in rows} <= {"C013", "C014"}
+    # section scoping is a strict subset of the unfiltered item
+    allv = {(r.doc_id, r.cui, r.start) for r in rows if r.item == "neoplasm"}
+    scoped = {(r.doc_id, r.cui, r.start) for r in rows
+              if r.item == "gross_neoplasm"}
+    assert scoped and scoped < allv
+    # ConText negation propagates to absent on boolean items
+    assert any(r.absent for r in rows if r.item == "neoplasm")
+    items.unpersist()
