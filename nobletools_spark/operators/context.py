@@ -206,8 +206,28 @@ def apply_context(text: str, mentions: list[Mention],
 
 
 # ---------------------------------------------------------------------------
-# Default lexicon — compact phrase sets per the published ConText
-# algorithm (Harkema 2009); extend/replace via build_context_index(rules).
+# Default lexicon — the published ConText trigger sets (Harkema et al.,
+# J Biomed Inform 2009, 42(5):839-851). The reference loads its phrase
+# sets from a web-hosted Modifier.owl that is NOT bundled with the repo,
+# so the no-OWL default path carries the published lists instead:
+#
+# - Polarity + termination come VERBATIM from the NegEx phrase lists
+#   (operators/negex.py — themselves .lst-parity-tested against the
+#   reference resources): ConText's negation layer is NegEx's published
+#   trigger set (Harkema 2009 §2.2 builds on Chapman 2001), with
+#   pre-negation → forward, post-negation → backward, pseudo-negation
+#   → pseudo, and the conjunction list as scope terminators. A diff
+#   test (tests/test_context.py) pins this reuse exactly.
+# - Experiencer / Temporality (historical, hypothetical) carry the
+#   ConText trigger/pseudo-trigger conventions from the paper (family-
+#   member nouns; history-of triggers with the history-of-present-
+#   illness/social-history pseudo set; if/return hypotheticals).
+# - Certainty / ContextualAspect / Degree / Permanence have no
+#   published ConText list (they exist only in the reference's OWL
+#   convention), so they keep compact THYME-convention phrase sets.
+#
+# Extend/replace any of this via build_context_index(rules) or the
+# OWL path (context_index_from_owl).
 # ---------------------------------------------------------------------------
 
 # All 8 modifier types (ConText.MODIFIER_TYPES, ConText.java:58-83).
@@ -225,16 +245,53 @@ DEFAULT_VALUES = {
     "Certainty": "Certain_Certainty",
 }
 
-_NEG_FWD = ("no", "no evidence of", "without", "denies", "negative for",
-            "absence of", "free of", "not demonstrate", "rules out")
-_NEG_BWD = ("is ruled out", "are ruled out", "was ruled out",
-            "were ruled out", "unlikely")
-_NEG_PSEUDO = ("no increase", "no change", "not rule out", "not ruled out",
-               "gram negative")
-_TERM_CONJ = ("but", "however", "although", "aside from", "except")
-_FAMILY = ("family history of", "mother", "father", "brother", "sister",
-           "grandmother", "grandfather")
-_HIST = ("history of", "past medical history")
+from nobletools_spark.operators.negex import (  # noqa: E402 — data reuse
+    CONJUNCTIONS as _TERM_CONJ,
+    POST_NEGATION as _NEG_BWD,
+    PRE_NEGATION as _NEG_FWD,
+    PSEUDO_NEGATION as _NEG_PSEUDO,
+)
+
+# Experiencer: family-member trigger nouns (Harkema 2009 experiencer
+# conventions; possessive forms kept verbatim even where the matcher's
+# \W normalization makes them redundant — same policy as the NegEx
+# punctuation entries).
+_FAMILY = (
+    "family history of", "family history", "family", "mother", "mother's",
+    "father", "father's", "brother", "brother's", "sister", "sister's",
+    "aunt", "aunt's", "uncle", "uncle's", "grandmother", "grandmother's",
+    "grandfather", "grandfather's", "grandparent", "grandparents", "cousin",
+    "cousin's", "sibling", "siblings", "son", "son's", "daughter",
+    "daughter's", "wife", "wife's", "husband", "husband's", "mom", "dad",
+    "grandma", "grandpa", "maternal", "paternal",
+)
+
+# Temporality=historical triggers + the published pseudo-history set
+# (phrases where the word 'history' does NOT mark the concept as
+# historical: Harkema 2009 pseudo-trigger convention).
+_HIST = (
+    "history", "history of", "past history", "past history of",
+    "past medical history", "past medical history of",
+    "past surgical history", "previous", "previously", "prior",
+    "h/o", "hx", "hx of", "status post", "s/p",
+)
+_HIST_PSEUDO = (
+    "history of present illness", "history of chief complaint",
+    "history and physical", "history and examination", "history taking",
+    "history, physical", "history, examination", "poor history",
+    "social history", "family history", "sudden onset of",
+)
+
+# Temporality=hypothetical triggers ('if the patient returns...') and
+# their pseudo set ('if negative' describes a test result, not a
+# hypothetical concept).
+_HYPO = (
+    "if", "if patient", "if the patient", "return", "returns", "returned",
+    "should", "should the patient", "should there", "as needed",
+    "come back", "comes back", "came back",
+)
+_HYPO_PSEUDO = ("if negative", "if positive", "even if")
+
 _HEDGE = ("possible", "probable", "suspected", "suggestive of",
           "consistent with", "may represent", "questionable")
 # The 4 remaining ConText types (ConText.java:61-65). The reference loads
@@ -274,8 +331,21 @@ DEFAULT_RULES: tuple[ModifierRule, ...] = tuple(
        for i, t in enumerate(_FAMILY)]
     + [ModifierRule(f"hist_{i}", (t,), "Temporality", "Before_DocTimeRel",
                     ACTION_FORWARD, group="temporality",
-                    terminated_by=("conj",))
+                    terminated_by=("conj",), pseudo=("pseudohist",))
        for i, t in enumerate(_HIST)]
+    + [ModifierRule(f"hist_p_{i}", (t,), "Temporality",
+                    "Recent_Temporality", group="pseudohist",
+                    is_pseudo=True)
+       for i, t in enumerate(_HIST_PSEUDO)]
+    + [ModifierRule(f"hypo_{i}", (t,), "Temporality",
+                    "Hypothetical_Temporality", ACTION_FORWARD,
+                    group="hypothetical", terminated_by=("conj",),
+                    pseudo=("pseudohypo",))
+       for i, t in enumerate(_HYPO)]
+    + [ModifierRule(f"hypo_p_{i}", (t,), "Temporality",
+                    "Recent_Temporality", group="pseudohypo",
+                    is_pseudo=True)
+       for i, t in enumerate(_HYPO_PSEUDO)]
     + [ModifierRule(f"hedge_{i}", (t,), "ContextualModality",
                     "Hedged_ContextualModality", ACTION_FORWARD,
                     group="modality", terminated_by=("conj",))

@@ -251,6 +251,75 @@ CONTEXT_OWL = """\
 """
 
 
+def test_default_lexicon_reuses_published_negex_lists_verbatim():
+    """r2 verdict task #4 parity gate: the default Polarity layer must
+    be EXACTLY the published NegEx phrase lists (already .lst-diffed
+    against the reference resources in test_negex.py) — forward ==
+    pre-negation, backward == post-negation, pseudo == pseudo-negation,
+    and the termination group == the conjunction list, all verbatim
+    including order."""
+    from nobletools_spark.operators import negex
+    from nobletools_spark.operators.context import (
+        ACTION_BACKWARD,
+        ACTION_FORWARD,
+        ACTION_TERMINATE,
+        DEFAULT_RULES,
+    )
+
+    def phrases(pred):
+        return tuple(r.terms[0] for r in DEFAULT_RULES if pred(r))
+
+    fwd = phrases(lambda r: r.group == "negation"
+                  and r.action == ACTION_FORWARD)
+    bwd = phrases(lambda r: r.group == "negation"
+                  and r.action == ACTION_BACKWARD)
+    pseudo = phrases(lambda r: r.group == "pseudoneg")
+    conj = phrases(lambda r: r.group == "conj"
+                   and r.action == ACTION_TERMINATE)
+    assert fwd == negex.PRE_NEGATION       # 133 entries, file order
+    assert bwd == negex.POST_NEGATION      # 24
+    assert pseudo == negex.PSEUDO_NEGATION  # 20
+    assert conj == negex.CONJUNCTIONS      # 89
+
+
+def test_widened_negation_phrases_fire():
+    """Phrases absent from the r2 compact set must now fire: NegEx pre
+    ('fails to reveal'), post ('not identified'), and pseudo ('no
+    interval change' must NOT negate)."""
+    assert _mods("Biopsy fails to reveal melanoma.",
+                 "C013")["Polarity"] == "Negative_Polarity"
+    assert _mods("Melanoma not identified.",
+                 "C013")["Polarity"] == "Negative_Polarity"
+    assert _mods("No interval change in melanoma.",
+                 "C013")["Polarity"] == "Positive_Polarity"
+
+
+def test_experiencer_family_nouns_fire():
+    assert _mods("Sister was treated for melanoma.",
+                 "C013")["Experiencer"] == "FamilyMember_Experiencer"
+    assert _mods("Maternal aunt with melanoma.",
+                 "C013")["Experiencer"] == "FamilyMember_Experiencer"
+
+
+def test_historical_trigger_and_pseudo_history():
+    assert _mods("Previous melanoma was excised.",
+                 "C013")["Temporality"] == "Before_DocTimeRel"
+    # 'social history' / 'history of present illness' are pseudo-history
+    assert _mods("Social history melanoma discussion.",
+                 "C013")["Temporality"] == "Recent_Temporality"
+    # 'family history of' marks the EXPERIENCER, not temporality
+    mods = _mods("Family history of melanoma.", "C013")
+    assert mods["Experiencer"] == "FamilyMember_Experiencer"
+    assert mods["Temporality"] == "Recent_Temporality"
+
+
+def test_hypothetical_trigger_and_pseudo():
+    assert _mods("Return if melanoma recurs.",
+                 "C013")["Temporality"] == "Hypothetical_Temporality"
+    assert _mods("If positive melanoma margins are found, call.",
+                 "C013")["Temporality"] == "Recent_Temporality"
+
+
 MULTI_PARENT_OWL = """\
 <?xml version="1.0"?>
 <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
