@@ -51,6 +51,9 @@ from nobletools_spark.operators.similarity import cosine_topk, hyperplanes, lsh_
 from nobletools_spark.operators.textstats import (
     LANG_STOPWORDS,
     LANGS,
+    SCRIPT_LANG,
+    SCRIPT_RANGES,
+    SCRIPTS,
     PII_PATTERNS,
     fingerprints,
     lang_id,
@@ -207,8 +210,32 @@ def q_text_quality(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
 
+# deterministic non-Latin tails for the script-vote leg of lang_id —
+# (modulus, tail) in priority order; shared verbatim with the oracle SQL
+_SCRIPT_TAILS = (
+    (11, " 这是一个测试文档"),                 # han → zh
+    (13, " これはテストです"),                 # kana → ja
+    (17, " 이것은 테스트입니다"),              # hangul → ko
+    (19, " это тестовый документ"),           # cyrillic → ru
+    (23, " هذا مستند تجريبي"),                # arabic → ar
+    (29, " αυτό είναι ένα δοκιμαστικό"),      # greek → el
+)
+
+
+def _docs_with_scripts(spark, sf_dir):
+    """Deterministic non-Latin augmentation (pure function of doc_id):
+    selected documents gain a script tail so the Unicode-script vote has
+    real work at every scale factor — same pattern as _docs_with_pii."""
+    d = _docs(spark, sf_dir)
+    tail = F.lit("")
+    for mod, t in reversed(_SCRIPT_TAILS):
+        tail = F.when(F.col("doc_id") % mod == 0, F.lit(t)).otherwise(tail)
+    return d.withColumn(
+        "text", F.concat(F.coalesce(F.col("text"), F.lit("")), tail))
+
+
 def q_text_lang_id(spark, sf_dir):
-    return lang_id(_docs(spark, sf_dir))
+    return lang_id(_docs_with_scripts(spark, sf_dir))
 
 
 def q_text_fingerprints(spark, sf_dir):
@@ -469,7 +496,7 @@ def _lang_votes_sql() -> dict[str, str]:
 
 
 def _lang_case_sql() -> str:
-    whens = []
+    whens = [f"WHEN sc_{s} > 0 THEN '{SCRIPT_LANG[s]}'" for s in SCRIPTS]
     for lang in LANGS:
         conds = [f"v_{lang} > 0"]
         conds += [f"v_{lang} >= v_{o}" for o in LANGS if o != lang]
@@ -616,10 +643,21 @@ def oracle_sql() -> dict[str, str]:
     votes = _lang_votes_sql()
     vote_cols = ", ".join(f"{votes[lang]} AS v_{lang}" for lang in LANGS)
     out_votes = ", ".join(f"v_{lang} AS votes_{lang}" for lang in LANGS)
+    # planted script tails (same modulus priority chain as
+    # _docs_with_scripts) + per-script regexp counts
+    tail_case = ("CASE " + " ".join(
+        f"WHEN doc_id % {mod} = 0 THEN '{t}'"
+        for mod, t in _SCRIPT_TAILS) + " ELSE '' END")
+    sc_cols = ", ".join(
+        f"len(regexp_extract_all(text, '[{r}]'))::BIGINT AS sc_{s}"
+        for s, r in SCRIPT_RANGES.items())
+    out_sc = ", ".join(f"sc_{s}" for s in SCRIPTS)
     sql["text_lang_id"] = (
-        f"WITH v AS (SELECT doc_id::BIGINT AS doc_id, {vote_cols}"
-        f" FROM documents) "
-        f"SELECT doc_id, {_lang_case_sql()} AS lang_pred, {out_votes} FROM v")
+        f"WITH planted AS (SELECT doc_id::BIGINT AS doc_id,"
+        f" coalesce(text, '') || {tail_case} AS text FROM documents), "
+        f"v AS (SELECT doc_id, {vote_cols}, {sc_cols} FROM planted) "
+        f"SELECT doc_id, {_lang_case_sql()} AS lang_pred, {out_votes},"
+        f" {out_sc} FROM v")
 
     h64_x = _SQL_H64.format(x="x")
     sql["text_fingerprints"] = (

@@ -50,6 +50,25 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 LANGS = tuple(sorted(LANG_STOPWORDS))  # deterministic cascade order
 
+# Unicode-script ranges voted AHEAD of the stopword cascade (a crawl
+# corpus is mostly non-Latin by volume; stopword lists only separate
+# Latin-script languages). Order is semantic: kana/hangul decide before
+# han so Japanese/Korean text containing Chinese characters resolves to
+# ja/ko, not zh. Ranges are the core BMP blocks; patterns are literal
+# character classes so the Spark (Java) and DuckDB (RE2) regex engines
+# see identical bytes.
+SCRIPT_RANGES: dict[str, str] = {
+    "kana": "぀-ヿ",      # hiragana + katakana
+    "hangul": "가-힣",    # hangul syllables
+    "han": "一-鿿",       # CJK unified ideographs
+    "cyrillic": "Ѐ-ӿ",
+    "arabic": "؀-ۿ",
+    "greek": "Ͱ-Ͽ",
+}
+SCRIPTS = tuple(SCRIPT_RANGES)    # decision order, not alphabetical
+SCRIPT_LANG = {"kana": "ja", "hangul": "ko", "han": "zh",
+               "cyrillic": "ru", "arabic": "ar", "greek": "el"}
+
 
 def _tokens(col: str = "text") -> Column:
     return F.split(F.col(col), " ")
@@ -108,25 +127,38 @@ def quality_score(docs: DataFrame,
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
-    """Stopword-voting language ID: per language, count tokens hitting
-    its stopword list; argmax with a fixed deterministic cascade
-    (languages in sorted order, first maximal wins, all-zero → 'und')."""
+    """Script-then-stopword language ID, all JVM-side (regexp_count +
+    array filters, zero shuffle):
+
+    1. Unicode-script vote (r2 verdict task #7): any kana → ja, hangul
+       → ko, han → zh, then cyrillic → ru / arabic → ar / greek → el —
+       script presence beats stopword counts because stopword lists
+       only discriminate between Latin-script languages.
+    2. Stopword vote for Latin text: per language, count tokens in its
+       list; argmax with a fixed cascade (sorted languages, first
+       maximal wins, all-zero → 'und')."""
     toks = _tokens()
     def _vote(ws: tuple[str, ...]) -> Column:
         return F.size(F.filter(toks, lambda t: t.isin(*ws))).cast("long")
 
     votes = {lang: _vote(ws) for lang, ws in LANG_STOPWORDS.items()}
-    expr = None  # CASE cascade in sorted-language order: first maximal wins
-    for lang in LANGS:
+    sc = {s: F.regexp_count(F.col("text"), F.lit(f"[{r}]")).cast("long")
+          for s, r in SCRIPT_RANGES.items()}
+    expr = None
+    for s in SCRIPTS:  # script cascade first, in SCRIPTS order
+        w = (sc[s] > 0, F.lit(SCRIPT_LANG[s]))
+        expr = F.when(*w) if expr is None else expr.when(*w)
+    for lang in LANGS:  # CASE cascade: first maximal wins
         cond = (votes[lang] > 0)
         for other in LANGS:
             if other != lang:
                 cond = cond & (votes[lang] >= votes[other])
-        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+        expr = expr.when(cond, F.lit(lang))
     pred = expr.otherwise(F.lit("und"))
     cols = [F.col("doc_id").cast("long").alias("doc_id"),
             pred.alias("lang_pred")]
     cols += [votes[lang].alias(f"votes_{lang}") for lang in LANGS]
+    cols += [sc[s].alias(f"sc_{s}") for s in SCRIPTS]
     return docs.select(*cols)
 
 

@@ -89,6 +89,33 @@ def test_lang_id_discriminates_eight_languages(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+def test_lang_id_script_vote_beats_stopwords(spark):
+    """Unicode-script vote ahead of the stopword cascade (r2 verdict
+    task #7): CJK/Cyrillic/Arabic/Greek/Japanese/Korean text resolves
+    by script even when Latin stopwords are present; kana/hangul beat
+    han so mixed Japanese/Korean text is not labeled zh."""
+    from nobletools_spark.operators.textstats import lang_id
+
+    samples = [
+        (0, "这是一个中文测试文档 没有别的", "zh"),
+        (1, "日本語のテストです", "ja"),          # han + kana → ja
+        (2, "이것은 한국어 테스트입니다", "ko"),
+        (3, "это русский тестовый документ", "ru"),
+        (4, "هذا مستند تجريبي باللغة العربية", "ar"),
+        (5, "αυτό είναι ένα ελληνικό έγγραφο", "el"),
+        # Latin stopwords in the text do not override script presence
+        (6, "the report 中文内容 with some english", "zh"),
+        (7, "the cat sat on the mat and it was not a dog", "en"),
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t, _ in samples],
+                                 "doc_id long, text string")
+    rows = {r.doc_id: r for r in lang_id(docs).collect()}
+    for i, _t, want in samples:
+        assert rows[i].lang_pred == want, (i, rows[i].lang_pred, want)
+    assert rows[1].sc_kana > 0 and rows[1].sc_han > 0
+    assert rows[7].sc_han == 0
+
+
 def test_pii_scrub(spark):
     from nobletools_spark.operators.textstats import pii_scrub
 
