@@ -100,7 +100,8 @@ class NobleCoderSpark:
         return annotate(docs_df, self.index, self.cfg,
                         context=self.context, **kw)
 
-    def extract(self, docs_df, templates_df, sections_df=None, **kw):
+    def extract(self, docs_df, templates_df, sections_df=None,
+                components_df=None, **kw):
         """Template-based information extraction (InformationExtractor
         flow: annotate → TemplateItem.process per template item): emits
         ItemInstance rows via operators/templates.extract_items using
@@ -113,7 +114,28 @@ class NobleCoderSpark:
         if not getattr(self, "isa_edges", ()):
             edges = edges.filter("cui <> ''")
         return extract_items(self.annotate(docs_df, **kw), edges,
-                             templates_df, sections_df=sections_df)
+                             templates_df, sections_df=sections_df,
+                             components_df=components_df)
+
+    def extract_from_xml(self, docs_df, template_xml: str,
+                         sections_df=None, **kw):
+        """extract() driven by a reference ``.template`` XML file
+        (Template.fromElement :228-274) — items, section filters, and
+        attribute/modifier/unit components parsed by
+        templates_from_xml."""
+        from nobletools_spark.operators.templates import (
+            COMPONENTS_DDL,
+            TEMPLATES_DDL,
+            templates_from_xml,
+        )
+
+        spark = docs_df.sparkSession
+        t_rows, c_rows = templates_from_xml(template_xml)
+        templates_df = spark.createDataFrame(t_rows, TEMPLATES_DDL)
+        components_df = (spark.createDataFrame(c_rows, COMPONENTS_DDL)
+                         if c_rows else None)
+        return self.extract(docs_df, templates_df, sections_df=sections_df,
+                            components_df=components_df, **kw)
 
     # ------------------------------------------------------------------
     # ad-hoc probes (driver-side, no cluster)

@@ -36,12 +36,19 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from nobletools_spark.operators.triples import PATH_DEPTH_LIMIT, ancestors
 
 TEMPLATES_DDL = ("template_id string, item string, concept string, "
                  "section_filter string, value_domain string")
+
+# component rows attached to an item (TemplateItem attributeValues /
+# modifiers / units / values, TemplateItem.java:55-61): comp_type ∈
+# {'attribute','modifier','unit','value'}; comp_name is the attribute
+# item's name for attribute-values, else the component item's name.
+COMPONENTS_DDL = ("template_id string, item string, comp_type string, "
+                  "comp_name string, concept string")
 
 DOMAIN_SELF = "self"          # TemplateItem.java:46-50
 DOMAIN_ATTRIBUTE = "attribute"
@@ -90,6 +97,77 @@ def _parse_value_udf():
     return F.pandas_udf(batch, T.DoubleType())
 
 
+def templates_from_xml(xml_text: str) -> tuple[list[tuple], list[tuple]]:
+    """Parse the reference's ``.template`` XML format
+    (Template.fromElement :228-274, TemplateItem.fromElement
+    :480-543, DocumentFilter.fromElement :111-119) into
+    (template_rows, component_rows) for
+    ``spark.createDataFrame(rows, TEMPLATES_DDL / COMPONENTS_DDL)``.
+
+    Concepts stay as their code strings (the reference resolves them
+    against its bundled terminology; a DataFrame pipeline joins on the
+    code). Item-level section Filters become ``section_filter``
+    (first non-inverted section filter; Template-level filters apply
+    to items without their own). Nested Modifiers / Units / Values /
+    AttributeValues items become component rows; Feature sub-items are
+    parsed as components of type 'feature' (the feature second pass of
+    TemplateItem.process :420-447 is not replayed)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml_text)
+    t_elems = [root] if root.tag == "Template" else root.findall(".//Template")
+    templates: list[tuple] = []
+    components: list[tuple] = []
+
+    def section_filter(elem) -> str | None:
+        flt = elem.find("Filters")
+        if flt is None:
+            return None
+        for f in flt.findall("Filter"):
+            ftype = f.get("type") or "section"
+            inv = (f.get("invert.match") or "false").lower() == "true"
+            if ftype == "section" and not inv and (f.text or "").strip():
+                return f.text.strip()
+        return None
+
+    for t in t_elems:
+        tid = t.get("name") or "template"
+        t_filter = section_filter(t)
+        items = t.find("TemplateItems")
+        for it in (items.findall("TemplateItem")
+                   if items is not None else []):
+            item = it.get("name") or it.get("concept")
+            templates.append((
+                tid, item, it.get("concept"),
+                section_filter(it) or t_filter,
+                it.get("value.domain") or DOMAIN_BOOLEAN))
+
+            def comp(sub, ctype, cname=None):
+                components.append((tid, item, ctype,
+                                   cname or sub.get("name")
+                                   or sub.get("concept"),
+                                   sub.get("concept")))
+
+            for tag, ctype in (("Modifiers", "modifier"),
+                               ("Values", "value"), ("Units", "unit")):
+                grp = it.find(tag)
+                if grp is not None:
+                    for sub in grp.findall("TemplateItem"):
+                        comp(sub, ctype)
+            feat = it.find("Feature/TemplateItem")
+            if feat is not None:
+                comp(feat, "feature")
+            for av in it.findall("AttributeValues"):
+                attr = av.find("Attribute/TemplateItem")
+                aname = (attr.get("name") or attr.get("concept")
+                         if attr is not None else None)
+                vals = av.find("Values")
+                if vals is not None:
+                    for sub in vals.findall("TemplateItem"):
+                        comp(sub, "attribute", aname)
+    return templates, components
+
+
 SECTIONS_DDL = "doc_id string, title string, start int, end int"
 
 
@@ -135,6 +213,7 @@ def sections_from_docs(docs_df: DataFrame,
 def extract_items(mentions_df: DataFrame, edges_df: DataFrame,
                   templates_df: DataFrame,
                   sections_df: DataFrame | None = None,
+                  components_df: DataFrame | None = None,
                   max_depth: int = PATH_DEPTH_LIMIT) -> DataFrame:
     """Mentions ⋈ isa-closure ⋈ templates → ItemInstance rows:
     (doc_id, template_id, item, concept, cui, matched_term, start, end,
@@ -194,10 +273,69 @@ def extract_items(mentions_df: DataFrame, edges_df: DataFrame,
     no_absent_domain = F.col("value_domain").isin(DOMAIN_ATTRIBUTE,
                                                   DOMAIN_VALUE)
     parse = _parse_value_udf()
-    return gated.select(
-        "doc_id", "template_id", "item", "concept", "cui", "matched_term",
-        "start", "end",
+    skey = ["doc_id"] + (["sent_offset"] if "sent_offset" in cols else [])
+    out = gated.select(
+        *skey, "template_id", "item", "concept", "cui", "matched_term",
+        "start", "end", "value_domain", "_negated",
         F.when(is_value, F.col("matched_term")).alias("value_str"),
-        F.when(is_value, parse(F.col("matched_term"))).alias("value_num"),
+        F.when(is_value, parse(F.col("matched_term"))).alias("value_num"))
+
+    # component composition (ItemInstance.process :440-480 +
+    # getMatchingInstances): attributes / modifiers / units / value
+    # alternatives resolve against SAME-SENTENCE mentions, ancestry-
+    # gated per component concept. All instances of an item in a
+    # sentence share the same component resolution (the reference
+    # re-runs findConcept over the same mention list), so matches
+    # aggregate per (sentence, item) and join back — one broadcast
+    # join + one sentence-keyed aggregation, no corpus self-join.
+    # Instead of the reference's annotation-subsumption dedup, the
+    # best mention per component is the longest matched term
+    # (earliest start, smallest cui on ties) — deterministic argmax.
+    if components_df is not None:
+        m2 = m.select(*skey, F.col("cui").alias("c_cui"),
+                      F.col("matched_term").alias("c_term"),
+                      F.col("start").alias("c_start"))
+        cmp_ = components_df.filter(F.col("comp_type") != "feature")
+        ceq = m2.join(F.broadcast(cmp_), m2["c_cui"] == cmp_["concept"])
+        cdesc = (m2.join(F.broadcast(closure.withColumnRenamed(
+                             "cui", "c_cui")), "c_cui")
+                 .join(F.broadcast(cmp_),
+                       F.col("ancestor") == cmp_["concept"])
+                 .drop("ancestor"))
+        hits = ceq.unionByName(cdesc)
+        w = Window.partitionBy(*skey, "template_id", "item",
+                               "comp_type", "comp_name") \
+                  .orderBy(F.length("c_term").desc(), F.col("c_start"),
+                           F.col("c_cui"))
+        best = (hits.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1))
+        attr_entry = F.when(F.col("comp_type") == "attribute",
+                            F.struct(F.col("comp_name").alias("key"),
+                                     F.col("c_cui").alias("value")))
+        agg = best.groupBy(*skey, "template_id", "item").agg(
+            F.map_from_entries(F.array_sort(
+                F.collect_list(attr_entry))).alias("attributes"),
+            F.array_sort(F.collect_set(
+                F.when(F.col("comp_type") == "modifier", F.col("c_cui"))
+            )).alias("modifier_cuis"),
+            F.min(F.when(F.col("comp_type") == "unit",
+                         F.col("c_cui"))).alias("unit"),
+            F.min(F.when(F.col("comp_type") == "value",
+                         F.col("c_cui"))).alias("value_concept"))
+        out = out.join(agg, skey + ["template_id", "item"], "left")
+        # DOMAIN_TRIGGER satisfaction (ItemInstance :408-422): the item
+        # only holds when some attribute-value fires in the sentence
+        out = out.filter(
+            (F.col("value_domain") != DOMAIN_TRIGGER)
+            | (F.size(F.coalesce(
+                F.map_entries(F.col("attributes")),
+                F.array().cast("array<struct<key:string,value:string>>")
+            )) > 0))
+        extra = ["attributes", "modifier_cuis", "unit", "value_concept"]
+    else:
+        extra = []
+    return out.select(
+        "doc_id", "template_id", "item", "concept", "cui", "matched_term",
+        "start", "end", "value_str", "value_num",
         F.when(no_absent_domain, F.lit(False))
-         .otherwise(F.col("_negated")).alias("absent"))
+         .otherwise(F.col("_negated")).alias("absent"), *extra)

@@ -141,6 +141,99 @@ def test_extract_items_section_filter(spark):
         "item = 'gross_item'").count() == 0
 
 
+TEMPLATE_XML = """\
+<Template name="melanoma-synoptic" version="1.0">
+  <Description>synoptic melanoma template</Description>
+  <Filters><Filter type="section">FINAL DIAGNOSIS:?</Filter></Filters>
+  <TemplateItems>
+    <TemplateItem name="tumor" type="diagnosis" value.domain="trigger"
+                  concept="C100">
+      <AttributeValues>
+        <Attribute><TemplateItem name="depth" concept="C110"/></Attribute>
+        <Values>
+          <TemplateItem name="deep" concept="C105"/>
+        </Values>
+      </AttributeValues>
+      <Modifiers><TemplateItem name="grade" concept="C120"/></Modifiers>
+      <Units><TemplateItem name="mm" concept="C130"/></Units>
+    </TemplateItem>
+    <TemplateItem name="site" concept="C110" value.domain="boolean">
+      <Filters><Filter type="section">GROSS.*</Filter></Filters>
+    </TemplateItem>
+    <TemplateItem name="masked" concept="C110">
+      <Filters><Filter type="section" invert.match="true">X.*</Filter></Filters>
+    </TemplateItem>
+  </TemplateItems>
+</Template>
+"""
+
+
+def test_templates_from_xml():
+    """Reference .template XML (Template.fromElement :228-274 /
+    TemplateItem.fromElement): items, value domains, section filters
+    (item-level overrides template-level; inverted filters skipped),
+    and nested AttributeValues/Modifiers/Units component rows."""
+    from nobletools_spark.operators.templates import templates_from_xml
+
+    templates, components = templates_from_xml(TEMPLATE_XML)
+    by_item = {t[1]: t for t in templates}
+    assert set(by_item) == {"tumor", "site", "masked"}
+    assert by_item["tumor"] == ("melanoma-synoptic", "tumor", "C100",
+                                "FINAL DIAGNOSIS:?", "trigger")
+    assert by_item["site"][3] == "GROSS.*"        # item filter wins
+    assert by_item["masked"][3] == "FINAL DIAGNOSIS:?"  # inverted skipped
+    assert by_item["site"][4] == "boolean"
+    got = {(c[2], c[3], c[4]) for c in components if c[1] == "tumor"}
+    assert got == {("attribute", "depth", "C105"),
+                   ("modifier", "grade", "C120"),
+                   ("unit", "mm", "C130")}
+
+
+def test_extract_items_component_composition(spark):
+    """ItemInstance.process :440-480: attributes / modifiers / units
+    resolve against same-sentence ancestry-gated mentions; a
+    DOMAIN_TRIGGER item without a firing attribute-value is dropped
+    (ItemInstance :408-422)."""
+    from nobletools_spark.operators.templates import (
+        COMPONENTS_DDL,
+        extract_items,
+    )
+
+    rows = [
+        # sentence 0 of d1: anchor + attribute value + modifier
+        ("d1", "C104", "hash join", 0, 9, None, 0),
+        ("d1", "C105", "table scan", 10, 20, None, 0),   # attr value (scan)
+        ("d1", "C108", "window group", 21, 33, None, 0),  # modifier
+        # sentence 5 of d1: anchor alone — trigger unsatisfied
+        ("d1", "C104", "hash join", 50, 59, None, 5),
+        # d2: anchor + modifier only (no attribute value)
+        ("d2", "C106", "sort merge", 0, 10, None, 0),
+        ("d2", "C108", "window group", 11, 23, None, 0),
+    ]
+    m = spark.createDataFrame(
+        rows, MENTIONS_DDL + ", sent_offset int")
+    t = _templates(spark, [
+        ("t1", "join_trigger", "C100", None, "trigger"),
+        ("t1", "join_bool", "C100", None, "boolean"),
+    ])
+    comps = spark.createDataFrame(
+        [("t1", "join_trigger", "attribute", "scan_depth", "C110"),
+         ("t1", "join_trigger", "modifier", "grouping", "C108"),
+         ("t1", "join_bool", "modifier", "grouping", "C108")],
+        COMPONENTS_DDL)
+    out = extract_items(m, _edges(spark), t, components_df=comps).collect()
+    # trigger fires only where the C110-descendant attr value is present
+    trig_rows = [r for r in out if r.item == "join_trigger"]
+    assert {(r.doc_id, r.start) for r in trig_rows} == {("d1", 0)}
+    assert trig_rows[0].attributes == {"scan_depth": "C105"}
+    assert trig_rows[0].modifier_cuis == ["C108"]
+    # boolean item keeps all anchors; modifiers attach where present
+    bools = {(r.doc_id, r.start): r for r in out if r.item == "join_bool"}
+    assert set(bools) == {("d1", 0), ("d1", 50), ("d2", 0)}
+    assert bools[("d2", 0)].modifier_cuis == ["C108"]
+    assert bools[("d1", 50)].modifier_cuis in (None, [])
+
+
 def test_extract_end_to_end_rich_corpus(spark):
     """Full InformationExtractor flow on the structured fixture corpus:
     annotate → sections_from_docs → extract_items. A neoplasm item
