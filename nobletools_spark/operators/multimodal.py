@@ -15,7 +15,10 @@ WAV (PCM) decode for REAL with stdlib-only parsers (struct/zlib/wave) —
 ``decoder='fake'`` deterministic bytes-derived outputs so the plumbing
 stays exercised, and ``decoder='pil'`` raises NotImplementedError unless
 Pillow imports on the executor (not in this container). Video frame
-sampling remains a stub (no container demuxer without ffmpeg).
+sampling REALLY demuxes RIFF/AVI containers (stdlib chunk walk — MJPEG
+AVIs yield their encoded JPEG frames at the container's own frame
+rate); mp4/mkv need ffmpeg (absent here) and fall back to the
+deterministic stub.
 """
 
 from __future__ import annotations
@@ -179,7 +182,45 @@ def sniff_media(content: bytes) -> str:
         return "image/png"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "audio/wav"
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        return "video/avi"
     return "unknown"
+
+
+def parse_avi(content: bytes) -> tuple[int, list[bytes]]:
+    """Minimal stdlib RIFF/AVI demuxer: (microseconds-per-frame,
+    encoded video frames). Walks the chunk tree — ``avih`` carries
+    dwMicroSecPerFrame as its first u32; video frame chunks are the
+    ``##dc``/``##db`` entries under the ``movi`` LIST, returned as-is
+    (MJPEG AVIs yield JPEG bytes, DIB AVIs raw bitmaps — frame
+    SAMPLING needs no pixel decode). Chunk sizes are validated and
+    odd sizes padded per RIFF; raises ValueError on a non-AVI or
+    truncated container."""
+    if len(content) < 12 or content[:4] != b"RIFF" \
+            or content[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    us_per_frame = 0
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal us_per_frame
+        while pos + 8 <= end:
+            fourcc = content[pos:pos + 4]
+            size = int.from_bytes(content[pos + 4:pos + 8], "little")
+            data = pos + 8
+            if data + size > end:
+                raise ValueError("truncated AVI chunk")
+            if fourcc == b"LIST":
+                walk(data + 4, data + size)
+            elif fourcc == b"avih" and size >= 4:
+                us_per_frame = int.from_bytes(content[data:data + 4],
+                                              "little")
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append(content[data:data + size])
+            pos = data + size + (size & 1)
+
+    walk(12, len(content))
+    return us_per_frame or 33333, frames
 
 
 def _decode_any(content: bytes) -> tuple[str, int, int, bytes]:
@@ -336,15 +377,32 @@ def extract_features(media_df: DataFrame, dim: int = _FEATURE_DIM) -> DataFrame:
 
 def sample_frames(media_df: DataFrame, every_ms: int = 1000,
                   max_frames: int = 4) -> DataFrame:
-    """Frame sampling plumbing for video rows (stub codec): emits up to
-    ``max_frames`` deterministic frames per media row — a row-expanding
-    mapInPandas (the real ffmpeg-backed version has the same shape)."""
+    """Frame sampling for video rows — a row-expanding mapInPandas.
+    RIFF/AVI containers are REALLY demuxed (parse_avi): frames are
+    picked at ~``every_ms`` spacing from the container's own frame
+    rate (avih dwMicroSecPerFrame), capped at ``max_frames``;
+    ``frame_idx``/``ts_ms`` are the SOURCE frame index and timestamp
+    and ``frame`` is the encoded frame payload (JPEG for MJPEG).
+    Other containers (mp4/mkv need ffmpeg, absent here) fall back to
+    the deterministic stub so the plumbing stays exercised."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
-                d = hashlib.md5(bytes(content or b"")).digest()
+                blob = bytes(content or b"")
+                if sniff_media(blob) == "video/avi":
+                    try:
+                        uspf, frames = parse_avi(blob)
+                        step = max(1, round(every_ms * 1000 / uspf))
+                        for src_i in range(0, len(frames),
+                                           step)[:max_frames]:
+                            rows.append((ref, src_i, frames[src_i],
+                                         src_i * uspf // 1000))
+                        continue
+                    except ValueError:
+                        pass  # malformed container → stub fallback
+                d = hashlib.md5(blob).digest()
                 n = 1 + d[2] % max_frames
                 for i in range(n):
                     frame = hashlib.md5(d + bytes([i])).digest()

@@ -200,6 +200,55 @@ def test_decode_png_truncated_idat_raises_value_error():
         decode_png(bad)
 
 
+def _make_avi(n_frames, uspf=40000):
+    frames = [b"\xff\xd8" + bytes([i]) * 5 + b"\xff\xd9"
+              for i in range(n_frames)]
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+    avih = uspf.to_bytes(4, "little") + b"\x00" * 52
+    hdrl = b"hdrl" + chunk(b"avih", avih)
+    movi = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+    body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body, frames
+
+
+def test_parse_avi_demuxes_mjpeg_frames():
+    """Real RIFF/AVI demux: frame-rate from avih, ##dc payloads byte-
+    identical, truncation raises ValueError."""
+    import pytest
+
+    from nobletools_spark.operators.multimodal import parse_avi, sniff_media
+
+    blob, frames = _make_avi(10)
+    assert sniff_media(blob) == "video/avi"
+    uspf, got = parse_avi(blob)
+    assert uspf == 40000 and got == frames
+    with pytest.raises(ValueError):
+        parse_avi(blob[:len(blob) // 2])
+
+
+def test_sample_frames_avi_real_sampling(spark):
+    """sample_frames on an AVI picks source frames at ~every_ms spacing
+    from the container's own frame rate (25 fps, 200 ms → every 5th
+    frame), carries source indexes/timestamps and the ENCODED payloads;
+    non-AVI rows keep the deterministic stub fallback."""
+    from nobletools_spark.operators.multimodal import sample_frames
+
+    blob, frames = _make_avi(10)  # 25 fps
+    media = spark.createDataFrame(
+        [("m1", blob), ("m2", b"not a video at all")],
+        "media_ref string, content binary")
+    out = sample_frames(media, every_ms=200, max_frames=4).collect()
+    avi = sorted((r.frame_idx, r.ts_ms, bytes(r.frame))
+                 for r in out if r.media_ref == "m1")
+    assert avi == [(0, 0, frames[0]), (5, 200, frames[5])]
+    stub = [r for r in out if r.media_ref == "m2"]
+    assert stub and all(len(bytes(r.frame)) == 16 for r in stub)
+
+
 def test_decode_wav_round_trip():
     import struct
 
