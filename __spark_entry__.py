@@ -238,6 +238,15 @@ def q_text_lang_id(spark, sf_dir):
     return lang_id(_docs_with_scripts(spark, sf_dir))
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher/C4-style repetition filters: top-token share, top-bigram
+    share, duplicate-token fraction — map-side sorted-array folds (the
+    oracle recomputes the same integers via unnest + GROUP BY)."""
+    from nobletools_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def q_text_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
@@ -328,13 +337,20 @@ def q_sim_ivf_topk(spark, sf_dir):
     coarse quantizer is a deterministic pure function of the hash-
     selected fit sample (fit_ivf_centroids: farthest-point init +
     Lloyd), so the oracle replays the same fit on the same rows and
-    embeds the centroid literals in SQL. max_cell=70 deliberately
-    fires at sf0.01 (two ~75-vector cells dropped) so the skew-cap
-    semantics are part of the hash-checked surface."""
+    embeds the centroid literals in SQL.
+
+    max_cell is scale-aware — max(70, N // n_cells): at the oracle's
+    sf0.01 (N=500) that is exactly the SQL constant 70 and the cap
+    FIRES (two ~75-vector cells dropped, putting the skew-cap
+    semantics inside the hash-checked surface); at bench scales the
+    floor rises with N so balanced cells survive and the query does
+    real ranking work."""
     from nobletools_spark.operators.similarity import ivf_topk
 
-    return ivf_topk(_emb(spark, sf_dir), **_IVF) \
-        .withColumnRenamed("rank", "rnk")
+    emb = _emb(spark, sf_dir)
+    params = dict(_IVF, max_cell=max(_IVF["max_cell"],
+                                     emb.count() // _IVF["n_cells"]))
+    return ivf_topk(emb, **params).withColumnRenamed("rank", "rnk")
 
 
 def q_sim_topk(spark, sf_dir):
@@ -375,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
+        "text_repetition": q_text_repetition,
         "text_fingerprints": q_text_fingerprints,
         "text_pii_scrub": q_text_pii_scrub,
         "text_sample": q_text_sample,
@@ -660,6 +677,29 @@ def oracle_sql() -> dict[str, str]:
         f" {out_sc} FROM v")
 
     h64_x = _SQL_H64.format(x="x")
+    sql["text_repetition"] = (
+        "WITH base AS (SELECT doc_id::BIGINT AS doc_id,"
+        " string_split(text, ' ') AS t FROM documents), "
+        "tok AS (SELECT doc_id, unnest(t) AS tok FROM base), "
+        "tc AS (SELECT doc_id, max(c) AS top_token_n FROM"
+        " (SELECT doc_id, tok, count(*) AS c FROM tok"
+        "  GROUP BY doc_id, tok) GROUP BY doc_id), "
+        "bg AS (SELECT doc_id, unnest(list_transform("
+        "generate_series(1, greatest(len(t) - 1, 0)),"
+        " i -> t[i] || ' ' || t[i + 1])) AS bg FROM base), "
+        "bc AS (SELECT doc_id, max(c) AS top_bigram_n FROM"
+        " (SELECT doc_id, bg, count(*) AS c FROM bg"
+        "  GROUP BY doc_id, bg) GROUP BY doc_id) "
+        "SELECT b.doc_id, len(b.t)::BIGINT AS n_tokens,"
+        " tc.top_token_n::BIGINT AS top_token_n,"
+        " tc.top_token_n / len(b.t) AS top_token_ratio,"
+        " coalesce(bc.top_bigram_n, 0)::BIGINT AS top_bigram_n,"
+        " CASE WHEN len(b.t) > 1 THEN bc.top_bigram_n / (len(b.t) - 1)"
+        " ELSE 0.0 END AS top_bigram_ratio,"
+        " 1.0 - (len(list_distinct(b.t)) / len(b.t)) AS dup_token_ratio"
+        " FROM base b JOIN tc USING (doc_id)"
+        " LEFT JOIN bc USING (doc_id)")
+
     sql["text_fingerprints"] = (
         f"SELECT doc_id::BIGINT AS doc_id, md5(text) AS content_md5,"
         f" md5(array_to_string(list_sort(list_distinct({toks})), ' '))"

@@ -31,6 +31,7 @@ HEADLINE = (
     "kg_mentions",
     "kg_doc_concepts",
     "kg_cooccurrence",
+    "kg_template_items",
     "text_quality",
     "text_fingerprints",
     "dedup_exact_bag",
@@ -39,6 +40,8 @@ HEADLINE = (
     "dedup_simhash",
     "sim_topk",
     "sim_lsh_topk",
+    "sim_ivf_topk",
+    "text_repetition",
 )
 
 

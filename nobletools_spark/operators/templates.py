@@ -238,16 +238,19 @@ def extract_items(mentions_df: DataFrame, edges_df: DataFrame,
         if c not in cols:
             m = m.withColumn(c, F.lit(None).cast("int"))
 
-    # ancestry gate: equality branch + strict-descendant branch
-    # (hasAncestor :316-318 = equals || ancestor-closure containment)
+    # ancestry gate (hasAncestor :316-318 = equals || ancestor-closure
+    # containment), pre-expanded on the TERMINOLOGY side: each template
+    # item explodes to its qualifying cuis (itself + strict
+    # descendants), so the corpus-sized mention stream is touched by a
+    # single broadcast join — one matcher pass, no union of two
+    # lineages (which would compute the mapInPandas matcher twice)
     t = templates_df
     closure = (ancestors(edges_df, max_depth)
                .select("cui", "ancestor").distinct())
-    eq = m.join(F.broadcast(t), m["cui"] == t["concept"])
-    desc = (m.join(F.broadcast(closure), "cui")
-            .join(F.broadcast(t), F.col("ancestor") == t["concept"])
-            .drop("ancestor"))
-    gated = eq.unionByName(desc)
+    expand = (t.join(closure, t["concept"] == closure["ancestor"])
+              .drop("ancestor")
+              .unionByName(t.withColumn("cui", F.col("concept"))))
+    gated = m.join(F.broadcast(expand), "cui")
 
     # section scope (TemplateItem.process :355-391): Java String.matches
     # is a FULL match — anchor the stored filter
@@ -296,13 +299,15 @@ def extract_items(mentions_df: DataFrame, edges_df: DataFrame,
                       F.col("matched_term").alias("c_term"),
                       F.col("start").alias("c_start"))
         cmp_ = components_df.filter(F.col("comp_type") != "feature")
-        ceq = m2.join(F.broadcast(cmp_), m2["c_cui"] == cmp_["concept"])
-        cdesc = (m2.join(F.broadcast(closure.withColumnRenamed(
-                             "cui", "c_cui")), "c_cui")
-                 .join(F.broadcast(cmp_),
-                       F.col("ancestor") == cmp_["concept"])
-                 .drop("ancestor"))
-        hits = ceq.unionByName(cdesc)
+        # same terminology-side pre-expansion as the item gate: one
+        # broadcast join against the mention stream, no dual lineage
+        closure2 = closure.withColumnRenamed("cui", "c_cui")
+        cexpand = (cmp_.join(closure2,
+                             cmp_["concept"] == closure2["ancestor"])
+                   .drop("ancestor")
+                   .unionByName(cmp_.withColumn("c_cui",
+                                                F.col("concept"))))
+        hits = m2.join(F.broadcast(cexpand), "c_cui")
         w = Window.partitionBy(*skey, "template_id", "item",
                                "comp_type", "comp_name") \
                   .orderBy(F.length("c_term").desc(), F.col("c_start"),

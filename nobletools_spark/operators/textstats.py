@@ -126,6 +126,56 @@ def quality_score(docs: DataFrame,
     )
 
 
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array = max
+    occurrence count of any element — computed as a single map-side
+    left fold (struct state: prev/run/best), no explode, no shuffle.
+    The DuckDB oracle computes the same integer via unnest + GROUP BY +
+    max(count); identical ints either way."""
+    init = F.struct(F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("best"))
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/C4-style filters a
+    crawl-scale training corpus needs): per document, the most frequent
+    token's share, the most frequent word-bigram's share, and the
+    duplicate-token fraction. Map-only whole-stage codegen: occurrence
+    maxima come from a sorted-array fold (no explode→groupBy shuffle —
+    that formulation is corpus×tokens shuffle at 10^12 docs; the fold
+    is linear per row)."""
+    d = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    _tokens().alias("toks"))
+    n = F.size(F.col("toks"))
+    d = d.withColumn("n", n) \
+         .withColumn("bigrams", F.zip_with(
+             F.slice(F.col("toks"), 1, F.greatest(n - 1, F.lit(0))),
+             F.slice(F.col("toks"), 2, F.greatest(n - 1, F.lit(0))),
+             lambda a, b: F.concat_ws(" ", a, b)))
+    top_tok = _max_run(F.array_sort(F.col("toks")))
+    top_bi = F.when(F.size(F.col("bigrams")) > 0,
+                    _max_run(F.array_sort(F.col("bigrams")))) \
+              .otherwise(F.lit(0).cast("long"))
+    nd = F.size(F.array_distinct(F.col("toks")))
+    return d.select(
+        "doc_id", F.col("n").cast("long").alias("n_tokens"),
+        top_tok.alias("top_token_n"),
+        (top_tok.cast("double") / F.col("n")).alias("top_token_ratio"),
+        top_bi.alias("top_bigram_n"),
+        F.when(F.size(F.col("bigrams")) > 0,
+               top_bi.cast("double") / F.size(F.col("bigrams")))
+         .otherwise(F.lit(0.0)).alias("top_bigram_ratio"),
+        (F.lit(1.0) - nd.cast("double") / F.col("n"))
+        .alias("dup_token_ratio"))
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Script-then-stopword language ID, all JVM-side (regexp_count +
     array filters, zero shuffle):

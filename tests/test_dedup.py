@@ -89,6 +89,28 @@ def test_lang_id_discriminates_eight_languages(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+def test_repetition_stats(spark):
+    """Gopher-style repetition signals: top-token/bigram shares from
+    sorted-array folds (no shuffle) must equal the obvious counts."""
+    from nobletools_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(0, "spam spam spam eggs"),               # 3/4 token, 2/3 bigram
+         (1, "a b c d"),                           # all unique
+         (2, "x"),                                 # single token: no bigrams
+         (3, "go go go go")],                      # fully repeated
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert rows[0].n_tokens == 4 and rows[0].top_token_n == 3
+    assert rows[0].top_token_ratio == 0.75
+    assert rows[0].top_bigram_n == 2            # 'spam spam' twice
+    assert rows[0].top_bigram_ratio == 2 / 3
+    assert rows[0].dup_token_ratio == 0.5       # 2 distinct of 4
+    assert rows[1].top_token_n == 1 and rows[1].dup_token_ratio == 0.0
+    assert rows[2].top_bigram_n == 0 and rows[2].top_bigram_ratio == 0.0
+    assert rows[3].top_token_ratio == 1.0 and rows[3].top_bigram_ratio == 1.0
+
+
 def test_lang_id_script_vote_beats_stopwords(spark):
     """Unicode-script vote ahead of the stopword cascade (r2 verdict
     task #7): CJK/Cyrillic/Arabic/Greek/Japanese/Korean text resolves
