@@ -174,6 +174,26 @@ def cooccurrence_triples(mentions_df: DataFrame,
 def write_triples(df: DataFrame, path: str, fmt: str = "parquet",
                   mode: str = "overwrite") -> None:
     """Partitioned triple sink. On a cluster this is an Iceberg table
-    (writeTo(...).append() partitioned by pred + bucket(subj)); in this
-    sandbox the same layout as parquet partitionBy(pred)."""
+    (write_triples_table below); in this sandbox the same layout as
+    parquet partitionBy(pred)."""
     df.write.mode(mode).partitionBy("pred").format(fmt).save(path)
+
+
+def write_triples_table(df: DataFrame, table: str, mode: str = "append",
+                        subj_buckets: int = 16) -> None:
+    """Iceberg table sink — the north-rule target layout: DataFrame
+    WriterV2 partitioned by ``pred`` (few, large partitions) plus
+    ``bucket(subj_buckets, subj)`` (co-locates a subject's triples and
+    bounds file counts under Zipf-skewed predicates). Requires an
+    Iceberg catalog configured on the cluster
+    (spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog);
+    this sandbox ships no Iceberg runtime jar, so callers here get the
+    catalog-resolution AnalysisException — use write_triples instead."""
+    from pyspark.sql.functions import partitioning
+
+    writer = df.writeTo(table).partitionedBy(
+        F.col("pred"), partitioning.bucket(subj_buckets, "subj"))
+    if mode == "overwrite":
+        writer.createOrReplace()
+    else:
+        writer.append()
