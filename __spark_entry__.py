@@ -469,20 +469,29 @@ def _dot_sql(a: str, b: str, n: str = "64") -> str:
             f"(x, y) -> x + y)")
 
 
-_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
-                                "/root/testdata/sf0.01")
-_IVF_CENTS_CACHE: list[list[float]] | None = None
+_IVF_ORACLE_CACHE: dict[str, tuple[list[list[float]], int]] = {}
 
 
-def _ivf_oracle_centroids() -> list[list[float]]:
+def _oracle_sf_dir() -> str:
+    """The sf dir the oracle SQL is generated against. The driver's
+    correctness gate runs at sf0.01 (the default); a local
+    validate_entry run at another scale sets SPARK_GRAFT_ORACLE_SF_DIR
+    so scale-derived oracle constants (IVF centroids, max_cell floor)
+    track the data under test instead of being silently pinned."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                          "/root/testdata/sf0.01")
+
+
+def _ivf_oracle_fit() -> tuple[list[list[float]], int]:
     """Replay ivf_topk's deterministic quantizer fit for the oracle:
     same hash-selected sample (smallest h64(seed|vec_id), then sorted
     by vec_id), same pure-numpy fit_ivf_centroids — bit-identical to
     what q_sim_ivf_topk computes from its Spark-side TakeOrdered
     sample, so the centroids can be embedded as SQL double literals
-    (repr() round-trips exactly)."""
-    global _IVF_CENTS_CACHE
-    if _IVF_CENTS_CACHE is None:
+    (repr() round-trips exactly). Returns (centroids, max_cell) with
+    max_cell following q_sim_ivf_topk's max(70, N // n_cells)."""
+    sf_dir = _oracle_sf_dir()
+    if sf_dir not in _IVF_ORACLE_CACHE:
         import duckdb
 
         from nobletools_spark.functions.hashing import h64_py
@@ -491,16 +500,18 @@ def _ivf_oracle_centroids() -> list[list[float]]:
         con = duckdb.connect()
         rows = con.execute(
             "SELECT vec_id::BIGINT, embedding FROM "
-            f"'{_ORACLE_SF_DIR}/embeddings.parquet'").fetchall()
+            f"'{sf_dir}/embeddings.parquet'").fetchall()
         con.close()
         seed, cap = _IVF["seed"], _IVF["fit_sample_max"]
         keyed = sorted((h64_py(f"{seed}|{vid}"), vid, emb)
                        for vid, emb in rows)[:cap]
         pairs = sorted((vid, [float(x) for x in emb])
                        for _, vid, emb in keyed)
-        _IVF_CENTS_CACHE = fit_ivf_centroids(
+        cents = fit_ivf_centroids(
             pairs, n_cells=_IVF["n_cells"], seed=seed, n_iter=_IVF["n_iter"])
-    return _IVF_CENTS_CACHE
+        max_cell = max(_IVF["max_cell"], len(rows) // _IVF["n_cells"])
+        _IVF_ORACLE_CACHE[sf_dir] = (cents, max_cell)
+    return _IVF_ORACLE_CACHE[sf_dir]
 
 
 def _lang_votes_sql() -> dict[str, str]:
@@ -679,7 +690,7 @@ def oracle_sql() -> dict[str, str]:
     h64_x = _SQL_H64.format(x="x")
     sql["text_repetition"] = (
         "WITH base AS (SELECT doc_id::BIGINT AS doc_id,"
-        " string_split(text, ' ') AS t FROM documents), "
+        " string_split(coalesce(text, ''), ' ') AS t FROM documents), "
         "tok AS (SELECT doc_id, unnest(t) AS tok FROM base), "
         "tc AS (SELECT doc_id, max(c) AS top_token_n FROM"
         " (SELECT doc_id, tok, count(*) AS c FROM tok"
@@ -899,11 +910,11 @@ def oracle_sql() -> dict[str, str]:
         f" WHERE rnk <= 3")
 
     # IVF ANN: centroid literals come from replaying the deterministic
-    # quantizer fit (see _ivf_oracle_centroids); assignment, the
+    # quantizer fit (see _ivf_oracle_fit); assignment, the
     # max_cell skew cap (fires at sf0.01: two ~75-vector cells drop),
     # n_probe cell ranking, and the cosine top-k are replayed in SQL
     # with the same fold order as the Spark side.
-    cents = _ivf_oracle_centroids()
+    cents, ivf_max_cell = _ivf_oracle_fit()
     cent_vals = ", ".join(
         f"({i}::BIGINT, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
         for i, c in enumerate(cents))
@@ -921,7 +932,7 @@ def oracle_sql() -> dict[str, str]:
         f"assign AS (SELECT vec_id, embedding, nrm, cell FROM ranked"
         f" WHERE crank = 1), "
         f"ok AS (SELECT cell FROM assign GROUP BY cell"
-        f" HAVING count(*) <= {_IVF['max_cell']}), "
+        f" HAVING count(*) <= {ivf_max_cell}), "
         f"bb AS (SELECT assign.* FROM assign JOIN ok USING (cell)), "
         f"pp AS (SELECT r.vec_id, r.embedding, r.nrm, r.cell FROM ranked r"
         f" JOIN ok ON r.cell = ok.cell"

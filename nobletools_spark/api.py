@@ -105,14 +105,20 @@ class NobleCoderSpark:
         """Template-based information extraction (InformationExtractor
         flow: annotate → TemplateItem.process per template item): emits
         ItemInstance rows via operators/templates.extract_items using
-        this terminology's isa edges for the ancestry gate."""
+        this terminology's isa edges for the ancestry gate — the
+        OBO/OWL loaders' ``isa_edges`` tuple when set, else the RRF
+        loader's BROADER edge table (``tables['relations']``)."""
         from nobletools_spark.operators.templates import extract_items
 
-        edges = docs_df.sparkSession.createDataFrame(
-            list(getattr(self, "isa_edges", ()) or [("", "")]),
-            "cui string, parent string")
-        if not getattr(self, "isa_edges", ()):
-            edges = edges.filter("cui <> ''")
+        if getattr(self, "isa_edges", ()):
+            edges = docs_df.sparkSession.createDataFrame(
+                list(self.isa_edges), "cui string, parent string")
+        elif getattr(self, "tables", None) is not None \
+                and "relations" in self.tables:
+            edges = self.tables["relations"].select("cui", "parent")
+        else:
+            edges = docs_df.sparkSession.createDataFrame(
+                [("", "")], "cui string, parent string").filter("cui <> ''")
         return extract_items(self.annotate(docs_df, **kw), edges,
                              templates_df, sections_df=sections_df,
                              components_df=components_df)

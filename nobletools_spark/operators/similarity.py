@@ -168,22 +168,28 @@ def ivf_topk(emb: DataFrame, n_cells: int = 16, k: int = 3,
     darr = F.array(*[F.struct(d2_to(c).alias("d2"),
                               F.lit(i).cast("long").alias("cell"))
                      for i, c in enumerate(cents)])
-    # argmin (and top-n_probe) over the struct array: lexicographic
-    # (d2, cell) compare = distance order with cell-id tie-break
-    assigned = base0.withColumn("cell", F.array_min(darr)["cell"])
+    # One sort of the (d2, cell) struct array per vector (lexicographic
+    # compare = distance order with cell-id tie-break) yields BOTH the
+    # home cell (element 1) and the n_probe probe cells — staged as a
+    # named column so the 2×n_cells×dim distance work is not evaluated
+    # twice (CollapseProject keeps non-cheap multiply-referenced
+    # aliases separate).
+    cells_col = F.transform(F.slice(F.array_sort(darr), 1,
+                                    max(n_probe, 1)),
+                            lambda s: s["cell"])
+    assigned = (base0.select("*", cells_col.alias("cells"))
+                .withColumn("cell", F.element_at("cells", 1)))
     sizes = assigned.groupBy("cell").count()
     ok = sizes.filter(F.col("count") <= max_cell).select("cell")
     base = assigned.join(F.broadcast(ok), "cell").repartition("cell")
     # probe side: only vectors whose HOME cell survived the cap (same
     # both-sides drop semantics as cap_buckets), probing their n_probe
     # nearest surviving cells
-    probe = (base.select("vec_id", "v", "nrm")
-             .withColumn(
-                 "cell",
-                 F.explode(F.transform(
-                     F.slice(F.array_sort(darr), 1, n_probe),
-                     lambda s: s["cell"])))
+    probe = (base.select("vec_id", "v", "nrm",
+                         F.explode(F.slice("cells", 1, n_probe))
+                         .alias("cell"))
              .join(F.broadcast(ok), "cell").repartition("cell"))
+    base = base.drop("cells")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     pairs = (probe.alias("a").join(base.alias("b"), "cell")
              .filter(F.col("a.vec_id") != F.col("b.vec_id"))

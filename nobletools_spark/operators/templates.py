@@ -56,9 +56,6 @@ DOMAIN_VALUE = "value"
 DOMAIN_BOOLEAN = "boolean"
 DOMAIN_TRIGGER = "trigger"
 
-_NO_VALUE = float(-(1 << 31))  # TextTools.NO_VALUE = Integer.MIN_VALUE
-
-
 def parse_decimal_value(text: str | None) -> float | None:
     """TextTools.parseDecimalValue (:1036-1129) with NO_VALUE → None:
     ``\\d+.\\d+`` floats, roman numerals (subtractive: iv=4, ix=9),
@@ -181,6 +178,7 @@ def sections_from_docs(docs_df: DataFrame,
     import pandas as pd
 
     from nobletools_spark.functions.docproc import split_sections
+    from nobletools_spark.operators.matcher import _span_fields
 
     interleaved = "spans" in docs_df.columns and text_col not in docs_df.columns
 
@@ -189,10 +187,11 @@ def sections_from_docs(docs_df: DataFrame,
             out = []
             for _, row in pdf.iterrows():
                 if interleaved:
-                    pieces = [(s["offset"] or 0, s["text"])
-                              for s in row["spans"]
-                              if (s["kind"] if isinstance(s, dict)
-                                  else s[0]) == "text" and s["text"]]
+                    pieces = []
+                    for s in row["spans"]:
+                        kind, text, _ref, off = _span_fields(s)
+                        if kind == "text" and text:
+                            pieces.append((off, text))
                     for off, txt in pieces:
                         for sec in split_sections(txt, offset=off):
                             out.append((row["doc_id"], sec.title,

@@ -151,8 +151,10 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     maxima come from a sorted-array fold (no explode→groupBy shuffle —
     that formulation is corpus×tokens shuffle at 10^12 docs; the fold
     is linear per row)."""
+    # null-safe: a NULL text tokenizes as [''] (n=1) on both engines
     d = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
-                    _tokens().alias("toks"))
+                    F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+                    .alias("toks"))
     n = F.size(F.col("toks"))
     d = d.withColumn("n", n) \
          .withColumn("bigrams", F.zip_with(

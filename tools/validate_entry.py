@@ -26,6 +26,11 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # scale-derived oracle constants (IVF centroid literals, cap floor)
+    # must be generated against the SAME sf dir the queries run on
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark(cores=8)
     con = duckdb.connect()
     for t in TABLES:
