@@ -15,10 +15,10 @@ WAV (PCM) decode for REAL with stdlib-only parsers (struct/zlib/wave) —
 ``decoder='fake'`` deterministic bytes-derived outputs so the plumbing
 stays exercised, and ``decoder='pil'`` raises NotImplementedError unless
 Pillow imports on the executor (not in this container). Video frame
-sampling REALLY demuxes RIFF/AVI containers (stdlib chunk walk — MJPEG
-AVIs yield their encoded JPEG frames at the container's own frame
-rate); mp4/mkv need ffmpeg (absent here) and fall back to the
-deterministic stub.
+sampling REALLY demuxes RIFF/AVI (stdlib chunk walk — MJPEG AVIs yield
+their encoded JPEG frames at the container's own frame rate) and
+ISO-BMFF/MP4 (moov sample tables: stts/stsz/stsc/stco) containers;
+only exotic containers (mkv/webm) fall back to the deterministic stub.
 """
 
 from __future__ import annotations
@@ -184,7 +184,124 @@ def sniff_media(content: bytes) -> str:
         return "audio/wav"
     if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
         return "video/avi"
+    if content[4:8] == b"ftyp":
+        return "video/mp4"
     return "unknown"
+
+
+def _mp4_boxes(buf: bytes, pos: int, end: int):
+    """Iterate ISO-BMFF boxes in buf[pos:end] → (type, body_start,
+    box_end). Handles 64-bit (size==1) and to-end (size==0) boxes."""
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos:pos + 4], "big")
+        typ = buf[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            size = int.from_bytes(buf[pos + 8:pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("truncated mp4 box")
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_find(buf: bytes, pos: int, end: int, path: tuple[bytes, ...]):
+    """First box at the given path of nested types, as (start, end)."""
+    for typ, s, e in _mp4_boxes(buf, pos, end):
+        if typ == path[0]:
+            return (s, e) if len(path) == 1 else _mp4_find(buf, s, e,
+                                                           path[1:])
+    return None
+
+
+def parse_mp4(content: bytes) -> tuple[list[int], list[bytes]]:
+    """Minimal stdlib ISO-BMFF (MP4) demuxer: (per-sample timestamps in
+    ms, encoded sample payloads) for the first VIDEO track. Reads the
+    moov sample tables the way any demuxer does — mdhd timescale, stts
+    decode deltas, stsz sizes, stsc sample→chunk runs, stco/co64 chunk
+    offsets — and slices the samples straight out of mdat; no codec
+    decode (sampling needs none). Raises ValueError on non-MP4 or
+    missing/inconsistent tables."""
+    if content[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file")
+    moov = _mp4_find(content, 0, len(content), (b"moov",))
+    if moov is None:
+        raise ValueError("no moov box")
+    for typ, ts_, te_ in _mp4_boxes(content, *moov):
+        if typ != b"trak":
+            continue
+        mdia = _mp4_find(content, ts_, te_, (b"mdia",))
+        if mdia is None:
+            continue
+        hdlr = _mp4_find(content, *mdia, path=(b"hdlr",))
+        if hdlr is None or content[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _mp4_find(content, *mdia, path=(b"mdhd",))
+        version = content[mdhd[0]]
+        timescale = int.from_bytes(
+            content[mdhd[0] + (20 if version == 1 else 12):]
+            [:4], "big") or 1
+        stbl = _mp4_find(content, *mdia, path=(b"minf", b"stbl"))
+        if stbl is None:
+            raise ValueError("video trak without stbl")
+        tables: dict[bytes, tuple[int, int]] = {}
+        for btyp, bs, be in _mp4_boxes(content, *stbl):
+            tables[btyp] = (bs, be)
+
+        def u32(pos: int) -> int:
+            return int.from_bytes(content[pos:pos + 4], "big")
+
+        if b"stsz" not in tables or b"stts" not in tables \
+                or b"stsc" not in tables \
+                or (b"stco" not in tables and b"co64" not in tables):
+            raise ValueError("incomplete sample tables")
+        # stsz: fixed sample_size or per-sample list
+        p = tables[b"stsz"][0] + 4
+        fixed, n = u32(p), u32(p + 4)
+        sizes = ([fixed] * n if fixed
+                 else [u32(p + 8 + 4 * i) for i in range(n)])
+        # stts: cumulative decode times
+        p = tables[b"stts"][0] + 4
+        times, t = [], 0
+        for i in range(u32(p)):
+            cnt, delta = u32(p + 4 + 8 * i), u32(p + 8 + 8 * i)
+            for _ in range(cnt):
+                times.append(t)
+                t += delta
+        # stsc runs + chunk offsets → per-sample file offsets
+        p = tables[b"stsc"][0] + 4
+        runs = [(u32(p + 4 + 12 * i), u32(p + 8 + 12 * i))
+                for i in range(u32(p))]
+        if b"stco" in tables:
+            p = tables[b"stco"][0] + 4
+            chunk_offs = [u32(p + 4 + 4 * i) for i in range(u32(p))]
+        else:
+            p = tables[b"co64"][0] + 4
+            chunk_offs = [int.from_bytes(content[p + 4 + 8 * i:
+                                                 p + 12 + 8 * i], "big")
+                          for i in range(u32(p))]
+        frames: list[bytes] = []
+        si = 0
+        for ci, coff in enumerate(chunk_offs):
+            spc = 0
+            for first, per_chunk in runs:
+                if ci + 1 >= first:
+                    spc = per_chunk
+            off = coff
+            for _ in range(spc):
+                if si >= n:
+                    break
+                if off + sizes[si] > len(content):
+                    raise ValueError("sample beyond end of file")
+                frames.append(content[off:off + sizes[si]])
+                off += sizes[si]
+                si += 1
+        if si != n or len(times) < n:
+            raise ValueError("inconsistent sample tables")
+        return [tt * 1000 // timescale for tt in times[:n]], frames
+    raise ValueError("no video trak")
 
 
 def parse_avi(content: bytes) -> tuple[int, list[bytes]]:
@@ -391,7 +508,8 @@ def sample_frames(media_df: DataFrame, every_ms: int = 1000,
             rows = []
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
                 blob = bytes(content or b"")
-                if sniff_media(blob) == "video/avi":
+                kind = sniff_media(blob)
+                if kind == "video/avi":
                     try:
                         uspf, frames = parse_avi(blob)
                         step = max(1, round(every_ms * 1000 / uspf))
@@ -399,6 +517,21 @@ def sample_frames(media_df: DataFrame, every_ms: int = 1000,
                                            step)[:max_frames]:
                             rows.append((ref, src_i, frames[src_i],
                                          src_i * uspf // 1000))
+                        continue
+                    except ValueError:
+                        pass  # malformed container → stub fallback
+                elif kind == "video/mp4":
+                    try:
+                        times_ms, frames = parse_mp4(blob)
+                        taken, target = 0, 0
+                        for src_i, (ts, fr) in enumerate(zip(times_ms,
+                                                             frames)):
+                            if taken >= max_frames:
+                                break
+                            if ts >= target:  # first sample past target
+                                rows.append((ref, src_i, fr, ts))
+                                taken += 1
+                                target += every_ms
                         continue
                     except ValueError:
                         pass  # malformed container → stub fallback

@@ -249,6 +249,73 @@ def test_sample_frames_avi_real_sampling(spark):
     assert stub and all(len(bytes(r.frame)) == 16 for r in stub)
 
 
+def _box(typ, body):
+    return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+
+def _make_mp4(n_frames, timescale=1000, delta=40):
+    """Minimal ISO-BMFF: ftyp + mdat (samples) + moov with one video
+    trak whose stts/stsz/stsc/stco tables index straight into mdat —
+    25 fps at the defaults."""
+    frames = [b"\x00\x00\x01\x65" + bytes([i]) * (4 + i % 3)
+              for i in range(n_frames)]
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_body = b"".join(frames)
+    mdat_off = len(ftyp) + 8                     # first sample offset
+    mdat = _box(b"mdat", mdat_body)
+    stts = _box(b"stts", b"\x00" * 4 + (1).to_bytes(4, "big")
+                + n_frames.to_bytes(4, "big") + delta.to_bytes(4, "big"))
+    stsz = _box(b"stsz", b"\x00" * 4 + (0).to_bytes(4, "big")
+                + n_frames.to_bytes(4, "big")
+                + b"".join(len(f).to_bytes(4, "big") for f in frames))
+    # all samples in one chunk at mdat_off
+    stsc = _box(b"stsc", b"\x00" * 4 + (1).to_bytes(4, "big")
+                + (1).to_bytes(4, "big") + n_frames.to_bytes(4, "big")
+                + (1).to_bytes(4, "big"))
+    stco = _box(b"stco", b"\x00" * 4 + (1).to_bytes(4, "big")
+                + mdat_off.to_bytes(4, "big"))
+    stbl = _box(b"stbl", stts + stsz + stsc + stco)
+    minf = _box(b"minf", stbl)
+    hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    mdhd = _box(b"mdhd", b"\x00" * 12 + timescale.to_bytes(4, "big")
+                + b"\x00" * 8)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", mdia)
+    moov = _box(b"moov", trak)
+    return ftyp + mdat + moov, frames
+
+
+def test_parse_mp4_demuxes_samples():
+    """ISO-BMFF demux: timestamps from stts/mdhd, sample payloads
+    sliced via stsz/stsc/stco; truncation raises ValueError."""
+    import pytest
+
+    from nobletools_spark.operators.multimodal import parse_mp4, sniff_media
+
+    blob, frames = _make_mp4(10)
+    assert sniff_media(blob) == "video/mp4"
+    times, got = parse_mp4(blob)
+    assert got == frames
+    assert times == [i * 40 for i in range(10)]
+    with pytest.raises(ValueError):
+        parse_mp4(blob[:40])
+
+
+def test_sample_frames_mp4_real_sampling(spark):
+    """sample_frames on an MP4 picks the first sample at/after each
+    every_ms target (25 fps, 200 ms → samples 0 and 5) with source
+    indexes, container timestamps, and encoded payloads."""
+    from nobletools_spark.operators.multimodal import sample_frames
+
+    blob, frames = _make_mp4(10)
+    media = spark.createDataFrame([("v1", blob)],
+                                  "media_ref string, content binary")
+    out = sorted((r.frame_idx, r.ts_ms, bytes(r.frame))
+                 for r in sample_frames(media, every_ms=200,
+                                        max_frames=4).collect())
+    assert out == [(0, 0, frames[0]), (5, 200, frames[5])]
+
+
 def test_decode_wav_round_trip():
     import struct
 
