@@ -200,11 +200,15 @@ class Pipeline:
 
 
 def kg_stages(index, context=None, cfg=None,
-              cooccurrence_salt: int = 8) -> list[Stage]:
+              cooccurrence_salt: int = 8, templates_df=None,
+              components_df=None) -> list[Stage]:
     """The standard KG-construction pipeline as resumable stages:
     mentions → (mention triples, co-occurrence triples) → triples union.
     isa/semtype triples join in when the inputs dict carries
-    ``isa_edges`` / ``semtypes`` DataFrames."""
+    ``isa_edges`` / ``semtypes`` DataFrames. With a ``templates_df``
+    (e.g. from templates_from_xml), an ``item_instances`` extraction
+    stage runs after mentions — sectioning the documents and resolving
+    template items/components against the mention stream."""
     from nobletools_spark.model import MatchConfig
     from nobletools_spark.operators.matcher import annotate
     from nobletools_spark.operators.triples import (
@@ -246,9 +250,26 @@ def kg_stages(index, context=None, cfg=None,
                                      cols=("obj",))
         return t
 
-    return [
+    def s_items(spark, r):
+        from nobletools_spark.operators.templates import (
+            extract_items,
+            sections_from_docs,
+        )
+
+        edges = r.get("isa_edges")
+        if edges is None:
+            edges = spark.createDataFrame(
+                [("", "")], "cui string, parent string").filter("cui <> ''")
+        return extract_items(r["mentions"], edges, templates_df,
+                             sections_df=sections_from_docs(r["documents"]),
+                             components_df=components_df)
+
+    stages = [
         Stage("mentions", s_mentions),
         Stage("mention_triples", s_mention_triples),
         Stage("cooccurrence", s_cooccurrence),
         Stage("triples", s_triples, partition_by=("pred",)),
     ]
+    if templates_df is not None:
+        stages.insert(1, Stage("item_instances", s_items))
+    return stages

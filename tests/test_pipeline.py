@@ -163,3 +163,40 @@ def test_verify_lineage_missing_manifest_returns_false(spark, tmp_path):
     os.remove(f"{out}/triples.manifest.json")   # crash between write+manifest
     assert pipe.verify_lineage(spark, "triples") is False
     assert pipe.verify_lineage(spark, "mentions") is True
+
+
+def test_template_extraction_stage(spark, tmp_path):
+    """kg_stages(templates_df=...) adds a resumable item_instances
+    stage after mentions: extraction output persists, resumes, and
+    matches a direct extract_items run."""
+    from nobletools_spark.operators.templates import (
+        TEMPLATES_DDL,
+        extract_items,
+        sections_from_docs,
+    )
+    from nobletools_spark.sources.fixtures import rich_corpus_df
+
+    out = str(tmp_path / "kg_tmpl")
+    docs = rich_corpus_df(spark, 30, seed=7)
+    edges = spark.createDataFrame(list(PYTEST_ISA_EDGES),
+                                  "cui string, parent string")
+    templates = spark.createDataFrame(
+        [("t1", "neoplasm", "C014", None, "boolean")], TEMPLATES_DDL)
+    pipe = Pipeline(out, kg_stages(pytest_index(), cfg=MatchConfig(),
+                                   templates_df=templates))
+    res = pipe.run(spark, {"documents": docs, "isa_edges": edges},
+                   run_config={"corpus": "tmpl30"})
+    assert [s.stage for s in pipe.reports][:2] == ["mentions",
+                                                   "item_instances"]
+    got = {(r.doc_id, r.cui, r.start)
+           for r in res["item_instances"].collect()}
+    direct = extract_items(res["mentions"], edges, templates,
+                           sections_df=sections_from_docs(docs))
+    want = {(r.doc_id, r.cui, r.start) for r in direct.collect()}
+    assert got == want and got
+    # resume: second run skips the stage
+    pipe2 = Pipeline(out, kg_stages(pytest_index(), cfg=MatchConfig(),
+                                    templates_df=templates))
+    pipe2.run(spark, {"documents": docs, "isa_edges": edges},
+              run_config={"corpus": "tmpl30"})
+    assert all(r.status == "resumed" for r in pipe2.reports)

@@ -35,6 +35,9 @@ def main() -> None:
     ap.add_argument("--semtypes", default="")
     ap.add_argument("--context", action="store_true",
                     help="enable ConText modifier assignment")
+    ap.add_argument("--template",
+                    help=".template XML file: adds an item_instances "
+                         "extraction stage (templates_from_xml)")
     ap.add_argument("--salt", type=int, default=8)
     ap.add_argument("--force", action="store_true",
                     help="recompute all stages (ignore checkpoints)")
@@ -103,14 +106,30 @@ def main() -> None:
                 F.lit("text").alias("kind"), F.col("text").alias("text"),
                 F.lit(None).cast("string").alias("media_ref"),
                 F.lit(0).alias("offset"))).alias("spans"))
+    templates_df = components_df = None
+    if args.template:
+        from nobletools_spark.operators.templates import (
+            COMPONENTS_DDL,
+            TEMPLATES_DDL,
+            templates_from_xml,
+        )
+
+        with open(args.template) as f:
+            t_rows, c_rows = templates_from_xml(f.read())
+        templates_df = spark.createDataFrame(t_rows, TEMPLATES_DDL)
+        if c_rows:
+            components_df = spark.createDataFrame(c_rows, COMPONENTS_DDL)
     pipe = Pipeline(args.output,
                     kg_stages(index, context=ctx, cfg=cfg,
-                              cooccurrence_salt=args.salt))
+                              cooccurrence_salt=args.salt,
+                              templates_df=templates_df,
+                              components_df=components_df))
     inputs = {"documents": docs, "isa_edges": isa_edges}
     if semtypes is not None:
         inputs["semtypes"] = semtypes
     run_config = {"search": args.search, "input": args.input,
-                  "context": bool(ctx), "salt": args.salt}
+                  "context": bool(ctx), "salt": args.salt,
+                  "template": args.template or ""}
     res = pipe.run(spark, inputs, run_config=run_config, force=args.force)
     print(json.dumps({
         "stages": [{"stage": r.stage, "status": r.status, "rows": r.rows,
