@@ -285,3 +285,38 @@ def test_streaming_exact_dedup(spark, tmp_path):
     got = {r.doc_id for r in spark.sql("select * from sdd_out").collect()}
     assert 3 in got                       # distinct passes
     assert len(got & {1, 2, 4}) == 1      # one survivor per dup group
+
+
+def test_streaming_template_extraction(spark, tmp_path):
+    """extract_items is stream-capable (stream-static broadcast joins,
+    no stateful agg on the no-components path): streaming ItemInstance
+    rows must equal the batch run over the same files."""
+    from nobletools_spark.operators.templates import TEMPLATES_DDL, extract_items
+    from nobletools_spark.sources.fixtures import (
+        PYTEST_ISA_EDGES,
+        pytest_index,
+        rich_corpus_df,
+    )
+    from nobletools_spark.streaming.stream import annotate_stream
+
+    docs = rich_corpus_df(spark, 20, seed=7)
+    in_path = str(tmp_path / "ste_in")
+    docs.coalesce(1).write.parquet(in_path)
+    edges = spark.createDataFrame(list(PYTEST_ISA_EDGES),
+                                  "cui string, parent string")
+    templates = spark.createDataFrame(
+        [("t1", "neoplasm", "C014", None, "boolean")], TEMPLATES_DDL)
+    idx = pytest_index()
+
+    stream = spark.readStream.schema(docs.schema).parquet(in_path)
+    items = extract_items(annotate_stream(stream, idx), edges, templates)
+    q = (items.writeStream.format("memory").queryName("ste_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.cui, r.start, r.absent)
+           for r in spark.sql("select * from ste_out").collect()}
+    from nobletools_spark.operators.matcher import annotate
+
+    batch = extract_items(annotate(docs, idx), edges, templates)
+    want = {(r.doc_id, r.cui, r.start, r.absent) for r in batch.collect()}
+    assert got == want and got
