@@ -239,10 +239,13 @@ def parse_mp4(content: bytes) -> tuple[list[int], list[bytes]]:
         if hdlr is None or content[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
             continue
         mdhd = _mp4_find(content, *mdia, path=(b"mdhd",))
+        if mdhd is None or mdhd[1] - mdhd[0] < 16:
+            raise ValueError("video trak without usable mdhd")
         version = content[mdhd[0]]
-        timescale = int.from_bytes(
-            content[mdhd[0] + (20 if version == 1 else 12):]
-            [:4], "big") or 1
+        ts_off = mdhd[0] + (20 if version == 1 else 12)
+        if ts_off + 4 > mdhd[1]:
+            raise ValueError("truncated mdhd")
+        timescale = int.from_bytes(content[ts_off:ts_off + 4], "big") or 1
         stbl = _mp4_find(content, *mdia, path=(b"minf", b"stbl"))
         if stbl is None:
             raise ValueError("video trak without stbl")
@@ -257,38 +260,60 @@ def parse_mp4(content: bytes) -> tuple[list[int], list[bytes]]:
                 or b"stsc" not in tables \
                 or (b"stco" not in tables and b"co64" not in tables):
             raise ValueError("incomplete sample tables")
+        def bounded(table: bytes, count: int, entry_bytes: int,
+                    header: int) -> int:
+            """A declared entry count must fit inside its box — corrupt
+            counts (0xFFFFFFFF) would otherwise allocate GBs or spin;
+            the contract is ValueError → caller's stub fallback."""
+            bs, be = tables[table]
+            if header + count * entry_bytes > be - bs:
+                raise ValueError(f"{table.decode()} count {count} "
+                                 f"exceeds box size")
+            return count
+
         # stsz: fixed sample_size or per-sample list
         p = tables[b"stsz"][0] + 4
         fixed, n = u32(p), u32(p + 4)
-        sizes = ([fixed] * n if fixed
-                 else [u32(p + 8 + 4 * i) for i in range(n)])
+        if fixed:
+            # no per-sample entries to bound; n·fixed must fit the file
+            if n * fixed > len(content):
+                raise ValueError("stsz sample count exceeds file size")
+            sizes = [fixed] * n
+        else:
+            n = bounded(b"stsz", n, 4, 12)
+            sizes = [u32(p + 8 + 4 * i) for i in range(n)]
         # stts: cumulative decode times
         p = tables[b"stts"][0] + 4
         times, t = [], 0
-        for i in range(u32(p)):
+        for i in range(bounded(b"stts", u32(p), 8, 8)):
             cnt, delta = u32(p + 4 + 8 * i), u32(p + 8 + 8 * i)
+            if len(times) + cnt > n:
+                cnt = n - len(times)
             for _ in range(cnt):
                 times.append(t)
                 t += delta
         # stsc runs + chunk offsets → per-sample file offsets
         p = tables[b"stsc"][0] + 4
         runs = [(u32(p + 4 + 12 * i), u32(p + 8 + 12 * i))
-                for i in range(u32(p))]
+                for i in range(bounded(b"stsc", u32(p), 12, 8))]
         if b"stco" in tables:
             p = tables[b"stco"][0] + 4
-            chunk_offs = [u32(p + 4 + 4 * i) for i in range(u32(p))]
+            chunk_offs = [u32(p + 4 + 4 * i)
+                          for i in range(bounded(b"stco", u32(p), 4, 8))]
         else:
             p = tables[b"co64"][0] + 4
             chunk_offs = [int.from_bytes(content[p + 4 + 8 * i:
                                                  p + 12 + 8 * i], "big")
-                          for i in range(u32(p))]
+                          for i in range(bounded(b"co64", u32(p), 8, 8))]
         frames: list[bytes] = []
         si = 0
+        run_i = 0  # runs and chunks are both chunk-ordered: advance a
+        # pointer instead of rescanning all runs per chunk (O(c+r))
+        spc = 0
         for ci, coff in enumerate(chunk_offs):
-            spc = 0
-            for first, per_chunk in runs:
-                if ci + 1 >= first:
-                    spc = per_chunk
+            while run_i < len(runs) and ci + 1 >= runs[run_i][0]:
+                spc = runs[run_i][1]
+                run_i += 1
             off = coff
             for _ in range(spc):
                 if si >= n:
@@ -495,13 +520,14 @@ def extract_features(media_df: DataFrame, dim: int = _FEATURE_DIM) -> DataFrame:
 def sample_frames(media_df: DataFrame, every_ms: int = 1000,
                   max_frames: int = 4) -> DataFrame:
     """Frame sampling for video rows — a row-expanding mapInPandas.
-    RIFF/AVI containers are REALLY demuxed (parse_avi): frames are
-    picked at ~``every_ms`` spacing from the container's own frame
-    rate (avih dwMicroSecPerFrame), capped at ``max_frames``;
-    ``frame_idx``/``ts_ms`` are the SOURCE frame index and timestamp
-    and ``frame`` is the encoded frame payload (JPEG for MJPEG).
-    Other containers (mp4/mkv need ffmpeg, absent here) fall back to
-    the deterministic stub so the plumbing stays exercised."""
+    RIFF/AVI and ISO-BMFF/MP4 containers are REALLY demuxed (parse_avi
+    / parse_mp4): frames are picked at ~``every_ms`` spacing — from the
+    AVI's fixed frame rate, or from the MP4's per-sample stts
+    timestamps — capped at ``max_frames``; ``frame_idx``/``ts_ms`` are
+    the SOURCE frame index and timestamp and ``frame`` is the encoded
+    payload (JPEG for MJPEG AVIs, codec samples for MP4). Containers
+    needing ffmpeg (mkv/webm — absent here) fall back to the
+    deterministic stub so the plumbing stays exercised."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -531,7 +557,11 @@ def sample_frames(media_df: DataFrame, every_ms: int = 1000,
                             if ts >= target:  # first sample past target
                                 rows.append((ref, src_i, fr, ts))
                                 taken += 1
-                                target += every_ms
+                                # catch up PAST the emitted timestamp so
+                                # a VFR gap doesn't burst consecutive
+                                # frames at the next targets
+                                while target <= ts:
+                                    target += every_ms
                         continue
                     except ValueError:
                         pass  # malformed container → stub fallback

@@ -258,8 +258,7 @@ def kg_stages(index, context=None, cfg=None,
 
         edges = r.get("isa_edges")
         if edges is None:
-            edges = spark.createDataFrame(
-                [("", "")], "cui string, parent string").filter("cui <> ''")
+            edges = spark.createDataFrame([], "cui string, parent string")
         return extract_items(r["mentions"], edges, templates_df,
                              sections_df=sections_from_docs(r["documents"]),
                              components_df=components_df)
@@ -271,5 +270,10 @@ def kg_stages(index, context=None, cfg=None,
         Stage("triples", s_triples, partition_by=("pred",)),
     ]
     if templates_df is not None:
-        stages.insert(1, Stage("item_instances", s_items))
+        # appended LAST: the linear fingerprint chain means inserting
+        # mid-list would invalidate existing mention_triples/
+        # cooccurrence/triples checkpoints that don't consume this
+        # stage; its own inputs (mentions + documents) are available
+        # regardless of position
+        stages.append(Stage("item_instances", s_items))
     return stages

@@ -186,8 +186,11 @@ def test_template_extraction_stage(spark, tmp_path):
                                    templates_df=templates))
     res = pipe.run(spark, {"documents": docs, "isa_edges": edges},
                    run_config={"corpus": "tmpl30"})
-    assert [s.stage for s in pipe.reports][:2] == ["mentions",
-                                                   "item_instances"]
+    # appended last so it never perturbs the existing triple-stage
+    # fingerprint chain of template-less output dirs
+    assert [s.stage for s in pipe.reports] == [
+        "mentions", "mention_triples", "cooccurrence", "triples",
+        "item_instances"]
     got = {(r.doc_id, r.cui, r.start)
            for r in res["item_instances"].collect()}
     direct = extract_items(res["mentions"], edges, templates,

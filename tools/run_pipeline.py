@@ -107,7 +107,10 @@ def main() -> None:
                 F.lit(None).cast("string").alias("media_ref"),
                 F.lit(0).alias("offset"))).alias("spans"))
     templates_df = components_df = None
+    template_fp = ""
     if args.template:
+        import hashlib
+
         from nobletools_spark.operators.templates import (
             COMPONENTS_DDL,
             TEMPLATES_DDL,
@@ -115,7 +118,11 @@ def main() -> None:
         )
 
         with open(args.template) as f:
-            t_rows, c_rows = templates_from_xml(f.read())
+            template_xml = f.read()
+        # CONTENT hash, not the path: an edited template must
+        # invalidate the item_instances checkpoint, not resume it
+        template_fp = hashlib.md5(template_xml.encode()).hexdigest()
+        t_rows, c_rows = templates_from_xml(template_xml)
         templates_df = spark.createDataFrame(t_rows, TEMPLATES_DDL)
         if c_rows:
             components_df = spark.createDataFrame(c_rows, COMPONENTS_DDL)
@@ -129,7 +136,7 @@ def main() -> None:
         inputs["semtypes"] = semtypes
     run_config = {"search": args.search, "input": args.input,
                   "context": bool(ctx), "salt": args.salt,
-                  "template": args.template or ""}
+                  "template": template_fp}
     res = pipe.run(spark, inputs, run_config=run_config, force=args.force)
     print(json.dumps({
         "stages": [{"stage": r.stage, "status": r.status, "rows": r.rows,
