@@ -253,18 +253,21 @@ def _box(typ, body):
     return (8 + len(body)).to_bytes(4, "big") + typ + body
 
 
-def _make_mp4(n_frames, timescale=1000, delta=40):
+def _make_mp4(n_frames, timescale=1000, delta=40, stts_entries=None):
     """Minimal ISO-BMFF: ftyp + mdat (samples) + moov with one video
     trak whose stts/stsz/stsc/stco tables index straight into mdat —
-    25 fps at the defaults."""
+    25 fps at the defaults; pass stts_entries [(count, delta), ...]
+    for variable frame rate."""
     frames = [b"\x00\x00\x01\x65" + bytes([i]) * (4 + i % 3)
               for i in range(n_frames)]
     ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
     mdat_body = b"".join(frames)
     mdat_off = len(ftyp) + 8                     # first sample offset
     mdat = _box(b"mdat", mdat_body)
-    stts = _box(b"stts", b"\x00" * 4 + (1).to_bytes(4, "big")
-                + n_frames.to_bytes(4, "big") + delta.to_bytes(4, "big"))
+    entries = stts_entries or [(n_frames, delta)]
+    stts = _box(b"stts", b"\x00" * 4 + len(entries).to_bytes(4, "big")
+                + b"".join(c.to_bytes(4, "big") + d.to_bytes(4, "big")
+                           for c, d in entries))
     stsz = _box(b"stsz", b"\x00" * 4 + (0).to_bytes(4, "big")
                 + n_frames.to_bytes(4, "big")
                 + b"".join(len(f).to_bytes(4, "big") for f in frames))
@@ -314,6 +317,43 @@ def test_sample_frames_mp4_real_sampling(spark):
                  for r in sample_frames(media, every_ms=200,
                                         max_frames=4).collect())
     assert out == [(0, 0, frames[0]), (5, 200, frames[5])]
+
+
+def test_sample_frames_mp4_vfr_gap_no_burst(spark):
+    """A variable-frame-rate timestamp gap must not burst consecutive
+    frames: the sampling target catches up PAST each emitted sample.
+    times = [0, 10000, 10040, ...] with every_ms=1000 → exactly frames
+    at ts 0 and 10000, not a run of near-adjacent ones."""
+    from nobletools_spark.operators.multimodal import sample_frames
+
+    blob, frames = _make_mp4(6, stts_entries=[(1, 10000), (5, 40)])
+    media = spark.createDataFrame([("v1", blob)],
+                                  "media_ref string, content binary")
+    out = sorted((r.frame_idx, r.ts_ms)
+                 for r in sample_frames(media, every_ms=1000,
+                                        max_frames=4).collect())
+    assert out == [(0, 0), (1, 10000)]
+
+
+def test_parse_mp4_corrupt_counts_raise_value_error():
+    """Declared table counts are bounded against their box sizes — a
+    corrupt stsz count must ValueError immediately (stub fallback),
+    not allocate gigabytes or spin."""
+    import pytest
+
+    from nobletools_spark.operators.multimodal import parse_mp4
+
+    blob, _ = _make_mp4(4)
+    # stsz layout: ...b'stsz' + verflags(4) + fixed(4) + count(4)
+    i = blob.index(b"stsz")
+    bad = blob[:i + 12] + (0xFFFFFFF0).to_bytes(4, "big") + blob[i + 16:]
+    with pytest.raises(ValueError):
+        parse_mp4(bad)
+    # missing mdhd → ValueError, not TypeError
+    j = blob.index(b"mdhd")
+    nomdhd = blob[:j] + b"free" + blob[j + 4:]
+    with pytest.raises(ValueError):
+        parse_mp4(nomdhd)
 
 
 def test_decode_wav_round_trip():
