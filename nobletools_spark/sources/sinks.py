@@ -53,6 +53,59 @@ def write_results_tsv(mentions_df: DataFrame, path: str,
      .option("sep", "\t").option("header", True).csv(path))
 
 
+def item_instances_tsv_df(items_df: DataFrame,
+                          names_df: DataFrame | None = None,
+                          item_order: list[str] | None = None) -> DataFrame:
+    """Shape extract_items output into the InformationExtractor result
+    matrix (util/CSVExporter.export(TemplateDocument) :62-82): one row
+    per document, one column per template-item question, each cell the
+    instance answers joined as "a ;b ;" (every answer appended with
+    " ;", trailing space trimmed — the reference's exact cell shape).
+
+    Answer rendering (ItemInstance.getAnswer :313-371): a resolved
+    value renders as the number (integral doubles without the ".0",
+    TextTools.toString) or the raw value string; otherwise the concept
+    name — the mention surface here, or the preferred name when a
+    ``names_df(cui, name)`` is supplied — suffixed with "(code)", and
+    'absent' for negated boolean items (:369-370)."""
+    num = F.col("value_num")
+    num_str = F.when(num == F.floor(num),
+                     num.cast("long").cast("string")) \
+               .otherwise(num.cast("string"))
+    base = items_df
+    if names_df is not None:
+        names = names_df.select(F.col("cui"), F.col("name").alias("_nm"))
+        base = base.join(F.broadcast(names), "cui", "left")
+    else:
+        base = base.withColumn("_nm", F.lit(None).cast("string"))
+    answer = (F.when(num.isNotNull(), num_str)
+              .when(F.col("value_str").isNotNull(), F.col("value_str"))
+              .when(F.col("absent"), F.lit("absent"))
+              .otherwise(F.concat(
+                  F.coalesce(F.col("_nm"), F.col("matched_term"),
+                             F.col("cui")),
+                  F.lit(" ("), F.col("cui"), F.lit(")"))))
+    cells = (base.withColumn("_ans", answer)
+             .groupBy("doc_id", "item")
+             .agg(F.concat(F.concat_ws(" ;", F.array_sort(
+                 F.collect_list("_ans"))), F.lit(" ;")).alias("cell")))
+    items = item_order or sorted(
+        r.item for r in items_df.select("item").distinct().collect())
+    out = cells.groupBy("doc_id").pivot("item", items).agg(
+        F.first("cell"))
+    return out.select(F.col("doc_id").alias("Document"),
+                      *[F.coalesce(F.col(i), F.lit("")).alias(i)
+                        for i in items])
+
+
+def write_item_instances_tsv(items_df: DataFrame, path: str,
+                             names_df: DataFrame | None = None,
+                             item_order: list[str] | None = None) -> None:
+    (item_instances_tsv_df(items_df, names_df, item_order)
+     .write.mode("overwrite")
+     .option("sep", "\t").option("header", True).csv(path))
+
+
 def html_report_df(docs_df: DataFrame, mentions_df: DataFrame) -> DataFrame:
     """Per-document annotated HTML (util/HTMLExporter.java:424-519
     equivalent): mention spans wrapped in <span class=mention

@@ -234,6 +234,42 @@ def test_extract_items_component_composition(spark):
     assert bools[("d1", 50)].modifier_cuis in (None, [])
 
 
+def test_item_instances_tsv_matrix(spark, tmp_path):
+    """InformationExtractor result matrix (CSVExporter.export
+    :62-82): one row per doc, one column per item, answers joined as
+    'a ;b ;' (trailing ' ;'), values rendered as numbers, negated
+    booleans as 'absent'."""
+    from nobletools_spark.sources.sinks import (
+        item_instances_tsv_df,
+        write_item_instances_tsv,
+    )
+
+    m = _mentions(spark, [
+        ("d1", "C104", "hash join", 0, 9, None),
+        ("d1", "C106", "iv", 10, 12, None),
+        ("d2", "C104", "hash join", 0, 9,
+         {"Polarity": "Negative_Polarity"}),
+    ])
+    t = _templates(spark, [
+        ("t1", "join_op", "C100", None, "boolean"),
+        ("t1", "stage", "C120", None, "value"),
+    ])
+    items = extract_items(m, _edges(spark), t)
+    out = {r.Document: r for r in
+           item_instances_tsv_df(items,
+                                 item_order=["join_op", "stage"]).collect()}
+    assert out["d1"].join_op == "hash join (C104) ;iv (C106) ;"
+    # value item: roman 'iv' -> 4; 'hash join' is non-numeric -> string
+    assert out["d1"].stage == "4 ;hash join ;"
+    assert out["d2"].join_op == "absent ;"
+    write_item_instances_tsv(items, str(tmp_path / "items_tsv"),
+                             item_order=["join_op", "stage"])
+    back = spark.read.option("sep", "\t").option("header", True) \
+        .csv(str(tmp_path / "items_tsv"))
+    assert back.count() == 2
+    assert back.columns == ["Document", "join_op", "stage"]
+
+
 def test_extract_end_to_end_rich_corpus(spark):
     """Full InformationExtractor flow on the structured fixture corpus:
     annotate → sections_from_docs → extract_items. A neoplasm item
