@@ -238,6 +238,29 @@ def q_text_lang_id(spark, sf_dir):
     return lang_id(_docs_with_scripts(spark, sf_dir))
 
 
+# deterministic boilerplate tail planted on every 5th doc so the
+# duplicated-window detector has real shared spans at every scale —
+# 14 tokens → 7 fully-inside 8-token windows shared across plants
+_BOILER = (" subscribe to our newsletter for updates and follow the"
+           " channel for more content daily")
+_WINDOW_W = 8
+
+
+def q_dedup_window_spans(spark, sf_dir):
+    """Substring-level dedup signal: exact duplicated 8-token windows
+    (boilerplate spans) across the corpus — map-side window hashes,
+    one count shuffle."""
+    from nobletools_spark.operators.dedup import duplicated_window_spans
+
+    d = _docs(spark, sf_dir)
+    d = d.withColumn(
+        "text",
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.when(F.col("doc_id") % 5 == 0, F.lit(_BOILER))
+                 .otherwise(F.lit(""))))
+    return duplicated_window_spans(d, window=_WINDOW_W)
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher/C4-style repetition filters: top-token share, top-bigram
     share, duplicate-token fraction — map-side sorted-array folds (the
@@ -398,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "events_sessionize": q_events_sessionize,
         "dedup_exact_bag": q_dedup_exact_bag,
+        "dedup_window_spans": q_dedup_window_spans,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
@@ -688,6 +712,18 @@ def oracle_sql() -> dict[str, str]:
         f" {out_sc} FROM v")
 
     h64_x = _SQL_H64.format(x="x")
+    sql["dedup_window_spans"] = (
+        "WITH base AS (SELECT doc_id::BIGINT AS doc_id,"
+        " string_split(coalesce(text, '') || CASE WHEN doc_id % 5 = 0"
+        f" THEN '{_BOILER}' ELSE '' END, ' ') AS t FROM documents), "
+        "w AS (SELECT doc_id, unnest(list_transform("
+        "CASE WHEN len(t) >= 8 THEN generate_series(1, len(t) - 7)"
+        " ELSE []::BIGINT[] END,"
+        " i -> (('0x' || substring(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::UBIGINT)::BIGINT)) AS whash FROM base) "
+        "SELECT whash, count(*)::BIGINT AS n_occ,"
+        " count(DISTINCT doc_id)::BIGINT AS n_docs FROM w"
+        " GROUP BY whash HAVING count(*) >= 2")
+
     sql["text_repetition"] = (
         "WITH base AS (SELECT doc_id::BIGINT AS doc_id,"
         " string_split(coalesce(text, ''), ' ') AS t FROM documents), "

@@ -35,6 +35,7 @@ HEADLINE = (
     "text_quality",
     "text_fingerprints",
     "dedup_exact_bag",
+    "dedup_window_spans",
     "dedup_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -86,6 +86,37 @@ def with_near_duplicates(docs: DataFrame) -> DataFrame:
     return base.unionByName(clone)
 
 
+def duplicated_window_spans(docs: DataFrame, window: int = 8,
+                            min_count: int = 2) -> DataFrame:
+    """Exact duplicated-token-window detection — the boilerplate /
+    repeated-passage signal of substring-level corpus dedup (the
+    fixed-window simplification of suffix-array training-data dedup,
+    Lee et al. 2022): hash every ``window``-token sliding window
+    map-side, then one count aggregation keyed by the 60-bit hash.
+    Returns (whash, n_occ, n_docs) for windows occurring ≥ min_count
+    times corpus-wide.
+
+    Scale shape: windows never materialize as strings off the map side
+    — only their hashes shuffle (same single-shuffle profile as
+    exact_dedup); a hot boilerplate window is a single counter cell,
+    not a join side, so no skew cap is needed."""
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    d = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    toks.alias("toks"))
+    n = F.size(F.col("toks"))
+    # guard: Spark sequence(1, 0) would COUNT DOWN ([1, 0]) — short
+    # docs must yield no windows, not phantom ones
+    starts = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)) \
+              .otherwise(F.array().cast("array<int>"))
+    wins = F.transform(starts, lambda i: h64(
+        F.concat_ws(" ", F.slice(F.col("toks"), i, window))))
+    return (d.select("doc_id", F.explode(wins).alias("whash"))
+            .groupBy("whash")
+            .agg(F.count("*").alias("n_occ"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .filter(F.col("n_occ") >= min_count))
+
+
 def exact_dedup(docs: DataFrame, by: str = "content") -> DataFrame:
     """Exact-duplicate groups: (sig, keep_doc_id, n_docs). ``by`` =
     'content' (raw text) or 'bag' (sorted distinct token set — catches

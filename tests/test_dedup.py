@@ -89,6 +89,28 @@ def test_lang_id_discriminates_eight_languages(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+def test_duplicated_window_spans(spark):
+    """Exact duplicated-window detection: a boilerplate tail shared by
+    two docs yields exactly its fully-inside windows; short docs yield
+    none (the sequence(1,0) count-down guard)."""
+    from nobletools_spark.functions.hashing import h64_py
+    from nobletools_spark.operators.dedup import duplicated_window_spans
+
+    boiler = "please subscribe to our channel for more daily content now"
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma " + boiler),
+         (1, "delta epsilon " + boiler),
+         (2, "unique words only here today"),
+         (3, "tiny")],                        # shorter than the window
+        "doc_id long, text string")
+    rows = {r.whash: r for r in
+            duplicated_window_spans(docs, window=8).collect()}
+    toks = boiler.split()
+    want = {h64_py(" ".join(toks[i:i + 8])) for i in range(len(toks) - 7)}
+    assert set(rows) == want                  # 3 fully-inside windows
+    assert all(r.n_occ == 2 and r.n_docs == 2 for r in rows.values())
+
+
 def test_repetition_stats(spark):
     """Gopher-style repetition signals: top-token/bigram shares from
     sorted-array folds (no shuffle) must equal the obvious counts."""
