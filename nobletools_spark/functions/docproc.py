@@ -287,3 +287,27 @@ def filter_sentence(text: str, stype: str,
     if process_filter & FILTER_DEID and is_deid_header(text):
         return True
     return False
+
+
+def apply_document_filter(text: str, pattern: str,
+                          invert: bool = False) -> str:
+    """DocumentFilter.filter (extract/model/DocumentFilter.java
+    :137-158): length-preserving regex mask. invert=False KEEPS matched
+    regions and blanks the text between them; invert=True blanks the
+    matched regions. Reference quirks preserved exactly: MULTILINE
+    compilation, and in keep-matches mode the tail AFTER the last match
+    is appended UNMASKED (the reference appends the raw remainder)."""
+    if pattern is None:
+        return text
+    out = []
+    offset = 0
+    for m in re.finditer(pattern, text, re.MULTILINE):
+        if invert:
+            out.append(text[offset:m.start()])
+            out.append(" " * (m.end() - m.start()))
+        else:
+            out.append(" " * (m.start() - offset))
+            out.append(m.group())
+        offset = m.end()
+    out.append(text[offset:])
+    return "".join(out)

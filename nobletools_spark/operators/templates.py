@@ -165,6 +165,64 @@ def templates_from_xml(xml_text: str) -> tuple[list[tuple], list[tuple]]:
     return templates, components
 
 
+def mask_filters_from_xml(xml_text: str) -> list[tuple[str, str, bool]]:
+    """Template-level ``type="mask"`` DocumentFilters from the
+    .template XML: [(template_id, pattern, invert_match)] — applied to
+    the whole document text BEFORE processing (DocumentFilter
+    :137-158), unlike section filters which scope items."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml_text)
+    t_elems = [root] if root.tag == "Template" else root.findall(".//Template")
+    out: list[tuple[str, str, bool]] = []
+    for t in t_elems:
+        flt = t.find("Filters")
+        if flt is None:
+            continue
+        for f in flt.findall("Filter"):
+            if (f.get("type") or "section") == "mask" and (f.text or "").strip():
+                inv = (f.get("invert.match") or "false").lower() == "true"
+                out.append((t.get("name") or "template",
+                            f.text.strip(), inv))
+    return out
+
+
+def mask_documents(docs_df: DataFrame, pattern: str,
+                   invert: bool = False,
+                   text_col: str = "text") -> DataFrame:
+    """Distributed DocumentFilter mask (length-preserving, so every
+    downstream offset stays valid): flat tables mask ``text_col``;
+    interleaved tables mask each text span's payload and leave media
+    spans untouched. mapInPandas — map-only, zero shuffle."""
+    from nobletools_spark.functions.docproc import apply_document_filter
+    from nobletools_spark.operators.matcher import _span_fields
+
+    interleaved = "spans" in docs_df.columns and text_col not in docs_df.columns
+
+    def run(batches):
+        for pdf in batches:
+            if interleaved:
+                def mask_spans(spans):
+                    out = []
+                    for s in spans:
+                        kind, text, ref, off = _span_fields(s)
+                        if kind == "text" and text is not None:
+                            text = apply_document_filter(text, pattern,
+                                                         invert)
+                        out.append({"kind": kind, "text": text,
+                                    "media_ref": ref, "offset": off})
+                    return out
+
+                pdf["spans"] = pdf["spans"].map(mask_spans)
+            else:
+                pdf[text_col] = pdf[text_col].map(
+                    lambda t: apply_document_filter(t, pattern, invert)
+                    if t is not None else None)
+            yield pdf
+
+    return docs_df.mapInPandas(run, docs_df.schema)
+
+
 SECTIONS_DDL = "doc_id string, title string, start int, end int"
 
 

@@ -234,6 +234,54 @@ def test_extract_items_component_composition(spark):
     assert bools[("d1", 50)].modifier_cuis in (None, [])
 
 
+def test_apply_document_filter_mask_semantics():
+    """DocumentFilter.filter (:137-158) exactly: length-preserving,
+    MULTILINE, and the reference's keep-matches quirk — the tail after
+    the LAST match stays unmasked."""
+    from nobletools_spark.functions.docproc import apply_document_filter
+
+    text = "keep1 drop drop keep2 tail stays"
+    kept = apply_document_filter(text, r"keep\d")
+    assert len(kept) == len(text)
+    assert kept == "keep1           keep2 tail stays"  # quirky raw tail
+    inv = apply_document_filter(text, r"keep\d", invert=True)
+    assert inv == "      drop drop       tail stays"
+    assert apply_document_filter(text, None) == text
+    # MULTILINE anchors fire mid-string; the gap newline becomes a
+    # space (getMask), the tail newline survives via the raw-tail quirk
+    two = "head: a\nhead: b\nother"
+    assert apply_document_filter(two, r"^head: \w") == \
+        "head: a head: b\nother"
+
+
+def test_mask_documents_interleaved_and_flat(spark):
+    """Distributed mask: flat text masked in place; interleaved docs
+    mask only text spans (media untouched, offsets/order preserved)."""
+    from nobletools_spark.operators.templates import (
+        mask_filters_from_xml,
+        mask_documents,
+    )
+
+    flat = spark.createDataFrame([(1, "secret alpha secret beta")],
+                                 "doc_id long, text string")
+    out = mask_documents(flat, r"secret", invert=True).collect()[0].text
+    assert out == "       alpha        beta"
+    docs = spark.createDataFrame(
+        [("d1", [("text", "secret alpha", None, 0),
+                 ("media", None, "img://1", 12)])],
+        "doc_id string, spans array<struct<kind:string, text:string, "
+        "media_ref:string, offset:int>>")
+    rows = mask_documents(docs, r"secret", invert=True).collect()[0].spans
+    assert rows[0].text == "       alpha" and rows[0].offset == 0
+    assert rows[1].kind == "media" and rows[1].media_ref == "img://1"
+    # template-level mask filters parse from the XML
+    xml = ('<Template name="t"><Filters>'
+           '<Filter type="mask" invert.match="true">secret</Filter>'
+           '<Filter type="section">GROSS.*</Filter></Filters>'
+           '<TemplateItems/></Template>')
+    assert mask_filters_from_xml(xml) == [("t", "secret", True)]
+
+
 def test_item_instances_tsv_matrix(spark, tmp_path):
     """InformationExtractor result matrix (CSVExporter.export
     :62-82): one row per doc, one column per item, answers joined as
