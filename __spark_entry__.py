@@ -712,14 +712,21 @@ def oracle_sql() -> dict[str, str]:
         f" {out_sc} FROM v")
 
     h64_x = _SQL_H64.format(x="x")
+    # width and hash derive from the same constants as the Spark side
+    # (_WINDOW_W, hashing.sql_h64) so editing either cannot silently
+    # desynchronize the oracle
+    from nobletools_spark.functions.hashing import sql_h64
+
+    w_ = _WINDOW_W
+    win_hash = sql_h64(f"array_to_string(t[i:i+{w_ - 1}], ' ')")
     sql["dedup_window_spans"] = (
         "WITH base AS (SELECT doc_id::BIGINT AS doc_id,"
         " string_split(coalesce(text, '') || CASE WHEN doc_id % 5 = 0"
         f" THEN '{_BOILER}' ELSE '' END, ' ') AS t FROM documents), "
         "w AS (SELECT doc_id, unnest(list_transform("
-        "CASE WHEN len(t) >= 8 THEN generate_series(1, len(t) - 7)"
+        f"CASE WHEN len(t) >= {w_} THEN generate_series(1, len(t) - {w_ - 1})"
         " ELSE []::BIGINT[] END,"
-        " i -> (('0x' || substring(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::UBIGINT)::BIGINT)) AS whash FROM base) "
+        f" i -> {win_hash})) AS whash FROM base) "
         "SELECT whash, count(*)::BIGINT AS n_occ,"
         " count(DISTINCT doc_id)::BIGINT AS n_docs FROM w"
         " GROUP BY whash HAVING count(*) >= 2")

@@ -165,6 +165,26 @@ def templates_from_xml(xml_text: str) -> tuple[list[tuple], list[tuple]]:
     return templates, components
 
 
+def item_types_from_xml(xml_text: str) -> dict[str, str]:
+    """item name → ``type`` attribute (TemplateItem.java:37-44:
+    diagnosis/finding/organ/attribute/...) from the .template XML —
+    the result sink renders finding/diagnosis items as present/absent
+    (ItemInstance.getAnswer :369-370) and needs this mapping."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml_text)
+    t_elems = [root] if root.tag == "Template" else root.findall(".//Template")
+    out: dict[str, str] = {}
+    for t in t_elems:
+        items = t.find("TemplateItems")
+        for it in (items.findall("TemplateItem")
+                   if items is not None else []):
+            name = it.get("name") or it.get("concept")
+            if it.get("type"):
+                out[name] = it.get("type")
+    return out
+
+
 def mask_filters_from_xml(xml_text: str) -> list[tuple[str, str, bool]]:
     """Template-level ``type="mask"`` DocumentFilters from the
     .template XML: [(template_id, pattern, invert_match)] — applied to

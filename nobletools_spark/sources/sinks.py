@@ -55,53 +55,87 @@ def write_results_tsv(mentions_df: DataFrame, path: str,
 
 def item_instances_tsv_df(items_df: DataFrame,
                           names_df: DataFrame | None = None,
-                          item_order: list[str] | None = None) -> DataFrame:
+                          item_order: list[str] | None = None,
+                          item_types: dict[str, str] | None = None,
+                          docs_df: DataFrame | None = None) -> DataFrame:
     """Shape extract_items output into the InformationExtractor result
     matrix (util/CSVExporter.export(TemplateDocument) :62-82): one row
     per document, one column per template-item question, each cell the
-    instance answers joined as "a ;b ;" (every answer appended with
-    " ;", trailing space trimmed — the reference's exact cell shape).
+    instance answers in MENTION order joined as "a ;b ;" (every answer
+    appended with " ;", trailing space trimmed — the reference's exact
+    cell shape). With a ``docs_df`` the row universe is every document
+    (the reference writes a row per processed doc, hits or not).
 
-    Answer rendering (ItemInstance.getAnswer :313-371): a resolved
-    value renders as the number (integral doubles without the ".0",
-    TextTools.toString) or the raw value string; otherwise the concept
-    name — the mention surface here, or the preferred name when a
-    ``names_df(cui, name)`` is supplied — suffixed with "(code)", and
-    'absent' for negated boolean items (:369-370)."""
+    Answer rendering (ItemInstance.getAnswer :313-371):
+    - resolved values as TextTools.toString (:1149-1156): integral →
+      "%d", else "%.2f" — with " <unit>" appended when extract_items
+      resolved a unit component (:317-319);
+    - finding/diagnosis-typed items (``item_types``, from the XML type
+      attribute — see templates.item_types_from_xml) as
+      'present'/'absent' (:369-370);
+    - everything else as "name (code)" (name = preferred name via
+      ``names_df(cui, name)``, else the mention surface)."""
     num = F.col("value_num")
     num_str = F.when(num == F.floor(num),
                      num.cast("long").cast("string")) \
-               .otherwise(num.cast("string"))
+               .otherwise(F.format_string("%.2f", num))
     base = items_df
     if names_df is not None:
         names = names_df.select(F.col("cui"), F.col("name").alias("_nm"))
         base = base.join(F.broadcast(names), "cui", "left")
     else:
         base = base.withColumn("_nm", F.lit(None).cast("string"))
+    if "unit" in base.columns:
+        unit_nm = F.col("unit")
+        if names_df is not None:
+            unames = names_df.select(F.col("cui").alias("unit"),
+                                     F.col("name").alias("_unm"))
+            base = base.join(F.broadcast(unames), "unit", "left")
+            unit_nm = F.coalesce(F.col("_unm"), F.col("unit"))
+        num_str = F.when(F.col("unit").isNotNull(),
+                         F.concat(num_str, F.lit(" "), unit_nm)) \
+                   .otherwise(num_str)
+    finding = tuple(i for i, t in (item_types or {}).items()
+                    if t in ("finding", "diagnosis"))
     answer = (F.when(num.isNotNull(), num_str)
               .when(F.col("value_str").isNotNull(), F.col("value_str"))
-              .when(F.col("absent"), F.lit("absent"))
+              .when(F.col("item").isin(*finding) if finding else F.lit(False),
+                    F.when(F.col("absent"), F.lit("absent"))
+                     .otherwise(F.lit("present")))
               .otherwise(F.concat(
                   F.coalesce(F.col("_nm"), F.col("matched_term"),
                              F.col("cui")),
                   F.lit(" ("), F.col("cui"), F.lit(")"))))
+    # instance order = mention order (the reference appends instances
+    # as encountered in the document): sort by (start, answer)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(
+            F.coalesce(F.col("start"), F.lit(0)).alias("s"),
+            F.col("_ans").alias("a")))),
+        lambda e: e["a"])
     cells = (base.withColumn("_ans", answer)
              .groupBy("doc_id", "item")
-             .agg(F.concat(F.concat_ws(" ;", F.array_sort(
-                 F.collect_list("_ans"))), F.lit(" ;")).alias("cell")))
+             .agg(F.concat(F.concat_ws(" ;", ordered),
+                           F.lit(" ;")).alias("cell")))
     items = item_order or sorted(
         r.item for r in items_df.select("item").distinct().collect())
     out = cells.groupBy("doc_id").pivot("item", items).agg(
         F.first("cell"))
+    if docs_df is not None:
+        universe = docs_df.select("doc_id").distinct()
+        out = universe.join(out, "doc_id", "left")
     return out.select(F.col("doc_id").alias("Document"),
-                      *[F.coalesce(F.col(i), F.lit("")).alias(i)
+                      *[F.coalesce(out[i], F.lit("")).alias(i)
                         for i in items])
 
 
 def write_item_instances_tsv(items_df: DataFrame, path: str,
                              names_df: DataFrame | None = None,
-                             item_order: list[str] | None = None) -> None:
-    (item_instances_tsv_df(items_df, names_df, item_order)
+                             item_order: list[str] | None = None,
+                             item_types: dict[str, str] | None = None,
+                             docs_df: DataFrame | None = None) -> None:
+    (item_instances_tsv_df(items_df, names_df, item_order, item_types,
+                           docs_df)
      .write.mode("overwrite")
      .option("sep", "\t").option("header", True).csv(path))
 

@@ -283,10 +283,11 @@ def test_mask_documents_interleaved_and_flat(spark):
 
 
 def test_item_instances_tsv_matrix(spark, tmp_path):
-    """InformationExtractor result matrix (CSVExporter.export
-    :62-82): one row per doc, one column per item, answers joined as
-    'a ;b ;' (trailing ' ;'), values rendered as numbers, negated
-    booleans as 'absent'."""
+    """InformationExtractor result matrix (CSVExporter.export :62-82):
+    one row per doc, one column per item, answers joined in MENTION
+    order as 'a ;b ;' (trailing ' ;'); values via TextTools.toString
+    (integral %d, else %.2f); finding-typed items render
+    present/absent (getAnswer :369-370), other types 'name (code)'."""
     from nobletools_spark.sources.sinks import (
         item_instances_tsv_df,
         write_item_instances_tsv,
@@ -295,26 +296,44 @@ def test_item_instances_tsv_matrix(spark, tmp_path):
     m = _mentions(spark, [
         ("d1", "C104", "hash join", 0, 9, None),
         ("d1", "C106", "iv", 10, 12, None),
+        ("d1", "C106", "2.5", 20, 23, None),
         ("d2", "C104", "hash join", 0, 9,
          {"Polarity": "Negative_Polarity"}),
+        ("d3", "C104", "hash join", 0, 9, None),
     ])
     t = _templates(spark, [
         ("t1", "join_op", "C100", None, "boolean"),
         ("t1", "stage", "C120", None, "value"),
     ])
     items = extract_items(m, _edges(spark), t)
+    types = {"join_op": "finding"}
     out = {r.Document: r for r in
-           item_instances_tsv_df(items,
-                                 item_order=["join_op", "stage"]).collect()}
-    assert out["d1"].join_op == "hash join (C104) ;iv (C106) ;"
-    # value item: roman 'iv' -> 4; 'hash join' is non-numeric -> string
-    assert out["d1"].stage == "4 ;hash join ;"
+           item_instances_tsv_df(items, item_order=["join_op", "stage"],
+                                 item_types=types).collect()}
+    # mention order (start asc), finding type -> present/absent
+    assert out["d1"].join_op == "present ;present ;present ;"
+    assert out["d1"].stage == "hash join ;4 ;2.50 ;"  # %.2f, source order
     assert out["d2"].join_op == "absent ;"
+    # untyped items keep the name (code) rendering
+    out2 = {r.Document: r for r in
+            item_instances_tsv_df(items,
+                                  item_order=["join_op", "stage"]).collect()}
+    assert out2["d3"].join_op == "hash join (C104) ;"
+    # docs_df fixes the row universe: hit-less docs get empty rows
+    docs = spark.createDataFrame([("d1",), ("d2",), ("d3",), ("d4",)],
+                                 "doc_id string")
+    out3 = {r.Document: r for r in
+            item_instances_tsv_df(items, item_order=["join_op", "stage"],
+                                  item_types=types,
+                                  docs_df=docs).collect()}
+    assert set(out3) == {"d1", "d2", "d3", "d4"}
+    assert out3["d4"].join_op == "" and out3["d4"].stage == ""
     write_item_instances_tsv(items, str(tmp_path / "items_tsv"),
-                             item_order=["join_op", "stage"])
+                             item_order=["join_op", "stage"],
+                             item_types=types)
     back = spark.read.option("sep", "\t").option("header", True) \
         .csv(str(tmp_path / "items_tsv"))
-    assert back.count() == 2
+    assert back.count() == 3
     assert back.columns == ["Document", "join_op", "stage"]
 
 
