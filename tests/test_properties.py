@@ -160,3 +160,62 @@ def test_bmp_codec_round_trip_property():
         assert px == flat
 
     inner()
+
+
+@given(st.lists(st.binary(min_size=1, max_size=40), min_size=1,
+                max_size=30),
+       st.integers(min_value=1, max_value=200_000))
+@settings(max_examples=40, deadline=None)
+def test_parse_avi_round_trips_arbitrary_frames(frames, uspf):
+    """parse_avi recovers arbitrary frame payloads and the avih frame
+    interval from a well-formed RIFF/AVI byte-for-byte."""
+    from nobletools_spark.operators.multimodal import parse_avi
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+    avih = uspf.to_bytes(4, "little") + b"\x00" * 52
+    hdrl = b"hdrl" + chunk(b"avih", avih)
+    movi = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+    body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+    blob = b"RIFF" + len(body).to_bytes(4, "little") + body
+    got_uspf, got = parse_avi(blob)
+    assert got_uspf == uspf and got == frames
+
+
+@given(st.lists(st.binary(min_size=1, max_size=32), min_size=1,
+                max_size=20),
+       st.integers(min_value=1, max_value=120_000),
+       st.integers(min_value=1, max_value=90_000))
+@settings(max_examples=40, deadline=None)
+def test_parse_mp4_round_trips_arbitrary_samples(frames, timescale, delta):
+    """parse_mp4 recovers arbitrary sample payloads and stts-derived
+    millisecond timestamps from a well-formed ISO-BMFF file."""
+    from nobletools_spark.operators.multimodal import parse_mp4
+
+    def box(typ, body):
+        return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+    n = len(frames)
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_off = len(ftyp) + 8
+    mdat = box(b"mdat", b"".join(frames))
+    stts = box(b"stts", b"\x00" * 4 + (1).to_bytes(4, "big")
+               + n.to_bytes(4, "big") + delta.to_bytes(4, "big"))
+    stsz = box(b"stsz", b"\x00" * 8 + n.to_bytes(4, "big")
+               + b"".join(len(f).to_bytes(4, "big") for f in frames))
+    stsc = box(b"stsc", b"\x00" * 4 + (1).to_bytes(4, "big")
+               + (1).to_bytes(4, "big") + n.to_bytes(4, "big")
+               + (1).to_bytes(4, "big"))
+    stco = box(b"stco", b"\x00" * 4 + (1).to_bytes(4, "big")
+               + mdat_off.to_bytes(4, "big"))
+    mdhd = box(b"mdhd", b"\x00" * 12 + timescale.to_bytes(4, "big")
+               + b"\x00" * 8)
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    moov = box(b"moov", box(b"trak", box(
+        b"mdia", mdhd + hdlr + box(b"minf", box(
+            b"stbl", stts + stsz + stsc + stco)))))
+    times, got = parse_mp4(ftyp + mdat + moov)
+    assert got == frames
+    assert times == [i * delta * 1000 // timescale for i in range(n)]
