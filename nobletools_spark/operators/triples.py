@@ -51,18 +51,50 @@ def isa_triples(edges_df: DataFrame) -> DataFrame:
             .distinct())
 
 
-def ancestors(edges_df: DataFrame,
-              max_depth: int = PATH_DEPTH_LIMIT) -> DataFrame:
+def ancestors(edges_df: DataFrame, max_depth: int = PATH_DEPTH_LIMIT,
+              driver_threshold: int = 100_000) -> DataFrame:
     """Transitive isa closure with min BFS depth:
-    (cui, ancestor, depth). Bounded iterative self-join (≤ max_depth
-    rounds, PathHelper depth cap); cycle-safe because each round only
-    keeps strictly new (cui, ancestor) pairs, so A→B→A terminates.
+    (cui, ancestor, depth). Two physical strategies, identical results:
 
-    The edge table is terminology-sized (≪ corpus), so each round is a
-    small broadcast-able join; localCheckpoint truncates the growing
-    lineage so the plan doesn't deepen exponentially.
+    - ``≤ driver_threshold`` distinct edges (one limit-probe job): BFS
+      driver-side — the edge table is terminology-sized by definition
+      (the reference holds the whole terminology in memory), and the
+      iterative Spark loop costs ~0.5 s of pure job-scheduling overhead
+      PER ROUND regardless of data size, which dominated every
+      closure-consuming query at benchmark scale.
+    - larger graphs: bounded iterative self-join (≤ max_depth rounds,
+      PathHelper depth cap); cycle-safe because each round only keeps
+      strictly new (cui, ancestor) pairs, so A→B→A terminates;
+      localCheckpoint truncates the growing lineage.
     """
     edges = edges_df.select(F.col("cui"), F.col("parent")).distinct()
+    probe = edges.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        parents: dict[str, list[str]] = {}
+        for r in probe:
+            if r.cui is not None and r.parent is not None \
+                    and r.cui != r.parent:
+                parents.setdefault(r.cui, []).append(r.parent)
+        rows: list[tuple[str, str, int]] = []
+        for node in parents:
+            seen: set[str] = set()
+            frontier = [node]
+            for depth in range(1, max_depth + 1):
+                nxt: list[str] = []
+                for cur in frontier:
+                    for p in parents.get(cur, ()):
+                        # mirror the distributed filters exactly: self
+                        # pairs are dropped AND never re-expanded
+                        if p == node or p in seen:
+                            continue
+                        seen.add(p)
+                        rows.append((node, p, depth))
+                        nxt.append(p)
+                if not nxt:
+                    break
+                frontier = nxt
+        return edges_df.sparkSession.createDataFrame(
+            rows or [], "cui string, ancestor string, depth int")
     closure = (edges
                .filter(F.col("cui") != F.col("parent"))
                .select("cui", F.col("parent").alias("ancestor"),

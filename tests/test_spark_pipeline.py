@@ -279,3 +279,18 @@ def test_write_triples_table_needs_iceberg_catalog(spark):
                                "subj string, pred string, obj string")
     with pytest.raises(AnalysisException):
         write_triples_table(df, "no_such_catalog.db.triples")
+
+
+def test_ancestors_driver_and_distributed_paths_agree(spark):
+    """The driver-side BFS fast path and the iterative self-join must
+    produce identical closures (diamond + cycle + chain edges)."""
+    from nobletools_spark.operators.triples import ancestors
+    from nobletools_spark.sources.fixtures import PYTEST_ISA_EDGES
+
+    edges = spark.createDataFrame(list(PYTEST_ISA_EDGES),
+                                  "cui string, parent string")
+    fast = {(r.cui, r.ancestor, r.depth)
+            for r in ancestors(edges).collect()}
+    dist = {(r.cui, r.ancestor, r.depth)
+            for r in ancestors(edges, driver_threshold=0).collect()}
+    assert fast == dist and fast
