@@ -19,11 +19,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 20,
+                         driver_threshold: int = 100_000) -> DataFrame:
     """edges(a, b) undirected → (node, component) with component =
-    min node id reachable (lexicographic for strings)."""
+    min node id reachable (lexicographic for strings).
+
+    Graphs with ≤ driver_threshold distinct edges (one limit-probe
+    job) run union-find driver-side: the propagation loop costs
+    ~1 s of Spark job overhead PER ROUND on any input size, and every
+    caller's edge table (synonym cross-walks, near-dup pair tables) is
+    terminology-/pair-sized by construction. Larger graphs keep the
+    distributed min-label propagation (or swap in GraphFrames)."""
     if max_iter <= 0:
         raise ValueError(f"max_iter must be positive, got {max_iter}")
+    probe = (edges.select("a", "b").filter(F.col("a") != F.col("b"))
+             .distinct().limit(driver_threshold + 1).collect())
+    if len(probe) <= driver_threshold:
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in probe:
+            for v in (r.a, r.b):
+                parent.setdefault(v, v)
+            ra, rb = find(r.a), find(r.b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict[str, str] = {}
+        for v in parent:
+            root = find(v)
+            if root not in comp_min or v < comp_min[root]:
+                comp_min[root] = v
+        rows = [(v, comp_min[find(v)]) for v in sorted(parent)]
+        from pyspark.sql import types as T
+
+        node_type = edges.schema["a"].dataType  # preserve caller's id type
+        schema = T.StructType([T.StructField("node", node_type),
+                               T.StructField("component", node_type)])
+        return edges.sparkSession.createDataFrame(rows or [], schema)
     sym = (edges.select(F.col("a"), F.col("b"))
            .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
            .filter(F.col("a") != F.col("b"))

@@ -212,11 +212,18 @@ def test_connected_components_nonconvergence_raises(spark):
 
     chain = [(f"C{i:03d}", f"C{i + 1:03d}") for i in range(24)]
     edges = spark.createDataFrame(chain, "a string, b string")
+    # driver_threshold=0 forces the distributed propagation path (the
+    # union-find fast path has no iteration cap to hit)
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=5)
+        connected_components(edges, max_iter=5, driver_threshold=0)
     labels = {r.node: r.component
-              for r in connected_components(edges, max_iter=30).collect()}
+              for r in connected_components(edges, max_iter=30,
+                                            driver_threshold=0).collect()}
     assert set(labels.values()) == {"C000"}
+    # the fast path agrees on the same deep chain
+    fast = {r.node: r.component
+            for r in connected_components(edges).collect()}
+    assert fast == labels
 
 
 def test_annotate_edge_inputs(spark):
@@ -293,4 +300,20 @@ def test_ancestors_driver_and_distributed_paths_agree(spark):
             for r in ancestors(edges).collect()}
     dist = {(r.cui, r.ancestor, r.depth)
             for r in ancestors(edges, driver_threshold=0).collect()}
+    assert fast == dist and fast
+
+
+def test_connected_components_driver_and_distributed_agree(spark):
+    """Union-find fast path == distributed min-label propagation on
+    chains, forks, and a shared-code merge."""
+    from nobletools_spark.operators.canonical import connected_components
+    from nobletools_spark.sources.fixtures import BUILTIN_SYNONYM_EDGES
+
+    edges = spark.createDataFrame(list(BUILTIN_SYNONYM_EDGES),
+                                  "a string, b string")
+    fast = {(r.node, r.component)
+            for r in connected_components(edges).collect()}
+    dist = {(r.node, r.component)
+            for r in connected_components(edges,
+                                          driver_threshold=0).collect()}
     assert fast == dist and fast
