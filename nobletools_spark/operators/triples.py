@@ -79,7 +79,10 @@ def ancestors(edges_df: DataFrame, max_depth: int = PATH_DEPTH_LIMIT,
         for node in parents:
             seen: set[str] = set()
             frontier = [node]
-            for depth in range(1, max_depth + 1):
+            # depth 1 is unconditional in the distributed path (the
+            # initial closure is the direct-edge set; the loop only
+            # EXTENDS it), so the fast path mirrors that floor
+            for depth in range(1, max(max_depth, 1) + 1):
                 nxt: list[str] = []
                 for cur in frontier:
                     for p in parents.get(cur, ()):
