@@ -51,6 +51,37 @@ def isa_triples(edges_df: DataFrame) -> DataFrame:
             .distinct())
 
 
+def closure_bfs(pairs: list[tuple[str, str]],
+                max_depth: int = PATH_DEPTH_LIMIT) -> list[tuple[str, str, int]]:
+    """Pure-Python min-depth ancestor closure over (cui, parent) pairs —
+    the driver-side body of ``ancestors`` (property-tested against an
+    independent shortest-path reference). Mirrors the distributed
+    filters exactly: NULL/self edges dropped, self pairs never
+    re-expanded, depth 1 unconditional (the distributed initial closure
+    is the direct-edge set; the loop only EXTENDS it)."""
+    parents: dict[str, list[str]] = {}
+    for a, b in pairs:
+        if a is not None and b is not None and a != b:
+            parents.setdefault(a, []).append(b)
+    rows: list[tuple[str, str, int]] = []
+    for node in parents:
+        seen: set[str] = set()
+        frontier = [node]
+        for depth in range(1, max(max_depth, 1) + 1):
+            nxt: list[str] = []
+            for cur in frontier:
+                for p in parents.get(cur, ()):
+                    if p == node or p in seen:
+                        continue
+                    seen.add(p)
+                    rows.append((node, p, depth))
+                    nxt.append(p)
+            if not nxt:
+                break
+            frontier = nxt
+    return rows
+
+
 def ancestors(edges_df: DataFrame, max_depth: int = PATH_DEPTH_LIMIT,
               driver_threshold: int = 100_000) -> DataFrame:
     """Transitive isa closure with min BFS depth:
@@ -70,32 +101,7 @@ def ancestors(edges_df: DataFrame, max_depth: int = PATH_DEPTH_LIMIT,
     edges = edges_df.select(F.col("cui"), F.col("parent")).distinct()
     probe = edges.limit(driver_threshold + 1).collect()
     if len(probe) <= driver_threshold:
-        parents: dict[str, list[str]] = {}
-        for r in probe:
-            if r.cui is not None and r.parent is not None \
-                    and r.cui != r.parent:
-                parents.setdefault(r.cui, []).append(r.parent)
-        rows: list[tuple[str, str, int]] = []
-        for node in parents:
-            seen: set[str] = set()
-            frontier = [node]
-            # depth 1 is unconditional in the distributed path (the
-            # initial closure is the direct-edge set; the loop only
-            # EXTENDS it), so the fast path mirrors that floor
-            for depth in range(1, max(max_depth, 1) + 1):
-                nxt: list[str] = []
-                for cur in frontier:
-                    for p in parents.get(cur, ()):
-                        # mirror the distributed filters exactly: self
-                        # pairs are dropped AND never re-expanded
-                        if p == node or p in seen:
-                            continue
-                        seen.add(p)
-                        rows.append((node, p, depth))
-                        nxt.append(p)
-                if not nxt:
-                    break
-                frontier = nxt
+        rows = closure_bfs([(r.cui, r.parent) for r in probe], max_depth)
         return edges_df.sparkSession.createDataFrame(
             rows or [], "cui string, ancestor string, depth int")
     closure = (edges

@@ -219,3 +219,35 @@ def test_parse_mp4_round_trips_arbitrary_samples(frames, timescale, delta):
     times, got = parse_mp4(ftyp + mdat + moov)
     assert got == frames
     assert times == [i * delta * 1000 // timescale for i in range(n)]
+
+
+@given(st.lists(st.tuples(st.integers(0, 7), st.integers(0, 7)),
+                min_size=1, max_size=20),
+       st.integers(min_value=1, max_value=7))
+@settings(max_examples=30, deadline=None)
+def test_ancestors_fast_path_matches_min_depth_reference(pairs, max_depth):
+    """The driver-side BFS closure equals an independent O(V^3)
+    min-depth reference on random graphs (cycles, diamonds, self
+    loops), for any depth cap."""
+    from nobletools_spark.operators import triples as tr
+
+    edges = [(f"N{a}", f"N{b}") for a, b in pairs]
+    # independent reference: min path length by repeated relaxation
+    nodes = sorted({x for e in edges for x in e})
+    INF = 10 ** 9
+    dist = {(a, b): INF for a in nodes for b in nodes}
+    for a, b in edges:
+        if a != b:
+            dist[(a, b)] = min(dist[(a, b)], 1)
+    for k in nodes:
+        for i in nodes:
+            for j in nodes:
+                if dist[(i, k)] + dist[(k, j)] < dist[(i, j)]:
+                    dist[(i, j)] = dist[(i, k)] + dist[(k, j)]
+    want = {(i, j, d) for (i, j), d in dist.items()
+            if i != j and d <= max(max_depth, 1)}
+
+    from nobletools_spark.operators.triples import closure_bfs
+
+    got = set(closure_bfs(edges, max_depth))
+    assert got == want
