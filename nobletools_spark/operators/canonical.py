@@ -44,8 +44,6 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
             return x
 
         for r in probe:
-            if r.a is None or r.b is None:
-                continue  # the distributed filter drops NULL endpoints
             for v in (r.a, r.b):
                 parent.setdefault(v, v)
             ra, rb = find(r.a), find(r.b)

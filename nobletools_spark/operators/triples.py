@@ -52,13 +52,18 @@ def isa_triples(edges_df: DataFrame) -> DataFrame:
 
 
 def closure_bfs(pairs: list[tuple[str, str]],
-                max_depth: int = PATH_DEPTH_LIMIT) -> list[tuple[str, str, int]]:
+                max_depth: int = PATH_DEPTH_LIMIT,
+                row_budget: int | None = None) -> list[tuple[str, str, int]] | None:
     """Pure-Python min-depth ancestor closure over (cui, parent) pairs —
     the driver-side body of ``ancestors`` (property-tested against an
     independent shortest-path reference). Mirrors the distributed
     filters exactly: NULL/self edges dropped, self pairs never
     re-expanded, depth 1 unconditional (the distributed initial closure
-    is the direct-edge set; the loop only EXTENDS it)."""
+    is the direct-edge set; the loop only EXTENDS it). Returns None if
+    the closure would exceed ``row_budget`` rows — a hub-shaped graph
+    can have a closure quadratically larger than its edge set, and the
+    caller must fall back to the distributed strategy rather than
+    materialize it on the driver."""
     parents: dict[str, list[str]] = {}
     for a, b in pairs:
         if a is not None and b is not None and a != b:
@@ -76,6 +81,8 @@ def closure_bfs(pairs: list[tuple[str, str]],
                     seen.add(p)
                     rows.append((node, p, depth))
                     nxt.append(p)
+            if row_budget is not None and len(rows) > row_budget:
+                return None
             if not nxt:
                 break
             frontier = nxt
@@ -99,11 +106,24 @@ def ancestors(edges_df: DataFrame, max_depth: int = PATH_DEPTH_LIMIT,
       localCheckpoint truncates the growing lineage.
     """
     edges = edges_df.select(F.col("cui"), F.col("parent")).distinct()
-    probe = edges.limit(driver_threshold + 1).collect()
+    # probe the EFFECTIVE graph (self/NULL edges are dropped by both
+    # strategies) so degenerate rows don't burn threshold budget
+    probe = (edges.filter(F.col("cui") != F.col("parent"))
+             .limit(driver_threshold + 1).collect())
     if len(probe) <= driver_threshold:
-        rows = closure_bfs([(r.cui, r.parent) for r in probe], max_depth)
-        return edges_df.sparkSession.createDataFrame(
-            rows or [], "cui string, ancestor string, depth int")
+        rows = closure_bfs([(r.cui, r.parent) for r in probe], max_depth,
+                           row_budget=max(driver_threshold, 1_000_000))
+        if rows is not None:
+            from pyspark.sql import types as T
+
+            id_type = edges_df.schema["cui"].dataType  # caller's id type
+            schema = T.StructType([
+                T.StructField("cui", id_type),
+                T.StructField("ancestor", id_type),
+                T.StructField("depth", T.IntegerType())])
+            return edges_df.sparkSession.createDataFrame(rows or [], schema)
+        # closure larger than the driver budget (hub-shaped graph):
+        # fall through to the distributed strategy
     closure = (edges
                .filter(F.col("cui") != F.col("parent"))
                .select("cui", F.col("parent").alias("ancestor"),

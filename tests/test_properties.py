@@ -229,8 +229,6 @@ def test_ancestors_fast_path_matches_min_depth_reference(pairs, max_depth):
     """The driver-side BFS closure equals an independent O(V^3)
     min-depth reference on random graphs (cycles, diamonds, self
     loops), for any depth cap."""
-    from nobletools_spark.operators import triples as tr
-
     edges = [(f"N{a}", f"N{b}") for a, b in pairs]
     # independent reference: min path length by repeated relaxation
     nodes = sorted({x for e in edges for x in e})
