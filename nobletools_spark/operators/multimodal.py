@@ -343,9 +343,12 @@ def parse_avi(content: bytes) -> tuple[int, list[bytes]]:
         raise ValueError("not a RIFF/AVI container")
     us_per_frame = 0
     frames: list[bytes] = []
-
-    def walk(pos: int, end: int) -> None:
-        nonlocal us_per_frame
+    # Iterative walk (explicit stack of (pos, end) ranges): a corrupt
+    # container with deeply nested LISTs must raise ValueError, never
+    # RecursionError — the stub-fallback contract only catches ValueError.
+    stack: list[tuple[int, int]] = [(12, len(content))]
+    while stack:
+        pos, end = stack.pop()
         while pos + 8 <= end:
             fourcc = content[pos:pos + 4]
             size = int.from_bytes(content[pos + 4:pos + 8], "little")
@@ -353,15 +356,17 @@ def parse_avi(content: bytes) -> tuple[int, list[bytes]]:
             if data + size > end:
                 raise ValueError("truncated AVI chunk")
             if fourcc == b"LIST":
-                walk(data + 4, data + size)
-            elif fourcc == b"avih" and size >= 4:
+                if len(stack) >= 64:
+                    raise ValueError("AVI LIST nesting too deep")
+                stack.append((data + size + (size & 1), end))
+                pos, end = data + 4, data + size
+                continue
+            if fourcc == b"avih" and size >= 4:
                 us_per_frame = int.from_bytes(content[data:data + 4],
                                               "little")
             elif fourcc[2:4] in (b"dc", b"db"):
                 frames.append(content[data:data + size])
             pos = data + size + (size & 1)
-
-    walk(12, len(content))
     return us_per_frame or 33333, frames
 
 

@@ -146,6 +146,7 @@ def ivf_topk(emb: DataFrame, n_cells: int = 16, k: int = 3,
       cells average √N vectors and the capped join stays balanced;
       the default 16 suits the sandbox corpus sizes.
     """
+    n_probe = max(n_probe, 1)
     base0 = (emb.select(F.col("vec_id").cast("long").alias("vec_id"),
                         _vec_double().alias("v"))
              .withColumn("nrm", _norm(F.col("v"))))
@@ -174,8 +175,7 @@ def ivf_topk(emb: DataFrame, n_cells: int = 16, k: int = 3,
     # named column so the 2×n_cells×dim distance work is not evaluated
     # twice (CollapseProject keeps non-cheap multiply-referenced
     # aliases separate).
-    cells_col = F.transform(F.slice(F.array_sort(darr), 1,
-                                    max(n_probe, 1)),
+    cells_col = F.transform(F.slice(F.array_sort(darr), 1, n_probe),
                             lambda s: s["cell"])
     assigned = (base0.select("*", cells_col.alias("cells"))
                 .withColumn("cell", F.element_at("cells", 1)))

@@ -79,10 +79,14 @@ def parse_decimal_value(text: str | None) -> float | None:
                  "seven", "eight", "nine", "ten", "eleven", "twelve")
         low = text.lower()
         return float(words.index(low)) if low in words else None
-    try:
-        return float(int(text))
-    except ValueError:
-        return None
+    # Integer.parseInt semantics: ASCII digits only (no underscores or
+    # surrounding whitespace, which Python int() accepts) and 32-bit range
+    # (Java throws NumberFormatException → NO_VALUE on overflow).
+    if re.fullmatch(r"[+-]?\d+", text, flags=re.ASCII):
+        value = int(text)
+        if -(2 ** 31) <= value <= 2 ** 31 - 1:
+            return float(value)
+    return None
 
 
 def _parse_value_udf():
@@ -263,21 +267,20 @@ def sections_from_docs(docs_df: DataFrame,
     def run(batches):
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                if interleaved:
-                    pieces = []
-                    for s in row["spans"]:
+            if interleaved:
+                for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                    for s in spans:
                         kind, text, _ref, off = _span_fields(s)
-                        if kind == "text" and text:
-                            pieces.append((off, text))
-                    for off, txt in pieces:
-                        for sec in split_sections(txt, offset=off):
-                            out.append((row["doc_id"], sec.title,
+                        if kind != "text" or not text:
+                            continue
+                        for sec in split_sections(text, offset=off):
+                            out.append((doc_id, sec.title,
                                         sec.title_offset,
                                         sec.body_offset + len(sec.body)))
-                else:
-                    for sec in split_sections(row[text_col] or ""):
-                        out.append((row["doc_id"], sec.title,
+            else:
+                for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                    for sec in split_sections(text or ""):
+                        out.append((doc_id, sec.title,
                                     sec.title_offset,
                                     sec.body_offset + len(sec.body)))
             yield pd.DataFrame(out, columns=["doc_id", "title",

@@ -189,12 +189,14 @@ def lang_id(docs: DataFrame) -> DataFrame:
     2. Stopword vote for Latin text: per language, count tokens in its
        list; argmax with a fixed cascade (sorted languages, first
        maximal wins, all-zero → 'und')."""
-    toks = _tokens()
+    toks = F.coalesce(_tokens(), F.array().cast("array<string>"))
     def _vote(ws: tuple[str, ...]) -> Column:
         return F.size(F.filter(toks, lambda t: t.isin(*ws))).cast("long")
 
     votes = {lang: _vote(ws) for lang, ws in LANG_STOPWORDS.items()}
-    sc = {s: F.regexp_count(F.col("text"), F.lit(f"[{r}]")).cast("long")
+    txt = F.coalesce(F.col("text"), F.lit(""))  # NULL text → 0 counts,
+    #                        like repetition_stats/duplicated_window_spans
+    sc = {s: F.regexp_count(txt, F.lit(f"[{r}]")).cast("long")
           for s, r in SCRIPT_RANGES.items()}
     expr = None
     for s in SCRIPTS:  # script cascade first, in SCRIPTS order

@@ -230,7 +230,10 @@ def export_orf(concepts_df: DataFrame, path: str, lat: str = "ENG",
 
     from nobletools_spark.functions.textkit import normalize
 
-    norm_udf = F.udf(lambda s: normalize(s), T.StringType())
+    def _norm_batch(s):  # functional form: stringized hints break inference
+        return s.map(lambda x: normalize(x) if x is not None else None)
+
+    norm_udf = F.pandas_udf(_norm_batch, T.StringType())
 
     base = (concepts_df
             .select("cui", "name", F.explode("synonyms").alias("str"))

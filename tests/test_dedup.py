@@ -89,6 +89,19 @@ def test_lang_id_discriminates_eight_languages(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+def test_lang_id_null_text_yields_zero_counts(spark):
+    """NULL text coalesces to '' like the other textstats operators:
+    every votes_*/sc_* column is 0 (not NULL) and pred is 'und'."""
+    from nobletools_spark.operators.textstats import lang_id
+
+    docs = spark.createDataFrame([(0, None)], "doc_id long, text string")
+    r = lang_id(docs).collect()[0]
+    assert r.lang_pred == "und"
+    for name, val in r.asDict().items():
+        if name.startswith(("votes_", "sc_")):
+            assert val == 0, (name, val)
+
+
 def test_duplicated_window_spans(spark):
     """Exact duplicated-window detection: a boilerplate tail shared by
     two docs yields exactly its fully-inside windows; short docs yield

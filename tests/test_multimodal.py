@@ -230,6 +230,23 @@ def test_parse_avi_demuxes_mjpeg_frames():
         parse_avi(blob[:len(blob) // 2])
 
 
+def test_parse_avi_deeply_nested_lists_raise_value_error():
+    """An adversarial AVI with thousands of nested LISTs must raise
+    ValueError (caught by the sample_frames stub fallback), never
+    RecursionError (which would escape it and kill the stage)."""
+    import pytest
+
+    from nobletools_spark.operators.multimodal import parse_avi
+
+    inner = b""
+    for _ in range(2000):
+        body = b"losi" + inner
+        inner = b"LIST" + len(body).to_bytes(4, "little") + body
+    blob = b"RIFF" + (len(inner) + 4).to_bytes(4, "little") + b"AVI " + inner
+    with pytest.raises(ValueError):
+        parse_avi(blob)
+
+
 def test_sample_frames_avi_real_sampling(spark):
     """sample_frames on an AVI picks source frames at ~every_ms spacing
     from the container's own frame rate (25 fps, 200 ms → every 5th

@@ -143,6 +143,11 @@ def test_ivf_topk_n_probe_finds_adjacent_cell_neighbor(spark):
             for r in ivf_topk(emb, n_cells=2, k=3, n_probe=1).collect()
             if r.vec_id == 5}
     assert set(near.values()) <= {0, 1, 2}          # cell-local only
+    # n_probe<1 clamps to 1 (cell-local), never a silent empty result
+    near0 = {r.rank: r.neighbor_id
+             for r in ivf_topk(emb, n_cells=2, k=3, n_probe=0).collect()
+             if r.vec_id == 5}
+    assert near0 == near
     near2 = {r.rank: r.neighbor_id
              for r in ivf_topk(emb, n_cells=2, k=3, n_probe=2).collect()
              if r.vec_id == 5}

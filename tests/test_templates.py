@@ -40,6 +40,16 @@ def test_parse_decimal_value_reference_semantics():
     assert parse_decimal_value("melanoma") is None
     assert parse_decimal_value("x5") is None
     assert parse_decimal_value(None) is None
+    # Integer.parseInt edge semantics: underscores, surrounding
+    # whitespace, and >32-bit magnitudes are NumberFormatException →
+    # NO_VALUE in the reference (Python int() accepts all three).
+    assert parse_decimal_value("1_000") is None
+    assert parse_decimal_value(" 5 ") is None
+    assert parse_decimal_value("99999999999") is None
+    assert parse_decimal_value("+12") == 12.0
+    assert parse_decimal_value("-7") == -7.0
+    assert parse_decimal_value("2147483647") == 2147483647.0
+    assert parse_decimal_value("2147483648") is None
 
 
 def test_extract_items_ancestry_gating(spark):
