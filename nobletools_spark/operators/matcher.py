@@ -38,25 +38,26 @@ def _span_fields(span) -> tuple[str, Optional[str], Optional[str], int]:
     return (span[0], span[1], span[2], span[3] or 0)
 
 
-def process_document(doc_id: str, spans, idx: TerminologyIndex,
-                     cfg: MatchConfig, context=None,
-                     process_filter: int | None = None,
-                     negex: bool = False) -> list[tuple]:
-    """Annotate one document; returns mention rows (pure function — reused
-    by the pytest oracle harness and the Spark UDF). ``context`` is an
-    optional ContextIndex: modifier assignment runs per sentence after
-    the acronym pass (NobleCoder.process order, coder/NobleCoder.java:
-    379-389: terminology → acronyms → ConText).
-
-    Each text span goes through the document-structure pipeline
-    (DocumentProcessor: sectioning, prose/line classification, worksheet
-    detection) and the sentence filters + DeID scrub
-    (NobleCoder.filterSentence :415-435, filterText :443-447)."""
+def parse_and_match(doc_id: str, spans, idx: TerminologyIndex,
+                    cfg: MatchConfig, context=None,
+                    process_filter: int | None = None,
+                    negex: bool = False):
+    """One document through the full pipeline, keeping STRUCTURE: returns
+    (matched_sentences, all_sentences, sections) where matched_sentences
+    is the [(text, offset, mentions)] list the mention rows derive from,
+    all_sentences is every sentence [(text, offset, type, filtered)]
+    including the filtered ones (section headers, worksheets, blanks —
+    the extraction kernel needs them for Section.getSentences range
+    counting), and sections is the parsed section list. Pure function —
+    shared by process_document and the extraction kernel so both paths
+    stay pinned to the same docproc + matcher semantics."""
     from nobletools_spark.functions import docproc
     from nobletools_spark.functions.textkit import filter_deid_tags
 
     pf = docproc.DEFAULT_PROCESS_FILTER if process_filter is None else process_filter
     sentences: list[tuple[str, int, list[match_core.Mention]]] = []
+    all_sentences: list[tuple[str, int, str, bool]] = []
+    sections = []
     if spans is None:
         spans = ()
     for span in spans:
@@ -64,8 +65,12 @@ def process_document(doc_id: str, spans, idx: TerminologyIndex,
         if kind != "text" or not text:
             continue  # media spans carried through untouched
         parsed = docproc.process_document_text(text, offset)
+        sections.extend(parsed.sections)
         for sent_text, sent_off, sent_type in parsed.sentences:
-            if docproc.filter_sentence(sent_text.strip(), sent_type, pf):
+            filtered = bool(docproc.filter_sentence(sent_text.strip(),
+                                                    sent_type, pf))
+            all_sentences.append((sent_text, sent_off, sent_type, filtered))
+            if filtered:
                 continue
             if pf & docproc.FILTER_DEID:
                 sent_text = filter_deid_tags(sent_text)
@@ -83,6 +88,25 @@ def process_document(doc_id: str, spans, idx: TerminologyIndex,
         from nobletools_spark.operators.negex import negex as negex_fn
         for sent_text, _off, mentions in sentences:
             negex_fn(sent_text, mentions)
+    return sentences, all_sentences, sections
+
+
+def process_document(doc_id: str, spans, idx: TerminologyIndex,
+                     cfg: MatchConfig, context=None,
+                     process_filter: int | None = None,
+                     negex: bool = False) -> list[tuple]:
+    """Annotate one document; returns mention rows (pure function — reused
+    by the pytest oracle harness and the Spark UDF). ``context`` is an
+    optional ContextIndex: modifier assignment runs per sentence after
+    the acronym pass (NobleCoder.process order, coder/NobleCoder.java:
+    379-389: terminology → acronyms → ConText).
+
+    Each text span goes through the document-structure pipeline
+    (DocumentProcessor: sectioning, prose/line classification, worksheet
+    detection) and the sentence filters + DeID scrub
+    (NobleCoder.filterSentence :415-435, filterText :443-447)."""
+    sentences, _all, _secs = parse_and_match(doc_id, spans, idx, cfg,
+                                             context, process_filter, negex)
     rows = []
     for _text, sent_off, mentions in sentences:
         for m in mentions:
