@@ -1,0 +1,267 @@
+"""Goldens for the faithful extraction kernel (operators/extract_kernel).
+
+Every expected cell below is pinned to the REFERENCE binary's output:
+the identical template + documents run through the InformationExtractor
+parity leg (`python tools/java_parity.py extract`, RefExtract →
+CSVExporter RESULTS.tsv) and the cells matched verbatim (P=R=1.0).
+The goldens keep that agreement enforced without needing the JVM.
+
+Covers: trigger-domain satisfaction (incl. the negated-trigger quirk),
+value domain with units + TextTools %.2f rendering, per-ANNOTATION
+value parsing via a strict descendant mention
+(ItemInstance.java:424-430), boolean finding negation → absent,
+DOMAIN_SELF, addInstance ancestor-merge and sibling append, the
+Feature second pass (equal component sets accept, extra component
+rejects — TemplateItem.java:421-449), and section filters with [-N]
+sentence ranges (TemplateItem.java:362-391)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nobletools_spark.index import build_index
+from nobletools_spark.model import MatchConfig
+from nobletools_spark.operators.context import context_index_from_owl
+from nobletools_spark.operators.extract_kernel import (
+    ExtractRuntime,
+    _DocExtractor,
+    extract_matrix,
+    template_spec_from_xml,
+)
+from nobletools_spark.operators.matcher import parse_and_match
+from tests.test_context import CONTEXT_OWL
+
+TEMPLATE_XML = """\
+<Template name="kernel-goldens" version="1.0">
+  <Description>extraction kernel golden fixture</Description>
+  <TemplateItems>
+    <TemplateItem type="diagnosis" value.domain="trigger" concept="C301">
+      <AttributeValues>
+        <Attribute><TemplateItem concept="C310"/></Attribute>
+        <Values>
+          <TemplateItem concept="C311"/>
+          <TemplateItem concept="C312"/>
+        </Values>
+      </AttributeValues>
+    </TemplateItem>
+    <TemplateItem type="finding" value.domain="value" concept="C320">
+      <Values><TemplateItem concept="C326"/></Values>
+      <Units><TemplateItem concept="C332"/></Units>
+    </TemplateItem>
+    <TemplateItem type="finding" value.domain="value" concept="C330"/>
+    <TemplateItem value.domain="self" concept="C340"/>
+    <TemplateItem type="finding" concept="C350"/>
+    <TemplateItem type="finding" concept="C361">
+      <Feature>
+        <TemplateItem concept="C362">
+          <Modifiers><TemplateItem concept="C363"/></Modifiers>
+        </TemplateItem>
+      </Feature>
+      <Modifiers><TemplateItem concept="C363"/></Modifiers>
+      <Units><TemplateItem concept="C332"/></Units>
+    </TemplateItem>
+    <TemplateItem type="finding" concept="C302">
+      <Filters><Filter type="section">FINAL DIAGNOSIS:</Filter></Filters>
+    </TemplateItem>
+    <TemplateItem type="finding" concept="C303">
+      <Filters><Filter type="section">COMMENT:[-1]</Filter></Filters>
+    </TemplateItem>
+  </TemplateItems>
+  <Terminology name="kernel-golden-terms">
+    <Concepts>
+      <Concept code="C300" name="Neoplastic Process">
+        <Term preferred="true">Neoplastic Process</Term></Concept>
+      <Concept code="C301" name="Melanoma">
+        <Term preferred="true">Melanoma</Term>
+        <Relations><Relation name="Broader">C300</Relation></Relations>
+      </Concept>
+      <Concept code="C302" name="Superficial Spreading Melanoma">
+        <Term preferred="true">Superficial Spreading Melanoma</Term>
+        <Relations><Relation name="Broader">C301</Relation></Relations>
+      </Concept>
+      <Concept code="C303" name="Nodular Melanoma">
+        <Term preferred="true">Nodular Melanoma</Term>
+        <Relations><Relation name="Broader">C301</Relation></Relations>
+      </Concept>
+      <Concept code="C310" name="Histologic Type">
+        <Term preferred="true">Histologic Type</Term></Concept>
+      <Concept code="C311" name="Epithelioid Cell Type">
+        <Term preferred="true">Epithelioid Cell Type</Term>
+        <Term>epithelioid</Term>
+        <Relations><Relation name="Broader">C310</Relation></Relations>
+      </Concept>
+      <Concept code="C312" name="Spindle Cell Type">
+        <Term preferred="true">Spindle Cell Type</Term>
+        <Term>spindle cell</Term>
+        <Relations><Relation name="Broader">C310</Relation></Relations>
+      </Concept>
+      <Concept code="C320" name="Breslow Depth">
+        <Term preferred="true">Breslow Depth</Term></Concept>
+      <Concept code="C326" name="Numeric Value">
+        <Term preferred="true">Numeric Value</Term>
+        <Term>/[0-9]+\\.[0-9]+/</Term></Concept>
+      <Concept code="C332" name="Millimeter">
+        <Term preferred="true">Millimeter</Term>
+        <Term>mm</Term><Term>millimeters</Term></Concept>
+      <Concept code="C330" name="Mitotic Grade">
+        <Term preferred="true">Mitotic Grade</Term></Concept>
+      <Concept code="C331" name="Grade Three of Three">
+        <Term preferred="true">Grade Three of Three</Term>
+        <Term>grade 3 of 3</Term>
+        <Relations><Relation name="Broader">C330</Relation></Relations>
+      </Concept>
+      <Concept code="C340" name="Surgical Margin">
+        <Term preferred="true">Surgical Margin</Term>
+        <Term>margin</Term><Term>margins</Term></Concept>
+      <Concept code="C341" name="Involved Margin">
+        <Term preferred="true">Involved Margin</Term>
+        <Term>involved margins</Term>
+        <Relations><Relation name="Broader">C340</Relation></Relations>
+      </Concept>
+      <Concept code="C342" name="Clear Margin">
+        <Term preferred="true">Clear Margin</Term>
+        <Term>clear margins</Term>
+        <Relations><Relation name="Broader">C340</Relation></Relations>
+      </Concept>
+      <Concept code="C350" name="Tumor Ulceration">
+        <Term preferred="true">Tumor Ulceration</Term>
+        <Term>ulceration</Term></Concept>
+      <Concept code="C361" name="Brisk Mitotic Activity">
+        <Term preferred="true">Brisk Mitotic Activity</Term></Concept>
+      <Concept code="C362" name="Mitotic Figures">
+        <Term preferred="true">Mitotic Figures</Term></Concept>
+      <Concept code="C363" name="Brisk">
+        <Term preferred="true">Brisk</Term></Concept>
+    </Concepts>
+  </Terminology>
+</Template>
+"""
+
+_CFG = MatchConfig(select_best_candidate=False)
+
+
+@pytest.fixture(scope="module")
+def rig():
+    spec = template_spec_from_xml(TEMPLATE_XML)
+    return (spec, ExtractRuntime(spec), build_index(spec.concept_records()),
+            context_index_from_owl(CONTEXT_OWL))
+
+
+def _row(rig, text: str) -> dict:
+    spec, rt, idx, ctx = rig
+    sents, all_s, secs = parse_and_match(
+        "d", [("text", text, None, 0)], idx, _CFG, ctx)
+    return _DocExtractor(rt, sents, all_s, secs, _CFG).matrix_row()
+
+
+def test_trigger_domain(rig):
+    """Trigger satisfaction (ItemInstance.java:408-422): a same-sentence
+    attribute value satisfies; a bare anchor is dropped; negation does
+    NOT unsatisfy a trigger item (the branch never checks polarity)."""
+    r = _row(rig, "FINAL DIAGNOSIS: Superficial spreading melanoma with "
+                  "epithelioid features is seen.\n")
+    assert r["Melanoma Histologic Type"] == "Epithelioid Cell Type (C311) ;"
+    assert r["Superficial Spreading Melanoma"] == "present ;"
+    assert _row(rig, "FINAL DIAGNOSIS: Melanoma is identified.\n") == {
+        k: "" for k in r}
+    neg = _row(rig, "FINAL DIAGNOSIS: No evidence of melanoma with "
+                    "epithelioid features.\n")
+    assert neg["Melanoma Histologic Type"] == "Epithelioid Cell Type (C311) ;"
+
+
+def test_value_domain_units(rig):
+    """Values via the single-concept re-match + last-wins unit;
+    TextTools.toString renders %.2f; LinkedHashSet dedupes values."""
+    r = _row(rig, "GROSS DESCRIPTION: Breslow depth is 3.5 mm.\n")
+    assert r["Breslow Depth"] == "3.50 Millimeter ;"
+    r = _row(rig, "GROSS DESCRIPTION: Breslow depth is 3.5 mm "
+                  "and again 3.5 mm.\n")
+    assert r["Breslow Depth"] == "3.50 Millimeter ;"
+
+
+def test_per_annotation_value_parse(rig):
+    """ItemInstance.java:424-430: a mention strictly descending from a
+    DOMAIN_VALUE item parses each ANNOTATION word (digit words are not
+    annotations in either engine, so only 'grade' survives)."""
+    r = _row(rig, "GROSS DESCRIPTION: Mitotic grade was grade 3 of 3.\n")
+    assert r["Mitotic Grade"] == "grade ;"
+
+
+def test_negation_absent(rig):
+    assert _row(rig, "FINAL DIAGNOSIS: No evidence of ulceration.\n")[
+        "Tumor Ulceration"] == "absent ;"
+    assert _row(rig, "FINAL DIAGNOSIS: Ulceration is identified.\n")[
+        "Tumor Ulceration"] == "present ;"
+
+
+def test_self_domain_merge(rig):
+    """addInstance (TemplateItem.java:454-488): a more specific concept
+    replaces its ancestor in place; true siblings append in doc order."""
+    assert _row(rig, "GROSS DESCRIPTION: Clear margins are noted. The "
+                     "margin was examined.\n")[
+        "Surgical Margin"] == "Clear Margin (C342) ;"
+    assert _row(rig, "GROSS DESCRIPTION: Involved margins are seen. "
+                     "Clear margins are noted.\n")[
+        "Surgical Margin"] == "Involved Margin (C341) ;Clear Margin (C342) ;"
+
+
+def test_feature_second_pass(rig):
+    """TemplateItem.java:421-449: the pass fires only when the item and
+    feature instances resolve IDENTICAL component-concept sets — an
+    extra unit on the item side rejects the match."""
+    assert _row(rig, "GROSS DESCRIPTION: Mitotic figures are brisk.\n")[
+        "Brisk Mitotic Activity"] == "Brisk (C363) ;"
+    assert _row(rig, "GROSS DESCRIPTION: Mitotic figures are seen.\n")[
+        "Brisk Mitotic Activity"] == "present ;"
+    assert _row(rig, "GROSS DESCRIPTION: Mitotic figures are brisk "
+                     "measuring 2.1 mm.\n")[
+        "Brisk Mitotic Activity"] == ""
+
+
+def test_section_filters_and_ranges(rig):
+    """Section scope + [-N] ranges (TemplateItem.java:362-391): the
+    range counts section sentences INCLUDING the header sentence and
+    drops the trailing N."""
+    r = _row(rig, "FINAL DIAGNOSIS: Superficial spreading melanoma is "
+                  "seen.\n\nGROSS DESCRIPTION: Superficial spreading "
+                  "melanoma involves the margin.\n")
+    assert r["Superficial Spreading Melanoma"] == "present ;"
+    assert _row(rig, "GROSS DESCRIPTION: Superficial spreading melanoma "
+                     "is present.\n")[
+        "Superficial Spreading Melanoma"] == ""
+    keep = _row(rig, "COMMENT: Nodular melanoma is seen. This was "
+                     "reviewed. Nodular melanoma persists.\n")
+    assert keep["Nodular Melanoma"] == "present ;"
+    drop = _row(rig, "COMMENT: This was reviewed. Nodular melanoma "
+                     "persists.\n")
+    assert drop["Nodular Melanoma"] == ""
+
+
+def test_extract_matrix_spark(rig, spark):
+    """The mapInPandas wrapper: one row per doc, question columns, cells
+    identical to the per-doc kernel."""
+    spec, rt, idx, ctx = rig
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+
+    texts = {
+        "d1": "FINAL DIAGNOSIS: Superficial spreading melanoma with "
+              "epithelioid features.\nNo evidence of ulceration.\n\n"
+              "GROSS DESCRIPTION: Breslow depth is 1.2 mm. Clear margins "
+              "are noted. Mitotic figures are brisk.\n\n"
+              "COMMENT: Nodular melanoma is seen. Margins were "
+              "rechecked.\n",
+        "d2": "FINAL DIAGNOSIS: The specimen was received fresh.\n",
+    }
+    docs = spark.createDataFrame(
+        [(k, [("text", v, None, 0)]) for k, v in texts.items()], SPANS_DDL)
+    out = {r["Document"]: r.asDict() for r in
+           extract_matrix(docs, idx, spec, cfg=_CFG, context=ctx).collect()}
+    assert out["d1"]["Melanoma Histologic Type"] == \
+        "Epithelioid Cell Type (C311) ;"
+    assert out["d1"]["Breslow Depth"] == "1.20 Millimeter ;"
+    assert out["d1"]["Surgical Margin"] == "Clear Margin (C342) ;"
+    assert out["d1"]["Tumor Ulceration"] == "absent ;"
+    assert out["d1"]["Brisk Mitotic Activity"] == "Brisk (C363) ;"
+    assert out["d1"]["Superficial Spreading Melanoma"] == "present ;"
+    assert out["d1"]["Nodular Melanoma"] == "present ;"
+    assert all(v == "" for k, v in out["d2"].items() if k != "Document")

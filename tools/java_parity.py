@@ -40,14 +40,18 @@ REF_TSV = "/tmp/parity_ref.tsv"
 
 def compile_reference() -> None:
     drv_src = f"{REPO}/tools/javaref/RefDriver.java"
+    ext_src = f"{REPO}/tools/javaref/RefExtract.java"
     cls = f"{CLS}/RefDriver.class"
-    if os.path.exists(cls) and \
-            os.path.getmtime(cls) >= os.path.getmtime(drv_src):
+    ext_cls = f"{CLS}/RefExtract.class"
+    fresh = lambda c, s: (os.path.exists(c)
+                          and os.path.getmtime(c) >= os.path.getmtime(s))
+    if fresh(cls, drv_src) and fresh(ext_cls, ext_src):
         return
-    if os.path.exists(cls):   # driver changed: recompile just RefDriver
-        subprocess.run(
-            ["javac", "-encoding", "UTF-8", "-cp", CP, "-d", CLS, drv_src],
-            check=True)
+    if os.path.exists(cls):   # core compiled: rebuild just the drivers
+        for c, s in ((cls, drv_src), (ext_cls, ext_src)):
+            if not fresh(c, s):
+                subprocess.run(["javac", "-encoding", "UTF-8", "-cp", CP,
+                                "-d", CLS, s], check=True)
         return
     srcs = subprocess.run(
         ["find", f"{REF}/src/main/java", "-name", "*.java"],
@@ -58,7 +62,8 @@ def compile_reference() -> None:
          f"{CP}:{REF}/lib/servlet-2_3.jar", *srcs], check=True)
     subprocess.run(
         ["javac", "-encoding", "UTF-8", "-cp", CP, "-d", CLS,
-         f"{REPO}/tools/javaref/RefDriver.java"], check=True)
+         f"{REPO}/tools/javaref/RefDriver.java",
+         f"{REPO}/tools/javaref/RefExtract.java"], check=True)
     # JDBM's mmap defrag uses a cleaner API removed from modern JVMs;
     # shadow JDBMMap with a compact()-as-no-op build ahead on the
     # classpath (only used when the ConText leg persists its lexicon)
@@ -255,6 +260,212 @@ def run_local_docproc() -> set:
     return out
 
 
+# ---------------------------------------------------------------------------
+# InformationExtractor leg: one shared .template (items + embedded
+# terminology), a synoptic-report corpus, RefExtract vs extract_matrix,
+# compared CELL for CELL on the CSVExporter result matrix.
+# ---------------------------------------------------------------------------
+
+EXT_DOCS = "/tmp/parity_extract_docs"
+EXT_TEMPLATE = "/tmp/parity_extract.template"
+EXT_OUT = "/tmp/parity_extract_out"
+
+EXTRACT_TEMPLATE_XML = """\
+<Template name="parity-synoptic" version="1.0">
+  <Description>cross-engine extraction parity fixture</Description>
+  <TemplateItems>
+    <TemplateItem type="diagnosis" value.domain="trigger" concept="C301">
+      <AttributeValues>
+        <Attribute><TemplateItem concept="C310"/></Attribute>
+        <Values>
+          <TemplateItem concept="C311"/>
+          <TemplateItem concept="C312"/>
+        </Values>
+      </AttributeValues>
+    </TemplateItem>
+    <TemplateItem type="finding" value.domain="value" concept="C320">
+      <Values><TemplateItem concept="C326"/></Values>
+      <Units><TemplateItem concept="C332"/></Units>
+    </TemplateItem>
+    <TemplateItem type="finding" value.domain="value" concept="C330"/>
+    <TemplateItem value.domain="self" concept="C340"/>
+    <TemplateItem type="finding" concept="C350"/>
+    <TemplateItem type="finding" concept="C361">
+      <Feature>
+        <TemplateItem concept="C362">
+          <Modifiers><TemplateItem concept="C363"/></Modifiers>
+        </TemplateItem>
+      </Feature>
+      <Modifiers><TemplateItem concept="C363"/></Modifiers>
+      <Units><TemplateItem concept="C332"/></Units>
+    </TemplateItem>
+    <TemplateItem type="finding" concept="C302">
+      <Filters><Filter type="section">FINAL DIAGNOSIS:</Filter></Filters>
+    </TemplateItem>
+    <TemplateItem type="finding" concept="C303">
+      <Filters><Filter type="section">COMMENT:[-1]</Filter></Filters>
+    </TemplateItem>
+  </TemplateItems>
+  <Terminology name="parity-extract-terms">
+    <Concepts>
+      {concepts}
+    </Concepts>
+  </Terminology>
+</Template>
+"""
+
+EXTRACT_CONCEPTS = (
+    # (code, name, [synonyms], [broader])
+    ("C300", "Neoplastic Process", ["neoplastic process"], []),
+    ("C301", "Melanoma", ["melanoma"], ["C300"]),
+    ("C302", "Superficial Spreading Melanoma",
+     ["superficial spreading melanoma"], ["C301"]),
+    ("C303", "Nodular Melanoma", ["nodular melanoma"], ["C301"]),
+    ("C310", "Histologic Type", ["histologic type"], []),
+    ("C311", "Epithelioid Cell Type", ["epithelioid"], ["C310"]),
+    ("C312", "Spindle Cell Type", ["spindle cell"], ["C310"]),
+    ("C320", "Breslow Depth", ["breslow depth"], []),
+    ("C326", "Numeric Value", ["/[0-9]+\\.[0-9]+/"], []),
+    ("C332", "Millimeter", ["mm", "millimeters"], []),
+    ("C330", "Mitotic Grade", ["mitotic grade"], []),
+    ("C331", "Grade Three of Three", ["grade 3 of 3"], ["C330"]),
+    ("C340", "Surgical Margin", ["margin", "margins"], []),
+    ("C341", "Involved Margin", ["involved margins"], ["C340"]),
+    ("C342", "Clear Margin", ["clear margins"], ["C340"]),
+    ("C350", "Tumor Ulceration", ["ulceration"], []),
+    ("C361", "Brisk Mitotic Activity", ["brisk mitotic activity"], []),
+    ("C362", "Mitotic Figures", ["mitotic figures"], []),
+    ("C363", "Brisk", ["brisk"], []),
+)
+
+_FD, _GD, _CM = "FINAL DIAGNOSIS:", "GROSS DESCRIPTION:", "COMMENT:"
+
+EXTRACT_DOCS = (
+    # trigger domain: satisfied / unsatisfied / negated-still-satisfied
+    ("e000", {_FD: ["Superficial spreading melanoma with epithelioid "
+                    "features is seen."]}),
+    ("e001", {_FD: ["Melanoma is identified."]}),
+    ("e002", {_FD: ["Nodular melanoma with spindle cell change."]}),
+    ("e020", {_FD: ["No evidence of melanoma with epithelioid features."]}),
+    # value domain: values + units, decimals, dedup
+    ("e003", {_GD: ["Breslow depth is 3.5 mm."]}),
+    ("e004", {_GD: ["Breslow depth measured 0.8 mm in thickness."]}),
+    ("e021", {_GD: ["Breslow depth is 3.5 mm and again 3.5 mm."]}),
+    # per-annotation value parsing via a strict descendant mention
+    ("e005", {_GD: ["Mitotic grade was grade 3 of 3."]}),
+    # boolean finding: negation -> absent
+    ("e006", {_FD: ["No evidence of ulceration."]}),
+    ("e007", {_FD: ["Ulceration is identified."]}),
+    # self domain + addInstance merge semantics
+    ("e008", {_GD: ["Clear margins are noted."]}),
+    ("e009", {_GD: ["Clear margins are noted.", "The margin was "
+                    "examined."]}),
+    ("e010", {_GD: ["Involved margins are seen.", "Clear margins are "
+                    "noted."]}),
+    # feature second pass: equal components / bare feature / extra unit
+    ("e011", {_GD: ["Mitotic figures are brisk."]}),
+    ("e012", {_GD: ["Mitotic figures are seen."]}),
+    ("e013", {_GD: ["Mitotic figures are brisk measuring 2.1 mm."]}),
+    ("e014", {_GD: ["Brisk mitotic activity is present."]}),
+    # section filters + sentence ranges
+    ("e016", {_CM: ["Nodular melanoma is seen.", "This was reviewed.",
+                    "Nodular melanoma persists."]}),
+    ("e017", {_CM: ["This was reviewed.", "Nodular melanoma persists."]}),
+    ("e018", {_FD: ["Superficial spreading melanoma is seen."],
+              _GD: ["Superficial spreading melanoma involves the "
+                    "margin."]}),
+    ("e019", {_GD: ["Superficial spreading melanoma is present."]}),
+    # empty + combined synoptic documents
+    ("e022", {_FD: ["The specimen was received fresh."]}),
+    ("e023", {_FD: ["Superficial spreading melanoma with epithelioid "
+                    "features.", "No evidence of ulceration."],
+              _GD: ["Breslow depth is 1.2 mm.", "Clear margins are "
+                    "noted.", "Mitotic figures are brisk."],
+              _CM: ["Nodular melanoma is seen.", "Margins were "
+                    "rechecked."]}),
+    ("e024", {_GD: ["Mitotic grade was grade 3 of 3.",
+                    "Involved margins are seen."],
+              _CM: ["This case was discussed.", "Nodular melanoma is "
+                    "favored.", "Final review is pending."]}),
+)
+
+
+def emit_extract_fixture() -> None:
+    frags = []
+    for code, name, syns, broader in EXTRACT_CONCEPTS:
+        terms = [f'<Term preferred="true">{name}</Term>']
+        terms += [f"<Term>{s}</Term>" for s in syns
+                  if s.lower() != name.lower()]
+        rel = (f'<Relations><Relation name="Broader">'
+               f'{",".join(broader)}</Relation></Relations>'
+               if broader else "")
+        frags.append(f'<Concept code="{code}" name="{name}">'
+                     f'{"".join(terms)}{rel}</Concept>')
+    xml = EXTRACT_TEMPLATE_XML.format(concepts="\n      ".join(frags))
+    open(EXT_TEMPLATE, "w").write(xml)
+    os.makedirs(EXT_DOCS, exist_ok=True)
+    for f in os.listdir(EXT_DOCS):
+        os.remove(f"{EXT_DOCS}/{f}")
+    for doc_id, sections in EXTRACT_DOCS:
+        parts = [f"{title} {' '.join(sents)}\n"
+                 for title, sents in sections.items()]
+        open(f"{EXT_DOCS}/{doc_id}.txt", "w").write("\n".join(parts))
+    from tests.test_context import CONTEXT_OWL
+
+    open(CTX_OWL, "w").write(CONTEXT_OWL)
+
+
+def _matrix_to_cells(header: list, rows: list) -> set:
+    """(doc, question, cell) triples for every NON-empty cell, plus a
+    (doc, '#cols', n) guard so layout mismatches surface."""
+    out = set()
+    for row in rows:
+        doc = row[0].removesuffix(".txt")
+        out.add((doc, "#cols", str(len(row))))
+        for q, cell in zip(header[1:], row[1:]):
+            if cell:
+                out.add((doc, q, cell))
+    return out
+
+
+def run_reference_extract() -> set:
+    import shutil
+    shutil.rmtree("/tmp/noble_terms_ext", ignore_errors=True)
+    shutil.rmtree(EXT_OUT, ignore_errors=True)
+    subprocess.run(
+        ["java", "-cp", CP, "RefExtract", EXT_TEMPLATE, EXT_DOCS, EXT_OUT,
+         CTX_OWL], check=True, capture_output=True)
+    lines = [ln.rstrip("\n").split("\t")
+             for ln in open(f"{EXT_OUT}/RESULTS.tsv") if ln.strip()]
+    return _matrix_to_cells(lines[0], lines[1:])
+
+
+def run_spark_extract(spark) -> set:
+    from nobletools_spark.index import build_index
+    from nobletools_spark.model import MatchConfig
+    from nobletools_spark.operators.context import context_index_from_owl
+    from nobletools_spark.operators.extract_kernel import (
+        extract_matrix, template_spec_from_xml)
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+
+    xml = open(EXT_TEMPLATE).read()
+    spec = template_spec_from_xml(xml)
+    idx = build_index(spec.concept_records())
+    ctx = context_index_from_owl(open(CTX_OWL).read())
+    rows = []
+    for fn in sorted(os.listdir(EXT_DOCS)):
+        rows.append((fn[:-4],
+                     [("text", open(f"{EXT_DOCS}/{fn}",
+                                    encoding="utf-8").read(), None, 0)]))
+    docs = spark.createDataFrame(rows, SPANS_DDL)
+    res = extract_matrix(docs, idx, spec,
+                         cfg=MatchConfig(select_best_candidate=False),
+                         context=ctx)
+    header = res.columns
+    out_rows = [[r[c] for c in header] for r in res.collect()]
+    return _matrix_to_cells(header, out_rows)
+
+
 def compare(ref: set, eng: set, label: str) -> dict:
     tp = len(ref & eng)
     precision = tp / len(eng) if eng else 0.0
@@ -271,6 +482,15 @@ def compare(ref: set, eng: set, label: str) -> dict:
 
 def main() -> None:
     from nobletools_spark.session import get_spark
+
+    if len(sys.argv) > 1 and sys.argv[1] == "extract":
+        # standalone iteration mode: extract leg only, no artifact write
+        compile_reference()
+        emit_extract_fixture()
+        spark = get_spark(cores=8)
+        compare(run_reference_extract(), run_spark_extract(spark),
+                "extract")
+        return
 
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 60
     compile_reference()
@@ -305,6 +525,13 @@ def main() -> None:
     # assignment for EVERY sentence, mentions aside
     results["docproc"] = compare(run_reference_docproc(),
                                  run_local_docproc(), "docproc")
+    # InformationExtractor leg: shared .template + synoptic corpus,
+    # result-matrix cells compared verbatim (incl. a per-row column-
+    # count guard), ConText driven by the shared fixture OWL
+    emit_extract_fixture()
+    results["extract"] = compare(run_reference_extract(),
+                                 run_spark_extract(spark), "extract")
+    results["extract"]["n_docs"] = len(EXTRACT_DOCS)
     json.dump(results, open(f"{REPO}/JAVA_PARITY.json", "w"), indent=1)
     print("JAVA_PARITY.json written")
 
