@@ -4,14 +4,19 @@ reference's many-codes-to-one-CUI resolution, codeMap
 NobleCoderTerminology.java:1092-1095 and cross-source codes
 util/ConceptImporter.java:877, generalized to a component computation).
 
-Algorithm: undirected edges are symmetrized; every node starts labeled
-with itself; each round propagates min(label) over the 1-hop
-neighborhood; convergence when no label changes. Rounds are O(graph
-diameter) — synonym graphs are shallow (diameter ≤ ~6 for vocabulary
-cross-walks), and each round is a self-join on the (terminology-sized,
-≪ corpus) edge table, localCheckpoint-truncated so the plan stays flat.
-For corpus-scale graphs swap in GraphFrames' large-star/small-star; the
-API (edges → (node, component)) is identical.
+Algorithm: graphs small enough to fit on the driver (one limit-probe
+job) run union-find driver-side; larger graphs run the
+large-star/small-star alternation of Kiveris et al., "Connected
+Components in MapReduce and Beyond" (ACM SoCC 2014): each pass is two
+key-grouped min-aggregations over the edge list, the fixed point is a
+star forest (every node → its component minimum), and convergence is
+O(log² n) passes regardless of graph DIAMETER — a billion-edge
+similarity graph with a long chain converges in ~a dozen passes where
+1-hop min-label propagation would need diameter rounds. Large-star
+also bounds degree growth (a hub's neighbors re-attach to the
+neighborhood minimum, splitting the hub), so skewed high-degree nodes
+don't concentrate a pass onto one reducer. Each pass is
+localCheckpoint-truncated so the plan stays flat.
 """
 
 from __future__ import annotations
@@ -19,17 +24,50 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20,
+def _star_pass(e: DataFrame) -> DataFrame:
+    """One large-star + small-star pass (Kiveris et al. 2014 §3).
+
+    large-star(u): every neighbor v > u re-attaches to
+    m = min(Γ(u) ∪ {u}); small-star(u), on edges oriented
+    (max, min): every neighbor v (all < u) and u itself attach to
+    m = min(Γ(u) ∪ {u}). Both preserve connectivity; the common fixed
+    point is a star forest (child > root, child → component min)."""
+    sym = (e.select("a", "b")
+           .union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+           .filter(F.col("a") != F.col("b"))
+           .distinct())
+    lmin = (sym.groupBy("a").agg(F.min("b").alias("_mn"))
+            .select("a", F.least("a", "_mn").alias("_m")))
+    large = (sym.join(lmin, "a")
+             .filter(F.col("b") > F.col("a"))
+             .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+             .filter(F.col("a") != F.col("b"))
+             .distinct())
+    orient = large.select(F.greatest("a", "b").alias("a"),
+                          F.least("a", "b").alias("b"))
+    smin = orient.groupBy("a").agg(F.min("b").alias("_m"))
+    small = (orient.join(smin, "a")
+             .select(F.col("b").alias("v"), "_m")
+             .union(smin.select(F.col("a").alias("v"), "_m"))
+             .filter(F.col("v") != F.col("_m"))
+             .select(F.col("v").alias("a"), F.col("_m").alias("b"))
+             .distinct())
+    return small
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25,
                          driver_threshold: int = 100_000) -> DataFrame:
     """edges(a, b) undirected → (node, component) with component =
     min node id reachable (lexicographic for strings).
 
     Graphs with ≤ driver_threshold distinct edges (one limit-probe
-    job) run union-find driver-side: the propagation loop costs
-    ~1 s of Spark job overhead PER ROUND on any input size, and every
-    caller's edge table (synonym cross-walks, near-dup pair tables) is
-    terminology-/pair-sized by construction. Larger graphs keep the
-    distributed min-label propagation (or swap in GraphFrames)."""
+    job) run union-find driver-side: a distributed pass costs ~1 s of
+    Spark job overhead on any input size, and most callers' edge
+    tables (synonym cross-walks, near-dup pair tables) are
+    terminology-/pair-sized by construction. Larger graphs run the
+    large-star/small-star alternation — O(log² n) passes independent
+    of diameter, skew-bounded (see module docstring) — so
+    `max_iter` is a safety cap, not a diameter bound."""
     if max_iter <= 0:
         raise ValueError(f"max_iter must be positive, got {max_iter}")
     probe = (edges.select("a", "b").filter(F.col("a") != F.col("b"))
@@ -61,45 +99,44 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         schema = T.StructType([T.StructField("node", node_type),
                                T.StructField("component", node_type)])
         return edges.sparkSession.createDataFrame(rows or [], schema)
-    sym = (edges.select(F.col("a"), F.col("b"))
-           .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-           .filter(F.col("a") != F.col("b"))
-           .distinct())
-    labels = (sym.select(F.col("a").alias("node"))
-              .union(sym.select(F.col("b").alias("node")))
-              .distinct()
-              .withColumn("component", F.col("node")))
-    labels = labels.localCheckpoint(eager=True)
+    # self-loop-only nodes are excluded, matching the driver fast path
+    real = edges.select("a", "b").filter(F.col("a") != F.col("b"))
+    nodes = (real.select(F.col("a").alias("node"))
+             .union(real.select(F.col("b").alias("node")))
+             .distinct())
+    e = real.distinct().localCheckpoint(eager=True)
+    # pass-to-pass convergence via an order-insensitive edge-set
+    # checksum: crc32 ∈ [0, 2^32) so the sum can't overflow long under
+    # ANSI mode for < 2^31 edges
+
+    def _sig(df: DataFrame) -> tuple:
+        row = df.agg(F.count("*").alias("n"),
+                     F.sum(F.crc32(F.concat_ws("|", "a", "b"))).alias("h")
+                     ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = _sig(e)
     for _ in range(max_iter):
-        # candidate label for each node = min over neighbors' labels
-        neigh = (sym.alias("e")
-                 .join(labels.alias("l"), F.col("e.b") == F.col("l.node"))
-                 .select(F.col("e.a").alias("node"),
-                         F.col("l.component").alias("cand")))
-        new = (labels.alias("l")
-               .join(neigh.groupBy("node").agg(F.min("cand").alias("cand")),
-                     "node", "left")
-               .select("node",
-                       F.least(F.col("component"),
-                               F.coalesce(F.col("cand"), F.col("component")))
-                       .alias("component")))
-        new = new.localCheckpoint(eager=True)
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.component") != F.col("o.component"))
-                   .count())
-        labels = new
-        if changed == 0:
+        e = _star_pass(e).localCheckpoint(eager=True)
+        new_sig = _sig(e)
+        if new_sig == sig:
             break
+        sig = new_sig
     else:
         # silently returning partial labels would merge CUIs wrongly
         # downstream (canonicalize_triples) with no signal
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing) — the graph has a "
-            f"component with diameter > {max_iter}; raise max_iter or "
-            f"use a doubling propagation (GraphFrames) for this input")
-    return labels
+            f"connected_components did not converge in {max_iter} "
+            f"large-star/small-star passes — O(log² n) passes suffice "
+            f"for any graph, so raise max_iter for this input size")
+    # converged star forest: every non-root points to its component
+    # min (defensive groupBy-min in case the checksum stabilized one
+    # pass before a literal star)
+    parents = e.groupBy(F.col("a").alias("node")).agg(
+        F.min("b").alias("_comp"))
+    return (nodes.join(parents, "node", "left")
+            .select("node",
+                    F.coalesce("_comp", F.col("node")).alias("component")))
 
 
 def canonical_map(edges: DataFrame) -> DataFrame:

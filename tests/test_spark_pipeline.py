@@ -202,24 +202,27 @@ def test_rich_corpus_full_pipeline_e2e(spark):
             "Novel_ContextualAspect"} <= fired, fired
 
 
-def test_connected_components_nonconvergence_raises(spark):
-    """A chain longer than max_iter rounds must raise, not silently
-    return wrong components (r2 advice: canonicalize_triples would merge
-    CUIs incorrectly with no signal)."""
+def test_connected_components_doubling_beats_diameter(spark):
+    """The large-star/small-star path must converge on a chain whose
+    DIAMETER (300) far exceeds the pass budget (12 ≈ O(log² n)) — the
+    r3 min-label propagation needed 300 rounds here — and must agree
+    with the driver union-find. An insufficient pass budget still
+    raises instead of silently returning wrong components (r2 advice:
+    canonicalize_triples would merge CUIs incorrectly with no signal)."""
     import pytest as _pytest
 
     from nobletools_spark.operators.canonical import connected_components
 
-    chain = [(f"C{i:03d}", f"C{i + 1:03d}") for i in range(24)]
+    chain = [(f"C{i:03d}", f"C{i + 1:03d}") for i in range(300)]
     edges = spark.createDataFrame(chain, "a string, b string")
-    # driver_threshold=0 forces the distributed propagation path (the
-    # union-find fast path has no iteration cap to hit)
-    with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=5, driver_threshold=0)
+    # driver_threshold=0 forces the distributed doubling path
     labels = {r.node: r.component
-              for r in connected_components(edges, max_iter=30,
+              for r in connected_components(edges, max_iter=12,
                                             driver_threshold=0).collect()}
-    assert set(labels.values()) == {"C000"}
+    assert set(labels.values()) == {"C000"} and len(labels) == 301
+    # one pass cannot star a 300-chain: must raise, not mislabel
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1, driver_threshold=0)
     # the fast path agrees on the same deep chain
     fast = {r.node: r.component
             for r in connected_components(edges).collect()}
@@ -317,3 +320,18 @@ def test_connected_components_driver_and_distributed_agree(spark):
             for r in connected_components(edges,
                                           driver_threshold=0).collect()}
     assert fast == dist and fast
+
+    # seeded messy graph: hubs, several components, self-loops, dup
+    # edges in both orientations
+    import random
+
+    rng = random.Random(42)
+    messy = [(f"N{rng.randrange(120):03d}", f"N{rng.randrange(120):03d}")
+             for _ in range(150)]
+    messy += [(b, a) for a, b in messy[:30]] + [("N000", "N000")]
+    m = spark.createDataFrame(messy, "a string, b string")
+    fast_m = {(r.node, r.component)
+              for r in connected_components(m).collect()}
+    dist_m = {(r.node, r.component)
+              for r in connected_components(m, driver_threshold=0).collect()}
+    assert fast_m == dist_m and len(fast_m) > 50
