@@ -7,12 +7,19 @@ driver collect). The KG pipeline additionally reports docs/sec and
 triples/sec — the north-rule throughput numbers. Run
 tools/bench_scaling.py for the N-vs-4N-cores scaling-efficiency report.
 
-De-noising (r2 verdict task #6): sandbox CPU delivery swings 3-8×
-between phases, so a single pass per query confounds plan quality with
-host phase. The harness therefore runs SWEEPS full passes over the
-query list in alternating order (the tools/bench_scaling.py protocol)
-and reports the per-query minimum, plus a per-query max/min spread
-ratio so the artifact itself shows how noisy the host was.
+De-noising (r2 task #6, tightened r4 per r3 verdict #6): sandbox CPU
+delivery swings 3-8× between phases, so a single pass per query
+confounds plan quality with host phase. The harness runs SWEEPS full
+passes over the query list in alternating order (the
+tools/bench_scaling.py protocol) and reports the per-query minimum.
+Queries whose best-3-sample spread still exceeds
+$SPARK_GRAFT_BENCH_SPREAD_THRESH (default 3×) get up to
+$SPARK_GRAFT_BENCH_EXTRA (default 3) adaptive extra passes, rotated
+across the noisy queries so a throttled host phase can't dominate one
+query's extras. `spread_max_over_min` is the best-3 spread — "is the
+reported minimum corroborated by two nearby runs?" — because the raw
+worst/best ratio (reported as `spread_worst_pass`) can only grow with
+more sampling and says nothing about convergence of the min.
 """
 
 from __future__ import annotations
@@ -78,9 +85,26 @@ def main() -> None:
         n_triples = qs["kg_mentions"](spark, sf_dir).count()
         annotate_samples.append(time.perf_counter() - t0)
 
+    def _best3_spread(ts: list[float]) -> float:
+        best = sorted(ts)[:3]
+        return best[-1] / best[0]
+
+    extra = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "3"))
+    thresh = float(os.environ.get("SPARK_GRAFT_BENCH_SPREAD_THRESH", "3.0"))
+    for _ in range(extra):
+        noisy = [n for n in HEADLINE if _best3_spread(samples[n]) > thresh]
+        if not noisy:
+            break
+        for name in noisy:
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            samples[name].append(time.perf_counter() - t0)
+
     timings = {name: round(min(ts), 4) for name, ts in samples.items()}
-    spread = {name: round(max(ts) / min(ts), 2)
+    spread = {name: round(_best3_spread(ts), 2)
               for name, ts in samples.items()}
+    spread_worst = {name: round(max(ts) / min(ts), 2)
+                    for name, ts in samples.items()}
     annotate_sec = min(annotate_samples)
 
     total = round(sum(timings.values()), 4)
@@ -93,6 +117,10 @@ def main() -> None:
         "cpus": int(cpus),
         "sweeps": sweeps,
         "spread_max_over_min": spread,
+        "spread_worst_pass": spread_worst,
+        "extra_passes": {name: len(ts) - sweeps
+                         for name, ts in samples.items()
+                         if len(ts) > sweeps},
         "annotate_docs_per_sec": round(n_docs / annotate_sec, 1),
         "annotate_triples_per_sec": round(n_triples / annotate_sec, 1),
     }))
