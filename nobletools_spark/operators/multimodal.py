@@ -16,9 +16,11 @@ WAV (PCM) decode for REAL with stdlib-only parsers (struct/zlib/wave) —
 stays exercised, and ``decoder='pil'`` raises NotImplementedError unless
 Pillow imports on the executor (not in this container). Video frame
 sampling REALLY demuxes RIFF/AVI (stdlib chunk walk — MJPEG AVIs yield
-their encoded JPEG frames at the container's own frame rate) and
-ISO-BMFF/MP4 (moov sample tables: stts/stsz/stsc/stco) containers;
-only exotic containers (mkv/webm) fall back to the deterministic stub.
+their encoded JPEG frames at the container's own frame rate), ISO-BMFF/
+MP4 (moov sample tables: stts/stsz/stsc/stco), and EBML/Matroska
+(mkv/webm: cluster+block timestamps, all three lacing modes)
+containers; only truly exotic containers fall back to the
+deterministic stub.
 """
 
 from __future__ import annotations
@@ -186,6 +188,10 @@ def sniff_media(content: bytes) -> str:
         return "video/avi"
     if content[4:8] == b"ftyp":
         return "video/mp4"
+    if content[:4] == b"\x1aE\xdf\xa3":
+        # Matroska and WebM share the EBML container magic; the DocType
+        # distinction doesn't change demuxing, so both sniff as webm
+        return "video/webm"
     return "unknown"
 
 
@@ -370,6 +376,181 @@ def parse_avi(content: bytes) -> tuple[int, list[bytes]]:
     return us_per_frame or 33333, frames
 
 
+def _ebml_vint(buf: bytes, pos: int, end: int,
+               keep_marker: bool) -> tuple[int | None, int]:
+    """One EBML variable-length integer (RFC 8794 §4) at ``pos`` →
+    (value, next_pos). ``keep_marker=True`` for element IDs (which
+    conventionally include the length-marker bit, ≤4 bytes);
+    ``keep_marker=False`` for sizes (marker stripped, ≤8 bytes; the
+    all-ones value means "unknown size" and returns None)."""
+    if pos >= end:
+        raise ValueError("truncated EBML vint")
+    b0 = buf[pos]
+    if b0 == 0:
+        raise ValueError("oversized EBML vint")
+    length = 9 - b0.bit_length()
+    if pos + length > end or (keep_marker and length > 4):
+        raise ValueError("truncated EBML vint")
+    if keep_marker:
+        return int.from_bytes(buf[pos:pos + length], "big"), pos + length
+    val = b0 & (0xFF >> length)
+    for i in range(1, length):
+        val = (val << 8) | buf[pos + i]
+    if val == (1 << (7 * length)) - 1:
+        return None, pos + length
+    return val, pos + length
+
+
+_MKV_SEGMENT = 0x18538067
+
+
+def _ebml_elements(buf: bytes, pos: int, end: int):
+    """Iterate EBML child elements in buf[pos:end] → (id, body_start,
+    body_end). Unknown-size elements are only tolerated for Segment
+    (spec-common in streamed files; extends to the parent end)."""
+    while pos < end:
+        eid, p = _ebml_vint(buf, pos, end, True)
+        size, p = _ebml_vint(buf, p, end, False)
+        if size is None:
+            if eid != _MKV_SEGMENT:
+                raise ValueError("unknown-size EBML element")
+            yield eid, p, end
+            return
+        if p + size > end:
+            raise ValueError("truncated EBML element")
+        yield eid, p, p + size
+        pos = p + size
+
+
+def _ebml_uint(buf: bytes, s: int, e: int) -> int:
+    if e - s > 8:
+        raise ValueError("oversized EBML uint")
+    return int.from_bytes(buf[s:e], "big")
+
+
+def _mkv_block(buf: bytes, s: int, e: int,
+               cluster_ts: int) -> list[tuple[int, int, bytes]]:
+    """Decode one (Simple)Block body → [(track, timestamp ticks,
+    frame)]. Handles all three lacing modes (Xiph / fixed / EBML);
+    laced frames share the block timestamp — per-frame spacing needs
+    TrackDefaultDuration, which frame SAMPLING at ≥1 s granularity
+    doesn't (video is rarely laced; lacing is an audio-packing
+    feature). Track filtering happens in parse_mkv AFTER the walk, so
+    a file whose Tracks element follows its Clusters still resolves."""
+    track, p = _ebml_vint(buf, s, e, False)
+    if track is None or p + 3 > e:
+        raise ValueError("truncated block header")
+    relts = int.from_bytes(buf[p:p + 2], "big", signed=True)
+    flags = buf[p + 2]
+    p += 3
+    ts = cluster_ts + relts
+    lacing = (flags >> 1) & 0x3
+    if lacing == 0:
+        return [(track, ts, buf[p:e])]
+    if p >= e:
+        raise ValueError("truncated lace header")
+    nframes = buf[p] + 1
+    p += 1
+    sizes: list[int] = []
+    if lacing == 2:                       # fixed-size lacing
+        total = e - p
+        if total % nframes:
+            raise ValueError("fixed lacing does not divide payload")
+        sizes = [total // nframes] * nframes
+    elif lacing == 1:                     # Xiph lacing
+        for _ in range(nframes - 1):
+            sz = 0
+            while True:
+                if p >= e:
+                    raise ValueError("truncated Xiph lace sizes")
+                sz += buf[p]
+                stop = buf[p] != 255
+                p += 1
+                if stop:
+                    break
+            sizes.append(sz)
+        sizes.append((e - p) - sum(sizes))
+    else:                                 # EBML lacing (signed deltas)
+        first, p = _ebml_vint(buf, p, e, False)
+        if first is None:
+            raise ValueError("bad EBML lace size")
+        sizes = [first]
+        for _ in range(nframes - 2):
+            raw, p2 = _ebml_vint(buf, p, e, False)
+            if raw is None:
+                raise ValueError("bad EBML lace delta")
+            bias = (1 << (7 * (p2 - p) - 1)) - 1
+            sizes.append(sizes[-1] + raw - bias)
+            p = p2
+        if nframes >= 2:
+            sizes.append((e - p) - sum(sizes))
+    if any(sz < 0 for sz in sizes) or sum(sizes) != e - p:
+        raise ValueError("lace sizes disagree with payload")
+    out = []
+    for sz in sizes:
+        out.append((track, ts, buf[p:p + sz]))
+        p += sz
+    return out
+
+
+def parse_mkv(content: bytes) -> tuple[list[int], list[bytes]]:
+    """Minimal stdlib EBML/Matroska (mkv/webm) demuxer: (per-frame
+    timestamps in ms, encoded frame payloads) for the first VIDEO
+    track (TrackType 1). Walks the public container structure —
+    Info→TimestampScale (ns/tick, default 1 ms), Tracks→TrackEntry
+    (TrackNumber/TrackType), Cluster→Timestamp + SimpleBlock /
+    BlockGroup→Block — with every element size bounds-checked against
+    its parent, fixed nesting depth (no recursion), and ValueError on
+    any malformed structure so sample_frames' stub-fallback contract
+    holds. No codec decode (sampling needs none)."""
+    if content[:4] != b"\x1aE\xdf\xa3":
+        raise ValueError("not an EBML/Matroska file")
+    segment = None
+    for eid, s, e in _ebml_elements(content, 0, len(content)):
+        if eid == _MKV_SEGMENT:
+            segment = (s, e)
+            break
+    if segment is None:
+        raise ValueError("no Segment element")
+    ts_scale = 1_000_000                  # ns per tick (spec default)
+    video_track: int | None = None
+    blocks: list[tuple[int, int, bytes]] = []
+    for eid, s, e in _ebml_elements(content, *segment):
+        if eid == 0x1549A966:             # Info
+            for i2, s2, e2 in _ebml_elements(content, s, e):
+                if i2 == 0x2AD7B1:        # TimestampScale
+                    ts_scale = _ebml_uint(content, s2, e2) or 1_000_000
+        elif eid == 0x1654AE6B:           # Tracks
+            for i2, s2, e2 in _ebml_elements(content, s, e):
+                if i2 != 0xAE:            # TrackEntry
+                    continue
+                num = typ = None
+                for i3, s3, e3 in _ebml_elements(content, s2, e2):
+                    if i3 == 0xD7:        # TrackNumber
+                        num = _ebml_uint(content, s3, e3)
+                    elif i3 == 0x83:      # TrackType (1 = video)
+                        typ = _ebml_uint(content, s3, e3)
+                if typ == 1 and num and video_track is None:
+                    video_track = num
+        elif eid == 0x1F43B675:           # Cluster
+            cluster_ts = 0
+            for i2, s2, e2 in _ebml_elements(content, s, e):
+                if i2 == 0xE7:            # cluster Timestamp
+                    cluster_ts = _ebml_uint(content, s2, e2)
+                elif i2 == 0xA3:          # SimpleBlock
+                    blocks += _mkv_block(content, s2, e2, cluster_ts)
+                elif i2 == 0xA0:          # BlockGroup
+                    for i3, s3, e3 in _ebml_elements(content, s2, e2):
+                        if i3 == 0xA1:    # Block
+                            blocks += _mkv_block(content, s3, e3,
+                                                 cluster_ts)
+    if video_track is None:
+        raise ValueError("no video track")
+    vid = [(ts, f) for tr, ts, f in blocks if tr == video_track]
+    return ([ts * ts_scale // 1_000_000 for ts, _ in vid],
+            [f for _, f in vid])
+
+
 def _decode_any(content: bytes) -> tuple[str, int, int, bytes]:
     """(kind, width|channels, height|framerate, payload) — real decode
     when the magic bytes are recognized, fake otherwise."""
@@ -522,17 +703,37 @@ def extract_features(media_df: DataFrame, dim: int = _FEATURE_DIM) -> DataFrame:
         .mapInPandas(fn, FEATURES_DDL)
 
 
+def _pick_timed_frames(times_ms: list[int], frames: list[bytes],
+                       every_ms: int,
+                       max_frames: int) -> list[tuple[int, bytes, int]]:
+    """First frame at/after each ``every_ms`` target → [(source index,
+    payload, ts_ms)], capped at ``max_frames``. The target catches up
+    PAST each emitted timestamp so a variable-frame-rate gap doesn't
+    burst consecutive frames at the next targets."""
+    out: list[tuple[int, bytes, int]] = []
+    target = 0
+    for src_i, (ts, fr) in enumerate(zip(times_ms, frames)):
+        if len(out) >= max_frames:
+            break
+        if ts >= target:
+            out.append((src_i, fr, ts))
+            while target <= ts:
+                target += every_ms
+    return out
+
+
 def sample_frames(media_df: DataFrame, every_ms: int = 1000,
                   max_frames: int = 4) -> DataFrame:
     """Frame sampling for video rows — a row-expanding mapInPandas.
-    RIFF/AVI and ISO-BMFF/MP4 containers are REALLY demuxed (parse_avi
-    / parse_mp4): frames are picked at ~``every_ms`` spacing — from the
-    AVI's fixed frame rate, or from the MP4's per-sample stts
-    timestamps — capped at ``max_frames``; ``frame_idx``/``ts_ms`` are
-    the SOURCE frame index and timestamp and ``frame`` is the encoded
-    payload (JPEG for MJPEG AVIs, codec samples for MP4). Containers
-    needing ffmpeg (mkv/webm — absent here) fall back to the
-    deterministic stub so the plumbing stays exercised."""
+    RIFF/AVI, ISO-BMFF/MP4, and EBML/Matroska (mkv/webm) containers
+    are REALLY demuxed (parse_avi / parse_mp4 / parse_mkv): frames are
+    picked at ~``every_ms`` spacing — from the AVI's fixed frame rate,
+    or from per-sample timestamps (MP4 stts, Matroska cluster+block) —
+    capped at ``max_frames``; ``frame_idx``/``ts_ms`` are the SOURCE
+    frame index and timestamp and ``frame`` is the encoded payload
+    (JPEG for MJPEG AVIs, codec samples otherwise). Unrecognized or
+    malformed containers fall back to the deterministic stub so the
+    plumbing stays exercised."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -551,22 +752,13 @@ def sample_frames(media_df: DataFrame, every_ms: int = 1000,
                         continue
                     except ValueError:
                         pass  # malformed container → stub fallback
-                elif kind == "video/mp4":
+                elif kind in ("video/mp4", "video/webm"):
                     try:
-                        times_ms, frames = parse_mp4(blob)
-                        taken, target = 0, 0
-                        for src_i, (ts, fr) in enumerate(zip(times_ms,
-                                                             frames)):
-                            if taken >= max_frames:
-                                break
-                            if ts >= target:  # first sample past target
-                                rows.append((ref, src_i, fr, ts))
-                                taken += 1
-                                # catch up PAST the emitted timestamp so
-                                # a VFR gap doesn't burst consecutive
-                                # frames at the next targets
-                                while target <= ts:
-                                    target += every_ms
+                        times_ms, frames = (parse_mp4 if kind ==
+                                            "video/mp4" else parse_mkv)(blob)
+                        for src_i, fr, ts in _pick_timed_frames(
+                                times_ms, frames, every_ms, max_frames):
+                            rows.append((ref, src_i, fr, ts))
                         continue
                     except ValueError:
                         pass  # malformed container → stub fallback

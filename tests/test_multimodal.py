@@ -352,6 +352,137 @@ def test_sample_frames_mp4_vfr_gap_no_burst(spark):
     assert out == [(0, 0), (1, 10000)]
 
 
+def _evint(n):
+    """EBML size/track vint with the length-marker bit."""
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            return ((1 << (7 * length)) | n).to_bytes(length, "big")
+    raise ValueError(n)
+
+
+def _eel(eid, body):
+    """One EBML element: raw id bytes + size vint + body."""
+    return eid + _evint(len(body)) + body
+
+
+def _sblock(track, relts, flags, payload):
+    return _eel(b"\xa3", _evint(track)
+                + relts.to_bytes(2, "big", signed=True)
+                + bytes([flags]) + payload)
+
+
+def _make_mkv(n_frames, delta_ticks=40, ts_scale=1_000_000):
+    """Minimal EBML/Matroska: header + Segment(Info(TimestampScale),
+    Tracks(video track 1 + audio track 2), two Clusters of unlaced
+    SimpleBlocks at delta_ticks spacing, plus one audio block that
+    must be filtered out). Default TimestampScale = 1 ms/tick."""
+    frames = [b"\x9d\x01*" + bytes([i]) * (3 + i % 3)
+              for i in range(n_frames)]
+    header = _eel(b"\x1aE\xdf\xa3", _eel(b"\x42\x82", b"webm"))
+    info = _eel(b"\x15\x49\xa9\x66",
+                _eel(b"\x2a\xd7\xb1",
+                     ts_scale.to_bytes(4, "big").lstrip(b"\x00") or b"\x00"))
+    ventry = _eel(b"\xae", _eel(b"\xd7", b"\x01") + _eel(b"\x83", b"\x01"))
+    aentry = _eel(b"\xae", _eel(b"\xd7", b"\x02") + _eel(b"\x83", b"\x02"))
+    tracks = _eel(b"\x16\x54\xae\x6b", ventry + aentry)
+    half = (n_frames + 1) // 2
+    c1 = _eel(b"\xe7", b"\x00") + b"".join(
+        _sblock(1, i * delta_ticks, 0x00, frames[i]) for i in range(half))
+    c1 += _sblock(2, 0, 0x00, b"AUDIO-SKIP-ME")
+    base2 = half * delta_ticks
+    c2 = _eel(b"\xe7", base2.to_bytes(4, "big").lstrip(b"\x00") or b"\x00") \
+        + b"".join(_sblock(1, (i - half) * delta_ticks, 0x00, frames[i])
+                   for i in range(half, n_frames))
+    segment = _eel(b"\x18\x53\x80\x67",
+                   info + tracks + _eel(b"\x1f\x43\xb6\x75", c1)
+                   + _eel(b"\x1f\x43\xb6\x75", c2))
+    return header + segment, frames
+
+
+def test_parse_mkv_demuxes_blocks():
+    """EBML/Matroska demux: cluster+block timestamps scaled by
+    TimestampScale, video-track payloads byte-identical, the audio
+    track's blocks filtered out, truncation raises ValueError."""
+    import pytest
+
+    from nobletools_spark.operators.multimodal import parse_mkv, sniff_media
+
+    blob, frames = _make_mkv(10)
+    assert sniff_media(blob) == "video/webm"
+    times, got = parse_mkv(blob)
+    assert got == frames and all(b"AUDIO" not in f for f in got)
+    assert times == [i * 40 for i in range(10)]
+    with pytest.raises(ValueError):
+        parse_mkv(blob[:len(blob) - 7])
+    # a non-default TimestampScale (0.5 ms/tick) halves the ms values
+    blob2, _ = _make_mkv(4, ts_scale=500_000)
+    times2, _ = parse_mkv(blob2)
+    assert times2 == [0, 20, 40, 60]
+
+
+def test_parse_mkv_lacing_modes():
+    """All three Matroska lacing modes unpack: Xiph 255-run sizes,
+    fixed equal split, EBML first-size + signed deltas. Laced frames
+    share the block timestamp (documented simplification); malformed
+    lace sizes raise ValueError."""
+    import pytest
+
+    from nobletools_spark.operators.multimodal import parse_mkv
+
+    def svint(d):
+        for length in range(1, 9):
+            bias = (1 << (7 * length - 1)) - 1
+            if 0 <= d + bias < (1 << (7 * length)) - 1:
+                return ((1 << (7 * length)) | (d + bias)).to_bytes(
+                    length, "big")
+        raise ValueError(d)
+
+    def shell(block_body):
+        header = _eel(b"\x1aE\xdf\xa3", _eel(b"\x42\x82", b"webm"))
+        tracks = _eel(b"\x16\x54\xae\x6b",
+                      _eel(b"\xae", _eel(b"\xd7", b"\x01")
+                           + _eel(b"\x83", b"\x01")))
+        cluster = _eel(b"\x1f\x43\xb6\x75", _eel(b"\xe7", b"\x07")
+                       + _eel(b"\xa3", block_body))
+        return header + _eel(b"\x18\x53\x80\x67", tracks + cluster)
+
+    fr = [b"A" * 300, b"BB", b"ccc"]
+    head = _evint(1) + (0).to_bytes(2, "big") + bytes([0x02])  # Xiph
+    xiph = head + bytes([2]) + b"\xff\x2d" + bytes([2]) + b"".join(fr)
+    t, got = parse_mkv(shell(xiph))
+    assert got == fr and t == [7, 7, 7]
+
+    fixed = _evint(1) + (0).to_bytes(2, "big") + bytes([0x04]) \
+        + bytes([2]) + b"X" * 5 + b"Y" * 5 + b"Z" * 5
+    t, got = parse_mkv(shell(fixed))
+    assert got == [b"X" * 5, b"Y" * 5, b"Z" * 5]
+
+    ebml = _evint(1) + (0).to_bytes(2, "big") + bytes([0x06]) \
+        + bytes([2]) + _evint(300) + svint(-298) + b"".join(fr)
+    t, got = parse_mkv(shell(ebml))
+    assert got == fr
+
+    bad_fixed = _evint(1) + (0).to_bytes(2, "big") + bytes([0x04]) \
+        + bytes([2]) + b"X" * 7   # 7 not divisible by 3
+    with pytest.raises(ValueError):
+        parse_mkv(shell(bad_fixed))
+
+
+def test_sample_frames_webm_real_sampling(spark):
+    """sample_frames on a Matroska file picks the first block at/after
+    each every_ms target (25 fps, 200 ms → frames 0 and 5) with source
+    indexes, container timestamps, and encoded payloads."""
+    from nobletools_spark.operators.multimodal import sample_frames
+
+    blob, frames = _make_mkv(10)
+    media = spark.createDataFrame([("w1", blob)],
+                                  "media_ref string, content binary")
+    out = sorted((r.frame_idx, r.ts_ms, bytes(r.frame))
+                 for r in sample_frames(media, every_ms=200,
+                                        max_frames=4).collect())
+    assert out == [(0, 0, frames[0]), (5, 200, frames[5])]
+
+
 def test_parse_mp4_corrupt_counts_raise_value_error():
     """Declared table counts are bounded against their box sizes — a
     corrupt stsz count must ValueError immediately (stub fallback),

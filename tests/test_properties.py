@@ -221,6 +221,44 @@ def test_parse_mp4_round_trips_arbitrary_samples(frames, timescale, delta):
     assert times == [i * delta * 1000 // timescale for i in range(n)]
 
 
+@given(st.lists(st.binary(min_size=1, max_size=32), min_size=1,
+                max_size=20),
+       st.integers(min_value=1, max_value=5_000),
+       st.sampled_from([250_000, 500_000, 1_000_000, 2_000_000]))
+@settings(max_examples=40, deadline=None)
+def test_parse_mkv_round_trips_arbitrary_blocks(frames, delta, ts_scale):
+    """parse_mkv recovers arbitrary unlaced SimpleBlock payloads and
+    TimestampScale-scaled millisecond timestamps from a well-formed
+    EBML/Matroska file."""
+    from nobletools_spark.operators.multimodal import parse_mkv
+
+    def evint(n):
+        for length in range(1, 9):
+            if n < (1 << (7 * length)) - 1:
+                return ((1 << (7 * length)) | n).to_bytes(length, "big")
+        raise ValueError(n)
+
+    def eel(eid, body):
+        return eid + evint(len(body)) + body
+
+    header = eel(b"\x1aE\xdf\xa3", eel(b"\x42\x82", b"matroska"))
+    info = eel(b"\x15\x49\xa9\x66",
+               eel(b"\x2a\xd7\xb1", ts_scale.to_bytes(4, "big")))
+    tracks = eel(b"\x16\x54\xae\x6b",
+                 eel(b"\xae", eel(b"\xd7", b"\x01") + eel(b"\x83", b"\x01")))
+    # one cluster per frame so arbitrary tick values fit int16 relts
+    clusters = b"".join(
+        eel(b"\x1f\x43\xb6\x75",
+            eel(b"\xe7", (i * delta).to_bytes(8, "big"))
+            + eel(b"\xa3", evint(1) + b"\x00\x00\x00" + f))
+        for i, f in enumerate(frames))
+    blob = header + eel(b"\x18\x53\x80\x67", info + tracks + clusters)
+    times, got = parse_mkv(blob)
+    assert got == frames
+    assert times == [i * delta * ts_scale // 1_000_000
+                     for i in range(len(frames))]
+
+
 @given(st.lists(st.tuples(st.integers(0, 7), st.integers(0, 7)),
                 min_size=1, max_size=20),
        st.integers(min_value=1, max_value=7))
