@@ -386,6 +386,107 @@ def q_sim_lsh_topk(spark, sf_dir):
         .withColumnRenamed("rank", "rnk")
 
 
+# ---------------------------------------------------------------------------
+# multimodal entries: deterministic doc_id-derived media payloads (no
+# external data) → REAL distributed demux/decode with closed-form
+# oracles. Payload bytes are proven via md5; every reported float is
+# exactly representable (solid 0/255 pixels, silent PCM, one float32
+# division), so DuckDB reproduces the decode outputs bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _avi_blob(mid: int) -> bytes:
+    """25-fps RIFF/AVI with 3 + mid%8 ASCII frames ('frame-i-of-m')."""
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+    frames = [f"frame-{i}-of-{mid}".encode() for i in range(3 + mid % 8)]
+    avih = (40000).to_bytes(4, "little") + b"\x00" * 52
+    hdrl = b"hdrl" + chunk(b"avih", avih)
+    movi = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+    body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _bmp_blob(mid: int) -> bytes:
+    """Solid white/black 24-bit BMP, doc_id-derived size (w 4–6, h 3–5)."""
+    import struct
+
+    w = 4 + (mid % 12) // 4
+    h = 3 + (mid % 24) // 8
+    v = 255 if (mid // 4) % 2 == 0 else 0
+    stride = (w * 3 + 3) & ~3
+    pix = (bytes([v]) * (w * 3) + b"\x00" * (stride - w * 3)) * h
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                       2835, 2835, 0, 0)
+    return header + info + pix
+
+
+def _wav_blob(mid: int) -> bytes:
+    """Silent 16-bit PCM WAV at 8 kHz, 1–2 channels by doc_id."""
+    import io
+    import wave
+
+    nch = 1 + (mid % 8) // 4
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00\x00" * ((16 + mid % 16) * nch))
+    return buf.getvalue()
+
+
+def q_media_frames(spark, sf_dir):
+    """Distributed video frame sampling with a FULL-VALUE oracle: every
+    4th doc synthesizes a deterministic AVI in a pandas UDF;
+    sample_frames really demuxes it (parse_avi: avih rate + ##dc
+    payloads) and picks every 5th source frame (200 ms at 25 fps);
+    md5(frame) pins the demuxed bytes themselves."""
+    from nobletools_spark.operators.multimodal import sample_frames
+
+    d = (_docs(spark, sf_dir)
+         .select(F.col("doc_id").cast("long").alias("id"))
+         .filter(F.col("id") % 4 == 0))
+    make = F.pandas_udf(lambda s: s.map(_avi_blob), "binary")
+    media = d.select(
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("media_ref"),
+        make(F.col("id")).alias("content"))
+    return (sample_frames(media, every_ms=200, max_frames=3)
+            .select("media_ref", "frame_idx", "ts_ms",
+                    F.md5("frame").alias("frame_md5")))
+
+
+def q_media_decode(spark, sf_dir):
+    """Distributed image/audio decode + feature extraction with an
+    exact oracle: solid-color BMPs and silent WAVs make every feature
+    value closed-form (channel mean 0/1, std 0, pooled-grid 0/1, RMS/
+    ZCR/FFT bands 0) and the aspect ratio a single float32 division —
+    all reproducible bit-for-bit in SQL."""
+    from nobletools_spark.operators.multimodal import extract_features
+
+    d = (_docs(spark, sf_dir)
+         .select(F.col("doc_id").cast("long").alias("id"))
+         .filter(F.col("id") % 2 == 1))    # id%4 ∈ {1,3}
+    make = F.pandas_udf(
+        lambda s: s.map(lambda i: _bmp_blob(i) if i % 4 == 1
+                        else _wav_blob(i)), "binary")
+    media = d.select(
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("media_ref"),
+        F.when(F.col("id") % 4 == 1, F.lit("image/bmp"))
+        .otherwise(F.lit("audio/wav")).alias("media_type"),
+        make(F.col("id")).alias("content"))
+    feats = extract_features(media)
+    return feats.select(
+        "media_ref", "media_type", "width", "height",
+        F.col("feature").getItem(0).cast("double").alias("mean0"),
+        F.col("feature").getItem(1).cast("double").alias("std0"),
+        F.col("feature").getItem(6).cast("double").alias("grid0"),
+        F.col("feature").getItem(15).cast("double").alias("aspect"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: end-to-end KG construction at sf0.001 — interleaved docs
     → broadcast-index matcher → mention triples joined to concept names."""
@@ -431,6 +532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "media_frames": q_media_frames,
+        "media_decode": q_media_decode,
     }
 
 
@@ -1002,5 +1105,39 @@ def oracle_sql() -> dict[str, str]:
         f" {dot_ab2} / (a.nrm * b.nrm) AS cos"
         f" FROM base a JOIN base b ON a.bucket = b.bucket"
         f" AND a.vec_id < b.vec_id) WHERE cos >= {_EMB_DUP_T}")
+
+    # media_frames: closed-form replay of the AVI synthesis + sampler —
+    # 3 + id%8 frames at 25 fps, every-200ms picks = indices 0,5 (the
+    # max_frames=3 cap never binds below 11 frames); ts = i*40 ms;
+    # md5 over the exact ASCII payload proves the demuxed bytes
+    sql["media_frames"] = (
+        "WITH ids AS (SELECT doc_id::BIGINT AS id FROM documents"
+        " WHERE doc_id::BIGINT % 4 = 0), "
+        "fr AS (SELECT id, unnest(range(0, 3 + id % 8, 5)) AS i FROM ids) "
+        "SELECT 'm' || id AS media_ref, i::INT AS frame_idx,"
+        " (i * 40)::INT AS ts_ms,"
+        " md5('frame-' || i || '-of-' || id) AS frame_md5 FROM fr")
+
+    # media_decode: solid 0/255 BMPs and silent WAVs make every feature
+    # exactly representable; aspect replays the float32 rounding of the
+    # feature array (w/h as double, then FLOAT, then back)
+    sql["media_decode"] = (
+        "WITH ids AS (SELECT doc_id::BIGINT AS id FROM documents"
+        " WHERE doc_id::BIGINT % 2 = 1), "
+        "calc AS (SELECT id,"
+        " CASE WHEN id % 4 = 1 THEN 'image/bmp' ELSE 'audio/wav' END"
+        "   AS media_type,"
+        " CASE WHEN id % 4 = 1 THEN 4 + (id % 12) // 4"
+        "      ELSE 1 + (id % 8) // 4 END AS width,"
+        " CASE WHEN id % 4 = 1 THEN 3 + (id % 24) // 8"
+        "      ELSE 8000 END AS height,"
+        " CASE WHEN id % 4 = 1 AND (id // 4) % 2 = 0 THEN 1.0"
+        "      ELSE 0.0 END AS lum FROM ids) "
+        "SELECT 'm' || id AS media_ref, media_type,"
+        " width::INT AS width, height::INT AS height,"
+        " lum::DOUBLE AS mean0, 0.0::DOUBLE AS std0, lum::DOUBLE AS grid0,"
+        " CASE WHEN media_type = 'image/bmp'"
+        "   THEN ((width::DOUBLE / height)::FLOAT)::DOUBLE"
+        "   ELSE 0.0::DOUBLE END AS aspect FROM calc")
 
     return sql
