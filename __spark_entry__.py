@@ -301,6 +301,40 @@ def q_text_sample(spark, sf_dir):
     return sample_by_hash(_docs(spark, sf_dir), 0.25)         .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
 
 
+# deterministic boilerplate LINES planted across the corpus so the
+# C4-style line dedup has real cross-document duplicates at every scale
+_LINE_A = "all rights reserved by the example content farm network"
+_LINE_B = "follow us on social media for daily updates and news"
+
+
+def _docs_with_lines(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.withColumn(
+        "text",
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.when(F.col("doc_id") % 3 == 0,
+                        F.lit("\n" + _LINE_A + "\n" + _LINE_B))
+                 .when(F.col("doc_id") % 3 == 1, F.lit("\n" + _LINE_A))
+                 .otherwise(F.lit(""))))
+
+
+def q_dedup_lines(spark, sf_dir):
+    """C4-style global line dedup (removal step): duplicated boilerplate
+    lines vanish from every document except the first occurrence;
+    documents reassemble in original line order."""
+    from nobletools_spark.operators.dedup import strip_duplicated_lines
+
+    return strip_duplicated_lines(_docs_with_lines(spark, sf_dir))
+
+
+def q_text_filter(spark, sf_dir):
+    """Gopher-style composite keep/drop decision with first-failing-rule
+    reasons — map-only, no float output columns."""
+    from nobletools_spark.operators.textstats import filter_decisions
+
+    return filter_decisions(_docs(spark, sf_dir))
+
+
 def q_events_rollup(spark, sf_dir):
     from nobletools_spark.operators.events import daily_rollup
 
@@ -534,6 +568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": q_sim_ivf_topk,
         "media_frames": q_media_frames,
         "media_decode": q_media_decode,
+        "dedup_lines": q_dedup_lines,
+        "text_filter": q_text_filter,
     }
 
 
@@ -1105,6 +1141,64 @@ def oracle_sql() -> dict[str, str]:
         f" {dot_ab2} / (a.nrm * b.nrm) AS cos"
         f" FROM base a JOIN base b ON a.bucket = b.bucket"
         f" AND a.vec_id < b.vec_id) WHERE cos >= {_EMB_DUP_T}")
+
+    # dedup_lines: same planted tails, then the C4 line-dedup algorithm
+    # replayed relationally — dup table (len ≥ 10, count ≥ 2, keeper =
+    # min (doc_id, line_no)), keeper-preserving anti-filter, ordered
+    # reassembly; empty-after-strip docs come back as ''
+    tails = (f"CASE WHEN doc_id::BIGINT % 3 = 0 THEN chr(10) ||"
+             f" '{_LINE_A}' || chr(10) || '{_LINE_B}'"
+             f" WHEN doc_id::BIGINT % 3 = 1 THEN chr(10) || '{_LINE_A}'"
+             f" ELSE '' END")
+    sql["dedup_lines"] = (
+        "WITH d2 AS (SELECT doc_id::BIGINT AS doc_id,"
+        f" coalesce(text, '') || {tails} AS text FROM documents), "
+        "sp AS (SELECT doc_id, string_split(text, chr(10)) AS parts"
+        " FROM d2), "
+        "l AS (SELECT doc_id, unnest(list_transform("
+        "generate_series(1, len(parts)),"
+        " i -> struct_pack(line_no := i, line := parts[i]))) AS s FROM sp), "
+        "l2 AS (SELECT doc_id, s.line_no AS line_no, s.line AS line FROM l), "
+        "dup AS (SELECT line,"
+        " min(struct_pack(doc_id := doc_id, line_no := line_no)) AS keeper"
+        " FROM l2 WHERE length(line) >= 10 GROUP BY line"
+        " HAVING count(*) >= 2), "
+        "kept AS (SELECT l2.doc_id, l2.line_no, l2.line FROM l2"
+        " LEFT JOIN dup USING (line) WHERE dup.keeper IS NULL"
+        " OR (dup.keeper.doc_id = l2.doc_id"
+        "     AND dup.keeper.line_no = l2.line_no)), "
+        "reb AS (SELECT doc_id, array_to_string(list_transform("
+        "list_sort(list(struct_pack(no := line_no, line := line))),"
+        " s -> s.line), chr(10)) AS text FROM kept GROUP BY doc_id) "
+        "SELECT d2.doc_id, coalesce(reb.text, '') AS text FROM d2"
+        " LEFT JOIN reb USING (doc_id)")
+
+    # text_filter: the same IEEE arithmetic as text_quality /
+    # text_repetition feeding threshold comparisons; output is
+    # int/bool/string only so the compare is exact by construction
+    reason_case = (
+        "CASE WHEN n < 20 THEN 'too_few_tokens'"
+        " WHEN n > 50000 THEN 'too_many_tokens'"
+        " WHEN tl / n < 2.0 THEN 'short_tokens'"
+        " WHEN tl / n > 12.0 THEN 'long_tokens'"
+        " WHEN nstop / n < 0.02 THEN 'low_stopword_density'"
+        " WHEN top_n / n > 0.15 THEN 'repetitive_top_token'"
+        " WHEN 1.0 - nd / n > 0.55 THEN 'high_duplicate_tokens'"
+        " ELSE 'kept' END")
+    sql["text_filter"] = (
+        "WITH b AS (SELECT doc_id::BIGINT AS doc_id,"
+        " string_split(coalesce(text, ''), ' ') AS t FROM documents), "
+        "tok AS (SELECT doc_id, unnest(t) AS tok FROM b), "
+        "tc AS (SELECT doc_id, max(c) AS top_n FROM"
+        " (SELECT doc_id, tok, count(*) AS c FROM tok"
+        "  GROUP BY doc_id, tok) GROUP BY doc_id), "
+        "m AS (SELECT b.doc_id, len(t) AS n, len(list_distinct(t)) AS nd,"
+        f" len(list_filter(t, x -> list_contains([{en}], x))) AS nstop,"
+        " list_aggregate(list_transform(t, x -> len(x)), 'sum') AS tl,"
+        " tc.top_n FROM b JOIN tc USING (doc_id)), "
+        f"r AS (SELECT doc_id, n, {reason_case} AS reason FROM m) "
+        "SELECT doc_id, n::BIGINT AS n_tokens, reason = 'kept' AS keep,"
+        " reason FROM r")
 
     # media_frames: closed-form replay of the AVI synthesis + sampler —
     # 3 + id%8 frames at 25 fps, every-200ms picks = indices 0,5 (the

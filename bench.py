@@ -50,6 +50,10 @@ HEADLINE = (
     "sim_lsh_topk",
     "sim_ivf_topk",
     "text_repetition",
+    "dedup_lines",
+    "text_filter",
+    "media_frames",
+    "media_decode",
 )
 
 

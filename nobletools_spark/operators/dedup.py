@@ -117,6 +117,78 @@ def duplicated_window_spans(docs: DataFrame, window: int = 8,
             .filter(F.col("n_occ") >= min_count))
 
 
+def _exploded_lines(docs: DataFrame) -> DataFrame:
+    """(doc_id, line_no, line): one row per newline-delimited line."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.coalesce(F.col("text"), F.lit("")), "\n"))
+        .alias("line_no", "line"))
+
+
+def _dup_line_table(lines: DataFrame, min_count: int,
+                    min_len: int) -> DataFrame:
+    """(line, n_occ, keeper struct<doc_id,line_no>) for every line of
+    ≥ min_len chars occurring ≥ min_count times corpus-wide; keeper =
+    the lexicographically first occurrence."""
+    return (lines.filter(F.length("line") >= min_len)
+            .groupBy("line")
+            .agg(F.count("*").alias("n_occ"),
+                 F.min(F.struct("doc_id", "line_no")).alias("keeper"))
+            .filter(F.col("n_occ") >= min_count))
+
+
+def duplicated_lines(docs: DataFrame, min_count: int = 2,
+                     min_len: int = 10) -> DataFrame:
+    """Global exact line-duplication table (the detection half of
+    C4-style line dedup, Raffel et al. 2020 §2.2): (line, n_occ,
+    keeper_doc_id, keeper_line_no) for every line of ≥ ``min_len``
+    characters whose exact text occurs ≥ ``min_count`` times in the
+    corpus. ``min_len`` keeps blank/trivial lines (which would
+    otherwise all collide) out of the table.
+
+    Scale shape: explode is map-side; the single groupBy on the line
+    text partial-aggregates map-side, so a boilerplate line repeated
+    10^9 times arrives at its reducer as one pre-combined cell per
+    upstream partition, not 10^9 rows."""
+    return (_dup_line_table(_exploded_lines(docs), min_count, min_len)
+            .select("line", "n_occ",
+                    F.col("keeper.doc_id").alias("keeper_doc_id"),
+                    F.col("keeper.line_no").alias("keeper_line_no")))
+
+
+def strip_duplicated_lines(docs: DataFrame, min_count: int = 2,
+                           min_len: int = 10) -> DataFrame:
+    """C4-style global line dedup, the removal step: every line whose
+    exact text occurs ≥ ``min_count`` times corpus-wide is deleted
+    from every document EXCEPT its single keeper occurrence (the
+    first by (doc_id, line_no)), and documents are reassembled in
+    original line order → (doc_id, text). Documents whose every line
+    was removed come back with empty text rather than vanishing.
+
+    Scale shape (the C4 recipe's distributed form): map-side explode →
+    one partial-agg count/keeper shuffle on the line text → one join
+    of the exploded lines against the (much smaller, AQE-broadcastable
+    when thresholds are high) duplicate table → one groupBy doc_id to
+    reassemble. Nothing is all-pairs; the hot line is a counter cell
+    and a single join row, never a join side."""
+    lines = _exploded_lines(docs)
+    dup = _dup_line_table(lines, min_count, min_len)
+    kept = (lines.join(dup.select("line", "keeper"), "line", "left")
+            .filter(F.col("keeper").isNull()
+                    | ((F.col("keeper.doc_id") == F.col("doc_id"))
+                       & (F.col("keeper.line_no") == F.col("line_no")))))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"]),
+            "\n").alias("text"))
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+            .join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("text", F.lit("")).alias("text")))
+
+
 def exact_dedup(docs: DataFrame, by: str = "content") -> DataFrame:
     """Exact-duplicate groups: (sig, keep_doc_id, n_docs). ``by`` =
     'content' (raw text) or 'bag' (sorted distinct token set — catches

@@ -178,6 +178,57 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         .alias("dup_token_ratio"))
 
 
+def filter_decisions(docs: DataFrame, *,
+                     min_tokens: int = 20, max_tokens: int = 50_000,
+                     min_avg_token_len: float = 2.0,
+                     max_avg_token_len: float = 12.0,
+                     min_stop_ratio: float = 0.02,
+                     max_top_token_ratio: float = 0.15,
+                     max_dup_token_ratio: float = 0.55,
+                     stop_words: tuple[str, ...] = LANG_STOPWORDS["en"],
+                     ) -> DataFrame:
+    """Gopher-style composite corpus-filter decision (Rae et al. 2021
+    Table A1's shape): evaluate the cheap per-document signals — token
+    count bounds, mean token length bounds, stopword density,
+    top-token share, duplicate-token fraction — in ONE map-only pass
+    and emit (doc_id, n_tokens, keep, reason) where ``reason`` names
+    the FIRST failing rule in documentation order ('kept' when none).
+    This is the decision step a training pipeline joins against to
+    materialize the filtered corpus.
+
+    Scale shape: zero shuffle, whole-stage codegen; the token array is
+    staged once as a named column so each signal traverses it once.
+    The output carries no float columns, and both engines derive the
+    comparison inputs with the identical IEEE arithmetic already
+    pinned bit-for-bit by text_quality / text_repetition — so the
+    boolean/string outputs are exactly reproducible."""
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("toks"))
+    n = F.size(F.col("toks"))
+    nd = F.size(F.array_distinct(F.col("toks")))
+    nstop = F.size(F.filter(F.col("toks"),
+                            lambda t: t.isin(*stop_words)))
+    total_len = F.aggregate(F.col("toks"), F.lit(0),
+                            lambda acc, t: acc + F.length(t))
+    dn = n.cast("double")
+    avg_len = total_len.cast("double") / dn
+    stop_ratio = nstop.cast("double") / dn
+    top_ratio = _max_run(F.array_sort(F.col("toks"))).cast("double") / dn
+    dup_ratio = F.lit(1.0) - nd.cast("double") / dn
+    reason = (F.when(n < min_tokens, "too_few_tokens")
+              .when(n > max_tokens, "too_many_tokens")
+              .when(avg_len < min_avg_token_len, "short_tokens")
+              .when(avg_len > max_avg_token_len, "long_tokens")
+              .when(stop_ratio < min_stop_ratio, "low_stopword_density")
+              .when(top_ratio > max_top_token_ratio, "repetitive_top_token")
+              .when(dup_ratio > max_dup_token_ratio, "high_duplicate_tokens")
+              .otherwise("kept"))
+    return d.select("doc_id", n.cast("long").alias("n_tokens"),
+                    (reason == "kept").alias("keep"),
+                    reason.alias("reason"))
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Script-then-stopword language ID, all JVM-side (regexp_count +
     array filters, zero shuffle):

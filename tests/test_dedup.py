@@ -216,3 +216,61 @@ def test_pii_scrub_null_text(spark):
     out = {r.doc_id: r for r in pii_scrub(docs).collect()}
     assert out[1].text == "" and out[1].n_pii == 0
     assert out[2].n_pii == 1
+
+
+def test_strip_duplicated_lines(spark):
+    """C4-style line dedup: >=10-char lines duplicated >=2x are removed
+    everywhere except the first (doc_id, line_no) occurrence; short
+    duplicate lines are immune; documents reassemble in original line
+    order; docs stripped to nothing come back with empty text."""
+    from nobletools_spark.operators.dedup import (
+        duplicated_lines,
+        strip_duplicated_lines,
+    )
+
+    boiler = "SHARED BOILERPLATE LINE HERE"
+    rows = [
+        (1, f"unique leading line one\n{boiler}\nok unique tail line"),
+        (2, boiler),
+        (3, f"another unique line\n{boiler}"),
+        (4, "hi\nhi"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in strip_duplicated_lines(docs).collect()}
+    assert out[1] == rows[0][1]          # keeper occurrence survives
+    assert out[2] == ""                  # only line was a later dup
+    assert out[3] == "another unique line"
+    assert out[4] == "hi\nhi"            # below min_len: immune
+    assert out[5] == ""                  # NULL text round-trips empty
+    dup = duplicated_lines(docs).collect()
+    assert [(r.line, r.n_occ, r.keeper_doc_id, r.keeper_line_no)
+            for r in dup] == [(boiler, 3, 1, 1)]
+
+
+def test_filter_decisions_first_failing_rule(spark):
+    """Gopher-style composite filter: reason is the FIRST failing rule
+    in documentation order, keep only when every rule passes; no float
+    output columns."""
+    from nobletools_spark.operators.textstats import filter_decisions
+
+    good = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the woods tonight again happily") # 20 toks
+    rows = [
+        (1, good),
+        (2, "way too short"),                          # too_few_tokens
+        (3, "spam " * 19 + "spam"),                    # repetitive (but
+        #      first failing rule is low_stopword_density? no stops →
+        #      stop rule fires BEFORE top-token rule
+        (4, ("abcdefghijklmnopqrstu " * 20).strip()),  # long tokens, but
+        #      stopword rule is later than avg-len rule → long_tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in filter_decisions(docs).collect()}
+    assert out[1].keep and out[1].reason == "kept"
+    assert out[2].reason == "too_few_tokens" and not out[2].keep
+    assert out[3].reason == "low_stopword_density"
+    assert out[4].reason == "long_tokens"
+    assert out[1].n_tokens == 20
+    assert set(type(v) for r in out.values()
+               for v in (r.n_tokens, r.keep, r.reason)) <= {int, bool, str}
