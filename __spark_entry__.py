@@ -261,6 +261,21 @@ def q_dedup_window_spans(spark, sf_dir):
     return duplicated_window_spans(d, window=_WINDOW_W)
 
 
+def q_dedup_strip_windows(spark, sf_dir):
+    """Substring-dedup removal step: tokens covered by any corpus-
+    duplicated 8-token window are stripped from every occurrence (the
+    planted boilerplate tails vanish corpus-wide)."""
+    from nobletools_spark.operators.dedup import strip_duplicated_windows
+
+    d = _docs(spark, sf_dir)
+    d = d.withColumn(
+        "text",
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.when(F.col("doc_id") % 5 == 0, F.lit(_BOILER))
+                 .otherwise(F.lit(""))))
+    return strip_duplicated_windows(d, window=_WINDOW_W)
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher/C4-style repetition filters: top-token share, top-bigram
     share, duplicate-token fraction — map-side sorted-array folds (the
@@ -570,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "dedup_lines": q_dedup_lines,
         "text_filter": q_text_filter,
+        "dedup_strip_windows": q_dedup_strip_windows,
     }
 
 
@@ -892,6 +908,29 @@ def oracle_sql() -> dict[str, str]:
         " 1.0 - (len(list_distinct(b.t)) / len(b.t)) AS dup_token_ratio"
         " FROM base b JOIN tc USING (doc_id)"
         " LEFT JOIN bc USING (doc_id)")
+
+    # dedup_strip_windows: same boiler-augmented base and window-hash
+    # construction as dedup_window_spans, then the removal replayed —
+    # hot set (count >= 2), per-doc covered positions (flattened
+    # [s, s+w-1] spans), tokens filtered by position, rejoined
+    sql["dedup_strip_windows"] = (
+        "WITH base AS (SELECT doc_id::BIGINT AS doc_id,"
+        " string_split(coalesce(text, '') || CASE WHEN doc_id % 5 = 0"
+        f" THEN '{_BOILER}' ELSE '' END, ' ') AS t FROM documents), "
+        "occ AS (SELECT doc_id, unnest(list_transform("
+        f"CASE WHEN len(t) >= {w_} THEN generate_series(1, len(t) - {w_ - 1})"
+        " ELSE []::BIGINT[] END,"
+        f" i -> struct_pack(s := i, h := {win_hash}))) AS x FROM base), "
+        "o2 AS (SELECT doc_id, x.s AS s, x.h AS h FROM occ), "
+        "hot AS (SELECT h FROM o2 GROUP BY h HAVING count(*) >= 2), "
+        "hs AS (SELECT doc_id,"
+        f" flatten(list(generate_series(s, s + {w_ - 1}))) AS cov"
+        " FROM o2 WHERE h IN (SELECT h FROM hot) GROUP BY doc_id) "
+        "SELECT b.doc_id, coalesce(array_to_string(list_transform("
+        "list_filter(generate_series(1, len(b.t)),"
+        " i -> NOT list_contains(coalesce(hs.cov, []), i)),"
+        " i -> b.t[i]), ' '), '') AS text"
+        " FROM base b LEFT JOIN hs USING (doc_id)")
 
     sql["text_fingerprints"] = (
         f"SELECT doc_id::BIGINT AS doc_id, md5(text) AS content_md5,"

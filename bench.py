@@ -51,6 +51,7 @@ HEADLINE = (
     "sim_ivf_topk",
     "text_repetition",
     "dedup_lines",
+    "dedup_strip_windows",
     "text_filter",
     "media_frames",
     "media_decode",

@@ -86,6 +86,23 @@ def with_near_duplicates(docs: DataFrame) -> DataFrame:
     return base.unionByName(clone)
 
 
+def _window_hashes(docs: DataFrame, window: int) -> DataFrame:
+    """(doc_id, toks, wins): the token array plus the 60-bit hash of
+    every ``window``-token sliding window (wins[k] is the window
+    starting at 1-based token k+1; empty for shorter docs)."""
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    d = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    toks.alias("toks"))
+    n = F.size(F.col("toks"))
+    # guard: Spark sequence(1, 0) would COUNT DOWN ([1, 0]) — short
+    # docs must yield no windows, not phantom ones
+    starts = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)) \
+              .otherwise(F.array().cast("array<int>"))
+    wins = F.transform(starts, lambda i: h64(
+        F.concat_ws(" ", F.slice(F.col("toks"), i, window))))
+    return d.withColumn("wins", wins)
+
+
 def duplicated_window_spans(docs: DataFrame, window: int = 8,
                             min_count: int = 2) -> DataFrame:
     """Exact duplicated-token-window detection — the boilerplate /
@@ -100,21 +117,46 @@ def duplicated_window_spans(docs: DataFrame, window: int = 8,
     — only their hashes shuffle (same single-shuffle profile as
     exact_dedup); a hot boilerplate window is a single counter cell,
     not a join side, so no skew cap is needed."""
-    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
-    d = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
-                    toks.alias("toks"))
-    n = F.size(F.col("toks"))
-    # guard: Spark sequence(1, 0) would COUNT DOWN ([1, 0]) — short
-    # docs must yield no windows, not phantom ones
-    starts = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)) \
-              .otherwise(F.array().cast("array<int>"))
-    wins = F.transform(starts, lambda i: h64(
-        F.concat_ws(" ", F.slice(F.col("toks"), i, window))))
-    return (d.select("doc_id", F.explode(wins).alias("whash"))
+    return (_window_hashes(docs, window)
+            .select("doc_id", F.explode("wins").alias("whash"))
             .groupBy("whash")
             .agg(F.count("*").alias("n_occ"),
                  F.countDistinct("doc_id").alias("n_docs"))
             .filter(F.col("n_occ") >= min_count))
+
+
+def strip_duplicated_windows(docs: DataFrame, window: int = 8,
+                             min_count: int = 2) -> DataFrame:
+    """Substring-level dedup, the removal step: every token covered by
+    a ``window``-token window whose exact text occurs ≥ ``min_count``
+    times corpus-wide is deleted (ALL copies — the aggressive
+    boilerplate-removal mode), and documents are reassembled from the
+    surviving tokens → (doc_id, text). Output text is the surviving
+    tokens joined by single spaces (whitespace-normalized by
+    construction, like any token-level rewrite).
+
+    Scale shape: per-doc window hashes map-side; one count shuffle on
+    the hash; one hash-keyed semi-join of the exploded occurrences
+    against the (duplicates-only, far smaller) hot table; one doc-keyed
+    regroup of hot starts; one doc-keyed join back. Coverage marking is
+    a JVM array lambda, O(tokens × covered-positions) per document —
+    fine for web-document lengths; chunk book-length docs upstream."""
+    base = _window_hashes(docs, window)
+    occ = base.select("doc_id", F.posexplode("wins").alias("pos0", "whash"))
+    hot = (occ.groupBy("whash").agg(F.count("*").alias("n_occ"))
+           .filter(F.col("n_occ") >= min_count))
+    hot_starts = (occ.join(hot.select("whash"), "whash")
+                  .groupBy("doc_id")
+                  .agg(F.collect_list(F.col("pos0") + 1).alias("starts")))
+    covered = F.array_distinct(F.flatten(F.transform(
+        F.coalesce(F.col("starts"), F.array().cast("array<int>")),
+        lambda s: F.sequence(s, s + window - 1))))
+    joined = (base.join(hot_starts, "doc_id", "left")
+              .withColumn("covered", covered))
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.array_contains(F.col("covered"), i + 1))
+    return joined.select("doc_id", F.array_join(kept, " ").alias("text"))
 
 
 def _exploded_lines(docs: DataFrame) -> DataFrame:

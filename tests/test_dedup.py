@@ -274,3 +274,27 @@ def test_filter_decisions_first_failing_rule(spark):
     assert out[1].n_tokens == 20
     assert set(type(v) for r in out.values()
                for v in (r.n_tokens, r.keep, r.reason)) <= {int, bool, str}
+
+
+def test_strip_duplicated_windows(spark):
+    """Window-level removal: tokens covered by a corpus-duplicated
+    8-token window vanish from ALL occurrences; unique text and
+    below-window docs pass through; reconstruction keeps token order."""
+    from nobletools_spark.operators.dedup import strip_duplicated_windows
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rows = [
+        (1, "u1 u2 u3 " + boiler),
+        (2, boiler + " v1 v2"),
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+        (4, "short doc"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text
+           for r in strip_duplicated_windows(docs, window=8).collect()}
+    assert out[1] == "u1 u2 u3"
+    assert out[2] == "v1 v2"
+    assert out[3] == rows[2][1]
+    assert out[4] == "short doc"
+    assert out[5] == ""
