@@ -350,6 +350,19 @@ def q_text_filter(spark, sf_dir):
     return filter_decisions(_docs(spark, sf_dir))
 
 
+def q_text_mix_sample(spark, sf_dir):
+    """Training-mixture construction: deterministic hash-ordered
+    token-budget sampling per synthetic mix group (doc_id % 3), via
+    the bucketed prefix path (driver decision table + boundary-bucket
+    window only)."""
+    from nobletools_spark.operators.textstats import sample_to_token_budget
+
+    d = _docs(spark, sf_dir).withColumn(
+        "mix", (F.col("doc_id").cast("long") % 3).cast("string"))
+    return sample_to_token_budget(
+        d, {"0": 4000, "1": 2500, "2": 1200}, group_col="mix")
+
+
 def q_events_rollup(spark, sf_dir):
     from nobletools_spark.operators.events import daily_rollup
 
@@ -586,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "text_filter": q_text_filter,
         "dedup_strip_windows": q_dedup_strip_windows,
+        "text_mix_sample": q_text_mix_sample,
     }
 
 
@@ -1238,6 +1252,23 @@ def oracle_sql() -> dict[str, str]:
         f"r AS (SELECT doc_id, n, {reason_case} AS reason FROM m) "
         "SELECT doc_id, n::BIGINT AS n_tokens, reason = 'kept' AS keep,"
         " reason FROM r")
+
+    # text_mix_sample: the sampler's bucketed prefix machinery is an
+    # implementation detail — the SELECTED SET is defined by the
+    # hash-order cumulative rule, which the oracle replays with one
+    # window (oracle scale is small; the Spark side never whole-group
+    # sorts)
+    mix_h = _SQL_H64.format(x="'tb0|' || (doc_id::BIGINT)::VARCHAR")
+    sql["text_mix_sample"] = (
+        "WITH b AS (SELECT doc_id::BIGINT AS doc_id,"
+        " CAST(doc_id::BIGINT % 3 AS VARCHAR) AS grp,"
+        " len(string_split(coalesce(text, ''), ' '))::BIGINT AS n_tokens,"
+        f" {mix_h} AS h FROM documents), "
+        "c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY grp"
+        " ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        " CURRENT ROW) AS cum FROM b) "
+        "SELECT doc_id, grp, n_tokens FROM c WHERE cum - n_tokens <"
+        " CASE grp WHEN '0' THEN 4000 WHEN '1' THEN 2500 ELSE 1200 END")
 
     # media_frames: closed-form replay of the AVI synthesis + sampler —
     # 3 + id%8 frames at 25 fps, every-200ms picks = indices 0,5 (the

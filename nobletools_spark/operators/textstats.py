@@ -178,6 +178,86 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         .alias("dup_token_ratio"))
 
 
+def sample_to_token_budget(docs: DataFrame, budgets,
+                           group_col: str | None = None,
+                           n_buckets: int = 1024,
+                           salt: str = "tb0") -> DataFrame:
+    """Deterministic token-budget sampling — the training-MIXTURE
+    construction step: within each group (language, domain, source),
+    documents are taken in stable hash order until the group's token
+    budget is reached, i.e. a doc is kept iff the cumulative token
+    count of the docs hash-ordered before it is < budget (so the
+    budget may overshoot by at most one document per group).
+    ``budgets`` is an int (single global budget, group_col=None) or a
+    dict {group value → budget}; groups absent from the dict are
+    dropped (a mixture spec is exhaustive). Returns (doc_id, grp,
+    n_tokens). Same keys + salt ⇒ same sample on any cluster, any
+    partitioning, any engine.
+
+    Scale shape — the naive form is a whole-group window sort (one
+    reducer holds an entire 100 TB language!). Instead: docs map-side
+    get a 60-bit hash and a hash-RANGE bucket (top ``log2 n_buckets``
+    bits, order-preserving); one tiny (groups × buckets) sum
+    aggregation is collected and prefix-scanned on the driver
+    (limit-probe-sized decision table, same pattern as the closure
+    fast paths); buckets wholly inside the budget join back
+    broadcast; ONLY the single boundary bucket per group (~1/n_buckets
+    of the group) pays a window sort."""
+    if (n_buckets & (n_buckets - 1)) or n_buckets <= 0:
+        raise ValueError(f"n_buckets must be a power of two: {n_buckets}")
+    if isinstance(budgets, int):
+        if group_col is not None:
+            raise ValueError("int budget requires group_col=None")
+        budgets = {"": budgets}
+    elif group_col is None:
+        raise ValueError("dict budgets require a group_col")
+    from nobletools_spark.functions.hashing import h64
+
+    bits = n_buckets.bit_length() - 1
+    grp = (F.col(group_col) if group_col else F.lit("")).cast("string")
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        grp.alias("grp"),
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .cast("long").alias("n_tokens"),
+        h64(F.concat(F.lit(f"{salt}|"),
+                     F.col("doc_id").cast("string"))).alias("h"))
+    d = d.withColumn("bucket", F.shiftright(F.col("h"), 60 - bits))
+    sums = {(r["grp"], r["bucket"]): r["s"]
+            for r in d.groupBy("grp", "bucket")
+            .agg(F.sum("n_tokens").alias("s")).collect()}
+    full_rows, bound_rows = [], []
+    for g, budget in budgets.items():
+        g = str(g)
+        prefix = 0
+        for b in sorted(bk for gg, bk in sums if gg == g):
+            s = sums[(g, b)]
+            if prefix + s <= budget:
+                full_rows.append((g, b))
+            elif prefix < budget:
+                bound_rows.append((g, b, prefix, budget))
+            prefix += s
+    spark = docs.sparkSession
+    out_cols = ["doc_id", "grp", "n_tokens"]
+    full_df = spark.createDataFrame(
+        full_rows or [], "grp string, bucket long")
+    kept = d.join(F.broadcast(full_df), ["grp", "bucket"]).select(*out_cols)
+    if bound_rows:
+        from pyspark.sql import Window
+
+        bdf = spark.createDataFrame(
+            bound_rows, "grp string, bucket long, prefix long, budget long")
+        w = (Window.partitionBy("grp").orderBy("h", "doc_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        boundary = (d.join(F.broadcast(bdf), ["grp", "bucket"])
+                    .withColumn("cum", F.sum("n_tokens").over(w))
+                    .filter(F.col("prefix") + F.col("cum")
+                            - F.col("n_tokens") < F.col("budget"))
+                    .select(*out_cols))
+        kept = kept.unionByName(boundary)
+    return kept
+
+
 def filter_decisions(docs: DataFrame, *,
                      min_tokens: int = 20, max_tokens: int = 50_000,
                      min_avg_token_len: float = 2.0,

@@ -298,3 +298,43 @@ def test_strip_duplicated_windows(spark):
     assert out[3] == rows[2][1]
     assert out[4] == "short doc"
     assert out[5] == ""
+
+
+def test_sample_to_token_budget(spark):
+    """Mixture sampler: kept set == the pure-Python replay (hash-order
+    cumulative tokens < budget, overshoot <= one doc per group),
+    identical across bucket counts (boundary-bucket path exercised at
+    n_buckets=4), groups absent from the spec dropped, int budget =
+    single global group."""
+    from nobletools_spark.functions.hashing import h64_py
+    from nobletools_spark.operators.textstats import sample_to_token_budget
+
+    rows = [(i, ("tok " * (5 + i % 7)).strip(), str(i % 3))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, g string")
+    budgets = {"0": 100, "1": 55}          # group '2' absent: dropped
+
+    def replay(budget, ids):
+        order = sorted(ids, key=lambda i: (h64_py(f"tb0|{i}"), i))
+        kept, cum = set(), 0
+        for i in order:
+            n = 5 + i % 7
+            if cum < budget:
+                kept.add(i)
+            cum += n
+        return kept
+
+    want = replay(100, [i for i in range(60) if i % 3 == 0]) \
+        | replay(55, [i for i in range(60) if i % 3 == 1])
+    for nb in (4, 1024):
+        got = {r.doc_id for r in sample_to_token_budget(
+            docs, budgets, group_col="g", n_buckets=nb).collect()}
+        assert got == want, nb
+    # per-doc token counts come back too
+    out = {r.doc_id: r.n_tokens for r in sample_to_token_budget(
+        docs, budgets, group_col="g").collect()}
+    assert all(out[i] == 5 + i % 7 for i in out)
+    # int budget = one global group
+    got_all = {r.doc_id for r in
+               sample_to_token_budget(docs, 90).collect()}
+    assert got_all == replay(90, range(60))
