@@ -350,6 +350,15 @@ def q_text_filter(spark, sf_dir):
     return filter_decisions(_docs(spark, sf_dir))
 
 
+def q_text_chunks(spark, sf_dir):
+    """Context-window packing: 32-token chunks with 8-token overlap
+    (map-only explode, zero shuffle)."""
+    from nobletools_spark.operators.textstats import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32,
+                           overlap=8)
+
+
 def q_text_mix_sample(spark, sf_dir):
     """Training-mixture construction: deterministic hash-ordered
     token-budget sampling per synthetic mix group (doc_id % 3), via
@@ -600,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_filter": q_text_filter,
         "dedup_strip_windows": q_dedup_strip_windows,
         "text_mix_sample": q_text_mix_sample,
+        "text_chunks": q_text_chunks,
     }
 
 
@@ -1252,6 +1262,22 @@ def oracle_sql() -> dict[str, str]:
         f"r AS (SELECT doc_id, n, {reason_case} AS reason FROM m) "
         "SELECT doc_id, n::BIGINT AS n_tokens, reason = 'kept' AS keep,"
         " reason FROM r")
+
+    # text_chunks: replay the start arithmetic (step = 32 − 8 = 24;
+    # whole doc when ≤ 32 tokens) and slice; DuckDB list slices clamp
+    # at the end exactly like Spark's slice
+    sql["text_chunks"] = (
+        "WITH b AS (SELECT doc_id::BIGINT AS doc_id,"
+        " string_split(coalesce(text, ''), ' ') AS t FROM documents), "
+        "s AS (SELECT doc_id, t, unnest(list_transform("
+        "generate_series(1, len(starts)),"
+        " k -> struct_pack(cid := k - 1, st := starts[k]))) AS x FROM"
+        " (SELECT doc_id, t, CASE WHEN len(t) > 32 THEN"
+        " generate_series(1, len(t) - 8, 24) ELSE [1] END AS starts"
+        " FROM b)) "
+        "SELECT doc_id, x.cid::INT AS chunk_id,"
+        " array_to_string(t[x.st:x.st + 31], ' ') AS text,"
+        " least(32, len(t) - x.st + 1)::BIGINT AS n_tokens FROM s")
 
     # text_mix_sample: the sampler's bucketed prefix machinery is an
     # implementation detail — the SELECTED SET is defined by the

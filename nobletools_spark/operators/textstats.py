@@ -178,6 +178,40 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         .alias("dup_token_ratio"))
 
 
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 512,
+                    overlap: int = 64) -> DataFrame:
+    """Split documents into fixed token-window chunks with overlap —
+    the context-window packing prep step of a training pipeline.
+    Chunk k covers tokens [1 + k·(chunk_tokens − overlap), …] of the
+    whitespace tokenization, the final chunk is whatever remains
+    (≥ overlap + 1 tokens by construction), and docs at or under
+    chunk_tokens stay whole. Returns (doc_id, chunk_id, text,
+    n_tokens) with text rejoined by single spaces.
+
+    Scale shape: map-only explode (Generate + immediate projection),
+    zero shuffle, whole-stage codegen; output row count ≈
+    corpus_tokens / (chunk_tokens − overlap)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got "
+                         f"{overlap} / {chunk_tokens}")
+    step = chunk_tokens - overlap
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    d = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    toks.alias("toks"))
+    n = F.size(F.col("toks"))
+    starts = F.when(n > chunk_tokens,
+                    F.sequence(F.lit(1), n - overlap, F.lit(step))) \
+              .otherwise(F.array(F.lit(1)))
+    d = d.select("doc_id", "toks",
+                 F.posexplode(starts).alias("chunk_id", "s"))
+    piece = F.slice(F.col("toks"), F.col("s"), chunk_tokens)
+    n_tok = F.least(F.lit(chunk_tokens), F.size(F.col("toks")) - F.col("s")
+                    + 1)
+    return d.select("doc_id", "chunk_id",
+                    F.array_join(piece, " ").alias("text"),
+                    n_tok.cast("long").alias("n_tokens"))
+
+
 def sample_to_token_budget(docs: DataFrame, budgets,
                            group_col: str | None = None,
                            n_buckets: int = 1024,

@@ -338,3 +338,28 @@ def test_sample_to_token_budget(spark):
     got_all = {r.doc_id for r in
                sample_to_token_budget(docs, 90).collect()}
     assert got_all == replay(90, range(60))
+
+
+def test_chunk_documents(spark):
+    """Chunking: overlapping fixed windows, short docs stay whole, the
+    final chunk carries the remainder (> overlap tokens), chunk text
+    reassembles the exact token slices."""
+    import pytest as _pytest
+
+    from nobletools_spark.operators.textstats import chunk_documents
+
+    t20 = " ".join(f"w{i}" for i in range(1, 21))
+    rows = [(1, t20), (2, "a b c"), (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_id, r.chunk_id): (r.text, r.n_tokens)
+           for r in chunk_documents(docs, chunk_tokens=8,
+                                    overlap=2).collect()}
+    # doc 1: starts 1, 7, 13 (step 6, last start <= 20-2)
+    assert out[(1, 0)] == (" ".join(f"w{i}" for i in range(1, 9)), 8)
+    assert out[(1, 1)] == (" ".join(f"w{i}" for i in range(7, 15)), 8)
+    assert out[(1, 2)] == (" ".join(f"w{i}" for i in range(13, 21)), 8)
+    assert out[(2, 0)] == ("a b c", 3)      # short doc stays whole
+    assert out[(3, 0)] == ("", 1)           # NULL text -> one '' token
+    assert len(out) == 5
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
