@@ -325,3 +325,42 @@ def test_streaming_template_extraction(spark, tmp_path):
     batch = extract_items(annotate(docs, idx), edges, templates)
     want = {(r.doc_id, r.cui, r.start, r.absent) for r in batch.collect()}
     assert got == want and got
+
+
+def test_streaming_training_data_ops(spark, tmp_path):
+    """The stateless training-data operators (filter_decisions,
+    chunk_documents) run unchanged on a streaming source and match
+    their batch outputs exactly — corpus prep works as a continuous
+    ingestion pipeline, not just a batch job."""
+    from pyspark.sql import functions as F
+    from nobletools_spark.operators.textstats import (
+        chunk_documents,
+        filter_decisions,
+    )
+
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("the quick brown fox plus filler "),
+                 F.expr("repeat('tok ', CAST(id % 40 AS INT))"))
+        .alias("text"))
+    in_path = str(tmp_path / "docs")
+    docs.write.parquet(in_path)
+
+    batch_filter = {tuple(r) for r in filter_decisions(docs).collect()}
+    batch_chunks = {tuple(r) for r in
+                    chunk_documents(docs, 16, 4).collect()}
+
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .parquet(in_path)
+    for name, op, want in (
+            ("filter", filter_decisions, batch_filter),
+            ("chunks", lambda d: chunk_documents(d, 16, 4),
+             batch_chunks)):
+        out = str(tmp_path / f"out_{name}")
+        ck = str(tmp_path / f"ck_{name}")
+        q = (op(stream).writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {tuple(r) for r in spark.read.parquet(out).collect()}
+        assert got == want and got, name
