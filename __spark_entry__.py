@@ -406,6 +406,15 @@ def q_dedup_clusters(spark, sf_dir):
                           threshold=_LSH_JACCARD_T)
 
 
+def q_dedup_drop_near(spark, sf_dir):
+    """Near-dup REMOVAL: the planted clones vanish, cluster
+    representatives and unclustered docs survive with their text."""
+    from nobletools_spark.operators.dedup import drop_near_duplicates
+
+    return drop_near_duplicates(with_near_duplicates(_docs(spark, sf_dir)),
+                                threshold=_LSH_JACCARD_T)
+
+
 def q_dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
@@ -610,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_strip_windows": q_dedup_strip_windows,
         "text_mix_sample": q_text_mix_sample,
         "text_chunks": q_text_chunks,
+        "dedup_drop_near": q_dedup_drop_near,
     }
 
 
@@ -1094,6 +1104,28 @@ def oracle_sql() -> dict[str, str]:
         f" (d.doc_id = coalesce(least(comp.mn, d.doc_id), d.doc_id))"
         f" AS keep"
         f" FROM alldocs d LEFT JOIN comp ON d.doc_id = comp.node")
+
+    # dedup_drop_near: the clusters oracle's component table, applied
+    # as removal — keep unclustered docs and cluster minima, with text
+    # (clone text = original minus first token, as with_near_duplicates)
+    sql["dedup_drop_near"] = (
+        f"WITH RECURSIVE pairs AS ({mh_pairs_sql}), "
+        f"edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs"
+        f" UNION SELECT doc_b, doc_a FROM pairs), "
+        f"reach(node, r) AS ("
+        f" SELECT a, b FROM edges"
+        f" UNION"
+        f" SELECT reach.node, edges.b FROM reach"
+        f" JOIN edges ON reach.r = edges.a), "
+        f"comp AS (SELECT node, min(r) AS mn FROM reach GROUP BY node), "
+        f"alldocs AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents"
+        f" UNION ALL SELECT doc_id::BIGINT + {NEAR_DUP_ID_OFFSET},"
+        f" coalesce(array_to_string((string_split(text, ' '))[2:], ' '), '')"
+        f" FROM documents) "
+        f"SELECT d.doc_id, d.text FROM alldocs d"
+        f" LEFT JOIN comp ON d.doc_id = comp.node"
+        f" WHERE comp.node IS NULL"
+        f" OR d.doc_id = least(comp.mn, d.doc_id)")
 
     vsum = ", ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"

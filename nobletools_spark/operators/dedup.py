@@ -481,10 +481,9 @@ def dedup_clusters(docs: DataFrame, n: int = 3, num_hashes: int = 16,
 
     Scale shape: the pair table is tiny relative to the corpus (only
     near-dups), so the component computation runs on edges only
-    (iterative min-label propagation, O(cluster diameter) rounds —
-    near-dup clusters are shallow; GraphFrames swap documented in
-    operators/canonical.py) and joins back to the corpus once,
-    broadcast when the dup set is small."""
+    (driver union-find for small pair tables, large-star/small-star
+    doubling beyond — see operators/canonical.py) and joins back to
+    the corpus once, broadcast when the dup set is small."""
     from nobletools_spark.operators.canonical import connected_components
 
     pairs = minhash_lsh_pairs(docs, n, num_hashes, bands, threshold,
@@ -499,3 +498,33 @@ def dedup_clusters(docs: DataFrame, n: int = 3, num_hashes: int = 16,
                     F.coalesce(F.least("component", "doc_id"),
                                F.col("doc_id")).alias("cluster_id"))
             .withColumn("keep", F.col("doc_id") == F.col("cluster_id")))
+
+
+def drop_near_duplicates(docs: DataFrame, n: int = 3,
+                         num_hashes: int = 16, bands: int = 4,
+                         threshold: float = 0.125,
+                         max_bucket: int = 64) -> DataFrame:
+    """The near-dup REMOVAL step: MinHash-LSH pairs → connected
+    clusters → the deduplicated corpus (doc_id, text), keeping only
+    each cluster's canonical representative (min doc_id) plus every
+    unclustered document.
+
+    Scale shape: the drop list is only the NON-representative
+    clustered docs — a subset of the (already small) near-dup set —
+    so the corpus pays a single left-anti join against it
+    (broadcastable at realistic dup rates; AQE falls back to
+    sort-merge otherwise). The corpus itself is never grouped or
+    sorted."""
+    from nobletools_spark.operators.canonical import connected_components
+
+    pairs = minhash_lsh_pairs(docs, n, num_hashes, bands, threshold,
+                              max_bucket)
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("a"),
+                     F.col("doc_b").alias("b")))
+    drop = (comp.filter(F.col("node")
+                        != F.least("component", F.col("node")))
+            .select(F.col("node").alias("doc_id")))
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "text")
+            .join(drop, "doc_id", "left_anti"))

@@ -363,3 +363,26 @@ def test_chunk_documents(spark):
     assert len(out) == 5
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_drop_near_duplicates_consistent_with_clusters(spark):
+    """The removal step keeps exactly the keep=true rows of the
+    decision step, with the surviving text intact."""
+    from nobletools_spark.operators.dedup import (
+        dedup_clusters,
+        drop_near_duplicates,
+        with_near_duplicates,
+    )
+
+    base = spark.createDataFrame(
+        [(i, " ".join(f"t{i}w{j}" for j in range(12))) for i in range(8)],
+        "doc_id long, text string")
+    docs = with_near_duplicates(base)
+    kept = {r.doc_id: r.text
+            for r in drop_near_duplicates(docs, threshold=0.5).collect()}
+    decide = {r.doc_id for r in dedup_clusters(docs, threshold=0.5)
+              .collect() if r.keep}
+    assert set(kept) == decide
+    assert set(kept) == set(range(8))        # clones all dropped
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert all(kept[i] == texts[i] for i in kept)
