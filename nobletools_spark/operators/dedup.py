@@ -86,21 +86,29 @@ def with_near_duplicates(docs: DataFrame) -> DataFrame:
     return base.unionByName(clone)
 
 
-def _window_hashes(docs: DataFrame, window: int) -> DataFrame:
-    """(doc_id, toks, wins): the token array plus the 60-bit hash of
-    every ``window``-token sliding window (wins[k] is the window
-    starting at 1-based token k+1; empty for shorter docs)."""
-    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
-    d = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
-                    toks.alias("toks"))
+def _tok_docs(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("toks"))
+
+
+def _wins_expr(window: int) -> Column:
+    """Array of 60-bit hashes of every ``window``-token sliding window
+    of the staged ``toks`` column (element k = window starting at
+    1-based token k+1; empty for shorter docs).
+
+    Returned as a raw EXPRESSION to explode directly, never as a named
+    column: naming it lets InferFiltersFromConstraints derive a
+    scan-level `size(wins) > 0` filter with the whole md5 chain
+    inlined, silently hashing every window TWICE (a measured 2.5×
+    regression)."""
     n = F.size(F.col("toks"))
     # guard: Spark sequence(1, 0) would COUNT DOWN ([1, 0]) — short
     # docs must yield no windows, not phantom ones
     starts = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)) \
               .otherwise(F.array().cast("array<int>"))
-    wins = F.transform(starts, lambda i: h64(
+    return F.transform(starts, lambda i: h64(
         F.concat_ws(" ", F.slice(F.col("toks"), i, window))))
-    return d.withColumn("wins", wins)
 
 
 def duplicated_window_spans(docs: DataFrame, window: int = 8,
@@ -117,8 +125,8 @@ def duplicated_window_spans(docs: DataFrame, window: int = 8,
     — only their hashes shuffle (same single-shuffle profile as
     exact_dedup); a hot boilerplate window is a single counter cell,
     not a join side, so no skew cap is needed."""
-    return (_window_hashes(docs, window)
-            .select("doc_id", F.explode("wins").alias("whash"))
+    return (_tok_docs(docs)
+            .select("doc_id", F.explode(_wins_expr(window)).alias("whash"))
             .groupBy("whash")
             .agg(F.count("*").alias("n_occ"),
                  F.countDistinct("doc_id").alias("n_docs"))
@@ -141,8 +149,10 @@ def strip_duplicated_windows(docs: DataFrame, window: int = 8,
     regroup of hot starts; one doc-keyed join back. Coverage marking is
     a JVM array lambda, O(tokens × covered-positions) per document —
     fine for web-document lengths; chunk book-length docs upstream."""
-    base = _window_hashes(docs, window)
-    occ = base.select("doc_id", F.posexplode("wins").alias("pos0", "whash"))
+    base = _tok_docs(docs)
+    occ = base.select("doc_id",
+                      F.posexplode(_wins_expr(window)).alias("pos0",
+                                                             "whash"))
     hot = (occ.groupBy("whash").agg(F.count("*").alias("n_occ"))
            .filter(F.col("n_occ") >= min_count))
     hot_starts = (occ.join(hot.select("whash"), "whash")
