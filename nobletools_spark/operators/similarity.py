@@ -177,8 +177,15 @@ def ivf_topk(emb: DataFrame, n_cells: int = 16, k: int = 3,
     # aliases separate).
     cells_col = F.transform(F.slice(F.array_sort(darr), 1, n_probe),
                             lambda s: s["cell"])
+    # the coalesce sentinel never fires (darr is a non-empty literal
+    # array) — it marks `cell` NON-NULLABLE so the join below can't
+    # infer a scan-level isnotnull(<full argmin chain>) filter that
+    # would recompute every distance a second time (the
+    # explode-of-named-column variant of the InferFilters trap)
     assigned = (base0.select("*", cells_col.alias("cells"))
-                .withColumn("cell", F.element_at("cells", 1)))
+                .withColumn("cell",
+                            F.coalesce(F.element_at("cells", 1),
+                                       F.lit(-1).cast("long"))))
     sizes = assigned.groupBy("cell").count()
     ok = sizes.filter(F.col("count") <= max_cell).select("cell")
     base = assigned.join(F.broadcast(ok), "cell").repartition("cell")

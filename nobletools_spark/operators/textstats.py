@@ -248,14 +248,20 @@ def sample_to_token_budget(docs: DataFrame, budgets,
     from nobletools_spark.functions.hashing import h64
 
     bits = n_buckets.bit_length() - 1
-    grp = (F.col(group_col) if group_col else F.lit("")).cast("string")
+    # grp/h are join keys below: coalesce marks them non-nullable so
+    # no scan-level isnotnull(<md5 chain>) filter is inferred (NULL
+    # group values — only possible via a NULL group column — sample as
+    # the '' group)
+    grp = F.coalesce((F.col(group_col) if group_col else F.lit(""))
+                     .cast("string"), F.lit(""))
     d = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         grp.alias("grp"),
         F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
         .cast("long").alias("n_tokens"),
-        h64(F.concat(F.lit(f"{salt}|"),
-                     F.col("doc_id").cast("string"))).alias("h"))
+        F.coalesce(h64(F.concat(F.lit(f"{salt}|"),
+                                F.col("doc_id").cast("string"))),
+                   F.lit(0).cast("long")).alias("h"))
     d = d.withColumn("bucket", F.shiftright(F.col("h"), 60 - bits))
     sums = {(r["grp"], r["bucket"]): r["s"]
             for r in d.groupBy("grp", "bucket")
