@@ -350,6 +350,28 @@ def q_text_filter(spark, sf_dir):
     return filter_decisions(_docs(spark, sf_dir))
 
 
+# a deterministic "benchmark" sentence (14 tokens → two 13-gram
+# windows) planted on every 9th doc; the decoy never matches
+_EVAL_SNIPPET = ("evalqa answer the following question about glaciers"
+                 " using only the provided passage text")
+_EVAL_DECOY = ("this decoy benchmark sentence appears nowhere in the"
+               " corpus at any point whatsoever today")
+
+
+def q_text_contamination(spark, sf_dir):
+    """Test-set decontamination: 13-gram overlap against a broadcast
+    benchmark hash table; planted eval snippets are flagged with hit
+    counts, everything else is clean."""
+    from nobletools_spark.operators.dedup import flag_contaminated
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.when(F.col("doc_id") % 9 == 0,
+                        F.lit(" " + _EVAL_SNIPPET)).otherwise(F.lit(""))))
+    return flag_contaminated(d, [_EVAL_SNIPPET, _EVAL_DECOY])
+
+
 def q_text_chunks(spark, sf_dir):
     """Context-window packing: 32-token chunks with 8-token overlap
     (map-only explode, zero shuffle)."""
@@ -620,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_mix_sample": q_text_mix_sample,
         "text_chunks": q_text_chunks,
         "dedup_drop_near": q_dedup_drop_near,
+        "text_contamination": q_text_contamination,
     }
 
 
@@ -1294,6 +1317,34 @@ def oracle_sql() -> dict[str, str]:
         f"r AS (SELECT doc_id, n, {reason_case} AS reason FROM m) "
         "SELECT doc_id, n::BIGINT AS n_tokens, reason = 'kept' AS keep,"
         " reason FROM r")
+
+    # text_contamination: benchmark 13-gram hashes embedded as literals
+    # (h64_py ≡ the corpus-side JVM h64), corpus windows replayed with
+    # the same hash construction as dedup_window_spans
+    from nobletools_spark.functions.hashing import h64_py
+
+    bench_h = sorted({
+        h64_py(" ".join(toks[i:i + 13]))
+        for t in (_EVAL_SNIPPET, _EVAL_DECOY)
+        for toks in [t.split(" ")]
+        if len(toks) >= 13
+        for i in range(len(toks) - 12)})
+    w13h = _SQL_H64.format(x="array_to_string(t[i:i+12], ' ')")
+    sql["text_contamination"] = (
+        "WITH base AS (SELECT doc_id::BIGINT AS doc_id,"
+        " string_split(coalesce(text, '') || CASE WHEN doc_id % 9 = 0"
+        f" THEN ' {_EVAL_SNIPPET}' ELSE '' END, ' ') AS t"
+        " FROM documents), "
+        "occ AS (SELECT doc_id, unnest(list_transform("
+        "CASE WHEN len(t) >= 13 THEN generate_series(1, len(t) - 12)"
+        " ELSE []::BIGINT[] END,"
+        f" i -> {w13h})) AS whash FROM base), "
+        "hits AS (SELECT doc_id, count(*) AS n_hits FROM occ"
+        f" WHERE whash IN ({', '.join(str(h) for h in bench_h)})"
+        " GROUP BY doc_id) "
+        "SELECT b.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,"
+        " coalesce(h.n_hits, 0) > 0 AS contaminated"
+        " FROM base b LEFT JOIN hits h USING (doc_id)")
 
     # text_chunks: replay the start arithmetic (step = 32 − 8 = 24;
     # whole doc when ≤ 32 tokens) and slice; DuckDB list slices clamp

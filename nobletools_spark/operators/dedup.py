@@ -241,6 +241,42 @@ def strip_duplicated_lines(docs: DataFrame, min_count: int = 2,
                     F.coalesce("text", F.lit("")).alias("text")))
 
 
+def flag_contaminated(docs: DataFrame, benchmark_texts: list[str],
+                      window: int = 13) -> DataFrame:
+    """Test-set decontamination (the GPT-3/Llama 13-gram recipe): a
+    document is contaminated iff it shares any exact ``window``-token
+    n-gram with a benchmark/eval text. Returns (doc_id, n_hits,
+    contaminated) for every document.
+
+    Scale shape: the benchmark side is tokenized and hashed
+    driver-side (h64_py ≡ the corpus-side JVM h64) into a deduped hash
+    table that broadcasts — benchmark suites are tiny next to the
+    corpus; the corpus pays one map-side window-hash explode, a
+    broadcast semi-join, and a doc-keyed count over only the MATCHING
+    occurrences (contaminated docs only, so the rollup and the
+    join-back are duplicate-sized, not corpus-sized)."""
+    from nobletools_spark.functions.hashing import h64_py
+
+    bench = sorted({
+        h64_py(" ".join(toks[i:i + window]))
+        for t in benchmark_texts
+        for toks in [(t or "").split(" ")]
+        if len(toks) >= window
+        for i in range(len(toks) - window + 1)})
+    d = _tok_docs(docs)
+    spark = docs.sparkSession
+    bh = spark.createDataFrame([(h,) for h in bench], "whash long")
+    occ = d.select("doc_id", F.explode(_wins_expr(window)).alias("whash"))
+    hits = (occ.join(F.broadcast(bh), "whash")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
+    return (d.select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_hits", F.lit(0).cast("long"))
+                    .alias("n_hits"))
+            .withColumn("contaminated", F.col("n_hits") > 0))
+
+
 def exact_dedup(docs: DataFrame, by: str = "content") -> DataFrame:
     """Exact-duplicate groups: (sig, keep_doc_id, n_docs). ``by`` =
     'content' (raw text) or 'bag' (sorted distinct token set — catches

@@ -386,3 +386,27 @@ def test_drop_near_duplicates_consistent_with_clusters(spark):
     assert set(kept) == set(range(8))        # clones all dropped
     texts = {r.doc_id: r.text for r in docs.collect()}
     assert all(kept[i] == texts[i] for i in kept)
+
+
+def test_flag_contaminated(spark):
+    """13-gram decontamination: docs sharing an exact 13-token window
+    with a benchmark text are flagged with their hit counts; shorter
+    docs and non-overlapping docs are clean; benchmark texts below the
+    window contribute nothing."""
+    from nobletools_spark.operators.dedup import flag_contaminated
+
+    snip = " ".join(f"e{i}" for i in range(14))         # 2 windows of 13
+    rows = [
+        (1, "lead text " + snip),
+        (2, "totally unrelated content here that is long enough to have "
+            "plenty of its own thirteen token windows in it today"),
+        (3, "tiny"),
+        (4, snip),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in flag_contaminated(docs, [snip, "short bench"]).collect()}
+    assert out[1] == (2, True)
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+    assert out[4] == (2, True)
