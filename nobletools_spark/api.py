@@ -143,6 +143,23 @@ class NobleCoderSpark:
         return self.extract(docs_df, templates_df, sections_df=sections_df,
                             components_df=components_df, **kw)
 
+    def extract_matrix(self, docs_df, template):
+        """The FAITHFUL extractor (operators/extract_kernel): one
+        result-matrix row per document, cell-for-cell equal to the
+        reference's InformationExtractor + CSVExporter (11th Java
+        parity leg, P=R=1.0) — section sentence ranges, the Feature
+        second pass, per-annotation value parsing, findConcept
+        component re-matching included. ``template`` is a TemplateSpec
+        or a ``.template`` XML string. Map-only mapInPandas, zero
+        shuffle; prefer ``extract()`` when the DuckDB-oracle-checked
+        declarative subset suffices. Uses the kernel's own coder config
+        (selectBestCandidate OFF, as the reference's extractor does),
+        not this instance's batch-coding config."""
+        from nobletools_spark.operators.extract_kernel import extract_matrix
+
+        return extract_matrix(docs_df, self.index, template,
+                              context=self.context)
+
     # ------------------------------------------------------------------
     # ad-hoc probes (driver-side, no cluster)
     # ------------------------------------------------------------------

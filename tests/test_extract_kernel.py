@@ -265,3 +265,21 @@ def test_extract_matrix_spark(rig, spark):
     assert out["d1"]["Superficial Spreading Melanoma"] == "present ;"
     assert out["d1"]["Nodular Melanoma"] == "present ;"
     assert all(v == "" for k, v in out["d2"].items() if k != "Document")
+
+
+def test_api_extract_matrix(rig, spark):
+    """NobleCoderSpark.extract_matrix exposes the faithful kernel on
+    the API surface with the kernel's own coder config (reference
+    semantics), not the batch-coding config."""
+    from nobletools_spark.api import NobleCoderSpark
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+
+    spec, rt, idx, ctx = rig
+    eng = NobleCoderSpark(idx, context=ctx)
+    docs = spark.createDataFrame(
+        [("d1", [("text", "GROSS DESCRIPTION: Breslow depth is 1.2 mm. "
+                  "Clear margins are noted.\n", None, 0)])], SPANS_DDL)
+    out = {r["Document"]: r.asDict()
+           for r in eng.extract_matrix(docs, spec).collect()}
+    assert out["d1"]["Breslow Depth"] == "1.20 Millimeter ;"
+    assert out["d1"]["Surgical Margin"] == "Clear Margin (C342) ;"
