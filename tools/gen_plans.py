@@ -24,7 +24,9 @@ NOTES = {
     "kg_isa_closure": "iterative BFS on terminology-sized edges (driver"
                       " loop, localCheckpoint-truncated)",
     "kg_semtypes": "single aggregation over terminology-sized table",
-    "kg_canonical": "min-label propagation on terminology-sized edges",
+    "kg_canonical": "connected components on terminology-sized edges"
+                    " (driver union-find here; large-star/small-star"
+                    " doubling beyond the threshold)",
     "kg_word_stats": "single aggregation, map-side partials",
     "text_token_stats": "pure whole-stage codegen, zero exchange",
     "text_quality": "pure whole-stage codegen, zero exchange",
@@ -64,6 +66,31 @@ NOTES = {
     "text_sample": "deterministic hash filter, zero exchange",
     "sim_lsh_topk": "64-bucket (6-plane) capped self-join + window rank —"
                     " bucket keys lift the r01 16-task ceiling",
+    "dedup_lines": "map-side line explode; ONE partial-agged"
+                   " count+keeper shuffle on the line text; dup table"
+                   " broadcast into the line join; one doc-keyed"
+                   " rebuild",
+    "dedup_strip_windows": "map-side window hashes (raw-expression"
+                           " explode — no inferred-filter double eval);"
+                           " one count shuffle; hash-keyed semi-join vs"
+                           " the duplicates-only hot table; doc-keyed"
+                           " regroup + join back",
+    "dedup_drop_near": "LSH pairs -> components on the tiny pair table;"
+                       " corpus pays one left-anti join against the"
+                       " non-representative drop list",
+    "text_filter": "pure whole-stage codegen, zero exchange, no float"
+                   " outputs",
+    "text_mix_sample": "hash-range buckets + driver prefix decision"
+                       " table; only the boundary bucket per group pays"
+                       " a window sort",
+    "text_chunks": "map-only Generate + projection, zero shuffle",
+    "text_contamination": "broadcast benchmark-hash semi-join over"
+                          " map-side window hashes; duplicate-sized doc"
+                          " rollup",
+    "text_repetition": "map-side sorted-array folds, zero exchange",
+    "media_frames": "pandas-UDF container synthesis + mapInPandas"
+                    " demux, zero shuffle",
+    "media_decode": "mapInPandas decode + features, zero shuffle",
 }
 
 
