@@ -277,3 +277,89 @@ def kg_stages(index, context=None, cfg=None,
         # regardless of position
         stages.append(Stage("item_instances", s_items))
     return stages
+
+
+def prep_stages(*, filter_kw: dict | None = None,
+                line_min_count: int = 2, line_min_len: int = 10,
+                near_kw: dict | None = None,
+                benchmark_texts: tuple[str, ...] = (),
+                budgets=None, group_col: str | None = None,
+                chunk_tokens: int = 512, overlap: int = 64) -> list[Stage]:
+    """The corpus-prep (training-data) pipeline as resumable stages:
+
+        decisions → filtered → line_dedup → near_dedup
+        [→ decontaminated] [→ mix_sample → mixed] → chunks
+
+    Every stage materializes a (doc_id, text) corpus snapshot (plus the
+    decision/sample side tables), so a killed multi-day prep job
+    resumes at the last completed stage with the same
+    manifest-fingerprint + per-partition-lineage machinery as
+    kg_stages. The optional stages join in when ``benchmark_texts``
+    (13-gram decontamination) / ``budgets`` (token-budget mixture
+    sampling) are provided; they sit before chunking so the chunk
+    stage always consumes the final surviving corpus."""
+    from nobletools_spark.operators.dedup import (
+        drop_near_duplicates,
+        flag_contaminated,
+        strip_duplicated_lines,
+    )
+    from nobletools_spark.operators.textstats import (
+        chunk_documents,
+        filter_decisions,
+        sample_to_token_budget,
+    )
+
+    def s_decisions(spark, r):
+        return filter_decisions(r["documents"], **(filter_kw or {}))
+
+    def s_filtered(spark, r):
+        keep = r["decisions"].filter(F.col("keep")).select("doc_id")
+        return (r["documents"]
+                .select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "text")
+                .join(keep, "doc_id"))
+
+    def s_line(spark, r):
+        return strip_duplicated_lines(r["filtered"], line_min_count,
+                                      line_min_len)
+
+    def s_near(spark, r):
+        return drop_near_duplicates(r["line_dedup"], **(near_kw or {}))
+
+    def s_decon(spark, r):
+        flags = flag_contaminated(r["near_dedup"], list(benchmark_texts))
+        return r["near_dedup"].join(
+            flags.filter(F.col("contaminated")).select("doc_id"),
+            "doc_id", "left_anti")
+
+    stages = [
+        Stage("decisions", s_decisions),
+        Stage("filtered", s_filtered),
+        Stage("line_dedup", s_line),
+        Stage("near_dedup", s_near),
+    ]
+    corpus = "near_dedup"
+    if benchmark_texts:
+        stages.append(Stage("decontaminated", s_decon))
+        corpus = "decontaminated"
+
+    if budgets is not None:
+        src = corpus
+
+        def s_mix(spark, r):
+            return sample_to_token_budget(r[src], budgets,
+                                          group_col=group_col)
+
+        def s_mixed(spark, r):
+            return r[src].join(r["mix_sample"].select("doc_id"), "doc_id")
+
+        stages += [Stage("mix_sample", s_mix), Stage("mixed", s_mixed)]
+        corpus = "mixed"
+
+    final = corpus
+
+    def s_chunks(spark, r):
+        return chunk_documents(r[final], chunk_tokens, overlap)
+
+    stages.append(Stage("chunks", s_chunks))
+    return stages

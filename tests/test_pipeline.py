@@ -203,3 +203,53 @@ def test_template_extraction_stage(spark, tmp_path):
     pipe2.run(spark, {"documents": docs, "isa_edges": edges},
               run_config={"corpus": "tmpl30"})
     assert all(r.status == "resumed" for r in pipe2.reports)
+
+
+def test_prep_pipeline_stages_and_resume(spark, tmp_path):
+    """The corpus-prep pipeline: filter drops the short doc, line dedup
+    strips the planted boilerplate line everywhere but its keeper,
+    near-dedup drops the clone, decontamination drops the doc carrying
+    the benchmark 13-gram, and chunking consumes the final corpus —
+    then a rerun resumes every stage from its manifest."""
+    from nobletools_spark.plans.pipeline import Pipeline, prep_stages
+
+    boiler = "this exact boilerplate line appears in many documents"
+    snip = " ".join(f"e{i}" for i in range(13))
+
+    def body(tag):                         # diverse tokens + stopwords
+        return " ".join(f"{tag}{i}" for i in range(40)) + " the of and in"
+
+    rows = [
+        (1, f"{body('a')}\n{boiler}"),
+        (2, f"{boiler}\n{body('b')}"),
+        (3, body("c")),                                    # near-dup seed
+        (4, "too short"),                                  # filtered out
+        (5, f"{body('d')} {snip}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # a true near-duplicate of doc 3 (first token dropped)
+    clone = docs.filter("doc_id = 3").selectExpr(
+        "CAST(103 AS LONG) AS doc_id",
+        "substring(text, instr(text, ' ') + 1) AS text")
+    docs = docs.unionByName(clone)
+
+    out = str(tmp_path / "prep")
+    stages = prep_stages(benchmark_texts=(snip,), chunk_tokens=16,
+                         overlap=4, near_kw={"threshold": 0.5})
+    pipe = Pipeline(out, stages)
+    res = pipe.run(spark, {"documents": docs}, run_config={"v": 1})
+    assert [r.status for r in pipe.reports] == ["computed"] * 6
+
+    final = {r.doc_id: r.text for r in res["decontaminated"].collect()}
+    assert 4 not in final                 # too_few_tokens
+    assert 5 not in final                 # benchmark 13-gram
+    assert 103 not in final               # near-dup clone dropped
+    assert boiler in final[1] and boiler not in final[2]  # keeper only
+    chunks = res["chunks"].collect()
+    assert chunks and {r.doc_id for r in chunks} == set(final)
+
+    pipe2 = Pipeline(out, prep_stages(benchmark_texts=(snip,),
+                                      chunk_tokens=16, overlap=4,
+                                      near_kw={"threshold": 0.5}))
+    pipe2.run(spark, {"documents": docs}, run_config={"v": 1})
+    assert [r.status for r in pipe2.reports] == ["resumed"] * 6
