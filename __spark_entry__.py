@@ -350,8 +350,8 @@ def q_text_filter(spark, sf_dir):
     return filter_decisions(_docs(spark, sf_dir))
 
 
-# a deterministic "benchmark" sentence (14 tokens → two 13-gram
-# windows) planted on every 9th doc; the decoy never matches
+# a deterministic "benchmark" sentence (13 tokens → one 13-gram
+# window) planted on every 9th doc; the decoy never matches
 _EVAL_SNIPPET = ("evalqa answer the following question about glaciers"
                  " using only the provided passage text")
 _EVAL_DECOY = ("this decoy benchmark sentence appears nowhere in the"

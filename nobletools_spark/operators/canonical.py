@@ -105,21 +105,29 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
              .union(real.select(F.col("b").alias("node")))
              .distinct())
     e = real.distinct().localCheckpoint(eager=True)
-    # pass-to-pass convergence via an order-insensitive edge-set
-    # checksum: crc32 ∈ [0, 2^32) so the sum can't overflow long under
-    # ANSI mode for < 2^31 edges
+    # pass-to-pass convergence: a cheap order-insensitive checksum
+    # (count + multi-arg xxhash64 masked to 32 bits so the sum can't
+    # overflow long under ANSI for < 2^31 edges; multi-arg hashing has
+    # no delimiter ambiguity for ids containing separators) gates an
+    # EXACT set-equality confirmation — wrong components from a
+    # checksum collision would silently merge CUIs downstream, so the
+    # hash alone is never trusted to stop the loop
 
     def _sig(df: DataFrame) -> tuple:
-        row = df.agg(F.count("*").alias("n"),
-                     F.sum(F.crc32(F.concat_ws("|", "a", "b"))).alias("h")
-                     ).collect()[0]
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("a", "b").bitwiseAND(F.lit(0xFFFFFFFF)))
+            .alias("h")).collect()[0]
         return (row["n"], row["h"])
 
     sig = _sig(e)
     for _ in range(max_iter):
+        prev = e
         e = _star_pass(e).localCheckpoint(eager=True)
         new_sig = _sig(e)
-        if new_sig == sig:
+        if new_sig == sig and e.exceptAll(prev).limit(1).count() == 0:
+            # equal counts + empty difference ⟹ equal edge MULTISETS
+            # (both are distinct sets by construction) ⟹ fixed point
             break
         sig = new_sig
     else:

@@ -146,9 +146,15 @@ def strip_duplicated_windows(docs: DataFrame, window: int = 8,
     Scale shape: per-doc window hashes map-side; one count shuffle on
     the hash; one hash-keyed semi-join of the exploded occurrences
     against the (duplicates-only, far smaller) hot table; one doc-keyed
-    regroup of hot starts; one doc-keyed join back. Coverage marking is
-    a JVM array lambda, O(tokens × covered-positions) per document —
-    fine for web-document lengths; chunk book-length docs upstream."""
+    regroup of hot starts; one doc-keyed join back. The window hashes
+    are DELIBERATELY computed twice (once feeding the count, once
+    feeding the semi-join probe): the single-evaluation alternatives
+    all materialize or shuffle the corpus×windows occurrence table
+    (persist, or a count-over-window instead of groupBy+join), and at
+    100 TB that I/O dwarfs the map-side md5 recompute. Coverage
+    marking is a JVM array lambda, O(tokens × covered-positions) per
+    document — fine for web-document lengths; chunk book-length docs
+    upstream."""
     base = _tok_docs(docs)
     occ = base.select("doc_id",
                       F.posexplode(_wins_expr(window)).alias("pos0",

@@ -106,6 +106,8 @@ def template_spec_from_xml(xml_text: str) -> TemplateSpec:
     root = ET.fromstring(xml_text)
     if root.tag != "Template":
         root = root.find(".//Template")
+        if root is None:
+            raise ValueError("no <Template> element in the XML")
 
     concepts, edges = terminology_from_template_xml(xml_text)
     names = {c["cui"]: c["name"] for c in concepts}
@@ -600,21 +602,27 @@ class _DocExtractor:
 
     def matrix_row(self) -> dict[str, str]:
         """One CSVExporter row (export(TemplateDocument) :62-82):
-        question → cell, instances rendered in insertion order."""
+        column → cell, instances rendered in insertion order. Columns
+        come from ``question_columns`` so two items sharing a question
+        name (e.g. two diagnosis-typed items) keep SEPARATE cells —
+        the reference's TSV simply repeats the header; a dict/DataFrame
+        needs the ``__k`` disambiguation suffix."""
         out: dict[str, str] = {}
-        for item in self.rt.template.items:
-            insts = self.process_item(item)
-            for q, attr in item_questions(self.rt, item):
-                if attr is None:
-                    cell_insts = insts
-                else:
-                    cell_insts = []
-                    for inst in insts:
-                        for a, vals in inst.attr_values:
-                            if a == attr:
-                                cell_insts.extend(vals)
-                out[q] = "".join(self.answer(i) + " ;"
-                                 for i in cell_insts).strip()
+        cache: dict[int, list[_Inst]] = {}
+        for col, item, attr in question_columns(self.rt):
+            if id(item) not in cache:
+                cache[id(item)] = self.process_item(item)
+            insts = cache[id(item)]
+            if attr is None:
+                cell_insts = insts
+            else:
+                cell_insts = []
+                for inst in insts:
+                    for a, vals in inst.attr_values:
+                        if a == attr:
+                            cell_insts.extend(vals)
+            out[col] = "".join(self.answer(i) + " ;"
+                               for i in cell_insts).strip()
         return out
 
 
@@ -628,6 +636,23 @@ def item_questions(rt: ExtractRuntime,
         q = "diagnosis" if item.item_type == "diagnosis" else item.name
         return [(q, None)]
     return [(f"{item.name} {rt.name(a)}", a) for a, _v in item.attributes]
+
+
+def question_columns(rt: ExtractRuntime) -> list[tuple[str, ItemSpec,
+                                                       str | None]]:
+    """Stable result-matrix columns: one per (item, question) pair.
+    Duplicate question display names (e.g. several diagnosis-typed
+    items, which all ask 'diagnosis') get a ``__k`` suffix: the
+    reference's CSVExporter keeps them as separate list columns under
+    a repeated TSV header, which a dict/DataFrame cannot."""
+    cols: list[tuple[str, ItemSpec, str | None]] = []
+    seen: dict[str, int] = {}
+    for item in rt.template.items:
+        for q, attr in item_questions(rt, item):
+            k = seen.get(q, 0)
+            seen[q] = k + 1
+            cols.append((q if k == 0 else f"{q}__{k + 1}", item, attr))
+    return cols
 
 
 def _java_matches(s: str, regex: str) -> bool:
@@ -680,8 +705,7 @@ def extract_matrix(docs_df, index, template: TemplateSpec | str,
     spark = docs_df.sparkSession
     ship_package(spark)
     rt = ExtractRuntime(template)
-    questions = [q for it in rt.template.items
-                 for q, _a in item_questions(rt, it)]
+    questions = [col for col, _it, _a in question_columns(rt)]
     bc = (spark.sparkContext.broadcast(index)
           if isinstance(index, TerminologyIndex) else index)
     rt_bc = spark.sparkContext.broadcast(rt)
@@ -704,7 +728,8 @@ def extract_matrix(docs_df, index, template: TemplateSpec | str,
             yield pd.DataFrame(rows, columns=["Document", *questions])
 
     ddl = ", ".join(["Document string",
-                     *[f"`{q}` string" for q in questions]])
+                     *[f"`{q.replace(chr(96), chr(96) * 2)}` string"
+                       for q in questions]])
     return docs_df.select("doc_id", "spans").mapInPandas(fn, ddl)
 
 

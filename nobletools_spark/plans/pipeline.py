@@ -347,7 +347,16 @@ def prep_stages(*, filter_kw: dict | None = None,
         src = corpus
 
         def s_mix(spark, r):
-            return sample_to_token_budget(r[src], budgets,
+            d = r[src]
+            if group_col is not None:
+                # every corpus snapshot is (doc_id, text); the grouping
+                # column lives on the ORIGINAL documents input — re-join
+                # it here (doc-keyed, survivors only)
+                groups = (r["documents"]
+                          .select(F.col("doc_id").cast("long")
+                                  .alias("doc_id"), group_col))
+                d = d.join(groups, "doc_id")
+            return sample_to_token_budget(d, budgets,
                                           group_col=group_col)
 
         def s_mixed(spark, r):

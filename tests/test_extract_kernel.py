@@ -283,3 +283,45 @@ def test_api_extract_matrix(rig, spark):
            for r in eng.extract_matrix(docs, spec).collect()}
     assert out["d1"]["Breslow Depth"] == "1.20 Millimeter ;"
     assert out["d1"]["Surgical Margin"] == "Clear Margin (C342) ;"
+
+
+def test_duplicate_question_items_keep_separate_columns():
+    """Two diagnosis-typed items both ask 'diagnosis': the result
+    matrix keeps SEPARATE per-item cells (reference CSVExporter
+    repeats the TSV header; our columns disambiguate with __2)."""
+    xml = """\
+<Template name="dup" version="1.0">
+  <TemplateItems>
+    <TemplateItem type="diagnosis" value.domain="self" concept="C301"/>
+    <TemplateItem type="diagnosis" value.domain="self" concept="C302"/>
+  </TemplateItems>
+  <Terminology name="dup-terms">
+    <Concepts>
+      <Concept code="C301" name="Alpha Dx">
+        <Term preferred="true">Alpha Dx</Term>
+        <Term>alpha diagnosis</Term></Concept>
+      <Concept code="C302" name="Beta Dx">
+        <Term preferred="true">Beta Dx</Term>
+        <Term>beta diagnosis</Term></Concept>
+    </Concepts>
+  </Terminology>
+</Template>"""
+    spec = template_spec_from_xml(xml)
+    rt = ExtractRuntime(spec)
+    from nobletools_spark.operators.extract_kernel import question_columns
+
+    cols = [c for c, _i, _a in question_columns(rt)]
+    assert cols == ["diagnosis", "diagnosis__2"]
+    idx = build_index(spec.concept_records())
+    sents, all_s, secs = parse_and_match(
+        "d", [("text", "Beta diagnosis is noted.\n", None, 0)],
+        idx, MatchConfig(select_best_candidate=False), None, None)
+    row = _DocExtractor(rt, sents, all_s, secs,
+                        MatchConfig(select_best_candidate=False)).matrix_row()
+    assert row["diagnosis"] == "" and row["diagnosis__2"] == \
+        "Beta Dx (C302) ;"
+
+
+def test_template_spec_from_xml_missing_template_raises():
+    with pytest.raises(ValueError, match="no <Template>"):
+        template_spec_from_xml("<NotATemplate><Inner/></NotATemplate>")

@@ -253,3 +253,31 @@ def test_prep_pipeline_stages_and_resume(spark, tmp_path):
                                       near_kw={"threshold": 0.5}))
     pipe2.run(spark, {"documents": docs}, run_config={"v": 1})
     assert [r.status for r in pipe2.reports] == ["resumed"] * 6
+
+
+def test_prep_pipeline_grouped_mixture(spark, tmp_path):
+    """budgets + group_col through the prep pipeline: the grouping
+    column (only on the ORIGINAL documents input — corpus snapshots
+    are (doc_id, text)) is re-joined at the mix stage, and the sampled
+    set respects per-group budgets."""
+    from nobletools_spark.plans.pipeline import Pipeline, prep_stages
+
+    def body(tag):
+        return " ".join(f"{tag}{i}" for i in range(40)) + " the of and in"
+
+    rows = [(i, body(f"t{i}"), "en" if i % 2 == 0 else "de")
+            for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "lang string")
+    pipe = Pipeline(str(tmp_path / "p"),
+                    prep_stages(budgets={"en": 100, "de": 50},
+                                group_col="lang", chunk_tokens=16,
+                                overlap=4))
+    res = pipe.run(spark, {"documents": docs}, run_config={})
+    mix = {(r.doc_id, r.grp) for r in res["mix_sample"].collect()}
+    assert mix and {g for _, g in mix} == {"en", "de"}
+    # budget 100 admits ~3 44-token docs per group, 50 admits ~2
+    en = [d for d, g in mix if g == "en"]
+    de = [d for d, g in mix if g == "de"]
+    assert len(en) == 3 and len(de) == 2
+    assert {r.doc_id for r in res["mixed"].collect()} == {d for d, _ in mix}
