@@ -24,6 +24,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from nobletools_spark.functions.ids import doc_id_col
+
 from nobletools_spark.functions.hashing import h64
 
 P31 = 2147483647  # Mersenne prime 2^31-1: the minhash arithmetic field
@@ -88,7 +90,7 @@ def with_near_duplicates(docs: DataFrame) -> DataFrame:
 
 def _tok_docs(docs: DataFrame) -> DataFrame:
     return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+        doc_id_col(docs),
         F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("toks"))
 
 
@@ -178,7 +180,7 @@ def strip_duplicated_windows(docs: DataFrame, window: int = 8,
 def _exploded_lines(docs: DataFrame) -> DataFrame:
     """(doc_id, line_no, line): one row per newline-delimited line."""
     return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+        doc_id_col(docs),
         F.posexplode(F.split(F.coalesce(F.col("text"), F.lit("")), "\n"))
         .alias("line_no", "line"))
 
@@ -241,7 +243,7 @@ def strip_duplicated_lines(docs: DataFrame, min_count: int = 2,
                 F.array_sort(F.collect_list(F.struct("line_no", "line"))),
                 lambda s: s["line"]),
             "\n").alias("text"))
-    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    return (docs.select(doc_id_col(docs))
             .join(rebuilt, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("text", F.lit("")).alias("text")))
@@ -293,7 +295,7 @@ def exact_dedup(docs: DataFrame, by: str = "content") -> DataFrame:
         sig = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens()))))
     else:
         raise ValueError(by)
-    return (docs.select(sig.alias("sig"), F.col("doc_id").cast("long").alias("doc_id"))
+    return (docs.select(sig.alias("sig"), doc_id_col(docs))
             .groupBy("sig")
             .agg(F.min("doc_id").alias("keep_doc_id"),
                  F.count("*").cast("long").alias("n_docs")))
@@ -322,7 +324,7 @@ def jaccard_pairs(docs: DataFrame, n: int = 3,
                .filter(F.col("count") > max_group).drop("count"))
         docs = docs.join(F.broadcast(big), list(group_cols), "left_anti")
     base = docs.select(
-        *group_cols, F.col("doc_id").cast("long").alias("doc_id"),
+        *group_cols, doc_id_col(docs),
         F.transform(_tokens(), h32).alias("ht"))
     # 31-bit hashed shingles: integer array_intersect is ~5× cheaper
     # than string intersect per pair, and the oracle shares the exact
@@ -389,7 +391,7 @@ def shingle_hash_df(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shh) — staged projections so the expensive md5 token-hash
     array is computed once per row (CollapseProject keeps non-cheap
     multiply-referenced aliases in their own projection)."""
-    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+    base = docs.select(doc_id_col(docs),
                        F.transform(_tokens(), h32).alias("ht"))
     return base.select(
         "doc_id", _set_barrier(shingle_hashes(F.col("ht"), n)).alias("shh"))
@@ -468,7 +470,7 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     60-bit token hashes → ``bits``-bit fingerprint (doc_id, simhash).
     explode + single groupBy (partial aggregation map-side); near-dup
     candidates are then doc pairs within small Hamming distance."""
-    tok = (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+    tok = (docs.select(doc_id_col(docs),
                        F.explode(_tokens()).alias("tok"))
            .withColumn("h", h64("tok")))
     votes = [
@@ -544,7 +546,7 @@ def dedup_clusters(docs: DataFrame, n: int = 3, num_hashes: int = 16,
                          F.col("doc_b").alias("b"))
     comp = connected_components(edges) \
         .withColumnRenamed("node", "doc_id")
-    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    base = docs.select(doc_id_col(docs))
     return (base.join(comp, "doc_id", "left")
             .select("doc_id",
                     F.coalesce(F.least("component", "doc_id"),
@@ -577,6 +579,6 @@ def drop_near_duplicates(docs: DataFrame, n: int = 3,
     drop = (comp.filter(F.col("node")
                         != F.least("component", F.col("node")))
             .select(F.col("node").alias("doc_id")))
-    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+    return (docs.select(doc_id_col(docs),
                         "text")
             .join(drop, "doc_id", "left_anti"))

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from nobletools_spark.functions.ids import doc_id_col
+
 from nobletools_spark.functions.hashing import HASH_MOD, h64
 
 # Stop-word lists for the language-ID voting heuristic. Deterministic,
@@ -90,7 +92,7 @@ def token_stats(docs: DataFrame) -> DataFrame:
     n_bpe = F.size(F.expr(
         f"regexp_extract_all(lower(text), '{BPE_TOKEN_RE}', 0)"))
     return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+        doc_id_col(docs),
         n.cast("long").alias("n_tokens"),
         nd.cast("long").alias("n_distinct"),
         (nd.cast("double") / n.cast("double")).alias("distinct_ratio"),
@@ -118,7 +120,7 @@ def quality_score(docs: DataFrame,
                + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
                + F.lit(0.3) * F.least(avg_len / F.lit(8.0), F.lit(1.0)))
     return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+        doc_id_col(docs),
         distinct_ratio.alias("distinct_ratio"),
         stop_ratio.alias("stop_ratio"),
         avg_len.alias("avg_token_len"),
@@ -152,7 +154,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     that formulation is corpus×tokens shuffle at 10^12 docs; the fold
     is linear per row)."""
     # null-safe: a NULL text tokenizes as [''] (n=1) on both engines
-    d = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+    d = docs.select(doc_id_col(docs),
                     F.split(F.coalesce(F.col("text"), F.lit("")), " ")
                     .alias("toks"))
     n = F.size(F.col("toks"))
@@ -196,7 +198,7 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 512,
                          f"{overlap} / {chunk_tokens}")
     step = chunk_tokens - overlap
     toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
-    d = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+    d = docs.select(doc_id_col(docs),
                     toks.alias("toks"))
     n = F.size(F.col("toks"))
     starts = F.when(n > chunk_tokens,
@@ -255,7 +257,7 @@ def sample_to_token_budget(docs: DataFrame, budgets,
     grp = F.coalesce((F.col(group_col) if group_col else F.lit(""))
                      .cast("string"), F.lit(""))
     d = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+        doc_id_col(docs),
         grp.alias("grp"),
         F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
         .cast("long").alias("n_tokens"),
@@ -323,7 +325,7 @@ def filter_decisions(docs: DataFrame, *,
     pinned bit-for-bit by text_quality / text_repetition — so the
     boolean/string outputs are exactly reproducible."""
     d = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+        doc_id_col(docs),
         F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("toks"))
     n = F.size(F.col("toks"))
     nd = F.size(F.array_distinct(F.col("toks")))
@@ -380,7 +382,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
                 cond = cond & (votes[lang] >= votes[other])
         expr = expr.when(cond, F.lit(lang))
     pred = expr.otherwise(F.lit("und"))
-    cols = [F.col("doc_id").cast("long").alias("doc_id"),
+    cols = [doc_id_col(docs),
             pred.alias("lang_pred")]
     cols += [votes[lang].alias(f"votes_{lang}") for lang in LANGS]
     cols += [sc[s].alias(f"sc_{s}") for s in SCRIPTS]
@@ -402,7 +404,7 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         toks, F.lit(0).cast("long"),
         lambda acc, t: (acc * F.lit(31) + h64(t)) % F.lit(HASH_MOD))
     return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+        doc_id_col(docs),
         F.md5(F.col("text")).alias("content_md5"),
         F.md5(F.concat_ws(" ", bag)).alias("bag_sig"),
         rolling.alias("rolling_h"),
@@ -439,7 +441,7 @@ def pii_scrub(docs: DataFrame,
     for pat, repl in patterns:
         hits = hits + F.size(F.split(out, pat)) - 1
         out = F.regexp_replace(out, pat, repl)
-    return docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+    return docs.select(doc_id_col(docs),
                        out.alias("text"), hits.alias("n_pii"))
 
 

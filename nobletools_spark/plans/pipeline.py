@@ -309,15 +309,31 @@ def prep_stages(*, filter_kw: dict | None = None,
         sample_to_token_budget,
     )
 
+    def _flat(docs: DataFrame) -> DataFrame:
+        """North-rule interleaved tables (doc_id, spans) flatten to
+        (doc_id, text): text spans concatenated in span order (media
+        spans belong to the KG pipeline, not corpus prep). Tables
+        already carrying a text column pass through."""
+        if "text" in docs.columns:
+            return docs
+        from nobletools_spark.functions.ids import doc_id_col
+
+        return docs.select(
+            doc_id_col(docs),
+            F.concat_ws(" ", F.transform(
+                F.filter(F.col("spans"),
+                         lambda s: s["kind"] == F.lit("text")),
+                lambda s: s["text"])).alias("text"))
+
     def s_decisions(spark, r):
-        return filter_decisions(r["documents"], **(filter_kw or {}))
+        return filter_decisions(_flat(r["documents"]), **(filter_kw or {}))
 
     def s_filtered(spark, r):
+        from nobletools_spark.functions.ids import doc_id_col
+
         keep = r["decisions"].filter(F.col("keep")).select("doc_id")
-        return (r["documents"]
-                .select(F.col("doc_id").cast("long").alias("doc_id"),
-                        "text")
-                .join(keep, "doc_id"))
+        flat = _flat(r["documents"])
+        return (flat.select(doc_id_col(flat), "text").join(keep, "doc_id"))
 
     def s_line(spark, r):
         return strip_duplicated_lines(r["filtered"], line_min_count,
@@ -352,9 +368,10 @@ def prep_stages(*, filter_kw: dict | None = None,
                 # every corpus snapshot is (doc_id, text); the grouping
                 # column lives on the ORIGINAL documents input — re-join
                 # it here (doc-keyed, survivors only)
-                groups = (r["documents"]
-                          .select(F.col("doc_id").cast("long")
-                                  .alias("doc_id"), group_col))
+                from nobletools_spark.functions.ids import doc_id_col
+
+                groups = r["documents"].select(doc_id_col(r["documents"]),
+                                               group_col)
                 d = d.join(groups, "doc_id")
             return sample_to_token_budget(d, budgets,
                                           group_col=group_col)

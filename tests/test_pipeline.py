@@ -281,3 +281,33 @@ def test_prep_pipeline_grouped_mixture(spark, tmp_path):
     de = [d for d, g in mix if g == "de"]
     assert len(en) == 3 and len(de) == 2
     assert {r.doc_id for r in res["mixed"].collect()} == {d for d, _ in mix}
+
+
+def test_prep_pipeline_on_interleaved_docs(spark, tmp_path):
+    """The corpus-prep pipeline consumes the north-rule interleaved
+    (doc_id string, spans) table directly: text spans flatten in span
+    order, media spans are ignored, and STRING doc_ids survive every
+    stage (no silent cast-to-NULL corruption)."""
+    from nobletools_spark.plans.pipeline import Pipeline, prep_stages
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+
+    def body(tag):
+        return " ".join(f"{tag}{i}" for i in range(40)) + " the of and in"
+
+    rows = [
+        ("docA", [("text", body("a"), None, 0),
+                  ("media", None, "m://1", 1),
+                  ("text", "tail words here", None, 2)]),
+        ("docB", [("text", body("b"), None, 0)]),
+        ("docC", [("text", "too short", None, 0)]),
+    ]
+    docs = spark.createDataFrame(rows, SPANS_DDL)
+    pipe = Pipeline(str(tmp_path / "p"),
+                    prep_stages(chunk_tokens=16, overlap=4))
+    res = pipe.run(spark, {"documents": docs}, run_config={})
+    final = {r.doc_id: r.text for r in res["near_dedup"].collect()}
+    assert set(final) == {"docA", "docB"}        # docC filtered; ids intact
+    assert final["docA"].endswith("tail words here")
+    assert "m://1" not in final["docA"]
+    chunks = res["chunks"].collect()
+    assert {r.doc_id for r in chunks} == {"docA", "docB"}
