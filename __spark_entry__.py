@@ -135,6 +135,17 @@ def q_kg_doc_concepts(spark, sf_dir):
                  .alias("concepts")))
 
 
+def q_kg_media_triples(spark, sf_dir):
+    """The multimodal KG edge: media spans (every 3rd doc carries one)
+    connect to the concepts mentioned in the same document —
+    (media_ref, 'illustrates-concept', cui), broadcast-joined against
+    the distinct doc-level concept set."""
+    from nobletools_spark.operators.multimodal import media_concept_triples
+
+    docs = interleaved_docs(spark, sf_dir)
+    return media_concept_triples(docs, _builtin_mentions(spark, sf_dir))
+
+
 def q_kg_cooccurrence(spark, sf_dir):
     m = _builtin_mentions(spark, sf_dir) \
         .withColumn("doc_id", F.col("doc_id").cast("long"))
@@ -643,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "dedup_drop_near": q_dedup_drop_near,
         "text_contamination": q_text_contamination,
+        "kg_media_triples": q_kg_media_triples,
     }
 
 
@@ -781,6 +793,12 @@ def oracle_sql() -> dict[str, str]:
         _mentions_cte()
         + " SELECT doc_id, array_to_string(list_sort(list(DISTINCT cui)), ',')"
           " AS concepts FROM m GROUP BY doc_id")
+
+    sql["kg_media_triples"] = (
+        _mentions_cte()
+        + " SELECT DISTINCT 'media://' || doc_id AS subj,"
+          " 'illustrates-concept' AS pred, cui AS obj FROM m"
+          " WHERE doc_id % 3 = 0")
 
     sql["kg_cooccurrence"] = (
         _mentions_cte()
