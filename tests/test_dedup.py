@@ -410,3 +410,84 @@ def test_flag_contaminated(spark):
     assert out[2] == (0, False)
     assert out[3] == (0, False)
     assert out[4] == (2, True)
+
+
+def test_removal_ops_match_python_replay(spark):
+    """Seeded random corpus over a tiny vocabulary (so real window/line
+    collisions occur): strip_duplicated_windows, strip_duplicated_lines
+    and flag_contaminated each equal an independent pure-Python replay
+    of their documented semantics."""
+    import random
+
+    from nobletools_spark.operators.dedup import (
+        flag_contaminated,
+        strip_duplicated_lines,
+        strip_duplicated_windows,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(6)]
+    line_pool = [" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 6)))
+                 for _ in range(12)]
+    texts = {}
+    for d in range(80):
+        lines = [rng.choice(line_pool) for _ in range(rng.randint(1, 4))]
+        texts[d] = "\n".join(lines)
+    docs = spark.createDataFrame(sorted(texts.items()),
+                                 "doc_id long, text string")
+
+    # --- windows (window=4, min_count=2), replay on window TEXT ---
+    W = 4
+    from collections import Counter
+    occ = Counter()
+    toks = {d: t.split(" ") for d, t in texts.items()}
+    for t in toks.values():
+        for i in range(len(t) - W + 1):
+            occ[tuple(t[i:i + W])] += 1
+    hot = {w for w, n in occ.items() if n >= 2}
+    want_w = {}
+    for d, t in toks.items():
+        covered = set()
+        for i in range(len(t) - W + 1):
+            if tuple(t[i:i + W]) in hot:
+                covered.update(range(i, i + W))
+        want_w[d] = " ".join(x for j, x in enumerate(t) if j not in covered)
+    got_w = {r.doc_id: r.text
+             for r in strip_duplicated_windows(docs, window=W).collect()}
+    assert got_w == want_w
+
+    # --- lines (min_count=2, min_len=5) ---
+    lcount = Counter()
+    keeper = {}
+    for d in sorted(texts):
+        for no, ln in enumerate(texts[d].split("\n")):
+            if len(ln) >= 5:
+                lcount[ln] += 1
+                keeper.setdefault(ln, (d, no))
+    dup = {ln for ln, n in lcount.items() if n >= 2}
+    want_l = {}
+    for d in sorted(texts):
+        kept = [ln for no, ln in enumerate(texts[d].split("\n"))
+                if ln not in dup or keeper[ln] == (d, no)]
+        want_l[d] = "\n".join(kept)
+    got_l = {r.doc_id: r.text
+             for r in strip_duplicated_lines(docs, min_len=5).collect()}
+    assert got_l == want_l
+
+    # --- contamination (window=4 against two bench texts) ---
+    long_line = next(ln for ln in line_pool if len(ln.split(" ")) >= 4)
+    bench = [long_line, "never in corpus x y z"]
+    bwins = set()
+    for b in bench:
+        bt = b.split(" ")
+        for i in range(len(bt) - W + 1):
+            bwins.add(tuple(bt[i:i + W]))
+    want_c = {}
+    for d, t in toks.items():
+        n = sum(1 for i in range(len(t) - W + 1)
+                if tuple(t[i:i + W]) in bwins)
+        want_c[d] = (n, n > 0)
+    got_c = {r.doc_id: (r.n_hits, r.contaminated)
+             for r in flag_contaminated(docs, bench, window=W).collect()}
+    assert got_c == want_c
+    assert any(c for _n, c in want_c.values())   # the replay has real hits
