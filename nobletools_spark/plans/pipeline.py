@@ -303,6 +303,7 @@ def prep_stages(*, filter_kw: dict | None = None,
         flag_contaminated,
         strip_duplicated_lines,
     )
+    from nobletools_spark.functions.ids import doc_id_col
     from nobletools_spark.operators.textstats import (
         chunk_documents,
         filter_decisions,
@@ -311,26 +312,26 @@ def prep_stages(*, filter_kw: dict | None = None,
 
     def _flat(docs: DataFrame) -> DataFrame:
         """North-rule interleaved tables (doc_id, spans) flatten to
-        (doc_id, text): text spans concatenated in span order (media
-        spans belong to the KG pipeline, not corpus prep). Tables
-        already carrying a text column pass through."""
+        (doc_id, text): NON-EMPTY text spans concatenated in span
+        order (media spans belong to the KG pipeline, not corpus prep;
+        empty/NULL text spans would inject phantom '' tokens into
+        every downstream whitespace tokenization). Tables already
+        carrying a text column pass through."""
         if "text" in docs.columns:
             return docs
-        from nobletools_spark.functions.ids import doc_id_col
-
         return docs.select(
             doc_id_col(docs),
             F.concat_ws(" ", F.transform(
                 F.filter(F.col("spans"),
-                         lambda s: s["kind"] == F.lit("text")),
+                         lambda s: (s["kind"] == F.lit("text"))
+                         & (F.length(F.coalesce(s["text"], F.lit("")))
+                            > 0)),
                 lambda s: s["text"])).alias("text"))
 
     def s_decisions(spark, r):
         return filter_decisions(_flat(r["documents"]), **(filter_kw or {}))
 
     def s_filtered(spark, r):
-        from nobletools_spark.functions.ids import doc_id_col
-
         keep = r["decisions"].filter(F.col("keep")).select("doc_id")
         flat = _flat(r["documents"])
         return (flat.select(doc_id_col(flat), "text").join(keep, "doc_id"))
@@ -368,8 +369,6 @@ def prep_stages(*, filter_kw: dict | None = None,
                 # every corpus snapshot is (doc_id, text); the grouping
                 # column lives on the ORIGINAL documents input — re-join
                 # it here (doc-keyed, survivors only)
-                from nobletools_spark.functions.ids import doc_id_col
-
                 groups = r["documents"].select(doc_id_col(r["documents"]),
                                                group_col)
                 d = d.join(groups, "doc_id")

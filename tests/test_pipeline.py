@@ -297,7 +297,9 @@ def test_prep_pipeline_on_interleaved_docs(spark, tmp_path):
     rows = [
         ("docA", [("text", body("a"), None, 0),
                   ("media", None, "m://1", 1),
-                  ("text", "tail words here", None, 2)]),
+                  ("text", "", None, 2),      # empty span: no '' token
+                  ("text", None, None, 3),    # NULL span: no '' token
+                  ("text", "tail words here", None, 4)]),
         ("docB", [("text", body("b"), None, 0)]),
         ("docC", [("text", "too short", None, 0)]),
     ]
@@ -307,7 +309,7 @@ def test_prep_pipeline_on_interleaved_docs(spark, tmp_path):
     res = pipe.run(spark, {"documents": docs}, run_config={})
     final = {r.doc_id: r.text for r in res["near_dedup"].collect()}
     assert set(final) == {"docA", "docB"}        # docC filtered; ids intact
-    assert final["docA"].endswith("tail words here")
-    assert "m://1" not in final["docA"]
+    assert final["docA"].endswith("in tail words here")  # single spaces
+    assert "m://1" not in final["docA"] and "  " not in final["docA"]
     chunks = res["chunks"].collect()
     assert {r.doc_id for r in chunks} == {"docA", "docB"}
