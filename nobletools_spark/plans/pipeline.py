@@ -279,6 +279,26 @@ def kg_stages(index, context=None, cfg=None,
     return stages
 
 
+def flatten_documents(docs: DataFrame) -> DataFrame:
+    """North-rule interleaved tables (doc_id, spans) flatten to
+    (doc_id, text): NON-EMPTY text spans concatenated in span order
+    (media spans belong to the KG pipeline, not corpus prep;
+    empty/NULL text spans would inject phantom '' tokens into every
+    downstream whitespace tokenization). Tables already carrying a
+    text column pass through unchanged."""
+    if "text" in docs.columns:
+        return docs
+    from nobletools_spark.functions.ids import doc_id_col
+
+    return docs.select(
+        doc_id_col(docs),
+        F.concat_ws(" ", F.transform(
+            F.filter(F.col("spans"),
+                     lambda s: (s["kind"] == F.lit("text"))
+                     & (F.length(F.coalesce(s["text"], F.lit(""))) > 0)),
+            lambda s: s["text"])).alias("text"))
+
+
 def prep_stages(*, filter_kw: dict | None = None,
                 line_min_count: int = 2, line_min_len: int = 10,
                 near_kw: dict | None = None,
@@ -310,30 +330,13 @@ def prep_stages(*, filter_kw: dict | None = None,
         sample_to_token_budget,
     )
 
-    def _flat(docs: DataFrame) -> DataFrame:
-        """North-rule interleaved tables (doc_id, spans) flatten to
-        (doc_id, text): NON-EMPTY text spans concatenated in span
-        order (media spans belong to the KG pipeline, not corpus prep;
-        empty/NULL text spans would inject phantom '' tokens into
-        every downstream whitespace tokenization). Tables already
-        carrying a text column pass through."""
-        if "text" in docs.columns:
-            return docs
-        return docs.select(
-            doc_id_col(docs),
-            F.concat_ws(" ", F.transform(
-                F.filter(F.col("spans"),
-                         lambda s: (s["kind"] == F.lit("text"))
-                         & (F.length(F.coalesce(s["text"], F.lit("")))
-                            > 0)),
-                lambda s: s["text"])).alias("text"))
-
     def s_decisions(spark, r):
-        return filter_decisions(_flat(r["documents"]), **(filter_kw or {}))
+        return filter_decisions(flatten_documents(r["documents"]),
+                                **(filter_kw or {}))
 
     def s_filtered(spark, r):
         keep = r["decisions"].filter(F.col("keep")).select("doc_id")
-        flat = _flat(r["documents"])
+        flat = flatten_documents(r["documents"])
         return (flat.select(doc_id_col(flat), "text").join(keep, "doc_id"))
 
     def s_line(spark, r):
