@@ -110,15 +110,18 @@ class NobleCoderSpark:
         loader's BROADER edge table (``tables['relations']``)."""
         from nobletools_spark.operators.templates import extract_items
 
+        from nobletools_spark.session import local_table
+
         if getattr(self, "isa_edges", ()):
-            edges = docs_df.sparkSession.createDataFrame(
-                list(self.isa_edges), "cui string, parent string")
+            edges = local_table(docs_df.sparkSession,
+                                list(self.isa_edges),
+                                "cui string, parent string")
         elif getattr(self, "tables", None) is not None \
                 and "relations" in self.tables:
             edges = self.tables["relations"].select("cui", "parent")
         else:
-            edges = docs_df.sparkSession.createDataFrame(
-                [("", "")], "cui string, parent string").filter("cui <> ''")
+            edges = local_table(docs_df.sparkSession, [],
+                                "cui string, parent string")
         return extract_items(self.annotate(docs_df, **kw), edges,
                              templates_df, sections_df=sections_df,
                              components_df=components_df)
@@ -135,10 +138,12 @@ class NobleCoderSpark:
             templates_from_xml,
         )
 
+        from nobletools_spark.session import local_table
+
         spark = docs_df.sparkSession
         t_rows, c_rows = templates_from_xml(template_xml)
-        templates_df = spark.createDataFrame(t_rows, TEMPLATES_DDL)
-        components_df = (spark.createDataFrame(c_rows, COMPONENTS_DDL)
+        templates_df = local_table(spark, t_rows, TEMPLATES_DDL)
+        components_df = (local_table(spark, c_rows, COMPONENTS_DDL)
                          if c_rows else None)
         return self.extract(docs_df, templates_df, sections_df=sections_df,
                             components_df=components_df, **kw)

@@ -70,8 +70,14 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     `max_iter` is a safety cap, not a diameter bound."""
     if max_iter <= 0:
         raise ValueError(f"max_iter must be positive, got {max_iter}")
+    # probe RAW rows (a pre-limit distinct is a full shuffle of the
+    # edge table — a defaultParallelism-task stage even for tiny pair
+    # graphs); union-find absorbs duplicate edges for free. A
+    # heavily-duplicated table can exceed the raw budget while its
+    # distinct edge set is small — that only routes it to the
+    # (identical-result) distributed strategy.
     probe = (edges.select("a", "b").filter(F.col("a") != F.col("b"))
-             .distinct().limit(driver_threshold + 1).collect())
+             .limit(driver_threshold + 1).collect())
     if len(probe) <= driver_threshold:
         parent: dict[str, str] = {}
 
@@ -98,7 +104,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
         node_type = edges.schema["a"].dataType  # preserve caller's id type
         schema = T.StructType([T.StructField("node", node_type),
                                T.StructField("component", node_type)])
-        return edges.sparkSession.createDataFrame(rows or [], schema)
+        # bounded by the probe budget: a JVM LocalRelation, so
+        # downstream stages never spawn Python workers to re-scan it
+        from nobletools_spark.session import local_table
+
+        return local_table(edges.sparkSession, rows or [], schema)
     # self-loop-only nodes are excluded, matching the driver fast path
     real = edges.select("a", "b").filter(F.col("a") != F.col("b"))
     nodes = (real.select(F.col("a").alias("node"))

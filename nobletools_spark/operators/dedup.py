@@ -273,7 +273,10 @@ def flag_contaminated(docs: DataFrame, benchmark_texts: list[str],
         for i in range(len(toks) - window + 1)})
     d = _tok_docs(docs)
     spark = docs.sparkSession
-    bh = spark.createDataFrame([(h,) for h in bench], "whash long")
+    from nobletools_spark.session import local_table
+
+    # benchmark-suite-sized: a JVM LocalRelation for the broadcast build
+    bh = local_table(spark, [(h,) for h in bench], "whash long")
     occ = d.select("doc_id", F.explode(_wins_expr(window)).alias("whash"))
     hits = (occ.join(F.broadcast(bh), "whash")
             .groupBy("doc_id").agg(F.count("*").alias("n_hits")))

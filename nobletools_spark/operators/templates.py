@@ -325,9 +325,14 @@ def extract_items(mentions_df: DataFrame, edges_df: DataFrame,
     # single broadcast join — one matcher pass, no union of two
     # lineages (which would compute the mapInPandas matcher twice)
     t = templates_df
-    closure = (ancestors(edges_df, max_depth)
-               .select("cui", "ancestor").distinct())
-    expand = (t.join(closure, t["concept"] == closure["ancestor"])
+    # (cui, ancestor) is already unique from ancestors() — both its
+    # strategies group/construct on exactly that key — so no distinct
+    closure = ancestors(edges_df, max_depth).select("cui", "ancestor")
+    # templates are the smallest side by far: broadcast them so this
+    # terminology-sized join never plans as a sort-merge with
+    # full-width exchanges
+    expand = (F.broadcast(t).join(closure,
+                                  t["concept"] == closure["ancestor"])
               .drop("ancestor")
               .unionByName(t.withColumn("cui", F.col("concept"))))
     gated = m.join(F.broadcast(expand), "cui")
@@ -382,8 +387,9 @@ def extract_items(mentions_df: DataFrame, edges_df: DataFrame,
         # same terminology-side pre-expansion as the item gate: one
         # broadcast join against the mention stream, no dual lineage
         closure2 = closure.withColumnRenamed("cui", "c_cui")
-        cexpand = (cmp_.join(closure2,
-                             cmp_["concept"] == closure2["ancestor"])
+        cexpand = (F.broadcast(cmp_)
+                   .join(closure2,
+                         cmp_["concept"] == closure2["ancestor"])
                    .drop("ancestor")
                    .unionByName(cmp_.withColumn("c_cui",
                                                 F.col("concept"))))

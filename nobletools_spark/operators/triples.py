@@ -105,13 +105,19 @@ def ancestors(edges_df: DataFrame, max_depth: int = PATH_DEPTH_LIMIT,
       strictly new (cui, ancestor) pairs, so A→B→A terminates;
       localCheckpoint truncates the growing lineage.
     """
-    edges = edges_df.select(F.col("cui"), F.col("parent")).distinct()
-    # probe the EFFECTIVE graph (self/NULL edges are dropped by both
-    # strategies) so degenerate rows don't burn threshold budget
-    probe = (edges.filter(F.col("cui") != F.col("parent"))
+    # probe RAW rows (no pre-limit distinct: that is a full shuffle of
+    # the edge table — a 32-task stage even for a 12-row graph) and
+    # dedup on the driver; self/NULL edges are dropped by both
+    # strategies so degenerate rows don't burn threshold budget. A
+    # heavily-duplicated table can exceed the raw budget while its
+    # distinct edge set is small — that only means the conservative
+    # (distributed) strategy runs; results are identical.
+    probe = (edges_df.select(F.col("cui"), F.col("parent"))
+             .filter(F.col("cui") != F.col("parent"))
              .limit(driver_threshold + 1).collect())
     if len(probe) <= driver_threshold:
-        rows = closure_bfs([(r.cui, r.parent) for r in probe], max_depth,
+        pairs = list(dict.fromkeys((r.cui, r.parent) for r in probe))
+        rows = closure_bfs(pairs, max_depth,
                            row_budget=max(driver_threshold, 1_000_000))
         if rows is not None:
             from pyspark.sql import types as T
@@ -121,9 +127,15 @@ def ancestors(edges_df: DataFrame, max_depth: int = PATH_DEPTH_LIMIT,
                 T.StructField("cui", id_type),
                 T.StructField("ancestor", id_type),
                 T.StructField("depth", T.IntegerType())])
-            return edges_df.sparkSession.createDataFrame(rows or [], schema)
+            # terminology-sized by the budget check: a JVM
+            # LocalRelation, so downstream broadcast/probe stages
+            # never spawn Python workers to re-evaluate it
+            from nobletools_spark.session import local_table
+
+            return local_table(edges_df.sparkSession, rows or [], schema)
         # closure larger than the driver budget (hub-shaped graph):
         # fall through to the distributed strategy
+    edges = edges_df.select(F.col("cui"), F.col("parent")).distinct()
     closure = (edges
                .filter(F.col("cui") != F.col("parent"))
                .select("cui", F.col("parent").alias("ancestor"),
@@ -195,8 +207,10 @@ def mentions_with_ancestor(mentions_df: DataFrame, edges_df: DataFrame,
     desc = (ancestors(edges_df, max_depth)
             .filter(F.col("ancestor") == ancestor_cui)
             .select("cui"))
+    from nobletools_spark.session import local_table
+
     gate = desc.union(
-        desc.sparkSession.createDataFrame([(ancestor_cui,)], "cui string"))
+        local_table(desc.sparkSession, [(ancestor_cui,)], "cui string"))
     return mentions_df.join(F.broadcast(gate.distinct()), "cui", "left_semi")
 
 

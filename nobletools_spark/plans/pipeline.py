@@ -160,8 +160,10 @@ class Pipeline:
                                  report.rows, report.wall_s, fp,
                                  int(time.time())))
             upstream_fp = fp
-        spark.createDataFrame(
-            metrics_rows,
+        from nobletools_spark.session import local_table
+
+        local_table(
+            spark, metrics_rows,
             "run_id string, stage string, status string, rows long, "
             "wall_s double, input_fingerprint string, ts long"
         ).write.mode("append").parquet(f"{self.out_dir}/_metrics")
@@ -258,7 +260,9 @@ def kg_stages(index, context=None, cfg=None,
 
         edges = r.get("isa_edges")
         if edges is None:
-            edges = spark.createDataFrame([], "cui string, parent string")
+            from nobletools_spark.session import local_table
+
+            edges = local_table(spark, [], "cui string, parent string")
         return extract_items(r["mentions"], edges, templates_df,
                              sections_df=sections_from_docs(r["documents"]),
                              components_df=components_df)

@@ -17,6 +17,55 @@ import zipfile
 _SHIPPED_ATTR = "_nobletools_spark_shipped"
 
 
+def local_table(spark, rows, schema):
+    """Driver-literal dimension table as a JVM ``LocalRelation``
+    (plan: ``LocalTableScan``), not a pickled Python RDD.
+
+    ``spark.createDataFrame(list, schema)`` plans as ``Scan
+    ExistingRDD`` — every evaluation (each probe of a broadcast build,
+    each branch of a union) round-trips through spawned Python workers,
+    and the relation has no statistics, so tiny dim⋈dim joins fall back
+    to SortMergeJoin with full-width exchanges. Routing the rows
+    through pandas + Arrow ships them to the JVM ONCE at creation:
+    evaluation is pure JVM, sizes are known (auto-broadcast works), and
+    ``ConvertToLocalRelation`` can fold projections/filters over it at
+    optimization time — the local analog of reading a dim table from
+    parquet instead of re-running its producer job.
+
+    Falls back to the plain path for rows Arrow can't convert (e.g.
+    nested structs expressed as tuples).
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    rows = list(rows)
+    try:
+        import pandas as pd
+
+        names = [f.name for f in schema.fields]
+        if rows:
+            pdf = pd.DataFrame.from_records(rows, columns=names)
+            # object dtype keeps ints exact and Nones as nulls (no
+            # NaN-float coercion) for the Arrow conversion
+            pdf = pdf.astype(object).where(pdf.notna(), None)
+            df = spark.createDataFrame(pdf, schema)
+        else:
+            # Arrow skips empty frames; a one-null-row LocalRelation
+            # under limit(0) folds to an empty LocalRelation
+            pdf = pd.DataFrame.from_records(
+                [tuple(None for _ in names)], columns=names)
+            df = spark.createDataFrame(pdf, schema).limit(0)
+        # verify Arrow actually took the LocalRelation path (it falls
+        # back silently on conversion failure)
+        if "LocalRelation" not in df._jdf.queryExecution() \
+                .analyzed().toString():
+            raise ValueError("arrow conversion fell back")
+        return df
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 def package_zip_path() -> str:
     """Build (once per process) a zip of the nobletools_spark package."""
     import nobletools_spark

@@ -265,9 +265,21 @@ def synthetic_corpus(n_docs: int, seed: int = 42,
     return rows
 
 
+def _spans_table(spark, rows):
+    """Fixture corpus as a JVM LocalRelation: span struct cells become
+    dicts so the Arrow conversion applies (tuples would silently fall
+    back to the pickled-Python-RDD path)."""
+    from nobletools_spark.session import local_table
+
+    keys = ("kind", "text", "media_ref", "offset")
+    return local_table(
+        spark,
+        [(d, [dict(zip(keys, s)) for s in spans]) for d, spans in rows],
+        SPANS_DDL)
+
+
 def synthetic_corpus_df(spark, n_docs: int, seed: int = 42, **kw):
-    rows = synthetic_corpus(n_docs, seed, **kw)
-    return spark.createDataFrame(rows, schema=SPANS_DDL)
+    return _spans_table(spark, synthetic_corpus(n_docs, seed, **kw))
 
 
 # ---------------------------------------------------------------------------
@@ -333,5 +345,4 @@ def rich_corpus(n_docs: int, seed: int = 7,
 
 
 def rich_corpus_df(spark, n_docs: int, seed: int = 7, **kw):
-    return spark.createDataFrame(rich_corpus(n_docs, seed, **kw),
-                                 schema=SPANS_DDL)
+    return _spans_table(spark, rich_corpus(n_docs, seed, **kw))

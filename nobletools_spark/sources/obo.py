@@ -114,11 +114,14 @@ def parse_text_terminology(text: str,
 
 
 def concepts_df_from_records(spark, concepts: Iterable[dict]):
+    from nobletools_spark.session import local_table
+
+    # struct cells as dicts so the Arrow LocalRelation path applies
     rows = [(c["cui"], c["name"], list(c["synonyms"]), list(c["semtypes"]),
              list(c["sources"]),
-             [(s, k) for s, k in c.get("codes", ()) or ()])
+             [{"sab": s, "code": k} for s, k in c.get("codes", ()) or ()])
             for c in concepts]
-    return spark.createDataFrame(
-        rows, "cui string, name string, synonyms array<string>, "
-              "semtypes array<string>, sources array<string>, "
-              "codes array<struct<sab:string, code:string>>")
+    return local_table(
+        spark, rows, "cui string, name string, synonyms array<string>, "
+                     "semtypes array<string>, sources array<string>, "
+                     "codes array<struct<sab:string, code:string>>")

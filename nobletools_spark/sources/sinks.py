@@ -256,10 +256,9 @@ def export_orf(concepts_df: DataFrame, path: str, lat: str = "ENG",
             nxt += 1
         assigned.append((c, nxt))
         nxt += 1
-    cui_ids = spark.createDataFrame(assigned or [("", -1)],
-                                    "cui string, cui_id long")
-    if not assigned:
-        cui_ids = cui_ids.filter(F.col("cui_id") >= 0)
+    from nobletools_spark.session import local_table
+
+    cui_ids = local_table(spark, assigned, "cui string, cui_id long")
     lw = Window.orderBy("nrm")
     lui_ids = (base.select("nrm").distinct()
                .withColumn("lui_id", F.dense_rank().over(lw) - 1))
@@ -303,10 +302,9 @@ def export_orf(concepts_df: DataFrame, path: str, lat: str = "ENG",
                 tn += 1
             tassigned.append((s, tn))
             tn += 1
-        tui_ids = spark.createDataFrame(tassigned or [("", -1)],
-                                        "sty string, tui_id long")
-        if not tassigned:
-            tui_ids = tui_ids.filter(F.col("tui_id") >= 0)
+        from nobletools_spark.session import local_table
+
+        tui_ids = local_table(spark, tassigned, "sty string, tui_id long")
         sty = (st.join(F.broadcast(cui_ids), "cui", "left")
                .join(F.broadcast(tui_ids), "sty", "left")
                .select(F.when(F.col("cui_id").isNotNull(),
@@ -344,7 +342,9 @@ def export_orf(concepts_df: DataFrame, path: str, lat: str = "ENG",
         sabs = (concepts_df.select(F.explode("sources").alias("s"))
                 .distinct())
     else:
-        sabs = spark.createDataFrame([(sab,)], "s string")
+        from nobletools_spark.session import local_table
+
+        sabs = local_table(spark, [(sab,)], "s string")
     mrsab = sabs.select(
         F.lit("").alias("vcui"), F.col("s").alias("rcui"),
         F.lit("").alias("vsab"), F.col("s").alias("rsab"),
