@@ -78,6 +78,7 @@ from nobletools_spark.sources.fixtures import (
     builtin_index,
     interleaved_docs,
 )
+from nobletools_spark.session import local_table
 
 CFG = MatchConfig()
 # 6 planes = 64 buckets: bucket-key parallelism above the r01 16-task
@@ -90,6 +91,15 @@ _EMB_DUP_T = 0.35
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _dim(spark: SparkSession, rows, ddl: str) -> DataFrame:
+    """Terminology-/dimension-sized inline table as a JVM
+    LocalRelation (LocalTableScan): evaluation never spawns Python
+    workers, sizes are known to the join planner, and small actions
+    over it need no job at all — the local analog of not re-running a
+    dim table's producer job per downstream stage."""
+    return local_table(spark, rows, ddl)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,26 +163,27 @@ def q_kg_cooccurrence(spark, sf_dir):
 
 
 def q_kg_isa_closure(spark, sf_dir):
-    edges = spark.createDataFrame(list(BUILTIN_ISA_EDGES),
-                                  "cui string, parent string")
+    edges = _dim(spark, list(BUILTIN_ISA_EDGES),
+                 "cui string, parent string")
     return (isa_closure_triples(edges)
             .withColumn("depth", F.col("depth").cast("long")))
 
 
 def q_kg_semtypes(spark, sf_dir):
-    st = spark.createDataFrame(
-        [(c, t) for c, t, _ in BUILTIN_SEMTYPES], "cui string, tui string")
+    st = _dim(spark, [(c, t) for c, t, _ in BUILTIN_SEMTYPES],
+              "cui string, tui string")
     return semtype_triples(st)
 
 
 def q_kg_canonical(spark, sf_dir):
-    edges = spark.createDataFrame(list(BUILTIN_SYNONYM_EDGES),
-                                  "a string, b string")
+    edges = _dim(spark, list(BUILTIN_SYNONYM_EDGES),
+                 "a string, b string")
     return canonical_map(edges)
 
 
 def q_kg_word_stats(spark, sf_dir):
-    cdf = spark.createDataFrame(
+    cdf = _dim(
+        spark,
         [(c["cui"], c["name"], list(c["synonyms"]), list(c["semtypes"]),
           list(c["sources"])) for c in BUILTIN_CONCEPTS],
         "cui string, name string, synonyms array<string>, "
@@ -187,8 +198,8 @@ def q_kg_mentions_by_ancestor(spark, sf_dir):
     from nobletools_spark.operators.triples import mentions_with_ancestor
 
     m = _builtin_mentions(spark, sf_dir)
-    edges = spark.createDataFrame(list(BUILTIN_ISA_EDGES),
-                                  "cui string, parent string")
+    edges = _dim(spark, list(BUILTIN_ISA_EDGES),
+                 "cui string, parent string")
     return (mentions_with_ancestor(m, edges, "C120")
             .select(F.col("doc_id").cast("long").alias("doc_id"), "cui")
             .distinct())
@@ -203,10 +214,9 @@ def q_kg_template_items(spark, sf_dir):
     from nobletools_spark.operators.templates import TEMPLATES_DDL, extract_items
 
     m = _builtin_mentions(spark, sf_dir)
-    edges = spark.createDataFrame(list(BUILTIN_ISA_EDGES),
-                                  "cui string, parent string")
-    t = spark.createDataFrame([tuple(r) for r in BUILTIN_TEMPLATES],
-                              TEMPLATES_DDL)
+    edges = _dim(spark, list(BUILTIN_ISA_EDGES),
+                 "cui string, parent string")
+    t = _dim(spark, [tuple(r) for r in BUILTIN_TEMPLATES], TEMPLATES_DDL)
     return (extract_items(m, edges, t)
             .select(F.col("doc_id").cast("long").alias("doc_id"),
                     "template_id", "item", "cui", "absent")
@@ -403,6 +413,27 @@ def q_text_mix_sample(spark, sf_dir):
         "mix", (F.col("doc_id").cast("long") % 3).cast("string"))
     return sample_to_token_budget(
         d, {"0": 4000, "1": 2500, "2": 1200}, group_col="mix")
+
+
+def q_text_vocab(spark, sf_dir):
+    """Tokenizer-training vocabulary: global top-200 BPE-ish pre-tokens
+    by (count desc, token asc) with document frequency — per-doc
+    map-side pre-aggregation, partial-agg token rollup, TakeOrdered
+    top-k (never a global sort)."""
+    from nobletools_spark.operators.textstats import vocab_top_k
+
+    return vocab_top_k(_docs(spark, sf_dir), k=200)
+
+
+def q_text_pack(spark, sf_dir):
+    """Pretraining sequence packing: concat-and-chop layout offsets
+    (16 hash shards, 128-token sequences, one EOS separator per doc) —
+    map-side token counts, ONE shard-keyed shuffle, per-shard window
+    cumsum (a packed shard is one ordered stream by definition)."""
+    from nobletools_spark.operators.textstats import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=128,
+                          n_shards=16, sep_tokens=1)
 
 
 def q_events_rollup(spark, sf_dir):
@@ -605,9 +636,8 @@ def entry(spark: SparkSession) -> DataFrame:
     → broadcast-index matcher → mention triples joined to concept names."""
     sf_dir = "/root/testdata/sf0.001"
     triples = q_kg_mentions(spark, sf_dir)
-    names = spark.createDataFrame(
-        [(c["cui"], c["name"]) for c in BUILTIN_CONCEPTS],
-        "cui string, concept_name string")
+    names = _dim(spark, [(c["cui"], c["name"]) for c in BUILTIN_CONCEPTS],
+                 "cui string, concept_name string")
     return (triples.join(F.broadcast(names),
                          triples.obj == names.cui, "left")
             .select("doc_id", "pred", "obj", "concept_name"))
@@ -651,6 +681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_filter": q_text_filter,
         "dedup_strip_windows": q_dedup_strip_windows,
         "text_mix_sample": q_text_mix_sample,
+        "text_vocab": q_text_vocab,
+        "text_pack": q_text_pack,
         "text_chunks": q_text_chunks,
         "dedup_drop_near": q_dedup_drop_near,
         "text_contamination": q_text_contamination,
@@ -1396,6 +1428,32 @@ def oracle_sql() -> dict[str, str]:
         " CURRENT ROW) AS cum FROM b) "
         "SELECT doc_id, grp, n_tokens FROM c WHERE cum - n_tokens <"
         " CASE grp WHEN '0' THEN 4000 WHEN '1' THEN 2500 ELSE 1200 END")
+
+    # text_vocab: the same BPE-ish pre-tokenizer, counted corpus-wide;
+    # the (cnt DESC, token ASC) total order fixes the top-k set
+    sql["text_vocab"] = (
+        "WITH tok AS (SELECT doc_id,"
+        " unnest(regexp_extract_all(lower(coalesce(text, '')),"
+        f" '{BPE_TOKEN_RE}')) AS token FROM documents) "
+        "SELECT token, count(*)::BIGINT AS cnt,"
+        " count(DISTINCT doc_id)::BIGINT AS n_docs"
+        " FROM tok GROUP BY token ORDER BY cnt DESC, token LIMIT 200")
+
+    # text_pack: replay of the concat-and-chop layout — shard hash,
+    # doc_id-ordered separator-shifted prefix sums, sequence spans
+    pack_h = _SQL_H64.format(x="'pk0|' || (doc_id::BIGINT)::VARCHAR")
+    sql["text_pack"] = (
+        "WITH d AS (SELECT doc_id::BIGINT AS doc_id,"
+        f" {pack_h} % 16 AS shard,"
+        " len(string_split(coalesce(text, ''), ' '))::BIGINT AS n_tokens"
+        " FROM documents), "
+        "s AS (SELECT *, coalesce(sum(n_tokens + 1) OVER ("
+        "PARTITION BY shard ORDER BY doc_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT"
+        " AS start_tok FROM d) "
+        "SELECT doc_id, shard, start_tok, n_tokens,"
+        " (start_tok // 128)::BIGINT AS first_seq,"
+        " ((start_tok + n_tokens - 1) // 128)::BIGINT AS last_seq FROM s")
 
     # media_frames: closed-form replay of the AVI synthesis + sampler —
     # 3 + id%8 frames at 25 fps, every-200ms picks = indices 0,5 (the

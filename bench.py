@@ -53,6 +53,8 @@ HEADLINE = (
     "dedup_lines",
     "dedup_strip_windows",
     "text_filter",
+    "text_vocab",
+    "text_pack",
     "media_frames",
     "media_decode",
 )

@@ -281,14 +281,19 @@ def sample_to_token_budget(docs: DataFrame, budgets,
             prefix += s
     spark = docs.sparkSession
     out_cols = ["doc_id", "grp", "n_tokens"]
-    full_df = spark.createDataFrame(
-        full_rows or [], "grp string, bucket long")
+    from nobletools_spark.session import local_table
+
+    # decision tables are (groups × buckets)-sized: JVM LocalRelations,
+    # so the broadcast builds never spawn Python workers
+    full_df = local_table(spark, full_rows or [],
+                          "grp string, bucket long")
     kept = d.join(F.broadcast(full_df), ["grp", "bucket"]).select(*out_cols)
     if bound_rows:
         from pyspark.sql import Window
 
-        bdf = spark.createDataFrame(
-            bound_rows, "grp string, bucket long, prefix long, budget long")
+        bdf = local_table(
+            spark, bound_rows,
+            "grp string, bucket long, prefix long, budget long")
         w = (Window.partitionBy("grp").orderBy("h", "doc_id")
              .rowsBetween(Window.unboundedPreceding, 0))
         boundary = (d.join(F.broadcast(bdf), ["grp", "bucket"])
@@ -460,3 +465,91 @@ def sample_by_hash(docs: DataFrame, rate: float,
         F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 8),
         16, 10).cast("long")
     return docs.filter(h < F.lit(threshold))
+
+
+def vocab_top_k(docs: DataFrame, k: int = 1000) -> DataFrame:
+    """Global top-k pre-token vocabulary — the tokenizer-training prep
+    step: BPE-ish pre-tokens (the same ``BPE_TOKEN_RE`` family as
+    ``token_stats``) counted corpus-wide with document frequency,
+    ranked by (cnt desc, token asc) so the top-k SET is fixed by a
+    total order (engine-independent, no arbitrary ties at the k-th
+    row). Returns (token, cnt, n_docs).
+
+    Scale shape: regexp_extract_all + explode + in-doc distinct are
+    map-side; the per-(doc, token) pre-aggregation means the token
+    rollup's shuffle carries one row per document-distinct token (the
+    canonical two-level word count — never one row per occurrence);
+    the top-k is TakeOrderedAndProject (per-partition k-row heap,
+    driver merge of k·partitions rows) — never a global sort.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    tok = F.explode(F.expr(
+        f"regexp_extract_all(lower(coalesce(text, '')), "
+        f"'{BPE_TOKEN_RE}', 0)")).alias("token")
+    per_doc = (docs.select(doc_id_col(docs), tok)
+               .groupBy("doc_id", "token")
+               .agg(F.count("*").alias("tf")))
+    counts = (per_doc.groupBy("token")
+              .agg(F.sum("tf").cast("long").alias("cnt"),
+                   F.count("*").cast("long").alias("n_docs")))
+    return (counts
+            .orderBy(F.col("cnt").desc(), F.col("token").asc())
+            .limit(k))
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 2048,
+                   n_shards: int = 256, sep_tokens: int = 1,
+                   salt: str = "pk0") -> DataFrame:
+    """Concat-and-chop sequence packing offsets — the final pretraining
+    layout step: documents are hash-assigned to one of ``n_shards``
+    output shards, concatenated in doc_id order within the shard (each
+    document followed by ``sep_tokens`` separator tokens, e.g. EOS),
+    and the shard's token stream is chopped into fixed ``seq_len``
+    training sequences (documents split at sequence boundaries, the
+    standard GPT-style packing). Returns per document (doc_id, shard,
+    start_tok, n_tokens, first_seq, last_seq): where its whitespace
+    tokens land in the shard stream and which packed sequences it
+    spans. Deterministic: same keys + salt ⇒ same layout on any
+    cluster, any partitioning, any engine.
+
+    Scale shape: map-side token counts + shard hash, ONE shuffle on
+    shard, one window cumsum per shard. The per-shard cumsum is
+    sequential by definition — a packed shard IS one ordered stream —
+    so ``n_shards`` is the parallelism knob exactly like output-file
+    sharding: at 100 TB set n_shards so one shard's documents fit a
+    task (e.g. 2^16 shards → ~1.5 GB of text each); at local test
+    scale the default keeps every core busy.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive: {seq_len}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive: {n_shards}")
+    if sep_tokens < 0:
+        raise ValueError(f"sep_tokens must be >= 0: {sep_tokens}")
+    from pyspark.sql import Window
+
+    n = F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+    # coalesce marks the shard key non-nullable: no inferred
+    # isnotnull(<md5 chain>) scan filter re-evaluating the hash
+    shard = F.pmod(
+        F.coalesce(h64(F.concat(F.lit(f"{salt}|"),
+                                F.col("doc_id").cast("string"))),
+                   F.lit(0).cast("long")),
+        F.lit(n_shards))
+    d = docs.select(doc_id_col(docs), shard.alias("shard"),
+                    n.cast("long").alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(
+        F.sum(F.col("n_tokens") + F.lit(sep_tokens)).over(w),
+        F.lit(0).cast("long"))
+    d = d.withColumn("start_tok", start)
+    # the doc's own last token (the trailing separator occupies stream
+    # positions — it shifts later docs — but is not part of this doc's
+    # span); integral `div`, not floor(double /): exact at any offset
+    return d.select(
+        "doc_id", "shard", "start_tok", "n_tokens",
+        F.expr(f"start_tok div {seq_len}").alias("first_seq"),
+        F.expr(f"(start_tok + n_tokens - 1) div {seq_len}")
+        .alias("last_seq"))

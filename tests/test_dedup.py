@@ -491,3 +491,71 @@ def test_removal_ops_match_python_replay(spark):
              for r in flag_contaminated(docs, bench, window=W).collect()}
     assert got_c == want_c
     assert any(c for _n, c in want_c.values())   # the replay has real hits
+
+
+def test_vocab_top_k(spark):
+    """Vocabulary: counts and doc frequencies equal the pure-Python
+    replay of the BPE-ish pre-tokenizer; the top-k set follows the
+    (cnt desc, token asc) total order; invalid k raises."""
+    import re
+
+    import pytest as _pytest
+
+    from nobletools_spark.operators.textstats import (BPE_TOKEN_RE,
+                                                      vocab_top_k)
+
+    rows = [(1, "Spark spark ROW!"), (2, "row row, spark"),
+            (3, "unique"), (4, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from collections import Counter
+    cnt, df = Counter(), Counter()
+    for _d, t in rows:
+        toks = re.findall(BPE_TOKEN_RE, (t or "").lower())
+        cnt.update(toks)
+        df.update(set(toks))
+    got = [(r.token, r.cnt, r.n_docs)
+           for r in vocab_top_k(docs, k=3).collect()]
+    want = sorted(((t, cnt[t], df[t]) for t in cnt),
+                  key=lambda x: (-x[1], x[0]))[:3]
+    assert got == want
+    assert got[0] == ("row", 3, 2)        # 3-count tie broken by token
+    # full table matches the replay exactly
+    full = {(r.token, r.cnt, r.n_docs)
+            for r in vocab_top_k(docs, k=100).collect()}
+    assert full == {(t, cnt[t], df[t]) for t in cnt}
+    with _pytest.raises(ValueError):
+        vocab_top_k(docs, k=0)
+
+
+def test_pack_sequences(spark):
+    """Packing: offsets equal the pure-Python concat-and-chop replay
+    (doc_id order within hash shards, separator-shifted starts, spans
+    over the doc's own tokens only); empty/NULL text packs as one ''
+    token; invalid params raise."""
+    import pytest as _pytest
+
+    from nobletools_spark.functions.hashing import h64_py
+    from nobletools_spark.operators.textstats import pack_sequences
+
+    rows = [(i, ("t " * (1 + i % 9)).strip() if i % 11 else None)
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    SEQ, SHARDS, SEP = 7, 4, 1
+    want = {}
+    shard_of = {i: h64_py(f"pk0|{i}") % SHARDS for i, _ in rows}
+    for s in range(SHARDS):
+        pos = 0
+        for i in sorted(i for i in shard_of if shard_of[i] == s):
+            n = len(((rows[i][1] or "")).split(" "))
+            want[i] = (s, pos, n, pos // SEQ, (pos + n - 1) // SEQ)
+            pos += n + SEP
+    got = {r.doc_id: (r.shard, r.start_tok, r.n_tokens,
+                      r.first_seq, r.last_seq)
+           for r in pack_sequences(docs, seq_len=SEQ, n_shards=SHARDS,
+                                   sep_tokens=SEP).collect()}
+    assert got == want
+    assert len({v[0] for v in want.values()}) > 1    # >1 real shard
+    assert any(v[3] != v[4] for v in want.values())  # a doc spans seqs
+    for bad in (dict(seq_len=0), dict(n_shards=0), dict(sep_tokens=-1)):
+        with _pytest.raises(ValueError):
+            pack_sequences(docs, **bad)
