@@ -88,6 +88,18 @@ NOTES = {
                           " map-side window hashes; duplicate-sized doc"
                           " rollup",
     "text_repetition": "map-side sorted-array folds, zero exchange",
+    "text_vocab": "two-level word count (per-doc pre-agg, then a token"
+                  " rollup carrying one row per document-distinct"
+                  " token) + TakeOrderedAndProject top-k — never a"
+                  " global sort",
+    "text_pack": "map-side token counts + shard hash; ONE shard-keyed"
+                 " shuffle; per-shard window cumsum (a packed shard is"
+                 " one ordered stream by definition — n_shards is the"
+                 " parallelism knob)",
+    "kg_media_triples": "map-only matcher + doc_id-keyed join of media"
+                        " spans to same-doc distinct concepts (both"
+                        " sides co-keyed on doc_id — the one shuffle"
+                        " the semantics require)",
     "media_frames": "pandas-UDF container synthesis + mapInPandas"
                     " demux, zero shuffle",
     "media_decode": "mapInPandas decode + features, zero shuffle",
