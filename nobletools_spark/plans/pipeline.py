@@ -308,11 +308,15 @@ def prep_stages(*, filter_kw: dict | None = None,
                 near_kw: dict | None = None,
                 benchmark_texts: tuple[str, ...] = (),
                 budgets=None, group_col: str | None = None,
-                chunk_tokens: int = 512, overlap: int = 64) -> list[Stage]:
+                chunk_tokens: int = 512, overlap: int = 64,
+                vocab_k: int | None = None,
+                pack_seq_len: int | None = None,
+                pack_kw: dict | None = None) -> list[Stage]:
     """The corpus-prep (training-data) pipeline as resumable stages:
 
         decisions → filtered → line_dedup → near_dedup
         [→ decontaminated] [→ mix_sample → mixed] → chunks
+        [→ vocab] [→ packed]
 
     Every stage materializes a (doc_id, text) corpus snapshot (plus the
     decision/sample side tables), so a killed multi-day prep job
@@ -321,7 +325,12 @@ def prep_stages(*, filter_kw: dict | None = None,
     kg_stages. The optional stages join in when ``benchmark_texts``
     (13-gram decontamination) / ``budgets`` (token-budget mixture
     sampling) are provided; they sit before chunking so the chunk
-    stage always consumes the final surviving corpus."""
+    stage always consumes the final surviving corpus. ``vocab_k``
+    appends a top-k tokenizer-vocabulary side table over the final
+    corpus; ``pack_seq_len`` appends the concat-and-chop sequence
+    layout (``pack_kw`` forwards n_shards / sep_tokens / salt) — both
+    read the final corpus, not the chunk table, since packing and
+    chunking are alternative layout strategies."""
     from nobletools_spark.operators.dedup import (
         drop_near_duplicates,
         flag_contaminated,
@@ -331,7 +340,9 @@ def prep_stages(*, filter_kw: dict | None = None,
     from nobletools_spark.operators.textstats import (
         chunk_documents,
         filter_decisions,
+        pack_sequences,
         sample_to_token_budget,
+        vocab_top_k,
     )
 
     def s_decisions(spark, r):
@@ -394,4 +405,11 @@ def prep_stages(*, filter_kw: dict | None = None,
         return chunk_documents(r[final], chunk_tokens, overlap)
 
     stages.append(Stage("chunks", s_chunks))
+    if vocab_k is not None:
+        stages.append(Stage(
+            "vocab", lambda spark, r: vocab_top_k(r[final], vocab_k)))
+    if pack_seq_len is not None:
+        stages.append(Stage(
+            "packed", lambda spark, r: pack_sequences(
+                r[final], pack_seq_len, **(pack_kw or {}))))
     return stages

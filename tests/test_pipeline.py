@@ -313,3 +313,42 @@ def test_prep_pipeline_on_interleaved_docs(spark, tmp_path):
     assert "m://1" not in final["docA"] and "  " not in final["docA"]
     chunks = res["chunks"].collect()
     assert {r.doc_id for r in chunks} == {"docA", "docB"}
+
+
+def test_prep_pipeline_vocab_and_packing(spark, tmp_path):
+    """vocab_k / pack_seq_len append the tokenizer-vocabulary and
+    concat-and-chop layout stages over the FINAL corpus; both match
+    the direct operator outputs and resume from their manifests."""
+    from nobletools_spark.operators.textstats import (
+        pack_sequences,
+        vocab_top_k,
+    )
+    from nobletools_spark.plans.pipeline import Pipeline, prep_stages
+
+    def body(tag):
+        return " ".join(f"{tag}{i}" for i in range(40)) + " the of and in"
+
+    docs = spark.createDataFrame(
+        [(i, body(f"t{i}")) for i in range(6)], "doc_id long, text string")
+    kw = dict(chunk_tokens=16, overlap=4, vocab_k=5, pack_seq_len=16,
+              pack_kw={"n_shards": 2})
+    pipe = Pipeline(str(tmp_path / "p"), prep_stages(**kw))
+    res = pipe.run(spark, {"documents": docs}, run_config={"v": 1})
+    assert [s.name for s in pipe.stages][-3:] == ["chunks", "vocab",
+                                                 "packed"]
+
+    final = res["near_dedup"]
+    want_v = {(r.token, r.cnt, r.n_docs)
+              for r in vocab_top_k(final, 5).collect()}
+    got_v = {(r.token, r.cnt, r.n_docs) for r in res["vocab"].collect()}
+    assert got_v == want_v and len(got_v) == 5
+
+    want_p = {(r.doc_id, r.shard, r.start_tok, r.first_seq, r.last_seq)
+              for r in pack_sequences(final, 16, n_shards=2).collect()}
+    got_p = {(r.doc_id, r.shard, r.start_tok, r.first_seq, r.last_seq)
+             for r in res["packed"].collect()}
+    assert got_p == want_p and len(got_p) == 6
+
+    pipe2 = Pipeline(str(tmp_path / "p"), prep_stages(**kw))
+    pipe2.run(spark, {"documents": docs}, run_config={"v": 1})
+    assert [r.status for r in pipe2.reports] == ["resumed"] * 7

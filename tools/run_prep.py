@@ -1,8 +1,9 @@
 """spark-submit entry point for the corpus-prep (training-data)
 pipeline: quality filter → C4 line dedup → MinHash near-dedup →
-[13-gram decontamination] → [token-budget mixture] → chunking, every
-stage checkpoint-resumable with per-partition lineage (same machinery
-as the KG pipeline).
+[13-gram decontamination] → [token-budget mixture] → chunking
+[→ top-k vocabulary] [→ sequence packing], every stage
+checkpoint-resumable with per-partition lineage (same machinery as
+the KG pipeline).
 
     zip -r nobletools_spark.zip nobletools_spark
     spark-submit --py-files nobletools_spark.zip tools/run_prep.py \
@@ -11,6 +12,8 @@ as the KG pipeline).
         [--benchmarks eval_texts.txt]   # one benchmark text per line
         [--budgets '{"en": 1000000}' --group-col lang]
         [--chunk-tokens 512 --overlap 64]
+        [--vocab-k 50000]               # tokenizer-vocab side table
+        [--pack-seq-len 2048 --pack-shards 256]  # packed layout
 """
 
 from __future__ import annotations
@@ -37,6 +40,12 @@ def main() -> None:
     ap.add_argument("--overlap", type=int, default=64)
     ap.add_argument("--line-min-count", type=int, default=2)
     ap.add_argument("--line-min-len", type=int, default=10)
+    ap.add_argument("--vocab-k", type=int,
+                    help="append a top-k tokenizer-vocabulary stage")
+    ap.add_argument("--pack-seq-len", type=int,
+                    help="append a concat-and-chop sequence-packing "
+                         "stage at this sequence length")
+    ap.add_argument("--pack-shards", type=int, default=256)
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
 
@@ -62,10 +71,15 @@ def main() -> None:
         line_min_len=args.line_min_len,
         benchmark_texts=bench, budgets=budgets,
         group_col=args.group_col,
-        chunk_tokens=args.chunk_tokens, overlap=args.overlap))
+        chunk_tokens=args.chunk_tokens, overlap=args.overlap,
+        vocab_k=args.vocab_k, pack_seq_len=args.pack_seq_len,
+        pack_kw={"n_shards": args.pack_shards}))
     run_config = {"input": args.input, "chunk": args.chunk_tokens,
                   "overlap": args.overlap, "n_bench": len(bench),
-                  "budgets": budgets, "group_col": args.group_col}
+                  "budgets": budgets, "group_col": args.group_col,
+                  "vocab_k": args.vocab_k,
+                  "pack_seq_len": args.pack_seq_len,
+                  "pack_shards": args.pack_shards}
     res = pipe.run(spark, {"documents": docs}, run_config=run_config,
                    force=args.force)
     print(json.dumps({
