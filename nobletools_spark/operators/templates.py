@@ -14,9 +14,13 @@ one ItemInstance row per (mention × matching item):
 - **section filtering** (TemplateItem.process :355-391): items with a
   ``section_filter`` only see mentions inside sections whose title
   full-matches the filter regex (Java ``String.matches``). Sentence
-  ranges (``title[range]``, :362-368) are not supported in this
-  minimal layer. Without a ``sections_df``, filtered items match
-  nothing — same as the reference when no section matches.
+  ranges (``title[range]``, :362-368) are honored when the sections
+  table carries ``sent_starts`` (``sections_from_docs`` emits it):
+  ``title[-N]`` keeps all but the section's last N sentences, a
+  non-negative range adds the WHOLE section (the reference's TODO
+  quirk, :380-384). A ranges-less sections table falls back to
+  whole-section scoping. Without a ``sections_df``, filtered items
+  match nothing — same as the reference when no section matches.
 - **value resolution** (ItemInstance.process :424-430): for
   ``value_domain='value'`` a STRICT descendant mention is the value:
   ``value_num`` = TextTools.parseDecimalValue over the matched term
@@ -247,22 +251,35 @@ def mask_documents(docs_df: DataFrame, pattern: str,
     return docs_df.mapInPandas(run, docs_df.schema)
 
 
-SECTIONS_DDL = "doc_id string, title string, start int, end int"
+SECTIONS_DDL = ("doc_id string, title string, start int, end int, "
+                "sent_starts array<int>")
 
 
 def sections_from_docs(docs_df: DataFrame,
                        text_col: str = "text") -> DataFrame:
-    """Distributed sectioning: (doc_id, title, start, end) spans via
-    docproc.split_sections (DocumentProcessor.section :344-377) inside
-    mapInPandas — map-only, mirrors the matcher's zero-shuffle shape.
-    Accepts either a flat text column or the interleaved (doc_id,
-    spans) layout (text spans concatenated at their offsets)."""
+    """Distributed sectioning: (doc_id, title, start, end, sent_starts)
+    spans via docproc.process_document_text (DocumentProcessor.section
+    :344-377) inside mapInPandas — map-only, mirrors the matcher's
+    zero-shuffle shape. ``sent_starts`` carries the offsets of EVERY
+    sentence (including filtered headers) inside the section — the
+    Section.getSentences equivalent that ``title[range]`` filters count
+    against. Accepts either a flat text column or the interleaved
+    (doc_id, spans) layout (text spans concatenated at their offsets)."""
     import pandas as pd
 
-    from nobletools_spark.functions.docproc import split_sections
+    from nobletools_spark.functions.docproc import process_document_text
     from nobletools_spark.operators.matcher import _span_fields
 
     interleaved = "spans" in docs_df.columns and text_col not in docs_df.columns
+
+    def emit(doc_id, text, off, out):
+        parsed = process_document_text(text, off)
+        sent_offs = [o for _t, o, _ty in parsed.sentences]
+        for sec in parsed.sections:
+            end = sec.body_offset + len(sec.body)
+            out.append((doc_id, sec.title, sec.title_offset, end,
+                        [o for o in sent_offs
+                         if sec.title_offset <= o < end]))
 
     def run(batches):
         for pdf in batches:
@@ -273,18 +290,13 @@ def sections_from_docs(docs_df: DataFrame,
                         kind, text, _ref, off = _span_fields(s)
                         if kind != "text" or not text:
                             continue
-                        for sec in split_sections(text, offset=off):
-                            out.append((doc_id, sec.title,
-                                        sec.title_offset,
-                                        sec.body_offset + len(sec.body)))
+                        emit(doc_id, text, off, out)
             else:
                 for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                    for sec in split_sections(text or ""):
-                        out.append((doc_id, sec.title,
-                                    sec.title_offset,
-                                    sec.body_offset + len(sec.body)))
+                    emit(doc_id, text or "", 0, out)
             yield pd.DataFrame(out, columns=["doc_id", "title",
-                                             "start", "end"])
+                                             "start", "end",
+                                             "sent_starts"])
 
     cols = (["doc_id", "spans"] if interleaved else ["doc_id", text_col])
     return docs_df.select(*cols).mapInPandas(run, SECTIONS_DDL)
@@ -338,19 +350,48 @@ def extract_items(mentions_df: DataFrame, edges_df: DataFrame,
     gated = m.join(F.broadcast(expand), "cui")
 
     # section scope (TemplateItem.process :355-391): Java String.matches
-    # is a FULL match — anchor the stored filter
+    # is a FULL match — anchor the stored filter. A `[range]` suffix is
+    # split off the title first (:362-368, TemplateItem's
+    # `(.*)\[([\d\-]+)\]` parse): `title[-N]` keeps all but the
+    # section's last N sentences — a mention qualifies when its start
+    # precedes the first dropped sentence's offset — while a
+    # non-negative range adds the WHOLE section (the reference TODO,
+    # :380-384). Needs the sections table's `sent_starts`; without that
+    # column, ranges fall back to whole-section scoping.
     if sections_df is not None:
-        s = sections_df.select(F.col("doc_id").alias("s_doc"),
-                               F.col("title").alias("s_title"),
-                               F.col("start").alias("s_start"),
-                               F.col("end").alias("s_end"))
-        in_section = (gated.filter(F.col("section_filter").isNotNull())
-                      .join(s, (F.col("doc_id") == F.col("s_doc"))
-                            & (F.col("start") >= F.col("s_start"))
-                            & (F.col("start") < F.col("s_end"))
-                            & F.expr("s_title rlike concat('^(?:', "
-                                     "section_filter, ')$')"))
-                      .drop("s_doc", "s_title", "s_start", "s_end"))
+        rng_re = r"^(.*)\[(-?\d+)\]$"
+        filt = gated.filter(F.col("section_filter").isNotNull())
+        has_rng = F.col("section_filter").rlike(rng_re)
+        filt = (filt
+                .withColumn("_title", F.when(
+                    has_rng,
+                    F.regexp_extract("section_filter", rng_re, 1))
+                    .otherwise(F.col("section_filter")))
+                .withColumn("_rng", F.when(
+                    has_rng,
+                    F.regexp_extract("section_filter", rng_re, 2)
+                    .cast("int"))))
+        scols = [F.col("doc_id").alias("s_doc"),
+                 F.col("title").alias("s_title"),
+                 F.col("start").alias("s_start"),
+                 F.col("end").alias("s_end")]
+        ranged = "sent_starts" in sections_df.columns
+        if ranged:
+            scols.append(F.col("sent_starts").alias("s_sents"))
+        s = sections_df.select(*scols)
+        cond = ((F.col("doc_id") == F.col("s_doc"))
+                & (F.col("start") >= F.col("s_start"))
+                & (F.col("start") < F.col("s_end"))
+                & F.expr("s_title rlike concat('^(?:', _title, ')$')"))
+        if ranged:
+            cond = cond & F.expr(
+                "_rng IS NULL OR _rng >= 0 OR "
+                "(size(s_sents) + _rng >= 1 AND "
+                " start < element_at(s_sents, size(s_sents) + _rng + 1))")
+        in_section = (filt.join(s, cond)
+                      .drop("s_doc", "s_title", "s_start", "s_end",
+                            "_title", "_rng",
+                            *(["s_sents"] if ranged else [])))
         gated = (gated.filter(F.col("section_filter").isNull())
                  .unionByName(in_section))
     else:

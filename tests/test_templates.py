@@ -385,3 +385,57 @@ def test_extract_end_to_end_rich_corpus(spark):
     # ConText negation propagates to absent on boolean items
     assert any(r.absent for r in rows if r.item == "neoplasm")
     items.unpersist()
+
+
+def test_extract_items_section_sentence_ranges(spark):
+    """TemplateItem.process :362-384: `title[-N]` keeps all but the
+    section's last N sentences; a non-negative range adds the WHOLE
+    section (the reference TODO quirk); a sections table without
+    sent_starts falls back to whole-section scoping."""
+    m = _mentions(spark, [
+        ("d1", "C104", "hash join", 25, 34, None),   # sentence @20
+        ("d1", "C104", "hash join", 55, 64, None),   # sentence @50
+        ("d1", "C104", "hash join", 85, 94, None),   # sentence @80 (last)
+    ])
+    sections = spark.createDataFrame(
+        [("d1", "FINDINGS:", 0, 100, [0, 20, 50, 80])],
+        "doc_id string, title string, start int, end int, "
+        "sent_starts array<int>")
+
+    def starts(flt):
+        t = _templates(spark, [("t1", "it", "C120", flt, "boolean")])
+        return {r.start for r in
+                extract_items(m, _edges(spark), t,
+                              sections_df=sections).collect()}
+
+    assert starts("FINDINGS:[-1]") == {25, 55}       # last sentence cut
+    assert starts("FINDINGS:[-3]") == set()          # only @0 kept
+    assert starts("FINDINGS:[-9]") == set()          # over-cut: empty
+    assert starts("FINDINGS:[2]") == {25, 55, 85}    # whole-section TODO
+    assert starts("FIND.*[-1]") == {25, 55}          # regex title + range
+    assert starts("FINDINGS:") == {25, 55, 85}       # no range unchanged
+    # ranges-less sections table: [-1] widens to the whole section
+    bare = sections.drop("sent_starts")
+    t = _templates(spark, [("t1", "it", "C120", "FINDINGS:[-1]",
+                            "boolean")])
+    got = extract_items(m, _edges(spark), t, sections_df=bare).count()
+    assert got == 3
+
+
+def test_sections_from_docs_sent_starts(spark):
+    """sections_from_docs emits every sentence offset (headers
+    included) inside [title_offset, body_end) — the
+    Section.getSentences counting base for `title[range]`."""
+    from nobletools_spark.operators.templates import sections_from_docs
+
+    text = ("FINDINGS: One sentence here. Another sentence follows.\n"
+            "MARGINS: Clear of tumor.")
+    docs = spark.createDataFrame([("d1", text)],
+                                 "doc_id string, text string")
+    secs = {r.title: r for r in sections_from_docs(docs).collect()}
+    f = secs["FINDINGS:"]
+    assert f.sent_starts and all(f.start <= o < f.end
+                                 for o in f.sent_starts)
+    assert len(f.sent_starts) >= 2
+    m = secs["MARGINS:"]
+    assert m.sent_starts and min(m.sent_starts) >= m.start
