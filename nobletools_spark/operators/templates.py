@@ -23,11 +23,14 @@ one ItemInstance row per (mention × matching item):
   match nothing — same as the reference when no section matches.
 - **value resolution** (ItemInstance.process :424-430): for
   ``value_domain='value'`` a STRICT descendant mention is the value:
-  ``value_num`` = TextTools.parseDecimalValue over the matched term
-  (float, roman numerals, number words, int — :1036-1129), NULL when
-  the reference would return NO_VALUE; ``value_str`` keeps the term.
-  (The reference parses each annotation word; this layer parses the
-  whole matched term — one value per mention.)
+  ``value_num`` = TextTools.parseDecimalValue (float, roman numerals,
+  number words, int — :1036-1129) over each annotation word in turn
+  (the matcher's matched-word list, or a whitespace split when the
+  mention table has no ``annotations`` column), first parseable word
+  wins — NULL when the reference would return NO_VALUE for every
+  word; ``value_str`` keeps the whole term. (The reference collects
+  EVERY parseable word's value; this layer keeps the first — the
+  kernel keeps the full list.)
 - **absent flag** (ItemInstance.process :432-435 + :500): for
   non-attribute/value domains a negated mention (ConText
   Polarity=Negative_Polarity) sets ``absent`` instead of dropping.
@@ -93,11 +96,23 @@ def parse_decimal_value(text: str | None) -> float | None:
     return None
 
 
-def _parse_value_udf():
-    import pandas as pd
+def _parse_words_value_udf():
+    """Per-annotation value parsing (ItemInstance.process :424-430):
+    the reference parses EACH annotation word and collects every
+    parseable value; this declarative projection keeps the first
+    parseable word's value (the kernel keeps the full list). 'grade 3'
+    resolves to 3.0 where a whole-term parse would be NO_VALUE."""
+    def batch(words):
+        def first_val(ws):
+            if ws is None:
+                return None
+            for w in ws:
+                d = parse_decimal_value(w)
+                if d is not None:
+                    return d
+            return None
 
-    def batch(s):  # no type hints: stringized hints break inference
-        return s.map(parse_decimal_value).astype("float64")
+        return words.map(first_val).astype("float64")
 
     return F.pandas_udf(batch, T.DoubleType())
 
@@ -401,13 +416,21 @@ def extract_items(mentions_df: DataFrame, edges_df: DataFrame,
                 & (F.col("cui") != F.col("concept")))
     no_absent_domain = F.col("value_domain").isin(DOMAIN_ATTRIBUTE,
                                                   DOMAIN_VALUE)
-    parse = _parse_value_udf()
+    parse_words = _parse_words_value_udf()
+    # the matcher's annotations are the MATCHED words (gap words
+    # excluded) — the exact list the reference iterates; mention
+    # tables without it fall back to whitespace-split matched terms
+    if "annotations" in cols:
+        val_words = F.expr("transform(annotations, a -> a.text)")
+    else:
+        val_words = F.split(F.coalesce(F.col("matched_term"),
+                                       F.lit("")), " ")
     skey = ["doc_id"] + (["sent_offset"] if "sent_offset" in cols else [])
     out = gated.select(
         *skey, "template_id", "item", "concept", "cui", "matched_term",
         "start", "end", "value_domain", "_negated",
         F.when(is_value, F.col("matched_term")).alias("value_str"),
-        F.when(is_value, parse(F.col("matched_term"))).alias("value_num"))
+        F.when(is_value, parse_words(val_words)).alias("value_num"))
 
     # component composition (ItemInstance.process :440-480 +
     # getMatchingInstances): attributes / modifiers / units / value

@@ -95,6 +95,37 @@ def test_extract_items_value_resolution(spark):
     assert not any(r.absent for r in rows.values())
 
 
+def test_extract_items_per_annotation_values(spark):
+    """ItemInstance.process :424-430 parses each ANNOTATION word, not
+    the whole term: 'grade 3' resolves to 3.0 (first parseable word);
+    with an annotations column only the matched words are parsed (gap
+    words never contribute)."""
+    m = _mentions(spark, [
+        ("d1", "C104", "grade 3", 0, 7, None),     # word fallback
+        ("d1", "C106", "grade q of z", 8, 20, None),  # nothing parses
+    ])
+    t = _templates(spark, [("t1", "stage", "C120", None, "value")])
+    rows = {r.cui: r for r in
+            extract_items(m, _edges(spark), t).collect()}
+    assert rows["C104"].value_num == 3.0
+    assert rows["C104"].value_str == "grade 3"
+    assert rows["C106"].value_num is None
+    # explicit annotations: the matched-word list is authoritative —
+    # '3' inside the term is NOT an annotation here, so no value
+    ddl = MENTIONS_DDL + ", annotations array<struct<text:string, " \
+                         "offset:int>>"
+    m2 = spark.createDataFrame(
+        [("d1", "C104", "grade 3", 0, 7, None,
+          [{"text": "grade", "offset": 0}]),
+         ("d1", "C106", "stage iv disease", 8, 24, None,
+          [{"text": "stage", "offset": 8}, {"text": "iv", "offset": 14}]),
+         ], ddl)
+    rows2 = {r.cui: r for r in
+             extract_items(m2, _edges(spark), t).collect()}
+    assert rows2["C104"].value_num is None
+    assert rows2["C106"].value_num == 4.0            # roman via word 2
+
+
 def test_extract_items_absent_flag(spark):
     """ItemInstance.process :432-435: a ConText-negated mention sets
     absent for boolean items; attribute/value domains never do."""
