@@ -60,11 +60,15 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     """edges(a, b) undirected → (node, component) with component =
     min node id reachable (lexicographic for strings).
 
-    Graphs with ≤ driver_threshold distinct edges (one limit-probe
-    job) run union-find driver-side: a distributed pass costs ~1 s of
-    Spark job overhead on any input size, and most callers' edge
-    tables (synonym cross-walks, near-dup pair tables) are
-    terminology-/pair-sized by construction. Larger graphs run the
+    Graphs whose RAW non-self-loop rows number ≤ driver_threshold
+    (one limit-probe job — no pre-limit distinct shuffle; union-find
+    absorbs duplicate edges for free) run union-find driver-side: a
+    distributed pass costs ~1 s of Spark job overhead on any input
+    size, and most callers' edge tables (synonym cross-walks, near-dup
+    pair tables) are terminology-/pair-sized by construction. A
+    heavily-duplicated table can exceed the raw budget while its
+    distinct edge set is small — that only routes it to the
+    (result-identical) distributed strategy. Larger graphs run the
     large-star/small-star alternation — O(log² n) passes independent
     of diameter, skew-bounded (see module docstring) — so
     `max_iter` is a safety cap, not a diameter bound."""

@@ -399,8 +399,11 @@ def extract_items(mentions_df: DataFrame, edges_df: DataFrame,
                 & (F.col("start") < F.col("s_end"))
                 & F.expr("s_title rlike concat('^(?:', _title, ')$')"))
         if ranged:
+            # a NULL sent_starts cell (rows built without sentence
+            # parsing) falls back to whole-section scoping, same as a
+            # table without the column
             cond = cond & F.expr(
-                "_rng IS NULL OR _rng >= 0 OR "
+                "_rng IS NULL OR _rng >= 0 OR s_sents IS NULL OR "
                 "(size(s_sents) + _rng >= 1 AND "
                 " start < element_at(s_sents, size(s_sents) + _rng + 1))")
         in_section = (filt.join(s, cond)

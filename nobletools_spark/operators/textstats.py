@@ -475,23 +475,37 @@ def vocab_top_k(docs: DataFrame, k: int = 1000) -> DataFrame:
     total order (engine-independent, no arbitrary ties at the k-th
     row). Returns (token, cnt, n_docs).
 
-    Scale shape: regexp_extract_all + explode + in-doc distinct are
-    map-side; the per-(doc, token) pre-aggregation means the token
-    rollup's shuffle carries one row per document-distinct token (the
-    canonical two-level word count — never one row per occurrence);
-    the top-k is TakeOrderedAndProject (per-partition k-row heap,
-    driver merge of k·partitions rows) — never a global sort.
+    Scale shape: per-document term frequencies are computed entirely
+    MAP-SIDE by a sorted-array boundary fold (the same idiom as
+    ``repetition_stats`` — each document's tokens live in one row, so
+    no (doc, token) shuffle exists at all); the ONLY exchange is the
+    token rollup, carrying one row per document-distinct token; the
+    top-k is TakeOrderedAndProject (per-partition k-row heap, driver
+    merge of k·partitions rows) — never a global sort.
     """
     if k <= 0:
         raise ValueError(f"k must be positive: {k}")
-    tok = F.explode(F.expr(
-        f"regexp_extract_all(lower(coalesce(text, '')), "
-        f"'{BPE_TOKEN_RE}', 0)")).alias("token")
-    per_doc = (docs.select(doc_id_col(docs), tok)
-               .groupBy("doc_id", "token")
-               .agg(F.count("*").alias("tf")))
-    counts = (per_doc.groupBy("token")
-              .agg(F.sum("tf").cast("long").alias("cnt"),
+    # sorted tokens → boundary start indices → (token, tf) structs,
+    # all within the row (empty guards: sequence(0,-1) DESCENDS)
+    d = docs.select(
+        doc_id_col(docs),
+        F.expr(f"array_sort(regexp_extract_all(lower(coalesce(text, "
+               f"'')), '{BPE_TOKEN_RE}', 0))").alias("_ts"))
+    d = d.withColumn("_bs", F.expr(
+        "CASE WHEN size(_ts) = 0 THEN array() "
+        "ELSE filter(sequence(0, size(_ts) - 1), "
+        "            i -> i = 0 OR _ts[i] != _ts[i - 1]) END"))
+    pairs = F.expr(
+        "CASE WHEN size(_bs) = 0 THEN "
+        " CAST(array() AS array<struct<token:string, tf:bigint>>)"
+        " ELSE transform(sequence(0, size(_bs) - 1),"
+        "  j -> struct(_ts[_bs[j]] AS token,"
+        "   CAST(IF(j = size(_bs) - 1, size(_ts), _bs[j + 1])"
+        "        - _bs[j] AS BIGINT) AS tf)) END")
+    per_doc = d.select("doc_id", F.explode(pairs).alias("p"))
+    counts = (per_doc
+              .groupBy(F.col("p.token").alias("token"))
+              .agg(F.sum("p.tf").cast("long").alias("cnt"),
                    F.count("*").cast("long").alias("n_docs")))
     return (counts
             .orderBy(F.col("cnt").desc(), F.col("token").asc())

@@ -40,6 +40,12 @@ class Stage:
     name: str
     fn: Callable[[SparkSession, dict[str, DataFrame]], DataFrame]
     partition_by: tuple[str, ...] = ()
+    # operator knobs that determine this stage's OUTPUT (chunk sizes,
+    # budgets, k, …): hashed into the stage fingerprint so changing a
+    # knob forces a recompute instead of silently resuming stale
+    # parquet. Empty dict contributes nothing (keeps fingerprints of
+    # knob-less stages stable across versions).
+    params: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -125,9 +131,12 @@ class Pipeline:
             path = f"{self.out_dir}/{st.name}"
             mpath = self._manifest_path(st.name)
             # fingerprint chains: a stage is resumable only if its
-            # config, the input-table set, AND every upstream stage
-            # fingerprint are unchanged
-            fp = _fingerprint({"stage": st.name, "upstream": upstream_fp})
+            # config, params, the input-table set, AND every upstream
+            # stage fingerprint are unchanged
+            payload = {"stage": st.name, "upstream": upstream_fp}
+            if st.params:
+                payload["params"] = st.params
+            fp = _fingerprint(payload)
             t0 = time.perf_counter()
             manifest = None
             if not force and os.path.exists(mpath):
@@ -367,15 +376,26 @@ def prep_stages(*, filter_kw: dict | None = None,
             flags.filter(F.col("contaminated")).select("doc_id"),
             "doc_id", "left_anti")
 
+    # stage params: only non-default knobs contribute (so knob-less
+    # invocations keep their pre-existing fingerprints and resume
+    # across versions), except content that could silently go stale —
+    # benchmark texts, budgets — which always fingerprints
+    import hashlib
+
+    line_params = ({"min_count": line_min_count, "min_len": line_min_len}
+                   if (line_min_count, line_min_len) != (2, 10) else {})
     stages = [
-        Stage("decisions", s_decisions),
+        Stage("decisions", s_decisions, params=dict(filter_kw or {})),
         Stage("filtered", s_filtered),
-        Stage("line_dedup", s_line),
-        Stage("near_dedup", s_near),
+        Stage("line_dedup", s_line, params=line_params),
+        Stage("near_dedup", s_near, params=dict(near_kw or {})),
     ]
     corpus = "near_dedup"
     if benchmark_texts:
-        stages.append(Stage("decontaminated", s_decon))
+        bench_md5 = hashlib.md5(
+            "\x00".join(benchmark_texts).encode()).hexdigest()
+        stages.append(Stage("decontaminated", s_decon,
+                            params={"benchmarks_md5": bench_md5}))
         corpus = "decontaminated"
 
     if budgets is not None:
@@ -396,7 +416,9 @@ def prep_stages(*, filter_kw: dict | None = None,
         def s_mixed(spark, r):
             return r[src].join(r["mix_sample"].select("doc_id"), "doc_id")
 
-        stages += [Stage("mix_sample", s_mix), Stage("mixed", s_mixed)]
+        mix_params = {"budgets": budgets, "group_col": group_col}
+        stages += [Stage("mix_sample", s_mix, params=mix_params),
+                   Stage("mixed", s_mixed)]
         corpus = "mixed"
 
     final = corpus
@@ -404,12 +426,16 @@ def prep_stages(*, filter_kw: dict | None = None,
     def s_chunks(spark, r):
         return chunk_documents(r[final], chunk_tokens, overlap)
 
-    stages.append(Stage("chunks", s_chunks))
+    chunk_params = ({"chunk_tokens": chunk_tokens, "overlap": overlap}
+                    if (chunk_tokens, overlap) != (512, 64) else {})
+    stages.append(Stage("chunks", s_chunks, params=chunk_params))
     if vocab_k is not None:
         stages.append(Stage(
-            "vocab", lambda spark, r: vocab_top_k(r[final], vocab_k)))
+            "vocab", lambda spark, r: vocab_top_k(r[final], vocab_k),
+            params={"k": vocab_k}))
     if pack_seq_len is not None:
         stages.append(Stage(
             "packed", lambda spark, r: pack_sequences(
-                r[final], pack_seq_len, **(pack_kw or {}))))
+                r[final], pack_seq_len, **(pack_kw or {})),
+            params={"seq_len": pack_seq_len, **(pack_kw or {})}))
     return stages

@@ -45,10 +45,13 @@ def local_table(spark, rows, schema):
 
         names = [f.name for f in schema.fields]
         if rows:
-            pdf = pd.DataFrame.from_records(rows, columns=names)
-            # object dtype keeps ints exact and Nones as nulls (no
-            # NaN-float coercion) for the Arrow conversion
-            pdf = pdf.astype(object).where(pdf.notna(), None)
+            # build each column as an object Series DIRECTLY —
+            # from_records would coerce a nullable int column to
+            # float64 first, silently corrupting values > 2^53
+            # (e.g. 60-bit hash keys) before any astype could help
+            pdf = pd.DataFrame({
+                n: pd.Series([r[i] for r in rows], dtype=object)
+                for i, n in enumerate(names)})
             df = spark.createDataFrame(pdf, schema)
         else:
             # Arrow skips empty frames; a one-null-row LocalRelation

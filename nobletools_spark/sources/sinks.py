@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from nobletools_spark.session import local_table
+
 # Mention.getModifierTypes order = ConText.MODIFIER_TYPES
 # (tools/ConText.java:76-84): sorted modifier type list
 MODIFIER_COLUMNS = ("Certainty", "ContextualAspect", "ContextualModality",
@@ -256,8 +258,6 @@ def export_orf(concepts_df: DataFrame, path: str, lat: str = "ENG",
             nxt += 1
         assigned.append((c, nxt))
         nxt += 1
-    from nobletools_spark.session import local_table
-
     cui_ids = local_table(spark, assigned, "cui string, cui_id long")
     lw = Window.orderBy("nrm")
     lui_ids = (base.select("nrm").distinct()
@@ -302,8 +302,6 @@ def export_orf(concepts_df: DataFrame, path: str, lat: str = "ENG",
                 tn += 1
             tassigned.append((s, tn))
             tn += 1
-        from nobletools_spark.session import local_table
-
         tui_ids = local_table(spark, tassigned, "sty string, tui_id long")
         sty = (st.join(F.broadcast(cui_ids), "cui", "left")
                .join(F.broadcast(tui_ids), "sty", "left")
@@ -342,8 +340,6 @@ def export_orf(concepts_df: DataFrame, path: str, lat: str = "ENG",
         sabs = (concepts_df.select(F.explode("sources").alias("s"))
                 .distinct())
     else:
-        from nobletools_spark.session import local_table
-
         sabs = local_table(spark, [(sab,)], "s string")
     mrsab = sabs.select(
         F.lit("").alias("vcui"), F.col("s").alias("rcui"),

@@ -30,6 +30,16 @@ def test_local_table_arrays_and_structtype(spark):
     assert df2.schema == schema
 
 
+def test_local_table_nullable_bigints_exact(spark):
+    """A nullable long column must keep values > 2^53 exact — pandas
+    from_records would coerce to float64 and silently corrupt 60-bit
+    hash keys."""
+    big = 2**60 + 1
+    df = local_table(spark, [(big,), (None,), (3,)], "v long")
+    assert "LocalTableScan" in _physical(df)
+    assert [r.v for r in df.collect()] == [big, None, 3]
+
+
 def test_local_table_empty_rows(spark):
     df = local_table(spark, [], "k string, v long")
     assert df.count() == 0

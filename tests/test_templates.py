@@ -451,6 +451,14 @@ def test_extract_items_section_sentence_ranges(spark):
                             "boolean")])
     got = extract_items(m, _edges(spark), t, sections_df=bare).count()
     assert got == 3
+    # a NULL sent_starts CELL (column present, row built without
+    # sentence parsing) also widens to the whole section
+    nulled = spark.createDataFrame(
+        [("d1", "FINDINGS:", 0, 100, None)],
+        "doc_id string, title string, start int, end int, "
+        "sent_starts array<int>")
+    got2 = extract_items(m, _edges(spark), t, sections_df=nulled).count()
+    assert got2 == 3
 
 
 def test_sections_from_docs_sent_starts(spark):

@@ -88,10 +88,11 @@ NOTES = {
                           " map-side window hashes; duplicate-sized doc"
                           " rollup",
     "text_repetition": "map-side sorted-array folds, zero exchange",
-    "text_vocab": "two-level word count (per-doc pre-agg, then a token"
-                  " rollup carrying one row per document-distinct"
-                  " token) + TakeOrderedAndProject top-k — never a"
-                  " global sort",
+    "text_vocab": "per-doc term frequencies fold MAP-SIDE (sorted-array"
+                  " boundary fold — no (doc, token) shuffle exists);"
+                  " the ONE exchange is the token rollup (a row per"
+                  " document-distinct token) + TakeOrderedAndProject"
+                  " top-k — never a global sort",
     "text_pack": "map-side token counts + shard hash; ONE shard-keyed"
                  " shuffle; per-shard window cumsum (a packed shard is"
                  " one ordered stream by definition — n_shards is the"

@@ -74,12 +74,12 @@ def main() -> None:
         chunk_tokens=args.chunk_tokens, overlap=args.overlap,
         vocab_k=args.vocab_k, pack_seq_len=args.pack_seq_len,
         pack_kw={"n_shards": args.pack_shards}))
+    # vocab/pack knobs are NOT mirrored here: they fingerprint via
+    # their stages' params, so runs that never used the flags keep
+    # resuming across versions
     run_config = {"input": args.input, "chunk": args.chunk_tokens,
                   "overlap": args.overlap, "n_bench": len(bench),
-                  "budgets": budgets, "group_col": args.group_col,
-                  "vocab_k": args.vocab_k,
-                  "pack_seq_len": args.pack_seq_len,
-                  "pack_shards": args.pack_shards}
+                  "budgets": budgets, "group_col": args.group_col}
     res = pipe.run(spark, {"documents": docs}, run_config=run_config,
                    force=args.force)
     print(json.dumps({
