@@ -35,8 +35,11 @@ one ItemInstance row per (mention × matching item):
   non-attribute/value domains a negated mention (ConText
   Polarity=Negative_Polarity) sets ``absent`` instead of dropping.
 
-Attributes/modifiers/units composition and the feature second pass
-(TemplateItem.process :420-447) are out of this minimal layer's scope.
+Attribute/modifier/unit/value components compose via ``components_df``
+(see ``extract_items``); only the Feature second pass
+(TemplateItem.process :421-449) stays out of this declarative layer's
+scope — ``operators/extract_kernel`` implements it faithfully (Java
+parity leg at P=R=1.0).
 """
 
 from __future__ import annotations

@@ -559,3 +559,60 @@ def test_pack_sequences(spark):
     for bad in (dict(seq_len=0), dict(n_shards=0), dict(sep_tokens=-1)):
         with _pytest.raises(ValueError):
             pack_sequences(docs, **bad)
+
+
+def test_vocab_and_pack_adversarial_corpus(spark):
+    """Seeded adversarial corpus (empties, NULLs, whitespace runs,
+    unicode, numerals, one giant doc) through vocab_top_k and
+    pack_sequences vs exact pure-Python replays."""
+    import random
+    import re
+    from collections import Counter
+
+    from nobletools_spark.functions.hashing import h64_py
+    from nobletools_spark.operators.textstats import (BPE_TOKEN_RE,
+                                                      pack_sequences,
+                                                      vocab_top_k)
+
+    rng = random.Random(20260817)
+    pool = ["the", "Spark", "naïve", "grade", "3", "φ-x", "a" * 40,
+            "don't", "v2.1", "", "  ", "\t", "α β", "row,col", "END."]
+    rows = []
+    for i in range(300):
+        if i % 17 == 0:
+            rows.append((i, None))
+        elif i % 23 == 0:
+            rows.append((i, ""))
+        else:
+            n = rng.randint(1, 30)
+            rows.append((i, " ".join(rng.choice(pool) for _ in range(n))))
+    rows.append((1000, "giant " * 5000))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cnt, df_ = Counter(), Counter()
+    for _i, t in rows:
+        toks = re.findall(BPE_TOKEN_RE, (t or "").lower())
+        cnt.update(toks)
+        df_.update(set(toks))
+    want_v = sorted(((t, cnt[t], df_[t]) for t in cnt),
+                    key=lambda x: (-x[1], x[0]))[:50]
+    got_v = [(r.token, r.cnt, r.n_docs)
+             for r in vocab_top_k(docs, k=50).collect()]
+    assert got_v == want_v
+
+    SEQ, SHARDS, SEP = 64, 8, 1
+    shard_of = {i: h64_py(f"pk0|{i}") % SHARDS for i, _ in rows}
+    want_p = {}
+    for s in range(SHARDS):
+        pos = 0
+        for i in sorted(i for i in shard_of if shard_of[i] == s):
+            t = dict(rows)[i]
+            n = len((t or "").split(" "))
+            want_p[i] = (s, pos, n, pos // SEQ, (pos + n - 1) // SEQ)
+            pos += n + SEP
+    got_p = {r.doc_id: (r.shard, r.start_tok, r.n_tokens,
+                        r.first_seq, r.last_seq)
+             for r in pack_sequences(docs, seq_len=SEQ, n_shards=SHARDS,
+                                     sep_tokens=SEP).collect()}
+    assert got_p == want_p
+    assert got_p[1000][4] > got_p[1000][3] + 10   # giant doc spans many
