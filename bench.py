@@ -92,14 +92,19 @@ def main() -> None:
         n_triples = qs["kg_mentions"](spark, sf_dir).count()
         annotate_samples.append(time.perf_counter() - t0)
 
-    def _best3_spread(ts: list[float]) -> float:
+    def _best3_spread(ts: list[float]) -> float | None:
+        # a single sample has NO spread — return None (null in the
+        # JSON) rather than a false-corroboration 1.0
+        if len(ts) < 2:
+            return None
         best = sorted(ts)[:3]
         return best[-1] / best[0]
 
     extra = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "3"))
     thresh = float(os.environ.get("SPARK_GRAFT_BENCH_SPREAD_THRESH", "3.0"))
     for _ in range(extra):
-        noisy = [n for n in HEADLINE if _best3_spread(samples[n]) > thresh]
+        noisy = [n for n in HEADLINE
+                 if (_best3_spread(samples[n]) or 0.0) > thresh]
         if not noisy:
             break
         for name in noisy:
@@ -108,9 +113,11 @@ def main() -> None:
             samples[name].append(time.perf_counter() - t0)
 
     timings = {name: round(min(ts), 4) for name, ts in samples.items()}
-    spread = {name: round(_best3_spread(ts), 2)
+    spread = {name: (None if (s := _best3_spread(ts)) is None
+                     else round(s, 2))
               for name, ts in samples.items()}
-    spread_worst = {name: round(max(ts) / min(ts), 2)
+    spread_worst = {name: (None if len(ts) < 2
+                           else round(max(ts) / min(ts), 2))
                     for name, ts in samples.items()}
     annotate_sec = min(annotate_samples)
 

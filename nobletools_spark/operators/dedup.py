@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from nobletools_spark.functions.ids import doc_id_col
+from nobletools_spark.functions.ids import doc_id_col, tok_docs
 
 from nobletools_spark.functions.hashing import h64
 
@@ -89,9 +89,7 @@ def with_near_duplicates(docs: DataFrame) -> DataFrame:
 
 
 def _tok_docs(docs: DataFrame) -> DataFrame:
-    return docs.select(
-        doc_id_col(docs),
-        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("toks"))
+    return tok_docs(docs)
 
 
 def _wins_expr(window: int) -> Column:

@@ -377,12 +377,16 @@ def parse_avi(content: bytes) -> tuple[int, list[bytes]]:
 
 
 def _ebml_vint(buf: bytes, pos: int, end: int,
-               keep_marker: bool) -> tuple[int | None, int]:
+               keep_marker: bool,
+               unknown_ok: bool = True) -> tuple[int | None, int]:
     """One EBML variable-length integer (RFC 8794 §4) at ``pos`` →
     (value, next_pos). ``keep_marker=True`` for element IDs (which
     conventionally include the length-marker bit, ≤4 bytes);
-    ``keep_marker=False`` for sizes (marker stripped, ≤8 bytes; the
-    all-ones value means "unknown size" and returns None)."""
+    ``keep_marker=False`` for sizes (marker stripped, ≤8 bytes). The
+    all-ones pattern is reserved for "unknown" ONLY in element data
+    sizes (returns None when ``unknown_ok``); for track numbers and
+    lace sizes it is an ordinary value (0xFF = track 127), so those
+    call sites pass ``unknown_ok=False``."""
     if pos >= end:
         raise ValueError("truncated EBML vint")
     b0 = buf[pos]
@@ -396,7 +400,7 @@ def _ebml_vint(buf: bytes, pos: int, end: int,
     val = b0 & (0xFF >> length)
     for i in range(1, length):
         val = (val << 8) | buf[pos + i]
-    if val == (1 << (7 * length)) - 1:
+    if unknown_ok and val == (1 << (7 * length)) - 1:
         return None, pos + length
     return val, pos + length
 
@@ -437,8 +441,8 @@ def _mkv_block(buf: bytes, s: int, e: int,
     doesn't (video is rarely laced; lacing is an audio-packing
     feature). Track filtering happens in parse_mkv AFTER the walk, so
     a file whose Tracks element follows its Clusters still resolves."""
-    track, p = _ebml_vint(buf, s, e, False)
-    if track is None or p + 3 > e:
+    track, p = _ebml_vint(buf, s, e, False, unknown_ok=False)
+    if p + 3 > e:
         raise ValueError("truncated block header")
     relts = int.from_bytes(buf[p:p + 2], "big", signed=True)
     flags = buf[p + 2]
@@ -471,14 +475,10 @@ def _mkv_block(buf: bytes, s: int, e: int,
             sizes.append(sz)
         sizes.append((e - p) - sum(sizes))
     else:                                 # EBML lacing (signed deltas)
-        first, p = _ebml_vint(buf, p, e, False)
-        if first is None:
-            raise ValueError("bad EBML lace size")
+        first, p = _ebml_vint(buf, p, e, False, unknown_ok=False)
         sizes = [first]
         for _ in range(nframes - 2):
-            raw, p2 = _ebml_vint(buf, p, e, False)
-            if raw is None:
-                raise ValueError("bad EBML lace delta")
+            raw, p2 = _ebml_vint(buf, p, e, False, unknown_ok=False)
             bias = (1 << (7 * (p2 - p) - 1)) - 1
             sizes.append(sizes[-1] + raw - bias)
             p = p2

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from nobletools_spark.functions.ids import doc_id_col
+from nobletools_spark.functions.ids import doc_id_col, ws_tokens_col
 
 from nobletools_spark.functions.hashing import HASH_MOD, h64
 
@@ -155,7 +155,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     is linear per row)."""
     # null-safe: a NULL text tokenizes as [''] (n=1) on both engines
     d = docs.select(doc_id_col(docs),
-                    F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+                    ws_tokens_col()
                     .alias("toks"))
     n = F.size(F.col("toks"))
     d = d.withColumn("n", n) \
@@ -197,7 +197,7 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 512,
         raise ValueError(f"need 0 <= overlap < chunk_tokens, got "
                          f"{overlap} / {chunk_tokens}")
     step = chunk_tokens - overlap
-    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    toks = ws_tokens_col()
     d = docs.select(doc_id_col(docs),
                     toks.alias("toks"))
     n = F.size(F.col("toks"))
@@ -259,21 +259,30 @@ def sample_to_token_budget(docs: DataFrame, budgets,
     d = docs.select(
         doc_id_col(docs),
         grp.alias("grp"),
-        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        F.size(ws_tokens_col())
         .cast("long").alias("n_tokens"),
         F.coalesce(h64(F.concat(F.lit(f"{salt}|"),
                                 F.col("doc_id").cast("string"))),
                    F.lit(0).cast("long")).alias("h"))
     d = d.withColumn("bucket", F.shiftright(F.col("h"), 60 - bits))
-    sums = {(r["grp"], r["bucket"]): r["s"]
-            for r in d.groupBy("grp", "bucket")
-            .agg(F.sum("n_tokens").alias("s")).collect()}
+    # restrict to the BUDGETED groups before aggregating: the mixture
+    # spec is exhaustive (unbudgeted groups are dropped anyway), and
+    # without the filter the collected sum table is (data-groups ×
+    # buckets)-sized — millions of rows for a by-domain web corpus,
+    # not the |budgets|-bounded decision table the driver expects
+    budget_keys = [str(g) for g in budgets]
+    d = d.filter(F.col("grp").isin(budget_keys))
+    by_group: dict[str, dict[int, int]] = {}
+    for r in (d.groupBy("grp", "bucket")
+              .agg(F.sum("n_tokens").alias("s")).collect()):
+        by_group.setdefault(r["grp"], {})[r["bucket"]] = r["s"]
     full_rows, bound_rows = [], []
     for g, budget in budgets.items():
         g = str(g)
         prefix = 0
-        for b in sorted(bk for gg, bk in sums if gg == g):
-            s = sums[(g, b)]
+        gsums = by_group.get(g, {})
+        for b in sorted(gsums):
+            s = gsums[b]
             if prefix + s <= budget:
                 full_rows.append((g, b))
             elif prefix < budget:
@@ -331,7 +340,7 @@ def filter_decisions(docs: DataFrame, *,
     boolean/string outputs are exactly reproducible."""
     d = docs.select(
         doc_id_col(docs),
-        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("toks"))
+        ws_tokens_col().alias("toks"))
     n = F.size(F.col("toks"))
     nd = F.size(F.array_distinct(F.col("toks")))
     nstop = F.size(F.filter(F.col("toks"),
@@ -543,7 +552,7 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
         raise ValueError(f"sep_tokens must be >= 0: {sep_tokens}")
     from pyspark.sql import Window
 
-    n = F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+    n = F.size(ws_tokens_col())
     # coalesce marks the shard key non-nullable: no inferred
     # isnotnull(<md5 chain>) scan filter re-evaluating the hash
     shard = F.pmod(

@@ -614,3 +614,32 @@ def test_non_16bit_wav_falls_back_to_hash_features(spark):
     # hash fallback values are bytes/256 in [0,1); crucially the first
     # element is NOT the bogus 0.996 RMS of misread int16 silence
     assert len(feat) == 16 and abs(feat[0] - 0.996) > 0.05
+
+
+def test_parse_mkv_all_ones_vints_are_values():
+    """RFC 8794 reserves the all-ones vint for UNKNOWN only in element
+    data sizes; a block track number of 127 minimally encoded as 0xFF
+    and an EBML lace first-size of 127 (0xFF) are ordinary values and
+    must demux, not fall to the stub."""
+    from nobletools_spark.operators.multimodal import parse_mkv
+
+    def shell127(block_body):
+        header = _eel(b"\x1aE\xdf\xa3", _eel(b"\x42\x82", b"webm"))
+        tracks = _eel(b"\x16\x54\xae\x6b",
+                      _eel(b"\xae", _eel(b"\xd7", bytes([127]))
+                           + _eel(b"\x83", b"\x01")))
+        cluster = _eel(b"\x1f\x43\xb6\x75", _eel(b"\xe7", b"\x05")
+                       + _eel(b"\xa3", block_body))
+        return header + _eel(b"\x18\x53\x80\x67", tracks + cluster)
+
+    # track 127 as the all-ones 1-byte vint 0xFF, no lacing
+    body = b"\xff" + (0).to_bytes(2, "big") + bytes([0x00]) + b"FRAME"
+    t, got = parse_mkv(shell127(body))
+    assert got == [b"FRAME"] and t == [5]
+
+    # EBML lacing whose FIRST lace size is 127 encoded as 0xFF
+    fr = [b"G" * 127, b"hh"]
+    body2 = b"\xff" + (0).to_bytes(2, "big") + bytes([0x06]) \
+        + bytes([1]) + b"\xff" + b"".join(fr)
+    t2, got2 = parse_mkv(shell127(body2))
+    assert got2 == fr and t2 == [5, 5]
