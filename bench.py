@@ -65,6 +65,20 @@ def _force(df) -> int:
     return 0
 
 
+def _cpu_probe() -> float:
+    """Single-core CPU-delivery calibration: seconds for a fixed 20M
+    pure-Python loop. The shared host's delivery swings 3-8x between
+    phases; emitting the probe INSIDE the artifact lets any reader
+    normalize timings across rounds measured in different phases
+    (~1.0 s = calm, ≥2 s = throttled)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    assert x  # keep the loop un-eliminable
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -72,6 +86,7 @@ def main() -> None:
     spark = get_spark(cores=cpus, shuffle_partitions=int(cpus))
 
     sweeps = int(os.environ.get("SPARK_GRAFT_BENCH_SWEEPS", "3"))
+    probe_before = _cpu_probe()
     qs = entry.queries()
     # warm the JVM + broadcast path once (excluded from timings)
     _force(qs["kg_mentions"](spark, sf_dir))
@@ -137,6 +152,8 @@ def main() -> None:
                          if len(ts) > sweeps},
         "annotate_docs_per_sec": round(n_docs / annotate_sec, 1),
         "annotate_triples_per_sec": round(n_triples / annotate_sec, 1),
+        "cpu_probe_sec": {"before": probe_before,
+                          "after": _cpu_probe()},
     }))
     spark.stop()
 
