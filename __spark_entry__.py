@@ -436,6 +436,25 @@ def q_text_pack(spark, sf_dir):
                           n_shards=16, sep_tokens=1)
 
 
+def q_text_pack_manifest(spark, sf_dir):
+    """Per-sequence packing manifest (the shard writer's input): one
+    row per packed 128-token sequence with its contributing docs and
+    document-token occupancy — pack_sequences' span explode (~|docs|
+    rows) + ONE (shard, seq)-keyed aggregation."""
+    from nobletools_spark.operators.textstats import pack_manifest
+
+    m = pack_manifest(_docs(spark, sf_dir), seq_len=128,
+                      n_shards=16, sep_tokens=1)
+    # the driver's value compare canonicalizes rows with pandas, which
+    # can't hash array cells — project the doc list to a joined string
+    return m.select(
+        "shard", "seq", "n_docs",
+        F.array_join(F.transform("doc_ids",
+                                 lambda x: x.cast("string")), ",")
+        .alias("doc_ids"),
+        "n_doc_tokens")
+
+
 def q_events_rollup(spark, sf_dir):
     from nobletools_spark.operators.events import daily_rollup
 
@@ -683,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_mix_sample": q_text_mix_sample,
         "text_vocab": q_text_vocab,
         "text_pack": q_text_pack,
+        "text_pack_manifest": q_text_pack_manifest,
         "text_chunks": q_text_chunks,
         "dedup_drop_near": q_dedup_drop_near,
         "text_contamination": q_text_contamination,
@@ -1454,6 +1474,26 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, shard, start_tok, n_tokens,"
         " (start_tok // 128)::BIGINT AS first_seq,"
         " ((start_tok + n_tokens - 1) // 128)::BIGINT AS last_seq FROM s")
+
+    # text_pack_manifest: the same layout exploded per touched
+    # sequence, then rolled up per (shard, seq)
+    sql["text_pack_manifest"] = (
+        "WITH d AS (SELECT doc_id::BIGINT AS doc_id,"
+        f" {pack_h} % 16 AS shard,"
+        " len(string_split(coalesce(text, ''), ' '))::BIGINT AS n_tokens"
+        " FROM documents), "
+        "s AS (SELECT *, coalesce(sum(n_tokens + 1) OVER ("
+        "PARTITION BY shard ORDER BY doc_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT"
+        " AS start_tok FROM d), "
+        "o AS (SELECT doc_id, shard, start_tok, n_tokens,"
+        " unnest(generate_series(start_tok // 128,"
+        " (start_tok + n_tokens - 1) // 128)) AS seq FROM s) "
+        "SELECT shard, seq::BIGINT AS seq, count(*)::BIGINT AS n_docs,"
+        " array_to_string(list_sort(list(doc_id)), ',') AS doc_ids,"
+        " sum(least((seq + 1) * 128, start_tok + n_tokens)"
+        "     - greatest(seq * 128, start_tok))::BIGINT AS n_doc_tokens"
+        " FROM o GROUP BY shard, seq")
 
     # media_frames: closed-form replay of the AVI synthesis + sampler —
     # 3 + id%8 frames at 25 fps, every-200ms picks = indices 0,5 (the

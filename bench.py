@@ -55,6 +55,7 @@ HEADLINE = (
     "text_filter",
     "text_vocab",
     "text_pack",
+    "text_pack_manifest",
     "media_frames",
     "media_decode",
 )

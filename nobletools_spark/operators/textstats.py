@@ -576,3 +576,36 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
         F.expr(f"start_tok div {seq_len}").alias("first_seq"),
         F.expr(f"(start_tok + n_tokens - 1) div {seq_len}")
         .alias("last_seq"))
+
+
+def pack_manifest(docs: DataFrame, seq_len: int = 2048,
+                  n_shards: int = 256, sep_tokens: int = 1,
+                  salt: str = "pk0") -> DataFrame:
+    """Per-SEQUENCE view of the concat-and-chop layout — the manifest a
+    shard writer consumes: one row per packed training sequence with
+    the documents contributing tokens to it, in stream order. Returns
+    (shard, seq, n_docs, doc_ids sorted array, n_doc_tokens = how many
+    of the sequence's token slots hold document text — the rest are
+    separators or, in a shard's final sequence, padding).
+
+    Scale shape: pack_sequences' per-doc spans explode into one row
+    per (doc, touched sequence) — each doc touches
+    ceil(n_tokens/seq_len)+1 sequences at most, so the explode is
+    ~|docs| rows — then a (shard, seq)-keyed aggregation that REUSES
+    pack_sequences' shard partitioning (ClusteredDistribution on a
+    prefix key is already satisfied): ONE exchange total.
+    """
+    d = pack_sequences(docs, seq_len=seq_len, n_shards=n_shards,
+                       sep_tokens=sep_tokens, salt=salt)
+    seq = F.explode(F.sequence(F.col("first_seq"),
+                               F.col("last_seq"))).alias("seq")
+    # tokens of THIS doc landing inside sequence [seq*L, (seq+1)*L)
+    lo = F.greatest(F.col("seq") * seq_len, F.col("start_tok"))
+    hi = F.least((F.col("seq") + 1) * seq_len,
+                 F.col("start_tok") + F.col("n_tokens"))
+    occ = (d.select("doc_id", "shard", "start_tok", "n_tokens", seq)
+           .withColumn("in_seq", (hi - lo).cast("long")))
+    return (occ.groupBy("shard", "seq")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+                 F.sum("in_seq").alias("n_doc_tokens")))

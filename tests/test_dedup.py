@@ -616,3 +616,36 @@ def test_vocab_and_pack_adversarial_corpus(spark):
                                      sep_tokens=SEP).collect()}
     assert got_p == want_p
     assert got_p[1000][4] > got_p[1000][3] + 10   # giant doc spans many
+
+
+def test_pack_manifest_matches_replay(spark):
+    """Per-sequence manifest vs the pure-Python concat-and-chop
+    replay: every sequence's doc list and document-token occupancy,
+    including boundary-straddling docs; totals reconcile with the
+    per-doc layout."""
+    from nobletools_spark.functions.hashing import h64_py
+    from nobletools_spark.operators.textstats import pack_manifest
+
+    rows = [(i, ("w " * (1 + (i * 7) % 23)).strip()) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    SEQ, SHARDS, SEP = 10, 3, 1
+    shard_of = {i: h64_py(f"pk0|{i}") % SHARDS for i, _ in rows}
+    want = {}
+    for s in range(SHARDS):
+        pos = 0
+        for i in sorted(i for i in shard_of if shard_of[i] == s):
+            n = len(rows[i][1].split(" "))
+            for q in range(pos // SEQ, (pos + n - 1) // SEQ + 1):
+                lo, hi = max(q * SEQ, pos), min((q + 1) * SEQ, pos + n)
+                ds, tok = want.setdefault((s, q), ([], 0))
+                want[(s, q)] = (ds + [i], tok + (hi - lo))
+            pos += n + SEP
+    got = {(r.shard, r.seq): (list(r.doc_ids), r.n_doc_tokens)
+           for r in pack_manifest(docs, seq_len=SEQ, n_shards=SHARDS,
+                                  sep_tokens=SEP).collect()}
+    assert got == {k: (sorted(d), t) for k, (d, t) in want.items()}
+    # occupancy reconciles: sum over sequences == sum of doc tokens
+    assert sum(t for _d, t in got.values()) == \
+        sum(len(t.split(" ")) for _i, t in rows)
+    # at least one doc straddles a boundary in this fixture
+    assert any(len(d) and t < SEQ for d, t in got.values())

@@ -97,6 +97,10 @@ NOTES = {
                  " shuffle; per-shard window cumsum (a packed shard is"
                  " one ordered stream by definition — n_shards is the"
                  " parallelism knob)",
+    "text_pack_manifest": "pack layout + per-doc touched-sequence"
+                          " explode (~|docs| rows) + ONE (shard,"
+                          " seq)-keyed rollup reusing the shard"
+                          " partitioning — ONE exchange total",
     "kg_media_triples": "map-only matcher + doc_id-keyed join of media"
                         " spans to same-doc distinct concepts (both"
                         " sides co-keyed on doc_id — the one shuffle"
