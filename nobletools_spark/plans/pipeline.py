@@ -63,24 +63,114 @@ def _fingerprint(payload: dict) -> str:
         json.dumps(payload, sort_keys=True).encode()).hexdigest()
 
 
-def _input_content_fingerprint(name: str, df: DataFrame) -> dict:
+def _stable_digest(obj) -> str:
+    """md5 of a canonical rendering of (nested) dicts / dataclasses /
+    sequences — dict keys sorted, so the digest is independent of
+    insertion order. Used to fold output-determining objects (the
+    terminology index, MatchConfig, template tables) into stage
+    fingerprints."""
+    import dataclasses
+    import hashlib
+
+    def render(o, out):
+        if dataclasses.is_dataclass(o) and not isinstance(o, type):
+            out.append(type(o).__name__)
+            for f in sorted(dataclasses.fields(o), key=lambda f: f.name):
+                out.append(f.name)
+                render(getattr(o, f.name), out)
+        elif isinstance(o, dict):
+            out.append("{")
+            for k in sorted(o, key=repr):
+                out.append(repr(k))
+                render(o[k], out)
+            out.append("}")
+        elif isinstance(o, (list, tuple)):
+            out.append("[")
+            for x in o:
+                render(x, out)
+            out.append("]")
+        else:
+            out.append(repr(o))
+
+    parts: list[str] = []
+    render(obj, parts)
+    return hashlib.md5("\x00".join(parts).encode()).hexdigest()
+
+
+def _df_digest(df) -> str:
+    """Content digest of a TERMINOLOGY-SIZED DataFrame (templates,
+    components): row-order independent, driver-collected — never call
+    on a corpus-sized table."""
+    rows = sorted(tuple(r) for r in df.collect())
+    return _stable_digest(rows)
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop FS API — the
+    same resolution Spark's own writers use, so manifests live on the
+    SAME filesystem as the stage parquet (local, HDFS, S3A, …) instead
+    of silently landing on the driver's local disk for remote
+    out_dirs."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def _fs_read_json(spark: SparkSession, path: str) -> dict | None:
+    fs, p = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        # py4j can't fill a Python-side buffer in place (readFully's
+        # mutations don't propagate back) — let the JVM build the
+        # string (commons-io ships with Spark)
+        jvm = spark.sparkContext._jvm
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        return json.loads(text)
+    finally:
+        stream.close()
+
+
+def _fs_write_json(spark: SparkSession, path: str, obj: dict) -> None:
+    fs, p = _hadoop_fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(obj).encode()))
+    finally:
+        out.close()
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    fs, p = _hadoop_fs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, False)
+
+
+def _input_content_fingerprint(spark: SparkSession, name: str,
+                               df: DataFrame) -> dict:
     """Content identity of an input table: its source file listing with
-    sizes + mtimes (the parquet-on-disk equivalent of an Iceberg
-    snapshot id) plus the schema. Changing the files at the same path —
-    the silent-stale-resume trap — changes the fingerprint and forces a
-    recompute. In-memory inputs (no backing files) contribute schema
-    only; callers feeding non-file inputs must bump run_config when the
-    data changes (documented in run())."""
+    sizes + millisecond mtimes (the parquet-on-disk equivalent of an
+    Iceberg snapshot id) plus the schema, resolved through the Hadoop
+    FS API so HDFS/S3A inputs fingerprint like local ones. Changing
+    the files at the same path — the silent-stale-resume trap —
+    changes the fingerprint and forces a recompute. In-memory inputs
+    (no backing files) contribute schema only; callers feeding
+    non-file inputs must bump run_config when the data changes
+    (documented in run())."""
     files = []
     try:
         for uri in sorted(df.inputFiles()):
-            path = uri[7:] if uri.startswith("file:///") else uri
-            path = "/" + path.lstrip("/") if not path.startswith("/") else path
             try:
-                st = os.stat(path)
-                files.append([uri, st.st_size, int(st.st_mtime)])
-            except OSError:
-                files.append([uri])
+                fs, p = _hadoop_fs(spark, uri)
+                st = fs.getFileStatus(p)
+                files.append([uri, st.getLen(),
+                              st.getModificationTime()])
+            except Exception:  # noqa: BLE001 — unstattable source
+                # record the failure mode explicitly: presence still
+                # fingerprints, content changes at this uri do not
+                files.append([uri, "unstat"])
     except Exception:  # noqa: BLE001 — streaming DFs raise on inputFiles
         pass
     return {"name": name, "files": files,
@@ -118,14 +208,16 @@ class Pipeline:
     def run(self, spark: SparkSession, inputs: dict[str, DataFrame],
             run_config: dict | None = None,
             force: bool = False) -> dict[str, DataFrame]:
-        os.makedirs(self.out_dir, exist_ok=True)
+        from nobletools_spark.session import local_table
+
+        fs, root = _hadoop_fs(spark, self.out_dir)
+        fs.mkdirs(root)
         run_id = uuid.uuid4().hex[:12]
         results: dict[str, DataFrame] = dict(inputs)
         self.reports = []
-        metrics_rows = []
         upstream_fp = _fingerprint({
             "config": run_config or {},
-            "inputs": [_input_content_fingerprint(n, inputs[n])
+            "inputs": [_input_content_fingerprint(spark, n, inputs[n])
                        for n in sorted(inputs)]})
         for st in self.stages:
             path = f"{self.out_dir}/{st.name}"
@@ -138,44 +230,50 @@ class Pipeline:
                 payload["params"] = st.params
             fp = _fingerprint(payload)
             t0 = time.perf_counter()
-            manifest = None
-            if not force and os.path.exists(mpath):
-                with open(mpath) as f:
-                    manifest = json.load(f)
+            manifest = None if force else _fs_read_json(spark, mpath)
             if manifest is not None and manifest.get("fingerprint") == fp:
                 df = spark.read.parquet(path)
                 report = StageReport(st.name, "resumed", manifest["rows"],
                                      round(time.perf_counter() - t0, 4))
             else:
+                # drop the stale manifest FIRST: a crash mid-overwrite
+                # must leave an unresumable stage, not a surviving
+                # manifest pointing at partial parquet
+                _fs_delete(spark, mpath)
                 df = st.fn(spark, results)
                 writer = df.write.mode("overwrite")
                 if st.partition_by:
                     writer = writer.partitionBy(*st.partition_by)
                 writer.parquet(path)
                 df = spark.read.parquet(path)
-                rows = df.count()
-                (partition_lineage(df)
-                 .withColumn("run_id", F.lit(run_id))
-                 .withColumn("stage", F.lit(st.name))
-                 .write.mode("append").parquet(f"{self.out_dir}/_lineage"))
-                with open(mpath, "w") as f:
-                    json.dump({"fingerprint": fp, "rows": rows,
-                               "run_id": run_id}, f)
+                # ONE scan: the per-partition lineage rows also carry
+                # the row counts (partition-count-sized collect)
+                lin = partition_lineage(df).collect()
+                rows = sum(r["rows"] for r in lin)
+                local_table(
+                    spark,
+                    [(r["part_id"], r["rows"], r["checksum"],
+                      run_id, st.name) for r in lin],
+                    "part_id int, rows long, checksum long, "
+                    "run_id string, stage string"
+                ).write.mode("append").parquet(f"{self.out_dir}/_lineage")
+                _fs_write_json(spark, mpath,
+                               {"fingerprint": fp, "rows": rows,
+                                "run_id": run_id})
                 report = StageReport(st.name, "computed", rows,
                                      round(time.perf_counter() - t0, 4))
             results[st.name] = df
             self.reports.append(report)
-            metrics_rows.append((run_id, st.name, report.status,
-                                 report.rows, report.wall_s, fp,
-                                 int(time.time())))
+            # per-stage append: a killed run keeps the metrics rows of
+            # every stage it finished (crash-consistent, like _lineage)
+            local_table(
+                spark,
+                [(run_id, st.name, report.status, report.rows,
+                  report.wall_s, fp, int(time.time()))],
+                "run_id string, stage string, status string, rows long, "
+                "wall_s double, input_fingerprint string, ts long"
+            ).write.mode("append").parquet(f"{self.out_dir}/_metrics")
             upstream_fp = fp
-        from nobletools_spark.session import local_table
-
-        local_table(
-            spark, metrics_rows,
-            "run_id string, stage string, status string, rows long, "
-            "wall_s double, input_fingerprint string, ts long"
-        ).write.mode("append").parquet(f"{self.out_dir}/_metrics")
         return results
 
     def verify_lineage(self, spark: SparkSession, stage: str) -> bool:
@@ -187,11 +285,10 @@ class Pipeline:
         the stage manifest) are compared — summing across runs would
         falsely report corruption after any recompute into the same
         out_dir."""
-        try:
-            with open(self._manifest_path(stage)) as f:
-                run_id = json.load(f).get("run_id")
-        except FileNotFoundError:
+        manifest = _fs_read_json(spark, self._manifest_path(stage))
+        if manifest is None:
             return False  # crashed before/while writing the manifest
+        run_id = manifest.get("run_id")
         if run_id is None:
             return False  # pre-run_id manifest (older layout): can't
             # attribute lineage rows to the producing run — report
@@ -230,6 +327,16 @@ def kg_stages(index, context=None, cfg=None,
     )
 
     cfg = cfg or MatchConfig()
+    # every closure-captured output determinant folds into the stage
+    # fingerprints (same contract as prep_stages): a changed index,
+    # MatchConfig, ConText lexicon, salt, or template table must
+    # recompute, never resume stale parquet
+    idx_obj = index.value if hasattr(index, "value") else index
+    mention_params = {"index": _stable_digest(idx_obj),
+                      "cfg": _stable_digest(cfg)}
+    if context is not None:
+        ctx_obj = context.value if hasattr(context, "value") else context
+        mention_params["context"] = _stable_digest(ctx_obj)
 
     def s_mentions(spark, r):
         return annotate(r["documents"], index, cfg, context=context)
@@ -277,9 +384,10 @@ def kg_stages(index, context=None, cfg=None,
                              components_df=components_df)
 
     stages = [
-        Stage("mentions", s_mentions),
+        Stage("mentions", s_mentions, params=mention_params),
         Stage("mention_triples", s_mention_triples),
-        Stage("cooccurrence", s_cooccurrence),
+        Stage("cooccurrence", s_cooccurrence,
+              params={"salt": cooccurrence_salt}),
         Stage("triples", s_triples, partition_by=("pred",)),
     ]
     if templates_df is not None:
@@ -288,7 +396,11 @@ def kg_stages(index, context=None, cfg=None,
         # cooccurrence/triples checkpoints that don't consume this
         # stage; its own inputs (mentions + documents) are available
         # regardless of position
-        stages.append(Stage("item_instances", s_items))
+        item_params = {"templates": _df_digest(templates_df)}
+        if components_df is not None:
+            item_params["components"] = _df_digest(components_df)
+        stages.append(Stage("item_instances", s_items,
+                            params=item_params))
     return stages
 
 

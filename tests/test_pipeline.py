@@ -352,3 +352,37 @@ def test_prep_pipeline_vocab_and_packing(spark, tmp_path):
     pipe2 = Pipeline(str(tmp_path / "p"), prep_stages(**kw))
     pipe2.run(spark, {"documents": docs}, run_config={"v": 1})
     assert [r.status for r in pipe2.reports] == ["resumed"] * 7
+
+
+def test_kg_stage_params_force_recompute(spark, pipe_run):
+    """Closure-captured output determinants are in the stage
+    fingerprints: the same index/cfg resumes, but a changed
+    MatchConfig or cooccurrence salt recomputes from the changed
+    stage on — never a silent stale resume."""
+    out, docs, edges, _pipe, _res = pipe_run
+    inputs = {"documents": docs, "isa_edges": edges}
+    rc = {"corpus": "test60"}
+
+    # establish a baseline in the shared dir (earlier tests may have
+    # left manifests under a different run_config), then prove resume
+    Pipeline(out, kg_stages(pytest_index(),
+                            cfg=MatchConfig())).run(spark, inputs,
+                                                    run_config=rc)
+    same = Pipeline(out, kg_stages(pytest_index(), cfg=MatchConfig()))
+    same.run(spark, inputs, run_config=rc)
+    assert [r.status for r in same.reports] == ["resumed"] * 4
+
+    p2 = Pipeline(out, kg_stages(pytest_index(),
+                                 cfg=MatchConfig(subsumption_mode=False)))
+    p2.run(spark, inputs, run_config=rc)
+    assert [r.status for r in p2.reports] == ["computed"] * 4
+
+    # restore, then change only the salt: mentions/mention_triples
+    # resume, cooccurrence + downstream recompute
+    p3 = Pipeline(out, kg_stages(pytest_index(), cfg=MatchConfig()))
+    p3.run(spark, inputs, run_config=rc)
+    p4 = Pipeline(out, kg_stages(pytest_index(), cfg=MatchConfig(),
+                                 cooccurrence_salt=16))
+    p4.run(spark, inputs, run_config=rc)
+    assert [r.status for r in p4.reports] == \
+        ["resumed", "resumed", "computed", "computed"]
