@@ -1237,7 +1237,8 @@ def oracle_sql() -> dict[str, str]:
         f"WITH base AS (SELECT label AS g, vec_id::BIGINT AS vec_id,"
         f" embedding, {nrm} AS nrm FROM embeddings) "
         f"SELECT * FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
-        f" {dot_ab} / (a.nrm * b.nrm) AS cos"
+        f" CASE WHEN (a.nrm * b.nrm) > 0 THEN"
+        f" {dot_ab} / (a.nrm * b.nrm) ELSE 0.0 END AS cos"
         f" FROM base a JOIN base b ON a.g = b.g AND a.vec_id < b.vec_id)"
         f" WHERE cos >= {_EMB_DUP_T}")
 
@@ -1247,7 +1248,8 @@ def oracle_sql() -> dict[str, str]:
         f" {nrm} AS nrm FROM embeddings), "
         f"q AS (SELECT * FROM base WHERE vec_id < 10), "
         f"scored AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,"
-        f" {dot_qb} / (q.nrm * b.nrm) AS cos"
+        f" CASE WHEN (q.nrm * b.nrm) > 0 THEN"
+        f" {dot_qb} / (q.nrm * b.nrm) ELSE 0.0 END AS cos"
         f" FROM q CROSS JOIN base b WHERE b.vec_id <> q.vec_id), "
         f"r AS (SELECT query_id, neighbor_id, row_number() OVER"
         f" (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk"
@@ -1270,7 +1272,8 @@ def oracle_sql() -> dict[str, str]:
         f" (SELECT *, count(*) OVER (PARTITION BY bucket) AS bn FROM base0)"
         f" WHERE bn <= 1024), "
         f"pairs AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,"
-        f" {dot_ab2} / (a.nrm * b.nrm) AS cos"
+        f" CASE WHEN (a.nrm * b.nrm) > 0 THEN"
+        f" {dot_ab2} / (a.nrm * b.nrm) ELSE 0.0 END AS cos"
         f" FROM base a JOIN base b ON a.bucket = b.bucket"
         f" AND a.vec_id <> b.vec_id), "
         f"r AS (SELECT vec_id, neighbor_id, row_number() OVER"
@@ -1309,7 +1312,9 @@ def oracle_sql() -> dict[str, str]:
         f" WHERE r.crank <= {_IVF['n_probe']}"
         f" AND r.vec_id IN (SELECT vec_id FROM bb)), "
         f"pairs AS (SELECT p.vec_id, b.vec_id AS neighbor_id,"
-        f" {dot_pb} / (p.nrm * b.nrm) AS cos FROM pp p JOIN bb b"
+        f" CASE WHEN (p.nrm * b.nrm) > 0 THEN"
+        f" {dot_pb} / (p.nrm * b.nrm) ELSE 0.0 END AS cos"
+        f" FROM pp p JOIN bb b"
         f" ON p.cell = b.cell AND p.vec_id <> b.vec_id), "
         f"r AS (SELECT vec_id, neighbor_id, row_number() OVER"
         f" (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rnk"
@@ -1326,7 +1331,8 @@ def oracle_sql() -> dict[str, str]:
         f" (SELECT *, count(*) OVER (PARTITION BY bucket) AS bn FROM base0)"
         f" WHERE bn <= 1024) "
         f"SELECT * FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
-        f" {dot_ab2} / (a.nrm * b.nrm) AS cos"
+        f" CASE WHEN (a.nrm * b.nrm) > 0 THEN"
+        f" {dot_ab2} / (a.nrm * b.nrm) ELSE 0.0 END AS cos"
         f" FROM base a JOIN base b ON a.bucket = b.bucket"
         f" AND a.vec_id < b.vec_id) WHERE cos >= {_EMB_DUP_T}")
 

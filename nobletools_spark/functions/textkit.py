@@ -98,6 +98,25 @@ def strip_diacritics(s: str) -> str:
     return "".join(c for c in decomposed if not unicodedata.combining(c))
 
 
+def fold_diacritics(s: str | None) -> str | None:
+    """LENGTH-PRESERVING accent fold — the exact shape of the
+    reference's char-table stripDiacritics (TextTools.java:395-430):
+    each precomposed accented char maps to its base letter IN PLACE;
+    decomposed combining marks (and everything else) pass through
+    unchanged. Use this wherever match OFFSETS on the folded string are
+    interpreted against the original (acronym detection) —
+    strip_diacritics deletes combining marks and shifts offsets on
+    decomposed (NFD) input."""
+    if s is None or s.isascii():
+        return s
+    out = []
+    for ch in s:
+        d = unicodedata.normalize("NFD", ch)
+        out.append(d[0] if len(d) > 1 and not unicodedata.combining(d[0])
+                   else ch)
+    return "".join(out)
+
+
 class StringStats:
     __slots__ = ("upper", "lower", "digits", "whitespace", "length",
                  "is_capitalized", "is_lowercase", "is_uppercase")

@@ -504,10 +504,11 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.98,
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
     if planes is not None:
-        from nobletools_spark.operators.similarity import cap_buckets, lsh_buckets
+        from nobletools_spark.operators.similarity import bucket_expr, cap_buckets
 
+        # inline bucket: no second scan / vec_id shuffle (see lsh_topk)
         emb = (emb.withColumn("vec_id", F.col("vec_id").cast("long"))
-               .join(lsh_buckets(emb, planes), "vec_id"))
+               .withColumn("bucket", bucket_expr(vec, planes)))
         emb = cap_buckets(emb, ["bucket"], max_bucket)
         group_col = "bucket"
     base = emb.select(F.col(group_col).alias("g"),
@@ -516,7 +517,9 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.98,
     base = base.repartition("g")  # materialize v/nrm below the join
     dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
                       F.lit(0.0), lambda a, x: a + x)
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    from nobletools_spark.operators.similarity import _cosine
+
+    cos = _cosine(dot, F.col("a.nrm"), F.col("b.nrm"))
     return (base.alias("a").join(base.alias("b"), "g")
             .filter(F.col("a.vec_id") < F.col("b.vec_id"))
             .select(F.col("a.vec_id").alias("vec_a"),

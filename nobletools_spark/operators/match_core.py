@@ -38,6 +38,7 @@ from nobletools_spark.functions.textkit import (
     is_stop_word,
     normalize_word_cached,
     normalize_words,
+    fold_diacritics,
     strip_diacritics,
 )
 from nobletools_spark.model import ConceptMeta, MatchConfig, TerminologyIndex
@@ -329,8 +330,13 @@ def match_sentence(text: str, idx: TerminologyIndex,
     result: list[Mention] = []
     result_terms: dict[str, None] = {}  # insertion-ordered set
 
-    # regex synonyms first (:2263-2268)
+    # regex synonyms first (:2263-2268) — the reference wraps
+    # searchRegExp results in the SAME isFilteredOut source/semtype
+    # check as dictionary matches
     for m in _search_regexp(text, idx):
+        meta = idx.concepts.get(m.cui)
+        if meta is not None and _is_filtered_out(meta, cfg):
+            continue
         result.append(m)
 
     swords = _iteration_order(words, idx, cfg)
@@ -449,7 +455,6 @@ def _search_regexp(text: str, idx: TerminologyIndex) -> list[Mention]:
                 kept.append(b)
             result = kept
             if to_add:
-                meta = idx.concepts.get(cui)
                 result.append(Mention(cui, txt, pattern, 1.0, [(txt, st)], text))
     return result
 
@@ -509,7 +514,9 @@ def acronym_pass(sentences: list[tuple[str, int, list[Mention]]],
     for text, _off, mentions in sentences:
         # cheap pre-screen: the acronym pattern needs parentheses, and
         # backtracks quadratically on long paren-free sentences
-        m = _ACRO_RE.search(strip_diacritics(text)) if "(" in text else None
+        # fold_diacritics is length-preserving, so m.start() offsets are
+        # valid in the ORIGINAL sentence even for decomposed input
+        m = _ACRO_RE.search(fold_diacritics(text)) if "(" in text else None
         if m:
             expanded = m.group(1)
             acronym = m.group(3)
@@ -531,10 +538,15 @@ def acronym_pass(sentences: list[tuple[str, int, list[Mention]]],
         else:
             for acronym, code in list(acronyms.items()):
                 for am in re.finditer(r"\b" + re.escape(acronym) + r"\b", text):
+                    # the reference NULLS the shared `code` var on the
+                    # first same-code mention (AcronymDetector:166-176),
+                    # so every LATER same-text mention fails
+                    # getCode().equals(null) and is removed — duplicate
+                    # same-code mentions must not survive
                     code_to_add: Optional[str] = code
                     for c in list(mentions):
                         if acronym == c.text:
-                            if c.cui != code:
+                            if code_to_add is None or c.cui != code_to_add:
                                 mentions.remove(c)
                             else:
                                 code_to_add = None

@@ -40,6 +40,17 @@ def _norm(v: Column) -> Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _cosine(dot, na, nb):
+    """Cosine with a zero-norm guard: a zero vector (e.g. an all-black
+    image feature) has undefined cosine — score it 0.0 (orthogonal) so
+    it never outranks real neighbors. Unguarded, ANSI mode (Spark 4
+    default) throws DIVIDE_BY_ZERO and kills the job; non-ANSI yields
+    NaN, which sorts ABOVE every real similarity. The SQL oracles carry
+    the identical CASE."""
+    den = na * nb
+    return F.when(den > 0, dot / den).otherwise(F.lit(0.0))
+
+
 def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     """Brute-force cosine top-k: for each query vector (vec_id <
     n_queries), the k nearest corpus vectors (excluding itself):
@@ -51,7 +62,7 @@ def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     q = base.filter(F.col("vec_id") < n_queries) \
             .select(F.col("vec_id").alias("query_id"),
                     F.col("v").alias("qv"), F.col("nrm").alias("qn"))
-    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    cos = _cosine(_dot(F.col("qv"), F.col("v")), F.col("qn"), F.col("nrm"))
     scored = (base.crossJoin(F.broadcast(q))
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
@@ -62,18 +73,24 @@ def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
             .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")))
 
 
-def lsh_buckets(emb: DataFrame, planes: list[list[float]]) -> DataFrame:
-    """Sign-random-projection bucket id per vector: (vec_id, bucket).
-    bucket = Σ_j 2^j · [plane_j · v > 0] — map-side only."""
-    v = _vec_double()
+def bucket_expr(v, planes: list[list[float]]):
+    """Sign-random-projection bucket id as a COLUMN over a double-array
+    column: bucket = Σ_j 2^j · [plane_j · v > 0]. Pure map-side
+    expression — compute it inline on a frame that already carries the
+    cast vector instead of joining a second scan back on vec_id."""
     bucket = None
     for j, plane in enumerate(planes):
         lit = F.array(*[F.lit(x) for x in plane])
         bit = F.when(_dot(lit, v) > 0, F.lit(1 << j).cast("long")) \
                .otherwise(F.lit(0).cast("long"))
         bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def lsh_buckets(emb: DataFrame, planes: list[list[float]]) -> DataFrame:
+    """(vec_id, bucket) standalone bucket table — map-side only."""
     return emb.select(F.col("vec_id").cast("long").alias("vec_id"),
-                      bucket.alias("bucket"))
+                      bucket_expr(_vec_double(), planes).alias("bucket"))
 
 
 def fit_ivf_centroids(pairs: list[tuple[int, list[float]]], n_cells: int,
@@ -197,7 +214,7 @@ def ivf_topk(emb: DataFrame, n_cells: int = 16, k: int = 3,
                          .alias("cell"))
              .join(F.broadcast(ok), "cell").repartition("cell"))
     base = base.drop("cells")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    cos = _cosine(_dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm"), F.col("b.nrm"))
     pairs = (probe.alias("a").join(base.alias("b"), "cell")
              .filter(F.col("a.vec_id") != F.col("b.vec_id"))
              .select(F.col("a.vec_id").alias("vec_id"),
@@ -233,13 +250,16 @@ def lsh_topk(emb: DataFrame, planes: list[list[float]], k: int = 3,
     at 16 tasks; ``max_bucket`` bounds the worst bucket's quadratic work
     (vectors in oversized buckets are dropped from both sides, same
     trade as minhash_lsh_pairs)."""
+    # bucket computed INLINE on the same projection (a join against
+    # lsh_buckets would re-scan + re-cast the whole embedding table
+    # and shuffle it by vec_id before the bucket repartition)
     base = (emb.select(F.col("vec_id").cast("long").alias("vec_id"),
                        _vec_double().alias("v"))
             .withColumn("nrm", _norm(F.col("v")))
-            .join(lsh_buckets(emb, planes), "vec_id"))
+            .withColumn("bucket", bucket_expr(F.col("v"), planes)))
     base = (cap_buckets(base, ["bucket"], max_bucket)
             .repartition("bucket"))  # materialize v/nrm below the join
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    cos = _cosine(_dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm"), F.col("b.nrm"))
     pairs = (base.alias("a").join(base.alias("b"), "bucket")
              .filter(F.col("a.vec_id") != F.col("b.vec_id"))
              .select(F.col("a.vec_id").alias("vec_id"),

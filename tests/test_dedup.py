@@ -649,3 +649,26 @@ def test_pack_manifest_matches_replay(spark):
         sum(len(t.split(" ")) for _i, t in rows)
     # at least one doc straddles a boundary in this fixture
     assert any(len(d) and t < SEQ for d, t in got.values())
+
+
+def test_cosine_zero_norm_vectors_never_win(spark):
+    """A zero vector (undefined cosine) must not crash the job under
+    ANSI mode and must score 0.0 — never outranking real neighbors —
+    in brute-force, LSH, and grouped-dedup paths."""
+    from nobletools_spark.operators.dedup import embedding_dup_pairs
+    from nobletools_spark.operators.similarity import (cosine_topk,
+                                                       hyperplanes,
+                                                       lsh_topk)
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]),
+            (3, [0.5, 0.5])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.query_id, r.rank): r.neighbor_id
+           for r in cosine_topk(emb, n_queries=1, k=3).collect()}
+    assert got[(0, 1)] == 1          # most similar real vector first
+    assert got[(0, 3)] == 2          # zero vector ranks LAST
+    planes = hyperplanes(n_planes=1, dim=2, seed=3)
+    lsh_topk(emb, planes, k=2).collect()        # must not raise
+    dups = embedding_dup_pairs(emb.withColumn("label", emb.vec_id % 1),
+                               group_col="label", threshold=0.5).collect()
+    assert all({r.vec_a, r.vec_b} != {2} for r in dups)

@@ -223,3 +223,65 @@ def test_source_semtype_filter_core():
     got = match_sentence("Melanoma near the deep margin.", IDX,
                          MatchConfig(source_filter=("NOPE",)))
     assert got == []
+
+
+def test_regex_synonym_respects_result_filters():
+    """process() wraps searchRegExp results in the SAME isFilteredOut
+    source/semtype check as dictionary matches
+    (NobleCoderTerminology.java:2263-2268) — a regex-synonym concept
+    outside the active source filter must not leak into results."""
+    text = "Pathologic stage iv present."
+    assert "C008" in cuis(match(text))                      # unfiltered
+    got = match_sentence(text, IDX, MatchConfig(source_filter=("NOPE",)))
+    assert "C008" not in [m.cui for m in got]
+    got2 = match_sentence(text, IDX,
+                          MatchConfig(semtype_filter=("T999",)))
+    assert "C008" not in [m.cui for m in got2]
+
+
+def test_acronym_offsets_with_decomposed_unicode():
+    """fold_diacritics is length-preserving: acronym offsets computed
+    on the folded sentence must be valid in the ORIGINAL even when the
+    input carries decomposed (NFD) accents before the definition."""
+    import unicodedata
+
+    cfg = MatchConfig()
+    s1 = unicodedata.normalize(
+        "NFD", "Protégé étude World Health Organization (WHO) rules.")
+    sents = [(s1, 0, match_sentence(s1, IDX, cfg))]
+    exp = [m for m in sents[0][2] if m.cui == "C009"]
+    assert exp
+    acronym_pass(sents)
+    anns = dict(exp[0].annotations)
+    assert "WHO" in anns
+    # the recorded offset must point at 'WHO' in the ORIGINAL string
+    assert s1[anns["WHO"]:anns["WHO"] + 3] == "WHO"
+
+
+def test_acronym_duplicate_same_code_mentions_removed():
+    """AcronymDetector:166-176 nulls the shared `code` after the first
+    same-code mention, so later same-text mentions are REMOVED — a
+    sentence with two bare acronym occurrences yields ONE propagated
+    mention, not two."""
+    from nobletools_spark.operators.match_core import Mention
+
+    cfg = MatchConfig()
+    s1 = "World Health Organization (WHO) announced new rules."
+    s2 = "WHO said WHO applies."
+    sents = [(s1, 0, match_sentence(s1, IDX, cfg)),
+             (s2, 100, match_sentence(s2, IDX, cfg))]
+    acronym_pass(sents)
+    who = [m for m in sents[1][2] if m.cui == "C009"]
+    assert len(who) == 1
+    assert who[0].annotations == [("WHO", 0)]
+    # PRE-EXISTING duplicate same-code mentions (a dictionary term
+    # re-chunked twice): the first survives, the second is removed —
+    # the never-nulled-code port kept both
+    dup = [Mention("C009", "WHO", "who", 1.0, [("WHO", 0)], s2),
+           Mention("C009", "WHO", "who", 1.0, [("WHO", 9)], s2)]
+    sents2 = [(s1, 0, match_sentence(s1, IDX, cfg)),
+              (s2, 100, dup[:])]
+    _, _, out = sents2[1]
+    acronym_pass(sents2)
+    who2 = [m for m in out if m.cui == "C009"]
+    assert len(who2) == 1 and who2[0].annotations == [("WHO", 0)]
