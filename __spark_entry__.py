@@ -934,17 +934,23 @@ def oracle_sql() -> dict[str, str]:
         " SELECT s.a, r.m FROM sym s JOIN reach r ON s.b = r.n) "
         "SELECT n AS cui, min(m) AS canonical_cui FROM reach GROUP BY n")
 
-    surfaces = {c["name"] for c in BUILTIN_CONCEPTS}
+    surfaces = set()
     for c in BUILTIN_CONCEPTS:
-        surfaces.update(c["synonyms"])
+        surfaces.add((c["cui"], c["name"]))
+        surfaces.update((c["cui"], s) for s in c["synonyms"])
+    # filterTerms substring quirk: a word counts every same-concept
+    # term CONTAINING it, exactly like word_stats_df / the index build
     sql["kg_word_stats"] = (
         "WITH syn AS (SELECT * FROM "
-        + _values([(s,) for s in sorted(surfaces)], ("s",)) + "), "
-        f"norm AS (SELECT DISTINCT trim({_norm_chain('s')}) AS term FROM syn), "
-        "w AS (SELECT DISTINCT term, word FROM (SELECT term,"
-        " unnest(string_split(term, ' ')) AS word FROM norm)) "
+        + _values(sorted(surfaces), ("cui", "s")) + "), "
+        f"norm AS (SELECT DISTINCT cui, trim({_norm_chain('s')}) AS term"
+        " FROM syn), "
+        "w AS (SELECT DISTINCT cui, word FROM (SELECT cui,"
+        " unnest(string_split(term, ' ')) AS word FROM norm)), "
+        "p AS (SELECT DISTINCT w.word, n.term FROM w JOIN norm n"
+        " ON w.cui = n.cui AND contains(n.term, w.word)) "
         "SELECT word, count(DISTINCT term)::BIGINT AS term_count"
-        " FROM w GROUP BY word")
+        " FROM p GROUP BY word")
 
     from nobletools_spark.operators.textstats import BPE_TOKEN_RE
 

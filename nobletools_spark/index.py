@@ -69,6 +69,27 @@ def concept_terms(name: str, synonyms: Sequence[str],
     return terms, regexes
 
 
+def _compact_word_terms(term_cuis, word_term_count):
+    """Rare-word compaction shared by both index builders
+    (ConceptImporter.java:1363-1443): keep each term only under its
+    rarest word — getRarestWord (:1258-1270) uses strict <, so ties
+    keep the FIRST word in term order. Post-compact counts are
+    recomputed per surviving word (saveWordTerms re-run :1420); words
+    no longer hosting any term keep their stale pre-compact counts,
+    exactly like the reference's un-backed-up wordStatMap."""
+    compacted: dict[str, set[str]] = defaultdict(set)
+    for term in term_cuis:
+        rarest, best_n = None, float("inf")
+        for w in term.split(" "):
+            n = word_term_count.get(w, float("inf"))
+            if n < best_n:
+                rarest, best_n = w, n
+        compacted[rarest].add(term)
+    counts = dict(word_term_count)
+    counts.update({w: len(ts) for w, ts in compacted.items()})
+    return compacted, counts
+
+
 def build_index(concepts: Iterable[ConceptMeta | Mapping],
                 compact: bool = False,
                 blacklist: bool = False) -> TerminologyIndex:
@@ -110,25 +131,8 @@ def build_index(concepts: Iterable[ConceptMeta | Mapping],
     word_term_count = {w: len(ts) for w, ts in word_terms.items()}
 
     if compact:
-        # rare-word compaction (ConceptImporter.java:1363-1443): keep
-        # each term only under its rarest word
-        compacted: dict[str, set[str]] = defaultdict(set)
-        for term in term_cuis:
-            # getRarestWord (ConceptImporter.java:1258-1270): strict <,
-            # so ties keep the FIRST word in term order (not lexicographic)
-            rarest, best_n = None, float("inf")
-            for w in term.split(" "):
-                n = word_term_count.get(w, float("inf"))
-                if n < best_n:
-                    rarest, best_n = w, n
-            compacted[rarest].add(term)
-        word_terms = compacted
-        # post-compact word stats are recomputed per surviving word
-        # (saveWordTerms re-run over the term files :1420); words no
-        # longer hosting any term keep their stale pre-compact counts,
-        # exactly like the reference's un-backed-up wordStatMap
-        word_term_count = dict(word_term_count)
-        word_term_count.update({w: len(ts) for w, ts in compacted.items()})
+        word_terms, word_term_count = _compact_word_terms(
+            term_cuis, word_term_count)
 
     idx = TerminologyIndex(
         word_terms={w: tuple(sorted(ts)) for w, ts in word_terms.items()},
@@ -206,16 +210,25 @@ def terms_df(spark, concepts_df):
 
 
 def word_stats_df(terms):
-    """Word statistics as a DataFrame aggregation: (word, term_count) =
-    number of distinct normalized terms containing the word
+    """Word statistics as a DataFrame aggregation: (word, term_count)
+    with the reference's filterTerms SUBSTRING quirk
     (WordStat.termCount, NobleCoderTerminology.java:398-401;
-    ConceptImporter.saveWordTerms :1299-1339). explode + groupBy with
-    map-side partial aggregation; shuffles only terminology-sized data."""
+    ConceptImporter.saveWordTerms/filterTerms :1299-1355): a word —
+    token of some term of a concept — counts every distinct term of
+    the SAME concept that contains it as a substring ('ran' counts
+    'grand'), matching build_index/build_index_df's word_term_count
+    (regex pseudo-terms excepted: they live only in the matcher
+    index). Tokenize + cui-keyed contains-join + groupBy — all
+    terminology-sized shuffles with map-side partials."""
     from pyspark.sql import functions as F
 
-    return (terms
-            .select(F.explode(F.split("term", " ")).alias("word"), "term")
-            .distinct()
+    words = (terms
+             .select("cui", F.explode(F.split("term", " ")).alias("word"))
+             .distinct())
+    pairs = (words.join(terms, "cui")
+             .filter(F.expr("contains(term, word)"))
+             .select("word", "term").distinct())
+    return (pairs
             .groupBy("word")
             .agg(F.count_distinct("term").cast("long").alias("term_count")))
 
@@ -251,11 +264,14 @@ def build_index_df(spark, concepts_df, compact: bool = False,
     norm_terms = F.pandas_udf(_make(0), T.ArrayType(T.StringType()))
     regex_srcs = F.pandas_udf(_make(1), T.ArrayType(T.StringType()))
 
+    # persist: three collect() actions below would otherwise re-run
+    # the pandas-UDF normalization of every synonym three times — the
+    # dominant CPU of the build on a large vocabulary
     base = concepts_df.select(
         "cui", "name", "synonyms", "semtypes", "sources",
         norm_terms("name", "synonyms").alias("terms"),
         regex_srcs("name", "synonyms").alias("regexes"),
-    )
+    ).persist()
     terms = (base.select("cui", F.explode("terms").alias("term"))
              .distinct())
     term_cuis_rows = (terms.groupBy("term")
@@ -305,27 +321,13 @@ def build_index_df(spark, concepts_df, compact: bool = False,
         .groupBy("word")
         .agg(F.sort_array(F.collect_set("term")).alias("terms"))
         .collect())
+    base.unpersist()
     word_terms = {r["word"]: set(r["terms"]) for r in word_terms_rows}
     word_term_count = {w: len(ts) for w, ts in word_terms.items()}
 
     if compact:
-        compacted: dict[str, set[str]] = defaultdict(set)
-        for term in term_cuis:
-            # getRarestWord (ConceptImporter.java:1258-1270): strict <,
-            # so ties keep the FIRST word in term order (not lexicographic)
-            rarest, best_n = None, float("inf")
-            for w in term.split(" "):
-                n = word_term_count.get(w, float("inf"))
-                if n < best_n:
-                    rarest, best_n = w, n
-            compacted[rarest].add(term)
-        word_terms = compacted
-        # post-compact word stats are recomputed per surviving word
-        # (saveWordTerms re-run over the term files :1420); words no
-        # longer hosting any term keep their stale pre-compact counts,
-        # exactly like the reference's un-backed-up wordStatMap
-        word_term_count = dict(word_term_count)
-        word_term_count.update({w: len(ts) for w, ts in compacted.items()})
+        word_terms, word_term_count = _compact_word_terms(
+            term_cuis, word_term_count)
 
     idx = TerminologyIndex(
         word_terms={w: tuple(sorted(ts)) for w, ts in word_terms.items()},

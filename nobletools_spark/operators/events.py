@@ -47,7 +47,11 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     new_session = F.when(
         prev.isNull() | ((F.unix_micros("ts") - prev) > gap_us), 1
     ).otherwise(0)
+    # cast the key BEFORE grouping (streaming_sessionize does the
+    # same): casting after the agg can collapse distinct raw ids
+    # ('7', '007') into duplicate (user_id, session_idx) output keys
     sess = (_with_ts(events)
+            .withColumn("user_id", F.col("user_id").cast("long"))
             .withColumn("new_sess", new_session)
             .withColumn("session_idx",
                         F.sum("new_sess").over(
@@ -58,8 +62,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                  F.min("ts").alias("session_start"),
                  F.max("ts").alias("session_end"),
                  (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
-                 .alias("duration_us"))
-            .withColumn("user_id", F.col("user_id").cast("long")))
+                 .alias("duration_us")))
 
 
 SESSION_OUT_DDL = ("user_id long, session_start timestamp, "
@@ -122,7 +125,12 @@ def streaming_sessionize(events_stream: DataFrame,
                 out.append(row(start_us, last_us, n))
                 start_us, last_us, n = t, t, 1
             else:
-                last_us, n = t, n + 1
+                # a late-but-within-watermark event from a later
+                # micro-batch may precede state: the window only ever
+                # EXTENDS (batch equivalence — min start, max end)
+                start_us = min(start_us, t)
+                last_us = max(last_us, t)
+                n += 1
         state.update((start_us, last_us, n))
         if idle_flush:
             state.setTimeoutDuration(60 * 60 * 1000)  # 1h processing-time

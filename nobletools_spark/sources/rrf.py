@@ -136,7 +136,7 @@ def concepts_for_index(tables: dict[str, DataFrame]) -> DataFrame:
     (incl. the collected (sab, code) pairs feeding the codeMap lookup,
     NobleCoderTerminology.java:1092-1095)."""
     return tables["concepts"].select(
-        "cui", F.coalesce("name", F.element_at("synonyms", 1)).alias("name"),
+        "cui", F.coalesce("name", F.try_element_at("synonyms", F.lit(1))).alias("name"),
         "synonyms", "semtypes", "sources", "codes")
 
 
@@ -240,7 +240,7 @@ def concepts_from_sql_df(df: DataFrame) -> DataFrame:
     return df.select(
         F.col("cui").cast("string").alias("cui"),
         F.coalesce(F.col("name"),
-                   F.element_at(as_array("synonyms"), 1)).alias("name"),
+                   F.try_element_at(as_array("synonyms"), F.lit(1))).alias("name"),
         as_array("synonyms").alias("synonyms"),
         as_array("semtypes").alias("semtypes"),
         as_array("sources").alias("sources"))

@@ -37,7 +37,13 @@ def results_tsv_df(mentions_df: DataFrame,
             F.col("cui").alias("Code"),
             F.col("name").alias("Concept Name"),
             F.concat_ws(", ", "semtypes").alias("Semantic Type"))
-        df = df.join(F.broadcast(names), "Code", "left")
+        df = (df.join(F.broadcast(names), "Code", "left")
+              # CUIs absent from concepts_df fall back to the code,
+              # matching the no-concepts_df branch
+              .withColumn("Concept Name",
+                          F.coalesce("Concept Name", F.col("Code")))
+              .withColumn("Semantic Type",
+                          F.coalesce("Semantic Type", F.lit(""))))
     else:
         df = df.withColumn("Concept Name", F.col("Code")) \
                .withColumn("Semantic Type", F.lit(""))
@@ -162,7 +168,7 @@ def html_report_df(docs_df: DataFrame, mentions_df: DataFrame) -> DataFrame:
 
     def render(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for (doc_id,), g in pdf.groupby(["doc_id"]):
+        for doc_id, g in pdf.groupby("doc_id"):  # scalar key: stable across pandas 1.x/2.x
             parts = []
             for (text, offset), gg in g.groupby(["text", "offset"]):
                 ms = sorted({(int(r.start) - int(offset),
@@ -187,13 +193,27 @@ def html_report_df(docs_df: DataFrame, mentions_df: DataFrame) -> DataFrame:
         render, "doc_id string, html string")
 
 
+def _name_and_synonyms() -> "F.Column":
+    """Row universe for terminology exports: every synonym PLUS the
+    preferred name (first, deduped) — a concept whose name is not among
+    its synonyms (e.g. SQL-sourced tables; OBO folds it in) must still
+    emit its TS=P/ISPREF=Y row, and an empty-synonym concept must not
+    vanish from the export."""
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.concat(
+        F.when(F.col("name").isNotNull(),
+               F.array("name")).otherwise(empty),
+        F.coalesce(F.col("synonyms"), empty)))
+
+
 def export_rrf(concepts_df: DataFrame, path: str, lat: str = "ENG",
                sab: str = "NOBLE") -> None:
     """Write concepts back to MRCONSO.RRF shape (ConceptExporter.toRRF
     :66-238): one pipe-delimited row per synonym; the preferred name row
     carries TS=P/ISPREF=Y."""
     rows = (concepts_df
-            .select("cui", "name", F.explode("synonyms").alias("str"))
+            .select("cui", "name",
+                    F.explode(_name_and_synonyms()).alias("str"))
             .select(
                 "cui", F.lit(lat).alias("lat"),
                 F.when(F.col("str") == F.col("name"), "P").otherwise("S")
@@ -238,7 +258,8 @@ def export_orf(concepts_df: DataFrame, path: str, lat: str = "ENG",
     norm_udf = F.pandas_udf(_norm_batch, T.StringType())
 
     base = (concepts_df
-            .select("cui", "name", F.explode("synonyms").alias("str"))
+            .select("cui", "name",
+                    F.explode(_name_and_synonyms()).alias("str"))
             .withColumn("ts", F.when(F.col("str") == F.col("name"), "P")
                         .otherwise("S"))
             .withColumn("nrm", norm_udf("str")))
@@ -319,7 +340,9 @@ def export_orf(concepts_df: DataFrame, path: str, lat: str = "ENG",
     cui2code.write.mode("overwrite").text(f"{path}/CUI2CODE")
     # MRDEF (exportORF :115-124: cui|sab|definition| — definition's
     # source falls back to the concept's first source)
-    first_src = (F.element_at(F.col("sources"), 1)
+    # try_element_at: ANSI mode (Spark 4 default) makes plain
+    # element_at THROW on an empty sources array
+    first_src = (F.try_element_at(F.col("sources"), F.lit(1))
                  if "sources" in concepts_df.columns else F.lit(sab))
     mrdef_src = concepts_df
     if "definition" not in mrdef_src.columns:

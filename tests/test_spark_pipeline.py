@@ -335,3 +335,29 @@ def test_connected_components_driver_and_distributed_agree(spark):
     dist_m = {(r.node, r.component)
               for r in connected_components(m, driver_threshold=0).collect()}
     assert fast_m == dist_m and len(fast_m) > 50
+
+
+def test_word_stats_df_matches_index_counts(spark):
+    """word_stats_df reproduces build_index's word_term_count —
+    including the filterTerms SUBSTRING quirk ('ran' counts 'grand'
+    within the same concept) — for regex-free terminologies (regex
+    pseudo-terms live only in the matcher index)."""
+    from nobletools_spark.index import build_index, terms_df, word_stats_df
+
+    concepts = (
+        {"cui": "C001", "name": "Ran", "synonyms": ("Ran", "Grand"),
+         "semtypes": ("T1",), "sources": ("S",)},
+        {"cui": "C002", "name": "Grand Hall", "synonyms": ("Grand Hall",),
+         "semtypes": ("T1",), "sources": ("S",)},
+    )
+    cdf = spark.createDataFrame(
+        [(c["cui"], c["name"], list(c["synonyms"]), list(c["semtypes"]),
+          list(c["sources"])) for c in concepts],
+        "cui string, name string, synonyms array<string>, "
+        "semtypes array<string>, sources array<string>")
+    got = {r.word: r.term_count
+           for r in word_stats_df(terms_df(spark, cdf)).collect()}
+    want = build_index(concepts).word_term_count
+    assert got == want
+    # the quirk itself: 'ran' is a substring of same-concept 'grand'
+    assert got["ran"] == 2
