@@ -119,21 +119,23 @@ def split_sections(text: str, doc_type: str = TYPE_MEDICAL_REPORT,
     nested matches."""
     pat = _SECTION_RES[doc_type]
     out: list[SectionSpan] = []
-
-    def rec(start_in_doc: int, chunk: str) -> None:
-        for mt in pat.finditer(chunk):
-            st = start_in_doc + mt.start()
-            bst = start_in_doc + mt.start(2)
-            body = mt.group(2)  # greedy: runs to end of chunk
-            m = pat.search(body)
-            clipped = body[:m.start()] if m else body
-            out.append(SectionSpan(mt.group(1), st, clipped, bst))
-            # recurse over the UNCLIPPED body — that's where the
-            # remaining sibling headers live (the top-level finditer is
-            # exhausted by the greedy match)
-            rec(bst, body)
-
-    rec(offset, text)
+    # ITERATIVE walk (one step per header): the greedy body swallows
+    # every remaining header, so each step emits one section and
+    # descends into its unclipped body — a recursive formulation hits
+    # Python's recursion limit on ~1000-section documents, killing the
+    # whole mapInPandas task
+    start_in_doc, chunk = offset, text
+    while True:
+        mt = pat.search(chunk)
+        if mt is None:
+            break
+        st = start_in_doc + mt.start()
+        bst = start_in_doc + mt.start(2)
+        body = mt.group(2)  # greedy: runs to end of chunk
+        m = pat.search(body)
+        clipped = body[:m.start()] if m else body
+        out.append(SectionSpan(mt.group(1), st, clipped, bst))
+        start_in_doc, chunk = bst, body
     return out
 
 
@@ -195,6 +197,13 @@ def _parse_region(doc: ParsedDocument, text: str, offset: int, stype: str,
     else:
         for pm in _PROP_RE.finditer(text):
             doc.properties[pm.group(1).strip()] = pm.group(2).strip()
+        # regions keep their trailing '\n', which defeats the
+        # fullmatch-style synoptic detectors — EXACTLY like the
+        # reference: Java String.matches over the same
+        # newline-carrying region text also fails the full match
+        # (SynopticReportDetector.detect is handed parseSentences'
+        # raw region). Pinned by the docproc parity leg; do not
+        # "fix" by stripping the newline.
         t = SENT_WORKSHEET if is_synoptic(text) else SENT_LINE
         sentences = [(text, offset, t)] if text else []
     if sentences:

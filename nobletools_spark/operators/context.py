@@ -85,8 +85,13 @@ def build_context_index(rules: list[ModifierRule] | tuple[ModifierRule, ...],
     # lexicon index normalization must match the match config: no
     # stemming, keep stop words (build-time flags mirror search flags)
     idx = _build_unstemmed_index(concepts)
+    # `defaults or ...` would silently swap an EXPLICITLY EMPTY dict
+    # (an ontology declaring no isDefaultValue subclasses) for the
+    # built-in THYME defaults — reference getDefaultValues returns
+    # empty there
     return ContextIndex(index=idx, rules={r.code: r for r in rules},
-                        defaults=dict(defaults or DEFAULT_VALUES))
+                        defaults=dict(DEFAULT_VALUES if defaults is None
+                                      else defaults))
 
 
 def _build_unstemmed_index(concepts) -> TerminologyIndex:
@@ -186,6 +191,10 @@ def apply_context(text: str, mentions: list[Mention],
         if any(not (mm.end < pm.start or pm.end < mm.start)
                and pr.group in rule.pseudo for pm, pr in pseudo):
             continue
+        # a discontinuous-only action yields forward=backward=False →
+        # zero targets, exactly like the reference (getTargetMentions
+        # :431-434 derives forward/backward from FORWARD/BACKWARD/
+        # BIDIRECTIONAL only; ACTION_DISCONTINUOUS never assigns)
         forward = rule.action in (ACTION_FORWARD, ACTION_BIDIRECTIONAL)
         backward = rule.action in (ACTION_BACKWARD, ACTION_BIDIRECTIONAL)
         start = _word_window_start(text, mm.start, rule.window)
@@ -482,8 +491,7 @@ def context_index_from_owl(owl_xml: str) -> ContextIndex:
             continue
         vclass = inst["types"][0]
         anc = ancestors_of(vclass)
-        is_pseudo = "Pseudo" in anc or "Pseudo" in classes.get(
-            vclass, {}).get("parents", [])
+        is_pseudo = "Pseudo" in anc
         # instance-level hasActionEn assertion wins (the real Modifier.owl
         # shape, read by ConText.getAction :589-596 from the instance
         # concept's properties); class restrictions are the fallback
@@ -505,8 +513,7 @@ def context_index_from_owl(owl_xml: str) -> ContextIndex:
             mod_type, value = tv
         rules.append(ModifierRule(
             code=iname, terms=terms, mod_type=mod_type, value=value,
-            action=ACTION_TERMINATE if action == ACTION_TERMINATE
-            else action,
+            action=action,
             window=window, group=vclass, terminated_by=terminated,
             pseudo=pseudo, is_pseudo=is_pseudo))
 

@@ -54,12 +54,11 @@ def media_table_from_docs(docs_df: DataFrame) -> DataFrame:
             .distinct())
     return refs.select(
         "media_ref",
-        F.element_at(F.split("media_ref", "//"), 2).alias("_id"),
         F.lit("image/fake").alias("media_type"),
         F.encode(F.concat(F.lit("payload:"), F.col("media_ref")), "UTF-8")
          .alias("content"),
         F.create_map(F.lit("origin"), F.col("media_ref")).alias("metadata"),
-    ).drop("_id")
+    )
 
 
 def _fake_decode(content: bytes) -> tuple[int, int, bytes]:
@@ -348,7 +347,9 @@ def parse_avi(content: bytes) -> tuple[int, list[bytes]]:
             or content[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI container")
     us_per_frame = 0
-    frames: list[bytes] = []
+    # collect frames PER STREAM id: a multi-video-stream AVI must not
+    # interleave unrelated streams into one sequence at one frame rate
+    by_stream: dict[bytes, list[bytes]] = {}
     # Iterative walk (explicit stack of (pos, end) ranges): a corrupt
     # container with deeply nested LISTs must raise ValueError, never
     # RecursionError — the stub-fallback contract only catches ValueError.
@@ -371,8 +372,12 @@ def parse_avi(content: bytes) -> tuple[int, list[bytes]]:
                 us_per_frame = int.from_bytes(content[data:data + 4],
                                               "little")
             elif fourcc[2:4] in (b"dc", b"db"):
-                frames.append(content[data:data + size])
+                by_stream.setdefault(fourcc[:2], []).append(
+                    content[data:data + size])
             pos = data + size + (size & 1)
+    # the primary video stream = lowest stream id carrying dc/db
+    # chunks (video is stream 00 in practice; dc/db are video-only)
+    frames = by_stream[min(by_stream)] if by_stream else []
     return us_per_frame or 33333, frames
 
 
@@ -475,14 +480,18 @@ def _mkv_block(buf: bytes, s: int, e: int,
             sizes.append(sz)
         sizes.append((e - p) - sum(sizes))
     else:                                 # EBML lacing (signed deltas)
-        first, p = _ebml_vint(buf, p, e, False, unknown_ok=False)
-        sizes = [first]
-        for _ in range(nframes - 2):
-            raw, p2 = _ebml_vint(buf, p, e, False, unknown_ok=False)
-            bias = (1 << (7 * (p2 - p) - 1)) - 1
-            sizes.append(sizes[-1] + raw - bias)
-            p = p2
-        if nframes >= 2:
+        if nframes == 1:
+            # a 1-frame EBML lace carries NO size vints (the spec
+            # writes nframes-1 sizes): the frame is the whole payload
+            sizes = [e - p]
+        else:
+            first, p = _ebml_vint(buf, p, e, False, unknown_ok=False)
+            sizes = [first]
+            for _ in range(nframes - 2):
+                raw, p2 = _ebml_vint(buf, p, e, False, unknown_ok=False)
+                bias = (1 << (7 * (p2 - p) - 1)) - 1
+                sizes.append(sizes[-1] + raw - bias)
+                p = p2
             sizes.append((e - p) - sum(sizes))
     if any(sz < 0 for sz in sizes) or sum(sizes) != e - p:
         raise ValueError("lace sizes disagree with payload")

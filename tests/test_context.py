@@ -400,3 +400,16 @@ def test_context_index_from_owl():
                      "C013")["Temporality"] == "Before_DocTimeRel"
     assert "Temporality" not in _mods_owl(
         ctx, "History of quite old resolved melanoma.", "C013")
+
+
+def test_explicit_empty_defaults_not_replaced():
+    """An EXPLICITLY empty defaults dict (ontology with no
+    isDefaultValue subclasses) must stay empty — `defaults or
+    DEFAULT_VALUES` silently substituted the built-in THYME defaults,
+    seeding mentions with values the ontology doesn't define."""
+    from nobletools_spark.operators.context import (DEFAULT_VALUES,
+                                                    build_context_index)
+
+    idx = build_context_index([], defaults={})
+    assert idx.defaults == {}
+    assert build_context_index([]).defaults == dict(DEFAULT_VALUES)

@@ -164,3 +164,18 @@ def test_split_parts_no_markers():
     from nobletools_spark.functions.docproc import split_parts
 
     assert split_parts("FINAL DIAGNOSIS: benign nevus.") == []
+
+
+def test_split_sections_thousand_headers_iterative():
+    """A ~1200-section document must parse (the recursive formulation
+    hit Python's recursion limit and killed the whole Spark task)."""
+    from nobletools_spark.functions.docproc import split_sections
+
+    text = "".join(f"SECTION HEAD {i:04d}A: body {i}\n".replace(
+        str(i % 10), "X") for i in range(1200))
+    # titles must match ^[A-Z/\- ]{5,40}: — build them accordingly
+    text = "".join(f"HEADER {'AB'[i % 2]} PART: body line {i}\n"
+                   for i in range(1200))
+    secs = split_sections(text)
+    assert len(secs) >= 1199
+    assert secs[0].title.startswith("HEADER")

@@ -643,3 +643,43 @@ def test_parse_mkv_all_ones_vints_are_values():
         + bytes([1]) + b"\xff" + b"".join(fr)
     t2, got2 = parse_mkv(shell127(body2))
     assert got2 == fr and t2 == [5, 5]
+
+
+def test_parse_mkv_single_frame_ebml_lace():
+    """A 1-frame EBML lace carries NO size vints (the spec writes
+    nframes-1 sizes): the single frame is the whole payload."""
+    from nobletools_spark.operators.multimodal import parse_mkv
+
+    def shell(block_body):
+        header = _eel(b"\x1aE\xdf\xa3", _eel(b"\x42\x82", b"webm"))
+        tracks = _eel(b"\x16\x54\xae\x6b",
+                      _eel(b"\xae", _eel(b"\xd7", b"\x01")
+                           + _eel(b"\x83", b"\x01")))
+        cluster = _eel(b"\x1f\x43\xb6\x75", _eel(b"\xe7", b"\x07")
+                       + _eel(b"\xa3", block_body))
+        return header + _eel(b"\x18\x53\x80\x67", tracks + cluster)
+
+    body = _evint(1) + (0).to_bytes(2, "big") + bytes([0x06]) \
+        + bytes([0]) + b"ONLYFRAME"
+    t, got = parse_mkv(shell(body))
+    assert got == [b"ONLYFRAME"] and t == [7]
+
+
+def test_parse_avi_multi_stream_keeps_primary():
+    """dc/db chunks from a second video stream must not interleave
+    into the primary stream's frame sequence."""
+    from nobletools_spark.operators.multimodal import parse_avi
+
+    def chunk(fourcc, data):
+        return fourcc + len(data).to_bytes(4, "little") + data \
+            + (b"\x00" if len(data) % 2 else b"")
+
+    movi = (b"movi" + chunk(b"00dc", b"A0") + chunk(b"01dc", b"B0")
+            + chunk(b"00dc", b"A1") + chunk(b"01dc", b"B1"))
+    movi_list = chunk(b"LIST", movi)
+    avih = chunk(b"avih", (40000).to_bytes(4, "little") + b"\x00" * 52)
+    payload = b"AVI " + avih + movi_list
+    blob = b"RIFF" + len(payload).to_bytes(4, "little") + payload
+    us, frames = parse_avi(blob)
+    assert frames == [b"A0", b"A1"]      # stream 00 only, in order
+    assert us == 40000
