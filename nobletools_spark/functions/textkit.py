@@ -127,13 +127,14 @@ class StringStats:
         self.lower = sum(1 for c in text if c.islower())
         self.digits = sum(1 for c in text if c.isdigit())
         self.whitespace = sum(1 for c in text if c.isspace())
-        alpha = self.upper + self.lower
-        # TextTools.java:1258-1261 semantics
-        self.is_capitalized = bool(text) and text[0].isupper() and (
-            alpha <= 1 or self.upper == 1
-        )
-        self.is_lowercase = alpha > 0 and self.upper == 0
-        self.is_uppercase = alpha > 0 and self.lower == 0
+        alphabetic = sum(1 for c in text if c.isalpha())
+        # TextTools.java:1255-1263 EXACT: upper/lower must equal the
+        # FULL length — 'A.B' is NOT uppercase (2 upper, 3 chars), so
+        # short caps-with-punctuation tokens are not abbreviation-like
+        self.is_capitalized = (bool(text) and text[0].isupper()
+                               and self.lower == alphabetic - 1)
+        self.is_lowercase = self.length > 0 and self.lower == self.length
+        self.is_uppercase = self.length > 0 and self.upper == self.length
 
 
 @lru_cache(maxsize=262144)
@@ -172,21 +173,27 @@ def is_stop_word(word: str) -> bool:
 
 
 def is_common_word(word: str) -> bool:
-    return normalize(word.strip()) in COMMON_WORDS
+    # TextTools.isCommonWord (:263-269) uses the 1-arg normalize =
+    # normalize(word, stem=FALSE): the CommonWords list is unstemmed
+    # ('only'/'very' must hit; 'onli'/'veri' must not)
+    return normalize(word.strip(), do_stem=False) in COMMON_WORDS
 
 
 # ---------------------------------------------------------------------------
 # normalizeWords / normalize (tools/TextTools.java:700-765,577-591)
 # ---------------------------------------------------------------------------
 
-_GENITIVE_RE = re.compile(r"\b([a-z]+)'s?")
+# re.ASCII: Java's \b/\d/\w are ASCII-only — a Unicode \b would
+# (e.g.) fail to strip the genitive after a non-ASCII letter, and a
+# Unicode \d would strip Arabic-Indic digits Java keeps
+_GENITIVE_RE = re.compile(r"\b([a-z]+)'s?", re.ASCII)
 _PAREN_PLURAL_RE = re.compile(r"\(i?e?s\)")
-_FLOAT_PROTECT1 = re.compile(r"(\d+)\.(\d+)")
-_FLOAT_PROTECT2 = re.compile(r"\.(\d+)")
+_FLOAT_PROTECT1 = re.compile(r"(\d+)\.(\d+)", re.ASCII)
+_FLOAT_PROTECT2 = re.compile(r"\.(\d+)", re.ASCII)
 _NONWORD_RE = re.compile(r"\s*[^\w\s]\s*|\s+")  # see note in normalize_words
-_FLOAT_RESTORE1 = re.compile(r"(\d+)_(\d+)")
-_FLOAT_RESTORE2 = re.compile(r"_(\d+)")
-_DIGITS_RE = re.compile(r"\d+")
+_FLOAT_RESTORE1 = re.compile(r"(\d+)_(\d+)", re.ASCII)
+_FLOAT_RESTORE2 = re.compile(r"_(\d+)", re.ASCII)
+_DIGITS_RE = re.compile(r"\d+", re.ASCII)
 
 
 def _replace_nonword(text: str) -> str:

@@ -140,7 +140,9 @@ CONJUNCTIONS = (  # NegExPseudoConjunctions.lst, 89 entries, file order
     'origins of', 'origins for', 'other possibilities of',
 )
 
-_NONWORD = re.compile(r"\W")
+# ASCII like Java's \W (replaceAll in parse :207): accented chars
+# are NON-word to the reference and blank to spaces
+_NONWORD = re.compile(r"\W", re.ASCII)
 
 _PLAIN, _PRE, _POST, _PSEUDO, _STOP, _CONCEPT, _INDET = range(7)
 
@@ -167,7 +169,7 @@ def _find_match(text: str, phrases: tuple[str, ...]) -> str | None:
     return None
 
 
-def _find_concept_match(tmp: str, clean: str,
+def _find_concept_match(tmp: str,
                         mentions: list[Mention]) -> Mention | None:
     """findConceptMatch (:146-173): first mention (list order) whose
     cleaned surface text prefixes ``tmp`` at a word boundary — note it
@@ -176,14 +178,16 @@ def _find_concept_match(tmp: str, clean: str,
     receives the modifier (reference behavior)."""
     low = tmp.lower()
     for m in mentions:
-        ttext = clean[m.start:m.end]
+        # Mention.getText() = annotation WORDS joined by single spaces
+        # (gap words excluded) — NOT the sentence span (:151)
+        ttext = m.text
         if not ttext:
             continue
-        term_text = ttext.lower()
+        term_text = _NONWORD.sub(" ", ttext.lower())
         if len(low) > len(ttext):
             # Java: text.matches(term_text+"\\b.*") — term_text is all
             # word chars/spaces after the \W cleanup, so safe as regex
-            if re.match(term_text + r"\b", low):
+            if re.match(term_text + r"\b", low, re.ASCII):
                 return m
         elif len(low) == len(ttext) and low.startswith(term_text):
             return m
@@ -221,9 +225,10 @@ def negex(text: str, mentions: list[Mention]) -> None:
                 offset = offset + len(t)
                 break
         if typed is None:
-            men = _find_concept_match(tmp, clean, by_start)
+            men = _find_concept_match(tmp, by_start)
             if men is not None:
-                ctext = clean[men.start:men.end]
+                # offset advances by Mention.getText()'s length (:312)
+                ctext = men.text
                 typed = (start, ctext, _CONCEPT, men)
                 offset = offset + len(ctext)
             else:

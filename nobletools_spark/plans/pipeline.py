@@ -415,13 +415,19 @@ def flatten_documents(docs: DataFrame) -> DataFrame:
         return docs
     from nobletools_spark.functions.ids import doc_id_col
 
-    return docs.select(
-        doc_id_col(docs),
-        F.concat_ws(" ", F.transform(
-            F.filter(F.col("spans"),
-                     lambda s: (s["kind"] == F.lit("text"))
-                     & (F.length(F.coalesce(s["text"], F.lit(""))) > 0)),
-            lambda s: s["text"])).alias("text"))
+    return docs.select(doc_id_col(docs),
+                       flatten_text_col().alias("text"))
+
+
+def flatten_text_col():
+    """The flatten expression alone — for callers (e.g. streaming
+    dedup) that must ADD a text column while keeping their other
+    columns (event-time, metadata) instead of projecting them away."""
+    return F.concat_ws(" ", F.transform(
+        F.filter(F.col("spans"),
+                 lambda s: (s["kind"] == F.lit("text"))
+                 & (F.length(F.coalesce(s["text"], F.lit(""))) > 0)),
+        lambda s: s["text"]))
 
 
 def prep_stages(*, filter_kw: dict | None = None,

@@ -27,11 +27,14 @@ def read_document_stream(spark: SparkSession, input_path: str,
 
 
 def annotate_stream(docs_stream: DataFrame, index,
-                    cfg: MatchConfig = MatchConfig(), context=None) -> DataFrame:
+                    cfg: MatchConfig = MatchConfig(), context=None,
+                    negex: bool = False) -> DataFrame:
     """Streaming mentions DataFrame — identical transformation as batch
-    annotate (mapInPandas is stream-capable); caller attaches writeStream."""
+    annotate (mapInPandas is stream-capable), with the SAME optional
+    NegEx fallback so batch→streaming swaps keep their modifiers;
+    caller attaches writeStream."""
     return annotate(docs_stream, index, cfg, min_parallelism=1,
-                    context=context)
+                    context=context, negex=negex)
 
 
 def start_mentions_sink(mentions_stream: DataFrame, out_path: str,
@@ -67,6 +70,14 @@ def streaming_exact_dedup(docs_stream: DataFrame,
     standard lambda-ish split for ingest pipelines."""
     from pyspark.sql import functions as F
 
+    # interleaved (doc_id, spans) streams gain a text column via the
+    # SAME flatten expression as flatten_documents — added in place so
+    # the event-time column survives (a projection or self-join would
+    # drop it / be an illegal stream-stream join)
+    if "text" not in docs_stream.columns and "spans" in docs_stream.columns:
+        from nobletools_spark.plans.pipeline import flatten_text_col
+
+        docs_stream = docs_stream.withColumn("text", flatten_text_col())
     if by == "content":
         sig = F.md5(F.col("text"))
     elif by == "bag":

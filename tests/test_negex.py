@@ -126,3 +126,26 @@ def test_indexof_tokenization_quirk_parity():
     # without a preceding 'no'-containing word, the same phrase fires
     assert _mods("Sections show no evidence of melanoma.",
                  "C013")["Polarity"] == "Negative_Polarity"
+
+
+def test_concept_match_uses_mention_text_with_gap_words():
+    """NegEx.findConceptMatch (:151) matches Mention.getText() — the
+    annotation WORDS joined by single spaces, gap words excluded — not
+    the raw sentence span; offsets advance by that text's length
+    (:312). A gap-word mention ('ductal carcinoma ... situ') therefore
+    does NOT regex-match the sentence and stays un-negated, exactly
+    like the reference."""
+    from nobletools_spark.operators.match_core import Mention
+    from nobletools_spark.operators.negex import negex
+
+    text = "No evidence of ductal carcinoma in situ."
+    m = Mention("C007", "ductal carcinoma in situ", "t", 1.0,
+                [("ductal", 15), ("carcinoma", 22), ("situ", 35)], text)
+    negex(text, [m])
+    assert m.modifiers.get("Polarity") != "Negative_Polarity"
+    # without gap words the same mention IS matched and negated
+    text2 = "No evidence of ductal carcinoma."
+    m2 = Mention("C007", "ductal carcinoma", "t", 1.0,
+                 [("ductal", 15), ("carcinoma", 22)], text2)
+    negex(text2, [m2])
+    assert m2.modifiers.get("Polarity") == "Negative_Polarity"

@@ -198,3 +198,33 @@ def test_root_paths():
     assert ["C012", "C017", "C015"] in paths
     # cycle guard terminates
     assert root_paths([("A", "B"), ("B", "A")], "A") == [["A", "B"]]
+
+
+def test_string_stats_exact_java_semantics():
+    """TextTools.java:1261-1263 EXACT: isUppercase/isLowercase require
+    EVERY char to be that case — 'A.B' is neither; isCapitalized needs
+    lowerCase == alphabetic-1."""
+    from nobletools_spark.functions.textkit import (StringStats,
+                                                    is_likely_abbreviation)
+
+    assert not StringStats("A.B").is_uppercase        # 2 upper, 3 chars
+    assert StringStats("WHO").is_uppercase
+    assert not StringStats("abc.").is_lowercase       # '.' breaks it
+    assert StringStats("abc").is_lowercase
+    assert StringStats("Abc").is_capitalized
+    assert not StringStats("McDonald").is_capitalized
+    # 'T.B' has junk? no digits/parens — and is NOT all-uppercase, so
+    # the short-caps abbreviation branch must not fire
+    assert not is_likely_abbreviation("T.B")
+    assert is_likely_abbreviation("WHO")
+
+
+def test_is_common_word_unstemmed():
+    """TextTools.isCommonWord (:263-269) normalizes WITHOUT stemming:
+    'only'/'very' are common; their stems 'onli'/'veri' are not in the
+    list and must not be consulted."""
+    from nobletools_spark.functions.textkit import is_common_word
+
+    assert is_common_word("only")
+    assert is_common_word("very")
+    assert is_common_word("Only ")
