@@ -88,10 +88,6 @@ def with_near_duplicates(docs: DataFrame) -> DataFrame:
     return base.unionByName(clone)
 
 
-def _tok_docs(docs: DataFrame) -> DataFrame:
-    return tok_docs(docs)
-
-
 def _wins_expr(window: int) -> Column:
     """Array of 60-bit hashes of every ``window``-token sliding window
     of the staged ``toks`` column (element k = window starting at
@@ -125,7 +121,7 @@ def duplicated_window_spans(docs: DataFrame, window: int = 8,
     — only their hashes shuffle (same single-shuffle profile as
     exact_dedup); a hot boilerplate window is a single counter cell,
     not a join side, so no skew cap is needed."""
-    return (_tok_docs(docs)
+    return (tok_docs(docs)
             .select("doc_id", F.explode(_wins_expr(window)).alias("whash"))
             .groupBy("whash")
             .agg(F.count("*").alias("n_occ"),
@@ -155,7 +151,7 @@ def strip_duplicated_windows(docs: DataFrame, window: int = 8,
     marking is a JVM array lambda, O(tokens × covered-positions) per
     document — fine for web-document lengths; chunk book-length docs
     upstream."""
-    base = _tok_docs(docs)
+    base = tok_docs(docs)
     occ = base.select("doc_id",
                       F.posexplode(_wins_expr(window)).alias("pos0",
                                                              "whash"))
@@ -269,7 +265,7 @@ def flag_contaminated(docs: DataFrame, benchmark_texts: list[str],
         for toks in [(t or "").split(" ")]
         if len(toks) >= window
         for i in range(len(toks) - window + 1)})
-    d = _tok_docs(docs)
+    d = tok_docs(docs)
     spark = docs.sparkSession
     from nobletools_spark.session import local_table
 

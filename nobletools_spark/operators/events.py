@@ -40,18 +40,18 @@ def daily_rollup(events: DataFrame) -> DataFrame:
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessions per user: a new session starts when the gap to
     the previous event exceeds ``gap_minutes``. Returns (user_id,
-    session_idx, n_events, session_start, session_end, duration_us)."""
+    session_idx, n_events, session_start, session_end, duration_us).
+    ``user_id`` keeps the caller's dtype — sessions are always computed
+    per RAW id, so string ids ('alice', '007') each get their own
+    timeline (a lossy cast here would merge every non-numeric id into
+    one NULL partition and fuse unrelated users' sessions)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = gap_minutes * 60 * 1_000_000
     prev = F.lag(F.unix_micros("ts")).over(w)
     new_session = F.when(
         prev.isNull() | ((F.unix_micros("ts") - prev) > gap_us), 1
     ).otherwise(0)
-    # cast the key BEFORE grouping (streaming_sessionize does the
-    # same): casting after the agg can collapse distinct raw ids
-    # ('7', '007') into duplicate (user_id, session_idx) output keys
     sess = (_with_ts(events)
-            .withColumn("user_id", F.col("user_id").cast("long"))
             .withColumn("new_sess", new_session)
             .withColumn("session_idx",
                         F.sum("new_sess").over(
@@ -86,6 +86,10 @@ def streaming_sessionize(events_stream: DataFrame,
     sessions; with ``idle_flush`` open tails also emit after 1 h of
     processing-time inactivity (only for continuous 24/7 queries — a
     pending timeout keeps Trigger.AvailableNow from terminating).
+    Unlike the batch operator, the fixed state/output DDL pins
+    ``user_id`` to long — this streaming entry point requires numeric
+    user ids (the events-table schema); non-numeric ids need a caller
+    -side stable mapping first.
     Per-user state is O(1) — no buffering of events, so power-user skew
     cannot blow memory."""
     import pandas as pd

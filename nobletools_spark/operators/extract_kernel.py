@@ -49,6 +49,7 @@ mentions. No shuffle anywhere.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Iterator, Optional
 
@@ -121,6 +122,18 @@ def template_spec_from_xml(xml_text: str) -> TemplateSpec:
             for f in all_filters
             if (f.get("type") or "section") == "section"
             and (f.text or "").strip())
+        for filt in filters:
+            # fail fast ON THE DRIVER for ranges that would throw in
+            # the per-document kernel (Integer.parseInt semantics,
+            # TemplateItem.java:376): only a '-'-leading range is
+            # parsed as an int there — '[-1-2]' / '[-]' would abort
+            # every executor task instead of one Java document
+            mm = re.fullmatch(r"(.*)\[([\d\-]+)\]", filt)
+            if (mm and mm.group(2).startswith("-")
+                    and not re.fullmatch(r"-\d+", mm.group(2))):
+                raise ValueError(
+                    f"unparseable sentence range in section filter "
+                    f"{filt!r}: {mm.group(2)!r} is not a Java int")
 
         def codes(tag):
             return tuple(s.get("concept")
@@ -318,13 +331,18 @@ class _DocExtractor:
         self.cfg = cfg
         self._find_cache: dict[tuple[str, int], object] = {}
         # document mention list (Document.getMentions: sentence order)
+        # plus a per-sentence index: process_instance resolves each
+        # component against the mention's sentence, so the lookup must
+        # be O(sentence mentions), not O(document mentions) per call
         self.doc_mentions: list[_MRef] = []
+        self._by_sent: dict[int, list[_MRef]] = {}
         for i, (_t, off, mentions) in enumerate(sentences):
             for m in mentions:
                 anns = tuple((w, off + o) for w, o in m.annotations)
                 neg = m.modifiers.get("Polarity") == "Negative_Polarity"
-                self.doc_mentions.append(
-                    _MRef(m.cui, anns, i, neg, off + m.start))
+                ref = _MRef(m.cui, anns, i, neg, off + m.start)
+                self.doc_mentions.append(ref)
+                self._by_sent.setdefault(i, []).append(ref)
         # Section.getSentences equivalent: every sentence (incl. filtered
         # headers) inside [title_offset, body_end), in document order
         self.sections = []
@@ -367,7 +385,7 @@ class _DocExtractor:
         return None
 
     def _sentence_mentions(self, sent_i: int) -> list[_MRef]:
-        return [m for m in self.doc_mentions if m.sent_i == sent_i]
+        return self._by_sent.get(sent_i, [])
 
     # -- getMatchingInstances (:573-599) ------------------------------
 
@@ -499,12 +517,10 @@ class _DocExtractor:
         if not item.scoped:
             scope = list(self.doc_mentions)
         else:
-            import re as _re
-
             scope = []
             for filt in item.filters:
                 title, rng = filt, None
-                mm = _re.fullmatch(r"(.*)\[([\d\-]+)\]", filt)
+                mm = re.fullmatch(r"(.*)\[([\d\-]+)\]", filt)
                 if mm:
                     title, rng = mm.group(1), mm.group(2)
                 for sec_title, sent_offs in self.sections:
@@ -644,7 +660,12 @@ def question_columns(rt: ExtractRuntime) -> list[tuple[str, ItemSpec,
     Duplicate question display names (e.g. several diagnosis-typed
     items, which all ask 'diagnosis') get a ``__k`` suffix: the
     reference's CSVExporter keeps them as separate list columns under
-    a repeated TSV header, which a dict/DataFrame cannot."""
+    a repeated TSV header, which a dict/DataFrame cannot. Template-
+    constant, so cached on the runtime — matrix_row calls this per
+    document."""
+    cached = getattr(rt, "_question_cols", None)
+    if cached is not None:
+        return cached
     cols: list[tuple[str, ItemSpec, str | None]] = []
     seen: dict[str, int] = {}
     for item in rt.template.items:
@@ -652,15 +673,14 @@ def question_columns(rt: ExtractRuntime) -> list[tuple[str, ItemSpec,
             k = seen.get(q, 0)
             seen[q] = k + 1
             cols.append((q if k == 0 else f"{q}__{k + 1}", item, attr))
+    rt._question_cols = cols
     return cols
 
 
 def _java_matches(s: str, regex: str) -> bool:
-    import re as _re
-
     try:
-        return _re.fullmatch(regex, s) is not None
-    except _re.error:
+        return re.fullmatch(regex, s) is not None
+    except re.error:
         return False
 
 

@@ -325,3 +325,50 @@ def test_duplicate_question_items_keep_separate_columns():
 def test_template_spec_from_xml_missing_template_raises():
     with pytest.raises(ValueError, match="no <Template>"):
         template_spec_from_xml("<NotATemplate><Inner/></NotATemplate>")
+
+
+def test_template_spec_rejects_unparseable_sentence_range():
+    """A section filter whose [range] would throw in Integer.parseInt
+    (TemplateItem.java:376) fails fast at parse time on the driver,
+    not per-document inside a Spark stage."""
+    xml = """\
+<Template name="bad" version="1.0">
+  <TemplateItems>
+    <TemplateItem type="finding" concept="C1">
+      <Filters><Filter type="section">COMMENT:[-1-2]</Filter></Filters>
+    </TemplateItem>
+  </TemplateItems>
+  <Terminology name="t">
+    <Concepts>
+      <Concept code="C1" name="Thing">
+        <Term preferred="true">Thing</Term></Concept>
+    </Concepts>
+  </Terminology>
+</Template>"""
+    with pytest.raises(ValueError, match="sentence range"):
+        template_spec_from_xml(xml)
+
+
+def test_template_spec_accepts_valid_and_nonneg_ranges():
+    """'[-2]' (parsed) and '[1-2]' (whole-section TODO branch — never
+    int-parsed, faithful to the reference) both load fine."""
+    xml = """\
+<Template name="ok" version="1.0">
+  <TemplateItems>
+    <TemplateItem type="finding" concept="C1">
+      <Filters><Filter type="section">A:[-2]</Filter></Filters>
+    </TemplateItem>
+    <TemplateItem type="finding" concept="C1">
+      <Filters><Filter type="section">B:[1-2]</Filter></Filters>
+    </TemplateItem>
+  </TemplateItems>
+  <Terminology name="t">
+    <Concepts>
+      <Concept code="C1" name="Thing">
+        <Term preferred="true">Thing</Term></Concept>
+    </Concepts>
+  </Terminology>
+</Template>"""
+    spec = template_spec_from_xml(xml)
+    assert spec.items[0].filters == ("A:[-2]",)
+    assert spec.items[1].filters == ("B:[1-2]",)

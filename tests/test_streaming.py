@@ -364,3 +364,22 @@ def test_streaming_training_data_ops(spark, tmp_path):
         q.awaitTermination(120)
         got = {tuple(r) for r in spark.read.parquet(out).collect()}
         assert got == want and got, name
+
+
+def test_sessionize_string_user_ids_stay_separate(spark):
+    """Batch sessionize partitions by the RAW user id: string ids must
+    each get their own timeline (a lossy long cast would merge every
+    non-numeric id into one NULL partition and fuse their sessions)."""
+    import datetime as dt
+
+    from nobletools_spark.operators.events import sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [(1, t0, "alice"), (2, t0 + dt.timedelta(minutes=5), "bob"),
+            (3, t0 + dt.timedelta(minutes=10), "alice"),
+            (4, t0 + dt.timedelta(minutes=90), "alice")]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string")
+    got = {(r.user_id, r.session_idx): r.n_events
+           for r in sessionize(events, gap_minutes=30).collect()}
+    assert got == {("alice", 1): 2, ("alice", 2): 1, ("bob", 1): 1}
