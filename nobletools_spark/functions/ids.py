@@ -5,14 +5,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
 def doc_id_col(docs: DataFrame) -> Column:
-    """Numeric ids normalize to long (the driver oracle compares
-    BIGINT); non-numeric ids (e.g. the interleaved fixtures' 'd17')
-    pass through unchanged — a blind cast('long') would silently turn
-    every string id into NULL and corrupt all downstream keys."""
+    """Integral ids normalize to long (the driver oracle compares
+    BIGINT); everything else — strings (the interleaved fixtures'
+    'd17'), decimals, doubles — passes through unchanged. Casting is
+    restricted to the WIDENING integral cases because a lossy cast
+    corrupts keys silently: string→long and decimal(20,0)-above-2^63
+    →long both yield NULL (merging distinct documents under one NULL
+    key), and double→long truncates."""
     t = docs.schema["doc_id"].dataType
     c = F.col("doc_id")
-    return (c.cast("long") if isinstance(t, T.NumericType)
+    return (c.cast("long") if isinstance(t, _INTEGRAL)
             else c).alias("doc_id")
 
 

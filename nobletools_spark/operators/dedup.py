@@ -282,16 +282,26 @@ def flag_contaminated(docs: DataFrame, benchmark_texts: list[str],
             .withColumn("contaminated", F.col("n_hits") > 0))
 
 
-def exact_dedup(docs: DataFrame, by: str = "content") -> DataFrame:
-    """Exact-duplicate groups: (sig, keep_doc_id, n_docs). ``by`` =
-    'content' (raw text) or 'bag' (sorted distinct token set — catches
-    word-order shuffles). keep = min doc_id per group."""
+def exact_sig(by: str = "content") -> Column:
+    """THE exact-duplicate signature expression, shared by batch
+    (``exact_dedup``) and streaming (``streaming_exact_dedup``) so the
+    two paths can never diverge. ``by`` = 'content' (raw text md5) or
+    'bag' (sorted distinct token set — catches word-order shuffles).
+    NULL text is treated as empty content (sig = md5('') either mode,
+    per the ws_tokens_col NULL contract): contentless documents form
+    ONE duplicate group rather than a NULL key — deterministic, and
+    identical between the modes."""
     if by == "content":
-        sig = F.md5(F.col("text"))
-    elif by == "bag":
-        sig = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens()))))
-    else:
-        raise ValueError(by)
+        return F.md5(F.coalesce(F.col("text"), F.lit("")))
+    if by == "bag":
+        return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens()))))
+    raise ValueError(by)
+
+
+def exact_dedup(docs: DataFrame, by: str = "content") -> DataFrame:
+    """Exact-duplicate groups: (sig, keep_doc_id, n_docs). keep = min
+    doc_id per group; signature semantics in ``exact_sig``."""
+    sig = exact_sig(by)
     return (docs.select(sig.alias("sig"), doc_id_col(docs))
             .groupBy("sig")
             .agg(F.min("doc_id").alias("keep_doc_id"),

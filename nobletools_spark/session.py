@@ -70,26 +70,41 @@ def local_table(spark, rows, schema):
 
 
 def package_zip_path() -> str:
-    """Build (once per process) a zip of the nobletools_spark package."""
+    """Build (once per source state) a zip of the nobletools_spark
+    package. The cache file is keyed by a digest of the source file
+    list + sizes + mtimes — NOT the pid: a recycled pid (or two
+    processes racing) must never ship a stale zip, because py-files
+    shadow site-packages on the workers and every parity/bench number
+    would silently be measured against old executor code."""
+    import hashlib
+
     import nobletools_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(nobletools_spark.__file__))
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            full = os.path.join(root, f)
+            st = os.stat(full)
+            sources.append((full,
+                            os.path.join("nobletools_spark",
+                                         os.path.relpath(full, pkg_dir)),
+                            st.st_size, int(st.st_mtime_ns)))
+    sources.sort(key=lambda s: s[1])
+    digest = hashlib.md5(repr([s[1:] for s in sources]).encode()) \
+        .hexdigest()[:16]
     out = os.path.join(tempfile.gettempdir(),
-                       f"nobletools_spark-{os.getpid()}.zip")
+                       f"nobletools_spark-{digest}.zip")
     if not os.path.exists(out):
-        tmp = out + ".tmp"
+        tmp = f"{out}.{os.getpid()}.tmp"  # per-process tmp: racing
+        #              builders each os.replace atomically, same bytes
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                if "__pycache__" in root:
-                    continue
-                for f in files:
-                    if not f.endswith(".py"):
-                        continue
-                    full = os.path.join(root, f)
-                    rel = os.path.join(
-                        "nobletools_spark",
-                        os.path.relpath(full, pkg_dir))
-                    zf.write(full, rel)
+            for full, rel, _sz, _mt in sources:
+                zf.write(full, rel)
         os.replace(tmp, out)
     return out
 
@@ -110,7 +125,10 @@ def get_spark(cores: int | str = "*", shuffle_partitions: int | None = None,
     shuffle partitions sized to cores (not the 200 default)."""
     from pyspark.sql import SparkSession
 
-    n = os.cpu_count() if cores in ("*", None) else int(cores)
+    if cores in ("*", None):
+        cores, n = "*", os.cpu_count()  # None would build 'local[None]'
+    else:
+        n = int(cores)
     builder = (
         SparkSession.builder
         .master(f"local[{cores}]")

@@ -157,11 +157,16 @@ def html_report_df(docs_df: DataFrame, mentions_df: DataFrame) -> DataFrame:
     import pandas as pd
     from html import escape
 
+    # NULL text renders as nothing (filter explicitly); NULL offset
+    # coalesces to 0 — left as NULLs, the pandas groupby below would
+    # DROP those spans silently (groupby dropna default)
     spans = (docs_df
              .select("doc_id", F.explode("spans").alias("s"))
-             .filter(F.col("s.kind") == "text")
+             .filter((F.col("s.kind") == "text")
+                     & F.col("s.text").isNotNull())
              .select("doc_id", F.col("s.text").alias("text"),
-                     F.col("s.offset").alias("offset")))
+                     F.coalesce(F.col("s.offset"), F.lit(0))
+                     .alias("offset")))
     anns = (mentions_df
             .select("doc_id", "cui", "start", "end"))
     joined = spans.join(anns, "doc_id", "left")
@@ -267,8 +272,13 @@ def export_orf(concepts_df: DataFrame, path: str, lat: str = "ENG",
     # assigned C%07d that SKIPS ids present in the passthrough set (a
     # real C0000000 in the data must not collide with an assigned one).
     # The id tables are terminology-sized — driver-side by design.
+    # ids come from concepts_df, NOT post-explode `base`: a concept
+    # with a NULL name and no synonyms has no MRCON rows but must
+    # still map consistently in MRSTY/MRDEF/CUI2CODE (the reference's
+    # getCUI assigns for every concept it touches)
     spark = concepts_df.sparkSession
-    all_cuis = [r["cui"] for r in base.select("cui").distinct().collect()]
+    all_cuis = [r["cui"]
+                for r in concepts_df.select("cui").distinct().collect()]
     taken = {c for c in all_cuis
              if len(c) == 8 and c[0].isalpha() and c[0].isupper()
              and c[1:].isdigit()}
@@ -335,7 +345,14 @@ def export_orf(concepts_df: DataFrame, path: str, lat: str = "ENG",
                        F.col("sty"), F.lit("").alias("end")))
         (sty.select(F.concat_ws("|", *sty.columns).alias("line"))
          .write.mode("overwrite").text(f"{path}/MRSTY"))
-    cui2code = (rows.select("ocui", "cui").distinct()
+    # from concepts_df (not `rows`): every concept maps, even one with
+    # no MRCON rows (NULL name, no synonyms)
+    cui2code = (concepts_df.select("cui").distinct()
+                .join(F.broadcast(cui_ids), "cui", "left")
+                .select(F.when(F.col("cui_id").isNotNull(),
+                               F.format_string("C%07d", "cui_id"))
+                        .otherwise(F.col("cui")).alias("ocui"),
+                        F.col("cui"))
                 .select(F.concat_ws("=", "ocui", "cui").alias("line")))
     cui2code.write.mode("overwrite").text(f"{path}/CUI2CODE")
     # MRDEF (exportORF :115-124: cui|sab|definition| — definition's

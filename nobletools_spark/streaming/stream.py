@@ -78,13 +78,12 @@ def streaming_exact_dedup(docs_stream: DataFrame,
         from nobletools_spark.plans.pipeline import flatten_text_col
 
         docs_stream = docs_stream.withColumn("text", flatten_text_col())
-    if by == "content":
-        sig = F.md5(F.col("text"))
-    elif by == "bag":
-        sig = F.md5(F.concat_ws(" ", F.array_sort(
-            F.array_distinct(F.split(F.col("text"), " ")))))
-    else:
-        raise ValueError(by)
+    # the ONE signature definition, shared with batch exact_dedup —
+    # a drifted copy here would silently break the batch↔streaming
+    # duplicate-group contract
+    from nobletools_spark.operators.dedup import exact_sig
+
+    sig = exact_sig(by)
     # dropDuplicatesWithinWatermark: plain dropDuplicates only evicts
     # state when the event-time column is part of the key — with a
     # signature-only key the store would grow with the corpus forever

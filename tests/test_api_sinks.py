@@ -267,3 +267,37 @@ def test_export_orf_no_id_collisions(spark, tmp_path):
     tuis = {r[2]: r[1] for r in mrsty}
     assert tuis["T000"] == "T000"          # passthrough kept
     assert tuis["Odd Type"] == "T001"      # assigned skips taken T000
+
+
+def test_export_orf_nameless_concept_keeps_referential_integrity(
+        spark, tmp_path):
+    """A concept with NULL name and no synonyms has no MRCON rows but
+    must still get a consistent assigned CUI in CUI2CODE and MRSTY —
+    the reference's getCUI maps every concept it touches."""
+    from nobletools_spark.sources.sinks import export_orf
+
+    concepts = spark.createDataFrame(
+        [("local:tumor", None, [], ["Finding"], ["SRC"], "a tumor"),
+         ("local:node", "Node", ["node"], ["Body Part"], ["SRC"], None)],
+        "cui string, name string, synonyms array<string>, "
+        "semtypes array<string>, sources array<string>, definition string")
+    out = str(tmp_path / "orf")
+    export_orf(concepts, out)
+
+    def lines(name):
+        import glob
+
+        return [ln for f in glob.glob(f"{out}/{name}/part-*")
+                for ln in open(f).read().splitlines() if ln]
+
+    c2c = dict(ln.split("=", 1) for ln in lines("CUI2CODE"))
+    assert set(c2c.values()) == {"local:tumor", "local:node"}
+    assigned = {v: k for k, v in c2c.items()}
+    tumor_id = assigned["local:tumor"]
+    assert tumor_id.startswith("C") and tumor_id[1:].isdigit()
+    # MRSTY rows reference the ASSIGNED id, not the raw code
+    sty_cuis = {ln.split("|")[0] for ln in lines("MRSTY")}
+    assert tumor_id in sty_cuis and "local:tumor" not in sty_cuis
+    # and the MRDEF row for the nameless concept maps too
+    def_cuis = {ln.split("|")[0] for ln in lines("MRDEF")}
+    assert def_cuis == {tumor_id}

@@ -672,3 +672,39 @@ def test_cosine_zero_norm_vectors_never_win(spark):
     dups = embedding_dup_pairs(emb.withColumn("label", emb.vec_id % 1),
                                group_col="label", threshold=0.5).collect()
     assert all({r.vec_a, r.vec_b} != {2} for r in dups)
+
+
+def test_exact_sig_shared_and_null_text_deterministic(spark):
+    """exact_sig is THE one signature definition (batch exact_dedup and
+    streaming_exact_dedup both call it); NULL text signs as empty
+    content in BOTH modes — contentless docs form one deterministic
+    group, never a NULL key."""
+    from nobletools_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x y"), (4, None)],
+        "doc_id long, text string")
+    for by in ("content", "bag"):
+        got = {r.sig: (r.keep_doc_id, r.n_docs)
+               for r in exact_dedup(docs, by=by).collect()}
+        assert None not in got
+        assert sorted(got.values()) == [(1, 3), (3, 1)], by
+
+
+def test_doc_id_col_never_casts_lossily(spark):
+    """Integral ids normalize to long; decimal/double/string ids pass
+    through unchanged (a lossy cast would NULL-merge distinct docs)."""
+    from nobletools_spark.functions.ids import doc_id_col
+
+    from decimal import Decimal
+
+    big = 2**63 + 10  # does not fit int64
+    dec = spark.createDataFrame([(Decimal(big),), (Decimal(big + 1),)],
+                                "doc_id decimal(20,0)")
+    out = dec.select(doc_id_col(dec)).collect()
+    assert sorted(int(r.doc_id) for r in out) == [big, big + 1]
+    dbl = spark.createDataFrame([(1.5,)], "doc_id double")
+    assert dbl.select(doc_id_col(dbl)).collect()[0].doc_id == 1.5
+    ints = spark.createDataFrame([(7,)], "doc_id int")
+    assert ints.select(doc_id_col(ints)).schema[0].dataType.simpleString() \
+        == "bigint"

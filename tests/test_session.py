@@ -69,3 +69,54 @@ def test_local_table_auto_broadcasts(spark):
     plan = _physical(fact.join(dim, fact.kk == dim.k))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_package_zip_rebuilds_when_source_changes(tmp_path, monkeypatch):
+    """The shipped-package zip is keyed by source content (sizes +
+    mtimes), never the pid: a stale zip would make executors run old
+    code while the driver plans with new code."""
+    import os
+
+    from nobletools_spark.session import package_zip_path
+
+    p1 = package_zip_path()
+    assert os.path.exists(p1)
+    # same source state → same cached path (idempotent)
+    assert package_zip_path() == p1
+    # touching a source file (mtime bump) must change the key
+    import nobletools_spark
+
+    src = os.path.abspath(nobletools_spark.__file__)
+    st = os.stat(src)
+    try:
+        os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+        p2 = package_zip_path()
+        assert p2 != p1
+        assert os.path.exists(p2)
+    finally:
+        os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns))
+
+
+def test_get_spark_wildcard_and_none_cores_normalize():
+    """cores=None must not build master 'local[None]'."""
+    from unittest import mock
+
+    from nobletools_spark import session as S
+
+    seen = {}
+
+    class _B:
+        def master(self, m):
+            seen["master"] = m
+            raise RuntimeError("stop here")
+
+    with mock.patch.object(S, "ship_package"):
+        import pyspark.sql as ps
+
+        with mock.patch.object(ps.SparkSession, "builder", _B()):
+            for cores in (None, "*"):
+                try:
+                    S.get_spark(cores=cores)
+                except RuntimeError:
+                    pass
+                assert seen["master"] == "local[*]"

@@ -22,6 +22,14 @@ import json
 import os
 import subprocess
 import sys
+from collections import Counter
+
+
+def _madd(c: Counter, key) -> None:
+    """Multiset add: parity legs count DUPLICATE emissions too — a set
+    comparison would certify an engine that emits every mention twice
+    (or collapses the reference's genuine duplicates) at P=R=1.0."""
+    c[key] += 1
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -158,7 +166,7 @@ ADVERSARIAL = (
 
 
 def run_reference(mode: str | None = None,
-                  method: str = "-", term_src: str = OBO) -> set:
+                  method: str = "-", term_src: str = OBO) -> "Counter":
     """mode: None (mentions only) | 'context' | 'negex'."""
     import shutil
     shutil.rmtree("/tmp/noble_terms", ignore_errors=True)
@@ -168,7 +176,7 @@ def run_reference(mode: str | None = None,
     elif mode == "negex":
         cmd += ["negex"]
     subprocess.run(cmd, check=True, capture_output=True)
-    out = set()
+    out = Counter()
     for line in open(REF_TSV):
         doc, st, en, code, _text, mods, score = \
             (line.rstrip("\n").split("\t") + ["", "0"])[:7]
@@ -176,7 +184,7 @@ def run_reference(mode: str | None = None,
                round(float(score or 0), 6))
         if mode is not None:
             key += (tuple(sorted(m for m in mods.split(";") if m)),)
-        out.add(key)
+        _madd(out, key)
     return out
 
 
@@ -214,13 +222,13 @@ def run_spark(spark, mode: str | None = None,
                      [("text", open(f"{DOCS}/{fn}",
                                     encoding="utf-8").read(), None, 0)]))
     docs = spark.createDataFrame(rows, SPANS_DDL)
-    out = set()
+    out = Counter()
     for r in nc.annotate(docs, negex=(mode == "negex")).collect():
         key = (r.doc_id, r.start, r.end, r.cui, round(r.score, 6))
         if mode is not None:
             key += (tuple(sorted(f"{k}={v}"
                                  for k, v in r.modifiers.items())),)
-        out.add(key)
+        _madd(out, key)
     return out
 
 
@@ -229,10 +237,10 @@ def run_reference_docproc() -> set:
     shutil.rmtree("/tmp/noble_terms", ignore_errors=True)
     subprocess.run(["java", "-cp", CP, "RefDriver", OBO, DOCS, REF_TSV,
                     "-", "docproc"], check=True, capture_output=True)
-    out = set()
+    out = Counter()
     for line in open(REF_TSV):
         doc, off, typ, sec = (line.rstrip("\n").split("\t") + [""])[:4]
-        out.add((doc[:-4], int(off), typ, sec))
+        _madd(out, (doc[:-4], int(off), typ, sec))
     return out
 
 
@@ -242,7 +250,7 @@ def run_local_docproc() -> set:
     segmentation where mentions exist; this leg pins it everywhere."""
     from nobletools_spark.functions import docproc
 
-    out = set()
+    out = Counter()
     for fn in sorted(os.listdir(DOCS)):
         if not fn.endswith(".txt"):
             continue
@@ -256,7 +264,7 @@ def run_local_docproc() -> set:
                     title = s.title
                 else:
                     break
-            out.add((fn[:-4], off, typ, title))
+            _madd(out, (fn[:-4], off, typ, title))
     return out
 
 
@@ -418,13 +426,13 @@ def emit_extract_fixture() -> None:
 def _matrix_to_cells(header: list, rows: list) -> set:
     """(doc, question, cell) triples for every NON-empty cell, plus a
     (doc, '#cols', n) guard so layout mismatches surface."""
-    out = set()
+    out = Counter()
     for row in rows:
         doc = row[0].removesuffix(".txt")
-        out.add((doc, "#cols", str(len(row))))
+        _madd(out, (doc, "#cols", str(len(row))))
         for q, cell in zip(header[1:], row[1:]):
             if cell:
-                out.add((doc, q, cell))
+                _madd(out, (doc, q, cell))
     return out
 
 
@@ -466,16 +474,20 @@ def run_spark_extract(spark) -> set:
     return _matrix_to_cells(header, out_rows)
 
 
-def compare(ref: set, eng: set, label: str) -> dict:
-    tp = len(ref & eng)
-    precision = tp / len(eng) if eng else 0.0
-    recall = tp / len(ref) if ref else 0.0
-    print(f"[{label}] reference: {len(ref)}  engine: {len(eng)}  tp: {tp}"
+def compare(ref, eng, label: str) -> dict:
+    """Multiset precision/recall: tp counts each key min(ref_n, eng_n)
+    times, so duplicate emissions on either side surface as <1.0."""
+    ref, eng = Counter(ref), Counter(eng)
+    n_ref, n_eng = sum(ref.values()), sum(eng.values())
+    tp = sum(min(n, eng[k]) for k, n in ref.items())
+    precision = tp / n_eng if n_eng else 0.0
+    recall = tp / n_ref if n_ref else 0.0
+    print(f"[{label}] reference: {n_ref}  engine: {n_eng}  tp: {tp}"
           f"  precision: {precision:.4f}  recall: {recall:.4f}")
     for side, diff in (("engine-only", eng - ref), ("ref-only", ref - eng)):
         for t in sorted(diff)[:8]:
-            print(f"  {side}: {t}")
-    return {"ref_mentions": len(ref), "engine_mentions": len(eng),
+            print(f"  {side}: {t} (x{diff[t]})")
+    return {"ref_mentions": n_ref, "engine_mentions": n_eng,
             "tp": tp, "precision": round(precision, 4),
             "recall": round(recall, 4)}
 

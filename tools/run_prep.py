@@ -60,7 +60,9 @@ def main() -> None:
     bench: tuple[str, ...] = ()
     if args.benchmarks:
         with open(args.benchmarks) as f:
-            bench = tuple(ln.rstrip("\n") for ln in f if ln.strip())
+            # rstrip CR too: a CRLF eval file would leave '\r' on every
+            # line and silently weaken the 13-gram matching
+            bench = tuple(ln.rstrip("\r\n") for ln in f if ln.strip())
     budgets = json.loads(args.budgets) if args.budgets else None
     if isinstance(budgets, dict):
         budgets = {str(k): int(v) for k, v in budgets.items()}
