@@ -135,11 +135,20 @@ def decode_png(content: bytes) -> tuple[int, int, int, bytes]:
             break
     if w is None:
         raise ValueError("no IHDR")
-    raw = zlib.decompress(idat)
     stride = w * ch
-    if len(raw) != h * (stride + 1):
+    need = h * (stride + 1)
+    # bounded inflate: plain zlib.decompress would allocate the FULL
+    # decompressed buffer before the size check — a small decompression
+    # bomb (~1000:1) OOM-kills the executor instead of raising the
+    # catchable ValueError one bad row deserves
+    dec = zlib.decompressobj()
+    raw = dec.decompress(idat, need + 1)
+    # a stream longer than `need` shows up either as the +1 byte or as
+    # an unconsumed tail still holding compressed input
+    if len(raw) != need or dec.decompress(dec.unconsumed_tail, 1):
         raise ValueError(
-            f"truncated PNG body: {len(raw)} bytes, need {h * (stride + 1)}")
+            f"truncated or oversized PNG body: got {len(raw)}+ bytes, "
+            f"need {need}")
     out = bytearray(h * stride)
     prev = bytearray(stride)
     for y in range(h):
@@ -411,20 +420,40 @@ def _ebml_vint(buf: bytes, pos: int, end: int,
 
 
 _MKV_SEGMENT = 0x18538067
+_MKV_CLUSTER = 0x1F43B675
+# RFC 8794 §6.2: an unknown-size element ends at the first element that
+# is not a valid child. Cluster children per the Matroska schema:
+# Timestamp, SimpleBlock, BlockGroup, Position, PrevSize, CRC-32, Void.
+_CLUSTER_CHILD_IDS = frozenset((0xE7, 0xA3, 0xA0, 0xA7, 0xAB, 0xBF, 0xEC))
 
 
 def _ebml_elements(buf: bytes, pos: int, end: int):
     """Iterate EBML child elements in buf[pos:end] → (id, body_start,
-    body_end). Unknown-size elements are only tolerated for Segment
-    (spec-common in streamed files; extends to the parent end)."""
+    body_end). Unknown-size elements are tolerated for Segment (extends
+    to the parent end) and Cluster (live-muxed / unfinalized mkv+webm —
+    OBS, ffmpeg pipes — write every Cluster unsized; it ends at the
+    first non-Cluster-child element per RFC 8794 §6.2)."""
     while pos < end:
         eid, p = _ebml_vint(buf, pos, end, True)
         size, p = _ebml_vint(buf, p, end, False)
         if size is None:
-            if eid != _MKV_SEGMENT:
+            if eid == _MKV_SEGMENT:
+                yield eid, p, end
+                return
+            if eid != _MKV_CLUSTER:
                 raise ValueError("unknown-size EBML element")
-            yield eid, p, end
-            return
+            q = p
+            while q < end:
+                cid, cp = _ebml_vint(buf, q, end, True)
+                if cid not in _CLUSTER_CHILD_IDS:
+                    break
+                csize, cp = _ebml_vint(buf, cp, end, False)
+                if csize is None or cp + csize > end:
+                    raise ValueError("truncated EBML element")
+                q = cp + csize
+            yield eid, p, q
+            pos = q
+            continue
         if p + size > end:
             raise ValueError("truncated EBML element")
         yield eid, p, p + size
@@ -712,6 +741,21 @@ def extract_features(media_df: DataFrame, dim: int = _FEATURE_DIM) -> DataFrame:
         .mapInPandas(fn, FEATURES_DDL)
 
 
+def _ts_bounded(picked: list[tuple[int, bytes, int]]
+                ) -> list[tuple[int, bytes, int]]:
+    """Reject demuxed timestamps outside int32 — FRAMES_DDL pins ts_ms
+    to int, and a single absurd-timescale container (e.g. an mkv with
+    TimestampScale=2^55) would otherwise overflow the Arrow int32 cast
+    and CRASH the whole Python worker instead of hitting the documented
+    ValueError→stub fallback. Raising here keeps the one-bad-row blast
+    radius at one row."""
+    for _i, _f, ts in picked:
+        if not -2**31 <= ts < 2**31:
+            raise ValueError(f"timestamp {ts} ms outside int32 — "
+                             f"absurd container timescale")
+    return picked
+
+
 def _pick_timed_frames(times_ms: list[int], frames: list[bytes],
                        every_ms: int,
                        max_frames: int) -> list[tuple[int, bytes, int]]:
@@ -754,10 +798,12 @@ def sample_frames(media_df: DataFrame, every_ms: int = 1000,
                     try:
                         uspf, frames = parse_avi(blob)
                         step = max(1, round(every_ms * 1000 / uspf))
-                        for src_i in range(0, len(frames),
-                                           step)[:max_frames]:
-                            rows.append((ref, src_i, frames[src_i],
-                                         src_i * uspf // 1000))
+                        picked = [(src_i, frames[src_i],
+                                   src_i * uspf // 1000)
+                                  for src_i in range(0, len(frames),
+                                                     step)[:max_frames]]
+                        rows.extend((ref, *p)
+                                    for p in _ts_bounded(picked))
                         continue
                     except ValueError:
                         pass  # malformed container → stub fallback
@@ -765,9 +811,10 @@ def sample_frames(media_df: DataFrame, every_ms: int = 1000,
                     try:
                         times_ms, frames = (parse_mp4 if kind ==
                                             "video/mp4" else parse_mkv)(blob)
-                        for src_i, fr, ts in _pick_timed_frames(
-                                times_ms, frames, every_ms, max_frames):
-                            rows.append((ref, src_i, fr, ts))
+                        picked = _pick_timed_frames(
+                            times_ms, frames, every_ms, max_frames)
+                        rows.extend((ref, *p)
+                                    for p in _ts_bounded(picked))
                         continue
                     except ValueError:
                         pass  # malformed container → stub fallback

@@ -68,40 +68,51 @@ def _stable_digest(obj) -> str:
     sequences — dict keys sorted, so the digest is independent of
     insertion order. Used to fold output-determining objects (the
     terminology index, MatchConfig, template tables) into stage
-    fingerprints."""
+    fingerprints. Streams into the hash — a full-index render
+    materialized as one joined string would transiently double a
+    multi-GB driver-side terminology in memory on EVERY pipeline
+    construction, including fully-resumed runs."""
     import dataclasses
     import hashlib
 
-    def render(o, out):
-        if dataclasses.is_dataclass(o) and not isinstance(o, type):
-            out.append(type(o).__name__)
-            for f in sorted(dataclasses.fields(o), key=lambda f: f.name):
-                out.append(f.name)
-                render(getattr(o, f.name), out)
-        elif isinstance(o, dict):
-            out.append("{")
-            for k in sorted(o, key=repr):
-                out.append(repr(k))
-                render(o[k], out)
-            out.append("}")
-        elif isinstance(o, (list, tuple)):
-            out.append("[")
-            for x in o:
-                render(x, out)
-            out.append("]")
-        else:
-            out.append(repr(o))
+    md5 = hashlib.md5()
 
-    parts: list[str] = []
-    render(obj, parts)
-    return hashlib.md5("\x00".join(parts).encode()).hexdigest()
+    def feed(s: str) -> None:
+        md5.update(s.encode())
+        md5.update(b"\x00")
+
+    def render(o):
+        if dataclasses.is_dataclass(o) and not isinstance(o, type):
+            feed(type(o).__name__)
+            for f in sorted(dataclasses.fields(o), key=lambda f: f.name):
+                feed(f.name)
+                render(getattr(o, f.name))
+        elif isinstance(o, dict):
+            feed("{")
+            for k in sorted(o, key=repr):
+                feed(repr(k))
+                render(o[k])
+            feed("}")
+        elif isinstance(o, (list, tuple)):
+            feed("[")
+            for x in o:
+                render(x)
+            feed("]")
+        else:
+            feed(repr(o))
+
+    render(obj)
+    return md5.hexdigest()
 
 
 def _df_digest(df) -> str:
     """Content digest of a TERMINOLOGY-SIZED DataFrame (templates,
     components): row-order independent, driver-collected — never call
     on a corpus-sized table."""
-    rows = sorted(tuple(r) for r in df.collect())
+    # key=repr: raw tuple comparison raises TypeError when rows tie on
+    # a prefix and differ None-vs-str in the next column (e.g. template
+    # items with and without a concept attribute)
+    rows = sorted((tuple(r) for r in df.collect()), key=repr)
     return _stable_digest(rows)
 
 

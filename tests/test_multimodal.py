@@ -381,7 +381,7 @@ def _make_mkv(n_frames, delta_ticks=40, ts_scale=1_000_000):
     header = _eel(b"\x1aE\xdf\xa3", _eel(b"\x42\x82", b"webm"))
     info = _eel(b"\x15\x49\xa9\x66",
                 _eel(b"\x2a\xd7\xb1",
-                     ts_scale.to_bytes(4, "big").lstrip(b"\x00") or b"\x00"))
+                     ts_scale.to_bytes(8, "big").lstrip(b"\x00") or b"\x00"))
     ventry = _eel(b"\xae", _eel(b"\xd7", b"\x01") + _eel(b"\x83", b"\x01"))
     aentry = _eel(b"\xae", _eel(b"\xd7", b"\x02") + _eel(b"\x83", b"\x02"))
     tracks = _eel(b"\x16\x54\xae\x6b", ventry + aentry)
@@ -683,3 +683,76 @@ def test_parse_avi_multi_stream_keeps_primary():
     us, frames = parse_avi(blob)
     assert frames == [b"A0", b"A1"]      # stream 00 only, in order
     assert us == 40000
+
+
+def test_parse_mkv_unknown_size_cluster():
+    """Live-muxed / unfinalized Matroska (OBS, ffmpeg pipes) writes
+    Clusters with the unknown-size vint: the cluster must end at the
+    first non-cluster-child element (RFC 8794 §6.2) and demux for real
+    instead of falling back to the stub."""
+    from nobletools_spark.operators.multimodal import parse_mkv
+
+    blob, frames = _make_mkv(6)
+    # rebuild with cluster 1 unsized: header + Segment(Info, Tracks,
+    # Cluster[unknown size](ts + blocks), Cluster[sized](...))
+    header = _eel(b"\x1aE\xdf\xa3", _eel(b"\x42\x82", b"webm"))
+    info = _eel(b"\x15\x49\xa9\x66",
+                _eel(b"\x2a\xd7\xb1", b"\x0f\x42\x40"))
+    ventry = _eel(b"\xae", _eel(b"\xd7", b"\x01") + _eel(b"\x83", b"\x01"))
+    tracks = _eel(b"\x16\x54\xae\x6b", ventry)
+    c1_body = _eel(b"\xe7", b"\x00") + b"".join(
+        _sblock(1, i * 40, 0x00, frames[i]) for i in range(3))
+    c2_body = _eel(b"\xe7", bytes([120])) + b"".join(
+        _sblock(1, (i - 3) * 40, 0x00, frames[i]) for i in range(3, 6))
+    unsized_c1 = b"\x1f\x43\xb6\x75" + b"\xff" + c1_body
+    seg_body = info + tracks + unsized_c1 + _eel(b"\x1f\x43\xb6\x75",
+                                                 c2_body)
+    blob2 = header + _eel(b"\x18\x53\x80\x67", seg_body)
+    times, got = parse_mkv(blob2)
+    assert got == frames
+    assert times == [i * 40 for i in range(6)]
+
+
+def test_sample_frames_absurd_timescale_falls_back_to_stub(spark):
+    """An mkv whose TimestampScale makes ts_ms overflow int32 must hit
+    the documented stub fallback (one bad row), never crash the Python
+    worker on the Arrow int32 cast."""
+    from nobletools_spark.operators.multimodal import sample_frames
+
+    blob, _ = _make_mkv(4, ts_scale=2**55)
+    media = spark.createDataFrame([("v1", blob)],
+                                  "media_ref string, content binary")
+    rows = sample_frames(media, every_ms=1000, max_frames=4).collect()
+    assert rows                      # stub frames, not a crashed stage
+    assert all(len(r.frame) == 16 for r in rows)   # md5-stub payloads
+    assert all(-2**31 <= r.ts_ms < 2**31 for r in rows)
+
+
+def test_decode_png_bounded_inflate():
+    """A PNG whose IDAT inflates far beyond the declared dimensions
+    raises ValueError after a BOUNDED inflate (decompression bomb
+    guard) — and a correct PNG still round-trips."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from nobletools_spark.operators.multimodal import decode_png
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # 2x2 gray
+    good_raw = b"\x00\x01\x02\x00\x03\x04"
+    good = (magic + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(good_raw))
+            + chunk(b"IEND", b""))
+    w, h, ch, px = decode_png(good)
+    assert (w, h, ch) == (2, 2, 1) and px == b"\x01\x02\x03\x04"
+    bomb = (magic + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 50_000_000))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="oversized PNG body"):
+        decode_png(bomb)

@@ -386,3 +386,22 @@ def test_kg_stage_params_force_recompute(spark, pipe_run):
     p4.run(spark, inputs, run_config=rc)
     assert [r.status for r in p4.reports] == \
         ["resumed", "resumed", "computed", "computed"]
+
+
+def test_df_digest_handles_none_vs_str_ties(spark):
+    """Template tables can tie on a prefix and differ None-vs-str in
+    the next column (items with and without a concept attribute) —
+    the digest must not TypeError on the sort."""
+    from nobletools_spark.plans.pipeline import _df_digest
+
+    df = spark.createDataFrame([("T", "x", None), ("T", "x", "C123")],
+                               "a string, b string, c string")
+    d1 = _df_digest(df)
+    # row-order independent
+    df2 = spark.createDataFrame([("T", "x", "C123"), ("T", "x", None)],
+                                "a string, b string, c string")
+    assert d1 == _df_digest(df2)
+    # content-sensitive
+    df3 = spark.createDataFrame([("T", "x", None), ("T", "x", "C999")],
+                                "a string, b string, c string")
+    assert d1 != _df_digest(df3)

@@ -109,8 +109,16 @@ def main() -> None:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
             capture_output=True, text=True, cwd=REPO, timeout=1800)
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        r = json.loads(line)
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if out.returncode != 0 or not lines:
+            # surface the worker's real error instead of dying on an
+            # unrelated IndexError with stale evidence left on disk
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError(
+                f"scaling worker (cpus={cpus}) failed "
+                f"rc={out.returncode}; stderr above")
+        r = json.loads(lines[-1])
+        line = lines[-1]
         print(line)
         if cpus not in results or r["docs_per_sec"] > results[cpus]["docs_per_sec"]:
             results[cpus] = r

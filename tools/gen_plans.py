@@ -8,10 +8,12 @@ you'd want. Usage: python tools/gen_plans.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 NOTES = {
     "kg_mentions": "map-only matcher (broadcast index); exchanges = input round-robin spread + the distinct agg; scan pruned to (doc_id, text)",
@@ -118,10 +120,10 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(cores=8)
     out = ["# PLANS — physical-plan evidence for the entry queries", "",
-           "Generated by `tools/gen_plans.py` against sf0.01 (plans are",
-           "scale-invariant in shape). For each query: join strategies,",
-           "exchange count, and the pruned scan schema — the properties",
-           "that must hold at 100 TB.", ""]
+           f"Generated by `tools/gen_plans.py` against {sf_dir} (plans",
+           "are scale-invariant in shape). For each query: join",
+           "strategies, exchange count, and the pruned scan schema —",
+           "the properties that must hold at 100 TB.", ""]
     for name, fn in entry.queries().items():
         df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -139,8 +141,12 @@ def main() -> None:
         if name in NOTES:
             out.append(f"- {NOTES[name]}")
         out.append("")
-    open("PLANS.md", "w").write("\n".join(out).rstrip() + "\n")
-    print("PLANS.md written")
+    # anchor to the repo root — a CWD-relative write from another
+    # directory would silently leave the real evidence artifact stale
+    dest = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PLANS.md")
+    open(dest, "w").write("\n".join(out).rstrip() + "\n")
+    print(f"{dest} written")
     spark.stop()
 
 

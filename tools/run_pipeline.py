@@ -54,6 +54,10 @@ def main() -> None:
     spark = SparkSession.builder.appName("nobletools-kg").getOrCreate()
     ship_package(spark)
 
+    term_fp = ""  # ontology CONTENT hash for in-memory-built inputs:
+    # --obo/--owl edges feed isa_edges via createDataFrame (no backing
+    # files → schema-only input fingerprint), so an edited is_a graph
+    # must invalidate checkpoints through run_config, same as --template
     if args.rrf:
         from nobletools_spark.sources.rrf import concepts_for_index, load_rrf
 
@@ -72,17 +76,25 @@ def main() -> None:
             parse_obo,
         )
 
+        import hashlib
+
         with open(args.obo) as f:
-            concepts, edges = parse_obo(f.read())
+            src = f.read()
+        term_fp = hashlib.md5(src.encode()).hexdigest()
+        concepts, edges = parse_obo(src)
         concepts_df = concepts_df_from_records(spark, concepts)
         isa_edges = spark.createDataFrame(edges, "cui string, parent string")
         semtypes = None
     elif args.owl:
+        import hashlib
+
         from nobletools_spark.sources.obo import concepts_df_from_records
         from nobletools_spark.sources.owl import parse_owl
 
         with open(args.owl) as f:
-            concepts, edges = parse_owl(f.read())
+            src = f.read()
+        term_fp = hashlib.md5(src.encode()).hexdigest()
+        concepts, edges = parse_owl(src)
         concepts_df = concepts_df_from_records(spark, concepts)
         isa_edges = spark.createDataFrame(edges, "cui string, parent string")
         semtypes = None
@@ -136,7 +148,7 @@ def main() -> None:
         inputs["semtypes"] = semtypes
     run_config = {"search": args.search, "input": args.input,
                   "context": bool(ctx), "salt": args.salt,
-                  "template": template_fp}
+                  "template": template_fp, "terminology": term_fp}
     res = pipe.run(spark, inputs, run_config=run_config, force=args.force)
     print(json.dumps({
         "stages": [{"stage": r.stage, "status": r.status, "rows": r.rows,
