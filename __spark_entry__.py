@@ -46,6 +46,12 @@ from nobletools_spark.operators.dedup import (
     embedding_dup_pairs,
     with_near_duplicates,
 )
+from nobletools_spark.operators.graph import (
+    degrees,
+    pagerank,
+    symmetrize,
+    triangles,
+)
 from nobletools_spark.operators.matcher import annotate
 from nobletools_spark.operators.similarity import cosine_topk, hyperplanes, lsh_topk
 from nobletools_spark.operators.textstats import (
@@ -203,6 +209,43 @@ def q_kg_mentions_by_ancestor(spark, sf_dir):
     return (mentions_with_ancestor(m, edges, "C120")
             .select(F.col("doc_id").cast("long").alias("doc_id"), "cui")
             .distinct())
+
+
+def _cooc_pairs(spark, sf_dir):
+    """Undirected concept co-occurrence graph (a, b, weight) — the
+    edge table the graph-analytics family runs on."""
+    t = cooccurrence_triples(_builtin_mentions(spark, sf_dir),
+                             salt_buckets=8)
+    return t.select(F.col("subj").alias("a"), F.col("obj").alias("b"),
+                    F.col("n_docs").alias("weight"))
+
+
+def q_kg_degrees(spark, sf_dir):
+    """Per-concept degree + weighted degree over the co-occurrence
+    graph (operators/graph.py degrees): one partial-agg shuffle."""
+    return degrees(symmetrize(_cooc_pairs(spark, sf_dir)
+                              .localCheckpoint(eager=True)))
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """Concept importance: 3-iteration PageRank over the symmetrized
+    co-occurrence graph in exact fixed-point mode (scaled-BIGINT ranks,
+    integer division) so the DuckDB replay hash-matches bit-for-bit —
+    float PageRank sums are reduction-order-dependent and cannot be
+    oracle-hashed."""
+    # materialize the (tiny) pair table once: symmetrize unions two
+    # scans of it, and its lineage is the whole matcher pipeline
+    pairs = _cooc_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    e = symmetrize(pairs, weight=None)
+    return (pagerank(e, iterations=3, scale=10**9)
+            .select("node", F.col("r").alias("rank_fp")))
+
+
+def q_kg_triangles(spark, sf_dir):
+    """Per-concept triangle participation over the co-occurrence graph
+    (degree-oriented Suri-Vassilvitskii counting)."""
+    return triangles(_cooc_pairs(spark, sf_dir)
+                     .localCheckpoint(eager=True))
 
 
 def q_kg_template_items(spark, sf_dir):
@@ -670,6 +713,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_by_ancestor": q_kg_mentions_by_ancestor,
         "kg_template_items": q_kg_template_items,
         "kg_cooccurrence": q_kg_cooccurrence,
+        "kg_degrees": q_kg_degrees,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_triangles": q_kg_triangles,
         "kg_isa_closure": q_kg_isa_closure,
         "kg_semtypes": q_kg_semtypes,
         "kg_canonical": q_kg_canonical,
@@ -858,6 +904,59 @@ def oracle_sql() -> dict[str, str]:
           " count(*)::BIGINT AS n_docs"
           " FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.cui < b.cui"
           " GROUP BY a.cui, b.cui")
+
+    # shared co-occurrence graph CTEs for the graph-analytics family:
+    # distinct (doc, cui) -> unordered pairs -> symmetrized edge view
+    graph_cte = (
+        ", md AS (SELECT DISTINCT doc_id, cui FROM m), "
+        "pairs AS (SELECT a.cui AS a, b.cui AS b, count(*)::BIGINT AS w"
+        " FROM md a JOIN md b ON a.doc_id = b.doc_id AND a.cui < b.cui"
+        " GROUP BY a.cui, b.cui), "
+        "edges AS (SELECT a AS src, b AS dst, w FROM pairs"
+        " UNION ALL SELECT b AS src, a AS dst, w FROM pairs)")
+
+    sql["kg_degrees"] = (
+        _mentions_cte() + graph_cte
+        + " SELECT src AS node, count(*)::BIGINT AS degree,"
+          " sum(w)::BIGINT AS weighted_degree FROM edges GROUP BY src")
+
+    # 3 unrolled fixed-point PageRank iterations (scale 10^9, d=85/100):
+    # integer division + integer sums are reduction-order-independent,
+    # so the hash comparison is exact (see operators/graph.py pagerank)
+    pr_iter = (
+        "c{i} AS (SELECT e.dst AS node, SUM(r{p}.r // od.od)::BIGINT AS c"
+        " FROM edges e JOIN r{p} ON e.src = r{p}.node"
+        " JOIN od ON e.src = od.src GROUP BY e.dst), "
+        "r{i} AS (SELECT n0.node,"
+        " ((15000000000 + 85 * COALESCE(c{i}.c, 0)) // 100)::BIGINT AS r"
+        " FROM n0 LEFT JOIN c{i} ON n0.node = c{i}.node)")
+    sql["kg_pagerank"] = (
+        _mentions_cte() + graph_cte
+        + ", od AS (SELECT src, count(*)::BIGINT AS od FROM edges"
+          " GROUP BY src), "
+          "n0 AS (SELECT DISTINCT src AS node FROM edges), "
+          "r0 AS (SELECT node, 1000000000::BIGINT AS r FROM n0), "
+        + ", ".join(pr_iter.format(i=i, p=i - 1) for i in (1, 2, 3))
+        + " SELECT node, r AS rank_fp FROM r3")
+
+    sql["kg_triangles"] = (
+        _mentions_cte() + graph_cte
+        + ", deg AS (SELECT src AS node, count(*)::BIGINT AS d FROM edges"
+          " GROUP BY src), "
+          "ord_e AS (SELECT"
+          " CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)"
+          " THEN u.a ELSE u.b END AS src,"
+          " CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)"
+          " THEN u.b ELSE u.a END AS dst"
+          " FROM pairs u JOIN deg da ON u.a = da.node"
+          " JOIN deg db ON u.b = db.node), "
+          "tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z"
+          " FROM ord_e e1 JOIN ord_e e2 ON e1.dst = e2.src"
+          " JOIN ord_e e3 ON e3.src = e1.src AND e3.dst = e2.dst), "
+          "alln AS (SELECT x AS node FROM tri"
+          " UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) "
+          "SELECT node, count(*)::BIGINT AS triangles FROM alln"
+          " GROUP BY node")
 
     sql["kg_mentions_by_ancestor"] = (
         _mentions_cte(recursive=True)

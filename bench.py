@@ -39,6 +39,8 @@ HEADLINE = (
     "kg_doc_concepts",
     "kg_cooccurrence",
     "kg_template_items",
+    "kg_pagerank",
+    "kg_triangles",
     "text_quality",
     "text_fingerprints",
     "dedup_exact_bag",

@@ -1,0 +1,128 @@
+"""Graph analytics (operators/graph.py): degrees, PageRank (exact
+fixed-point + double), degree-oriented triangle counts — pinned
+against pure-Python replays and brute-force enumeration."""
+
+from itertools import combinations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from nobletools_spark.operators.graph import (
+    degrees, pagerank, symmetrize, triangles)
+
+# square A-B-C-D-A with diagonal A-C: triangles ABC and ACD
+SQUARE = [("A", "B", 2), ("B", "C", 1), ("C", "D", 4),
+          ("A", "D", 1), ("A", "C", 3)]
+
+
+def _pairs_df(spark, rows, weight=True):
+    ddl = "a string, b string, weight bigint" if weight else \
+        "a string, b string"
+    if not weight:
+        rows = [(a, b) for a, b, *_ in rows]
+    return spark.createDataFrame(rows, ddl)
+
+
+def py_pagerank_int(pairs, iterations, scale=10**9, num=85, den=100):
+    adj: dict[str, list[str]] = {}
+    for a, b, *_ in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    r = {v: scale for v in adj}
+    base = (den - num) * scale
+    for _ in range(iterations):
+        c = {v: 0 for v in adj}
+        for u, nbrs in adj.items():
+            share = r[u] // len(nbrs)
+            for v in nbrs:
+                c[v] += share
+        r = {v: (base + num * c[v]) // den for v in adj}
+    return r
+
+
+def py_triangles(pairs):
+    edges = {frozenset((a, b)) for a, b, *_ in pairs if a != b}
+    nodes = sorted({x for e in edges for x in e})
+    t = {v: 0 for v in nodes}
+    found = 0
+    for x, y, z in combinations(nodes, 3):
+        if {frozenset((x, y)), frozenset((y, z)),
+                frozenset((x, z))} <= edges:
+            found += 1
+            t[x] += 1
+            t[y] += 1
+            t[z] += 1
+    return {v: n for v, n in t.items() if n}, found
+
+
+def test_degrees_square(spark):
+    out = {r["node"]: (r["degree"], r["weighted_degree"])
+           for r in degrees(symmetrize(_pairs_df(spark, SQUARE))).collect()}
+    assert out == {"A": (3, 6), "B": (2, 3), "C": (3, 8), "D": (2, 5)}
+
+
+def test_degrees_without_weight_column(spark):
+    df = degrees(symmetrize(_pairs_df(spark, SQUARE, weight=False),
+                            weight=None))
+    assert "weighted_degree" not in df.columns
+    assert {r["node"]: r["degree"] for r in df.collect()} == \
+        {"A": 3, "B": 2, "C": 3, "D": 2}
+
+
+def test_triangles_square(spark):
+    out = {r["node"]: r["triangles"]
+           for r in triangles(_pairs_df(spark, SQUARE)).collect()}
+    assert out == {"A": 2, "B": 1, "C": 2, "D": 1}
+
+
+def test_triangles_triangle_free(spark):
+    # path graph: no triangles -> empty result
+    rows = [("A", "B", 1), ("B", "C", 1), ("C", "D", 1)]
+    assert triangles(_pairs_df(spark, rows)).count() == 0
+
+
+def test_pagerank_int_exact_vs_python(spark):
+    e = symmetrize(_pairs_df(spark, SQUARE))
+    got = {r["node"]: r["r"]
+           for r in pagerank(e, iterations=3, scale=10**9).collect()}
+    assert got == py_pagerank_int(SQUARE, 3)
+
+
+def test_pagerank_double_close_to_int(spark):
+    e = symmetrize(_pairs_df(spark, SQUARE))
+    dbl = {r["node"]: r["r"] for r in pagerank(e, iterations=3).collect()}
+    ref = py_pagerank_int(SQUARE, 3, scale=10**12)
+    for v, r in dbl.items():
+        assert r == pytest.approx(ref[v] / 10**12, rel=1e-6)
+    # higher-degree nodes rank higher on the square+diagonal
+    assert dbl["A"] > dbl["B"] and dbl["C"] > dbl["D"]
+
+
+def test_pagerank_rejects_zero_iterations(spark):
+    with pytest.raises(ValueError):
+        pagerank(symmetrize(_pairs_df(spark, SQUARE)), iterations=0)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.sets(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).map(
+        lambda t: (f"n{min(t)}", f"n{max(t)}")).filter(
+        lambda t: t[0] != t[1]),
+    min_size=1, max_size=20))
+def test_graph_ops_match_bruteforce(spark, edge_set):
+    pairs = [(a, b, 1) for a, b in sorted(edge_set)]
+    df = _pairs_df(spark, pairs)
+    # triangles vs brute force (sum of per-node counts = 3 * total)
+    want, total = py_triangles(pairs)
+    got = {r["node"]: r["triangles"] for r in triangles(df).collect()}
+    assert got == want
+    assert sum(got.values()) == 3 * total
+    # degree sum = 2|E|
+    deg = {r["node"]: r["degree"]
+           for r in degrees(symmetrize(df)).collect()}
+    assert sum(deg.values()) == 2 * len(pairs)
+    # fixed-point pagerank exact vs python replay
+    pr = {r["node"]: r["r"]
+          for r in pagerank(symmetrize(df), iterations=2,
+                            scale=10**9).collect()}
+    assert pr == py_pagerank_int(pairs, 2)
