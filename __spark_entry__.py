@@ -582,6 +582,21 @@ def q_sim_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, **params).withColumnRenamed("rank", "rnk")
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup (similarity.py semantic_dedup):
+    same deterministic quantizer fit as sim_ivf_topk (shared params →
+    shared oracle fit replay), min-id keeper within each cell at the
+    embedding-dup threshold. Returns (vec_id, cell, is_dup)."""
+    from nobletools_spark.operators.similarity import semantic_dedup
+
+    emb = _emb(spark, sf_dir)
+    return semantic_dedup(
+        emb, n_cells=_IVF["n_cells"], seed=_IVF["seed"],
+        fit_sample_max=_IVF["fit_sample_max"], n_iter=_IVF["n_iter"],
+        max_cell=max(_IVF["max_cell"], emb.count() // _IVF["n_cells"]),
+        threshold=_EMB_DUP_T)
+
+
 def q_sim_topk(spark, sf_dir):
     return cosine_topk(_emb(spark, sf_dir), n_queries=10, k=5) \
         .withColumnRenamed("rank", "rnk")
@@ -737,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_semantic": q_dedup_semantic,
         "sim_topk": q_sim_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
@@ -1426,6 +1442,28 @@ def oracle_sql() -> dict[str, str]:
         f" FROM pairs) "
         f"SELECT vec_id, neighbor_id, rnk::BIGINT AS rnk FROM r"
         f" WHERE rnk <= {_IVF['k']}")
+
+    # SemDeDup semantic dedup: same centroid literals + max_cell as the
+    # IVF oracle (shared fit params), home-cell assignment only
+    # (crank=1), min-id keeper at the embedding-dup threshold
+    sql["dedup_semantic"] = (
+        f"WITH base AS (SELECT vec_id::BIGINT AS vec_id, embedding,"
+        f" {nrm} AS nrm FROM embeddings), "
+        f"cent(cell, cv) AS (SELECT * FROM (VALUES {cent_vals})), "
+        f"ranked AS (SELECT b.vec_id, b.embedding, b.nrm, c.cell,"
+        f" row_number() OVER (PARTITION BY b.vec_id ORDER BY {ivf_d2}, c.cell)"
+        f" AS crank FROM base b CROSS JOIN cent c), "
+        f"assign AS (SELECT vec_id, embedding, nrm, cell FROM ranked"
+        f" WHERE crank = 1), "
+        f"ok AS (SELECT cell FROM assign GROUP BY cell"
+        f" HAVING count(*) <= {ivf_max_cell}), "
+        f"bb AS (SELECT assign.* FROM assign JOIN ok USING (cell)), "
+        f"dups AS (SELECT DISTINCT b.vec_id FROM bb a JOIN bb b"
+        f" ON a.cell = b.cell AND a.vec_id < b.vec_id"
+        f" WHERE CASE WHEN (a.nrm * b.nrm) > 0 THEN"
+        f" {dot_ab2} / (a.nrm * b.nrm) ELSE 0.0 END >= {_EMB_DUP_T}) "
+        f"SELECT vec_id, cell,"
+        f" vec_id IN (SELECT vec_id FROM dups) AS is_dup FROM bb")
 
     # scale-path embedding dedup: same plane matrix + bucket cap as the
     # Spark side (embedding_dup_pairs(planes=PLANES, max_bucket=1024))

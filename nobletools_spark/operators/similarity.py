@@ -135,6 +135,46 @@ def fit_ivf_centroids(pairs: list[tuple[int, list[float]]], n_cells: int,
     return [[float(x) for x in row] for row in C]
 
 
+def nearest_cells_expr(cents: list[list[float]], n_probe: int) -> Column:
+    """MAP-SIDE coarse-quantizer assignment over the double-vector
+    column ``v``: the ``n_probe`` nearest centroid cell ids, nearest
+    first. One sort of the (d2, cell) struct array per vector
+    (lexicographic compare = distance order with cell-id tie-break)
+    yields BOTH the home cell (element 1) and the probe cells — the
+    centroid matrix is inlined as literals, so there is no crossJoin
+    and no window shuffle."""
+    def d2_to(c: list[float]) -> Column:
+        lit = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(F.zip_with(F.col("v"), lit,
+                                      lambda x, y: (x - y) * (x - y)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    darr = F.array(*[F.struct(d2_to(c).alias("d2"),
+                              F.lit(i).cast("long").alias("cell"))
+                     for i, c in enumerate(cents)])
+    # stage as a named column so the n_cells×dim distance work is not
+    # evaluated twice (CollapseProject keeps non-cheap
+    # multiply-referenced aliases separate)
+    return F.transform(F.slice(F.array_sort(darr), 1, n_probe),
+                       lambda s: s["cell"])
+
+
+def fit_sample(emb_base: DataFrame, seed: int, fit_sample_max: int) \
+        -> list[tuple[int, list[float]]]:
+    """Bounded deterministic quantizer-fit sample: the
+    ``fit_sample_max`` vectors with smallest h64(seed|vec_id)
+    (TakeOrdered, no full collect), returned sorted by vec_id — the
+    exact rows the DuckDB oracle replays. ``emb_base`` must carry
+    (vec_id, v)."""
+    from nobletools_spark.functions.hashing import h64_seeded
+
+    rows = (emb_base.select("vec_id", "v",
+                            h64_seeded(seed, F.col("vec_id").cast("string"))
+                            .alias("hh"))
+            .orderBy("hh", "vec_id").limit(fit_sample_max).collect())
+    return sorted(((r.vec_id, r.v) for r in rows), key=lambda p: p[0])
+
+
 def ivf_topk(emb: DataFrame, n_cells: int = 16, k: int = 3,
              n_probe: int = 1, seed: int = 17, max_cell: int = 1024,
              fit_sample_max: int = 4096, n_iter: int = 10) -> DataFrame:
@@ -167,33 +207,10 @@ def ivf_topk(emb: DataFrame, n_cells: int = 16, k: int = 3,
     base0 = (emb.select(F.col("vec_id").cast("long").alias("vec_id"),
                         _vec_double().alias("v"))
              .withColumn("nrm", _norm(F.col("v"))))
-    from nobletools_spark.functions.hashing import h64_seeded
+    cents = fit_ivf_centroids(fit_sample(base0, seed, fit_sample_max),
+                              n_cells=n_cells, seed=seed, n_iter=n_iter)
 
-    sample = (base0.select("vec_id", "v",
-                           h64_seeded(seed, F.col("vec_id").cast("string"))
-                           .alias("hh"))
-              .orderBy("hh", "vec_id").limit(fit_sample_max).collect())
-    pairs_in = sorted(((r.vec_id, r.v) for r in sample), key=lambda p: p[0])
-    cents = fit_ivf_centroids(pairs_in, n_cells=n_cells, seed=seed,
-                              n_iter=n_iter)
-
-    def d2_to(c: list[float]) -> Column:
-        lit = F.array(*[F.lit(x) for x in c])
-        return F.aggregate(F.zip_with(F.col("v"), lit,
-                                      lambda x, y: (x - y) * (x - y)),
-                           F.lit(0.0), lambda acc, x: acc + x)
-
-    darr = F.array(*[F.struct(d2_to(c).alias("d2"),
-                              F.lit(i).cast("long").alias("cell"))
-                     for i, c in enumerate(cents)])
-    # One sort of the (d2, cell) struct array per vector (lexicographic
-    # compare = distance order with cell-id tie-break) yields BOTH the
-    # home cell (element 1) and the n_probe probe cells — staged as a
-    # named column so the 2×n_cells×dim distance work is not evaluated
-    # twice (CollapseProject keeps non-cheap multiply-referenced
-    # aliases separate).
-    cells_col = F.transform(F.slice(F.array_sort(darr), 1, n_probe),
-                            lambda s: s["cell"])
+    cells_col = nearest_cells_expr(cents, n_probe)
     # the coalesce sentinel never fires (darr is a non-empty literal
     # array) — it marks `cell` NON-NULLABLE so the join below can't
     # infer a scan-level isnotnull(<full argmin chain>) filter that
@@ -268,3 +285,61 @@ def lsh_topk(emb: DataFrame, planes: list[list[float]], k: int = 3,
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("vec_id", "neighbor_id", F.col("rank").cast("long").alias("rank")))
+
+
+def semantic_dedup(emb: DataFrame, n_cells: int = 16,
+                   threshold: float = 0.95, seed: int = 17,
+                   max_cell: int = 1024, fit_sample_max: int = 4096,
+                   n_iter: int = 10) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the deterministic IVF
+    coarse quantizer, then within each cluster mark every vector whose
+    cosine similarity to a LOWER-id cluster member exceeds
+    ``threshold`` as a semantic duplicate. Returns
+    (vec_id, cell, is_dup) — survivors are ``NOT is_dup``.
+
+    The min-id keeper rule makes the decision deterministic and
+    SQL-replayable (the paper keeps the member with lowest centroid
+    similarity; any within-cluster total order gives the same dedup
+    rate, and id order is reproducible bit-for-bit).
+
+    Scale design — this is the SemDeDup shape that works at 10^9+
+    vectors, where the paper's per-cluster pairwise matrix is a
+    single-node step:
+    - quantizer fit on a bounded hash-selected sample (driver-side,
+      same as ``ivf_topk``);
+    - cell assignment map-side via inlined centroid literals (no
+      crossJoin, no window);
+    - the only shuffle is the per-cell self-join, hash-partitioned on
+      the cell key, with ``max_cell`` as the hard skew bound: cells
+      larger than it are dropped entirely (emitted rows keep honest
+      semantics — a dropped cell contributes NO rows, it is not
+      silently passed through as "unique"). In production pick
+      n_cells ≈ √N so cells average √N members and the quadratic
+      within-cell work totals O(N^1.5).
+    """
+    base0 = (emb.select(F.col("vec_id").cast("long").alias("vec_id"),
+                        _vec_double().alias("v"))
+             .withColumn("nrm", _norm(F.col("v"))))
+    cents = fit_ivf_centroids(fit_sample(base0, seed, fit_sample_max),
+                              n_cells=n_cells, seed=seed, n_iter=n_iter)
+    # home cell only (n_probe=1); the coalesce sentinel never fires —
+    # it marks `cell` non-nullable so the joins below can't infer a
+    # scan-level isnotnull(<distance chain>) filter (InferFilters trap,
+    # same as ivf_topk)
+    assigned = base0.withColumn(
+        "cell", F.coalesce(F.element_at(nearest_cells_expr(cents, 1), 1),
+                           F.lit(-1).cast("long")))
+    sizes = assigned.groupBy("cell").count()
+    ok = sizes.filter(F.col("count") <= max_cell).select("cell")
+    base = assigned.join(F.broadcast(ok), "cell").repartition("cell")
+    cos = _cosine(_dot(F.col("a.v"), F.col("b.v")),
+                  F.col("a.nrm"), F.col("b.nrm"))
+    dups = (base.alias("a").join(base.alias("b"), "cell")
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .filter(cos >= threshold)
+            .select(F.col("b.vec_id").alias("vec_id"))
+            .distinct())
+    return (base.join(dups.withColumn("_d", F.lit(True)), "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.coalesce(F.col("_d"), F.lit(False)).alias("is_dup")))

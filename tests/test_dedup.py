@@ -708,3 +708,52 @@ def test_doc_id_col_never_casts_lossily(spark):
     ints = spark.createDataFrame([(7,)], "doc_id int")
     assert ints.select(doc_id_col(ints)).schema[0].dataType.simpleString() \
         == "bigint"
+
+
+def test_semantic_dedup_min_id_keeper_and_cells(spark):
+    """SemDeDup decisions: near-identical vectors in the same cell mark
+    all but the lowest id as duplicates; distant vectors survive."""
+    from nobletools_spark.operators.similarity import semantic_dedup
+
+    rows = [(0, [1.0, 0.0]), (1, [0.999, 0.01]), (2, [0.99, 0.02]),
+            (3, [0.0, 1.0]), (4, [0.01, 0.999]),
+            (5, [-1.0, -1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: (r.cell, r.is_dup)
+           for r in semantic_dedup(emb, n_cells=3, threshold=0.98,
+                                   seed=17).collect()}
+    assert len(out) == 6
+    # the x-axis trio share a cell: 0 keeps, 1 and 2 drop
+    assert out[0][1] is False and out[1][1] is True and out[2][1] is True
+    assert out[0][0] == out[1][0] == out[2][0]
+    # the y-axis pair: 3 keeps, 4 drops; the lone vector survives
+    assert out[3][1] is False and out[4][1] is True
+    assert out[5][1] is False
+
+
+def test_semantic_dedup_max_cell_drops_cell_entirely(spark):
+    """Cells over max_cell contribute NO rows (dropped, not passed
+    through as unique) — the same both-sides cap semantics as the LSH
+    self-joins."""
+    from nobletools_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [1.0 + i / 100.0, 0.0]) for i in range(5)] \
+        + [(10, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(emb, n_cells=2, threshold=0.999, seed=17,
+                         max_cell=4).collect()
+    ids = {r.vec_id for r in out}
+    assert 10 in ids and len(ids) < 6  # big cell dropped, small kept
+
+
+def test_semantic_dedup_threshold_boundary(spark):
+    """cos >= threshold is inclusive: identical vectors (cos == 1.0)
+    dedup even at threshold=1.0."""
+    from nobletools_spark.operators.similarity import semantic_dedup
+
+    rows = [(0, [3.0, 4.0]), (1, [3.0, 4.0]), (2, [4.0, -3.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.is_dup
+           for r in semantic_dedup(emb, n_cells=1, threshold=1.0,
+                                   seed=17).collect()}
+    assert out == {0: False, 1: True, 2: False}
