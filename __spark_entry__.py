@@ -374,6 +374,16 @@ def q_text_pii_scrub(spark, sf_dir):
     return pii_scrub(_docs_with_pii(spark, sf_dir))
 
 
+def q_text_shuffle(spark, sf_dir):
+    """Deterministic global corpus shuffle (textstats.py
+    shuffle_assignments): reproducible training order as (doc_id,
+    shard, pos) — shard-keyed hash partition + in-shard rank, never a
+    global total-order sort."""
+    from nobletools_spark.operators.textstats import shuffle_assignments
+
+    return shuffle_assignments(_docs(spark, sf_dir), n_shards=16, seed=11)
+
+
 def q_text_sample(spark, sf_dir):
     """Deterministic hash sampling at 25% — stable across runs,
     partitionings, and engines (reproducible corpus subsets)."""
@@ -742,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q_text_fingerprints,
         "text_pii_scrub": q_text_pii_scrub,
         "text_sample": q_text_sample,
+        "text_shuffle": q_text_shuffle,
         "events_rollup": q_events_rollup,
         "events_sessionize": q_events_sessionize,
         "dedup_exact_bag": q_dedup_exact_bag,
@@ -1206,6 +1217,16 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id::BIGINT AS doc_id, text FROM documents"
         f" WHERE (('0x' || substring(md5('s0' || doc_id::VARCHAR), 1, 8))"
         f"::UBIGINT)::BIGINT < {thresh}")
+
+    # deterministic corpus shuffle: shard = h64(seed|doc_id) mod 16,
+    # pos = rank of the hash within the shard (doc_id tie-break)
+    h_shuf = _SQL_H64.format(x="'11|' || doc_id::VARCHAR")
+    sql["text_shuffle"] = (
+        f"WITH h AS (SELECT doc_id::BIGINT AS doc_id, {h_shuf} AS h"
+        f" FROM documents) "
+        f"SELECT doc_id, (h % 16)::BIGINT AS shard,"
+        f" row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)"
+        f"::BIGINT AS pos FROM h")
 
     sql["events_rollup"] = (
         "SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,"

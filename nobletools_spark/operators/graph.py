@@ -76,9 +76,55 @@ def degrees(edges: DataFrame) -> DataFrame:
             .agg(*aggs))
 
 
+def _local_result(df: DataFrame, node_col: str, rows: list,
+                  col2: str, dtype2) -> DataFrame:
+    """Driver-fast-path result as a JVM LocalRelation with the caller's
+    id dtype preserved (canonical.py convention)."""
+    from pyspark.sql import types as T
+
+    from nobletools_spark.session import local_table
+
+    node_type = df.schema[node_col].dataType
+    schema = T.StructType([T.StructField("node", node_type),
+                           T.StructField(col2, dtype2)])
+    return local_table(df.sparkSession, rows, schema)
+
+
+def _pagerank_local(rows: list, iterations: int, damping_num: int,
+                    damping_den: int, scale: int | None) -> list:
+    """Pure-Python replay of the distributed plan on collected
+    (src, dst) rows — IDENTICAL semantics: out-degree counts duplicate
+    rows, the node set is distinct SOURCES only (contributions to
+    sink-only nodes are dropped, exactly like the distributed
+    nodes-left-join), integer mode uses the same non-negative
+    truncating division."""
+    adj: dict = {}
+    for r in rows:
+        adj.setdefault(r.src, []).append(r.dst)
+    init = int(scale) if scale is not None else 1.0
+    ranks = {v: init for v in adj}
+    for _ in range(iterations):
+        c = {v: 0 for v in adj}
+        for u, outs in adj.items():
+            share = (ranks[u] // len(outs) if scale is not None
+                     else ranks[u] / len(outs))
+            for v in outs:
+                if v in c:
+                    c[v] += share
+        if scale is not None:
+            base = (damping_den - damping_num) * int(scale)
+            ranks = {v: (base + damping_num * c[v]) // damping_den
+                     for v in adj}
+        else:
+            ranks = {v: (damping_den - damping_num) / damping_den
+                     + damping_num / damping_den * c[v] for v in adj}
+    return [(v, ranks[v]) for v in sorted(ranks, key=str)]
+
+
 def pagerank(edges: DataFrame, iterations: int = 3,
              damping_num: int = 85, damping_den: int = 100,
-             scale: int | None = None) -> DataFrame:
+             scale: int | None = None,
+             driver_threshold: int = 100_000) -> DataFrame:
     """Synchronous PageRank over a directed edge view (src, dst).
 
     Convention: every node starts at rank 1.0 and the teleport term is
@@ -97,6 +143,25 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    # driver fast path (canonical.py convention): graphs whose RAW
+    # edge rows fit the probe budget iterate in pure Python — each
+    # distributed round costs ~1 s of job overhead on ANY input size,
+    # and concept graphs are terminology-bounded by construction. One
+    # limit-probe job; oversized graphs pay it and go distributed.
+    # NULL endpoints are meaningless graph edges — drop them here so
+    # the driver and distributed paths agree (SQL NULL-join semantics
+    # and Python None keys would otherwise diverge)
+    edges = edges.select("src", "dst").where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if driver_threshold > 0:
+        probe = edges.limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            from pyspark.sql import types as T
+
+            rows = _pagerank_local(probe, iterations, damping_num,
+                                   damping_den, scale)
+            dtype2 = (T.DoubleType() if scale is None else T.LongType())
+            return _local_result(edges, "src", rows, "r", dtype2)
     # cache the edge view FIRST: edges may sit on an arbitrarily
     # expensive lineage (the whole matcher pipeline for the
     # co-occurrence graph), and everything below — out-degrees, node
@@ -151,9 +216,38 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     return ranks
 
 
-def triangles(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+def _triangles_local(rows: list) -> list:
+    """Pure-Python replay of the oriented-wedge count on collected
+    (a, b) rows: dedup, degree-orient, intersect out-neighborhoods —
+    the same triangles, each counted once."""
+    edges = {(r[0], r[1]) for r in rows
+             if r[0] is not None and r[1] is not None and r[0] != r[1]}
+    deg: dict = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    adj: dict = {}
+    for u, v in edges:
+        x, y = ((u, v) if (deg[u], u) < (deg[v], v) else (v, u))
+        adj.setdefault(x, set()).add(y)
+    counts: dict = {}
+    for x, outs in adj.items():
+        for y in outs:
+            for z in outs & adj.get(y, frozenset()):
+                for n in (x, y, z):
+                    counts[n] = counts.get(n, 0) + 1
+    return [(n, counts[n]) for n in sorted(counts, key=str)]
+
+
+def triangles(pairs: DataFrame, a: str = "a", b: str = "b",
+              driver_threshold: int = 100_000) -> DataFrame:
     """Per-node triangle participation counts over an undirected pair
     table (one row per unordered pair, no self-loops).
+
+    Graphs whose RAW pair rows fit ``driver_threshold`` (one
+    limit-probe job, no pre-limit distinct shuffle) count driver-side
+    in pure Python — the canonical.py fast-path convention; larger
+    graphs run the distributed plan below.
 
     Degree orientation (Suri & Vassilvitskii, WWW'11): an edge {u,v}
     is directed u→v iff (deg(u), u) < (deg(v), v) — total order, so
@@ -161,6 +255,14 @@ def triangles(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     x→y, y→z, x→z. Wedge pivots then have out-degree O(√m) even on
     skew-heavy graphs, bounding the join blow-up.
     """
+    if driver_threshold > 0:
+        probe = (pairs.select(F.col(a).alias("a"), F.col(b).alias("b"))
+                 .limit(driver_threshold + 1).collect())
+        if len(probe) <= driver_threshold:
+            from pyspark.sql import types as T
+
+            return _local_result(pairs, a, _triangles_local(probe),
+                                 "triangles", T.LongType())
     # cache the deduped pair table: degrees + the orientation join
     # re-read it, and its lineage may be the whole upstream pipeline
     e = (pairs.select(F.col(a).alias("a"), F.col(b).alias("b"))

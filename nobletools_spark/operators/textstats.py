@@ -609,3 +609,35 @@ def pack_manifest(docs: DataFrame, seq_len: int = 2048,
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
                  F.sum("in_seq").alias("n_doc_tokens")))
+
+
+def shuffle_assignments(docs: DataFrame, n_shards: int = 64,
+                        seed: int = 11) -> DataFrame:
+    """Deterministic global corpus shuffle — the reproducible training
+    order a data pipeline needs before packing/serving: every document
+    gets (shard, pos) from a seeded content-independent hash, so the
+    permutation is a pure function of (doc_id, seed) — stable across
+    runs, partitionings, engines, and corpus growth (appending docs
+    never reorders existing (shard, pos<=their pos) prefixes within a
+    shard only when ids are new; re-seeding reshuffles globally).
+
+    Scale design: shard = h64(seed|doc_id) mod n_shards, pos = rank of
+    the hash within the shard — ONE shuffle keyed on shard and an
+    in-shard sort; NEVER a global total-order sort (a 10^12-doc global
+    row_number would funnel through one range-partition boundary
+    computation and a single final-rank pass). n_shards is the
+    parallelism/file-size knob, exactly like output sharding; readers
+    consume shards in any order and within-shard order is the training
+    order."""
+    from pyspark.sql import Window
+
+    from nobletools_spark.functions.hashing import h64_seeded
+
+    did = doc_id_col(docs)
+    h = h64_seeded(seed, did.cast("string"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (docs.select(did, h.alias("h"),
+                        (h % n_shards).alias("shard"))
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .select("doc_id", F.col("shard").cast("long").alias("shard"),
+                    "pos"))

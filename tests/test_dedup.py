@@ -757,3 +757,53 @@ def test_semantic_dedup_threshold_boundary(spark):
            for r in semantic_dedup(emb, n_cells=1, threshold=1.0,
                                    seed=17).collect()}
     assert out == {0: False, 1: True, 2: False}
+
+
+def test_shuffle_assignments_deterministic_and_contiguous(spark):
+    """Deterministic corpus shuffle: same (shard, pos) across runs and
+    partitionings; positions are 1..n_in_shard contiguous per shard;
+    shards within range; a different seed produces a different
+    permutation."""
+    from nobletools_spark.operators.textstats import shuffle_assignments
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(100)],
+                                 "doc_id long, text string")
+    a = {r.doc_id: (r.shard, r.pos)
+         for r in shuffle_assignments(docs, n_shards=8, seed=11).collect()}
+    b = {r.doc_id: (r.shard, r.pos)
+         for r in shuffle_assignments(docs.repartition(13), n_shards=8,
+                                      seed=11).collect()}
+    assert a == b and len(a) == 100
+    assert all(0 <= s < 8 for s, _ in a.values())
+    by_shard: dict = {}
+    for s, p in a.values():
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s
+    c = {r.doc_id: (r.shard, r.pos)
+         for r in shuffle_assignments(docs, n_shards=8, seed=12).collect()}
+    assert c != a
+
+
+def test_shuffle_assignments_stable_under_corpus_growth(spark):
+    """Appending documents never changes an existing doc's shard or its
+    order relative to other surviving docs in the shard (hash is a pure
+    function of (seed, doc_id))."""
+    from nobletools_spark.operators.textstats import shuffle_assignments
+
+    small = spark.createDataFrame([(i, "x") for i in range(50)],
+                                  "doc_id long, text string")
+    big = spark.createDataFrame([(i, "x") for i in range(80)],
+                                "doc_id long, text string")
+    a = {r.doc_id: (r.shard, r.pos)
+         for r in shuffle_assignments(small, n_shards=4, seed=3).collect()}
+    b = {r.doc_id: (r.shard, r.pos)
+         for r in shuffle_assignments(big, n_shards=4, seed=3).collect()}
+    for d, (s, _) in a.items():
+        assert b[d][0] == s  # shard never moves
+    for s in range(4):
+        old = [d for d, (sh, p) in sorted(a.items(), key=lambda x: x[1][1])
+               if sh == s]
+        new = [d for d, (sh, p) in sorted(b.items(), key=lambda x: x[1][1])
+               if sh == s and d in a]
+        assert old == new, s  # relative order preserved

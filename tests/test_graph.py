@@ -69,9 +69,12 @@ def test_degrees_without_weight_column(spark):
         {"A": 3, "B": 2, "C": 3, "D": 2}
 
 
-def test_triangles_square(spark):
+@pytest.mark.parametrize("dt", [0, 100_000],
+                         ids=["distributed", "driver"])
+def test_triangles_square(spark, dt):
     out = {r["node"]: r["triangles"]
-           for r in triangles(_pairs_df(spark, SQUARE)).collect()}
+           for r in triangles(_pairs_df(spark, SQUARE),
+                              driver_threshold=dt).collect()}
     assert out == {"A": 2, "B": 1, "C": 2, "D": 1}
 
 
@@ -81,10 +84,13 @@ def test_triangles_triangle_free(spark):
     assert triangles(_pairs_df(spark, rows)).count() == 0
 
 
-def test_pagerank_int_exact_vs_python(spark):
+@pytest.mark.parametrize("dt", [0, 100_000],
+                         ids=["distributed", "driver"])
+def test_pagerank_int_exact_vs_python(spark, dt):
     e = symmetrize(_pairs_df(spark, SQUARE))
     got = {r["node"]: r["r"]
-           for r in pagerank(e, iterations=3, scale=10**9).collect()}
+           for r in pagerank(e, iterations=3, scale=10**9,
+                             driver_threshold=dt).collect()}
     assert got == py_pagerank_int(SQUARE, 3)
 
 
@@ -112,17 +118,21 @@ def test_pagerank_rejects_zero_iterations(spark):
 def test_graph_ops_match_bruteforce(spark, edge_set):
     pairs = [(a, b, 1) for a, b in sorted(edge_set)]
     df = _pairs_df(spark, pairs)
-    # triangles vs brute force (sum of per-node counts = 3 * total)
+    # triangles vs brute force (sum of per-node counts = 3 * total),
+    # BOTH strategies (driver fast path and distributed plan)
     want, total = py_triangles(pairs)
-    got = {r["node"]: r["triangles"] for r in triangles(df).collect()}
-    assert got == want
-    assert sum(got.values()) == 3 * total
+    for dt in (0, 100_000):
+        got = {r["node"]: r["triangles"]
+               for r in triangles(df, driver_threshold=dt).collect()}
+        assert got == want, dt
+        assert sum(got.values()) == 3 * total
     # degree sum = 2|E|
     deg = {r["node"]: r["degree"]
            for r in degrees(symmetrize(df)).collect()}
     assert sum(deg.values()) == 2 * len(pairs)
-    # fixed-point pagerank exact vs python replay
-    pr = {r["node"]: r["r"]
-          for r in pagerank(symmetrize(df), iterations=2,
-                            scale=10**9).collect()}
-    assert pr == py_pagerank_int(pairs, 2)
+    # fixed-point pagerank exact vs python replay, BOTH strategies
+    for dt in (0, 100_000):
+        pr = {r["node"]: r["r"]
+              for r in pagerank(symmetrize(df), iterations=2, scale=10**9,
+                                driver_threshold=dt).collect()}
+        assert pr == py_pagerank_int(pairs, 2), dt

@@ -110,6 +110,25 @@ NOTES = {
     "media_frames": "pandas-UDF container synthesis + mapInPandas"
                     " demux, zero shuffle",
     "media_decode": "mapInPandas decode + features, zero shuffle",
+    "kg_degrees": "symmetrized edge view over the checkpointed pair"
+                  " table; ONE partial-agged shuffle on the node key",
+    "kg_pagerank": "iterative rank propagation: static (src,dst,od)"
+                   " side cached once; each round = one co-keyed join +"
+                   " one dst-keyed agg, lineage TRUNCATED per round via"
+                   " localCheckpoint (persist alone doubles the logical"
+                   " plan per round -> exponential Catalyst analysis)",
+    "kg_triangles": "degree-oriented (Suri-Vassilvitskii) edge set"
+                    " cached once; wedge join + closure join both keyed"
+                    " on oriented endpoints — pivot out-degree O(sqrt m)"
+                    " bounds the wedge blow-up on skewed graphs",
+    "text_shuffle": "seeded hash shard + in-shard rank: ONE shard-keyed"
+                    " shuffle, NEVER a global total-order sort (a 10^12-"
+                    "doc global row_number funnels through one range"
+                    " boundary pass)",
+    "dedup_semantic": "shared IVF quantizer fit (bounded sample,"
+                      " centroid literals inlined); map-side home-cell"
+                      " assignment; ONE cell-keyed self-join with"
+                      " max_cell dropping oversized cells on both sides",
 }
 
 
