@@ -26,10 +26,11 @@ Scale notes (the 100 TB story):
 - ``pagerank`` — classic synchronous iteration: each round is one
   join (rank ⋈ edges, both sides hash-partitioned on the same key —
   the exchange on the static ``edges`` side is reused across rounds
-  once cached) plus one aggregation shuffle on ``dst``. Ranks are
-  per-node scalars (never materialized on the driver); each round's
-  result is cached and the previous round unpersisted, so lineage
-  stays O(1) per round instead of O(rounds) at plan time.
+  once cached) plus one aggregation shuffle on ``dst``. Ranks stay
+  distributed; each round's result is localCheckpoint-truncated so the
+  logical plan stays O(1) per round instead of doubling (see the
+  in-function comment). Terminology-bounded graphs short-circuit to a
+  driver-side replay behind one limit-probe job.
 - ``triangles`` — Suri & Vassilvitskii MapReduce triangle counting:
   orient every edge from the (degree, id)-smaller endpoint to the
   larger, so wedge pivots have out-degree O(√m) on ANY graph
