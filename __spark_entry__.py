@@ -162,6 +162,54 @@ def q_kg_media_triples(spark, sf_dir):
     return media_concept_triples(docs, _builtin_mentions(spark, sf_dir))
 
 
+def q_kg_incremental_diff(spark, sf_dir):
+    """Incremental KG maintenance (operators/incremental.py): a second
+    corpus snapshot — every 5th doc gains ' spark vector', every 17th≡3
+    doc is deleted, every 23rd≡7 doc spawns a brand-new doc — is
+    annotated INCREMENTALLY (fingerprint-changed/new docs only through
+    the matcher, unchanged mentions carried forward), then diffed
+    against the old triple set: (op, doc_id, pred, obj). The oracle
+    replays mentions over both snapshots and takes the same EXCEPTs —
+    so it checks BOTH the incremental-equals-full contract and the diff
+    operator."""
+    from nobletools_spark.operators.incremental import (
+        doc_fingerprints,
+        incremental_mentions,
+        snapshot_diff,
+    )
+    from nobletools_spark.sources.fixtures import interleave_raw
+
+    raw = _docs(spark, sf_dir).select("doc_id", "text")
+    kept = (raw.filter(F.col("doc_id") % 17 != 3)
+            .withColumn("text",
+                        F.when(F.col("doc_id") % 5 == 0,
+                               F.concat("text", F.lit(" spark vector")))
+                        .otherwise(F.col("text"))))
+    added = (raw.filter(F.col("doc_id") % 23 == 7)
+             .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                     F.lit("hash join customer").alias("text")))
+    old_docs = interleave_raw(raw)
+    new_docs = interleave_raw(kept.unionByName(added))
+
+    def fn(d):
+        return annotate(d, builtin_index(), CFG)
+
+    # the old mention table feeds both the carry-forward join and the
+    # diff's old side — materialize once instead of re-running the
+    # matcher over the old corpus per consumer
+    old_m = fn(old_docs).localCheckpoint(eager=True)
+    new_m = incremental_mentions(new_docs, doc_fingerprints(old_docs),
+                                 old_m, fn)
+
+    def to_triples(m):
+        return (m.select(F.col("doc_id").cast("long").alias("doc_id"),
+                         F.lit("mentions-concept").alias("pred"),
+                         F.col("cui").alias("obj"))
+                .distinct())
+
+    return snapshot_diff(to_triples(old_m), to_triples(new_m))
+
+
 def q_kg_cooccurrence(spark, sf_dir):
     m = _builtin_mentions(spark, sf_dir) \
         .withColumn("doc_id", F.col("doc_id").cast("long"))
@@ -780,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_drop_near": q_dedup_drop_near,
         "text_contamination": q_text_contamination,
         "kg_media_triples": q_kg_media_triples,
+        "kg_incremental_diff": q_kg_incremental_diff,
     }
 
 
@@ -811,11 +860,14 @@ def _norm_chain(expr: str) -> str:
     return f"' ' || trim(regexp_replace({out}, ' +', ' ', 'g')) || ' '"
 
 
-def _mentions_cte(recursive: bool = False) -> str:
+def _mentions_ctes_body(src: str = "documents", sfx: str = "") -> str:
+    """The norm/m CTE pair over any docs relation ``src``; ``sfx``
+    disambiguates when one query replays mentions over two corpus
+    snapshots (kg_incremental_diff)."""
     branches = []
     for word, cui in BUILTIN_SINGLE_TERMS:
         branches.append(
-            f"SELECT doc_id::BIGINT AS doc_id, '{cui}' AS cui FROM norm "
+            f"SELECT doc_id::BIGINT AS doc_id, '{cui}' AS cui FROM norm{sfx} "
             f"WHERE t LIKE '% {word} %'")
     for w1, w2, cui in BUILTIN_PAIR_TERMS:
         # best-match contiguity: both words within a 3-normalized-word
@@ -823,12 +875,16 @@ def _mentions_cte(recursive: bool = False) -> str:
         p1 = f" {w1}( [a-z0-9]+)? {w2} "
         p2 = f" {w2}( [a-z0-9]+)? {w1} "
         branches.append(
-            f"SELECT doc_id::BIGINT AS doc_id, '{cui}' AS cui FROM norm "
+            f"SELECT doc_id::BIGINT AS doc_id, '{cui}' AS cui FROM norm{sfx} "
             f"WHERE regexp_matches(t, '{p1}') OR regexp_matches(t, '{p2}')")
     union = " UNION ALL ".join(branches)
+    return (f"norm{sfx} AS (SELECT doc_id, {_norm_chain('text')} AS t "
+            f"FROM {src}), m{sfx} AS ({union})")
+
+
+def _mentions_cte(recursive: bool = False) -> str:
     kw = "WITH RECURSIVE" if recursive else "WITH"
-    return (f"{kw} norm AS (SELECT doc_id, {_norm_chain('text')} AS t "
-            f"FROM documents), m AS ({union})")
+    return f"{kw} {_mentions_ctes_body()}"
 
 
 def _values(rows, cols) -> str:
@@ -924,6 +980,25 @@ def oracle_sql() -> dict[str, str]:
         + " SELECT DISTINCT 'media://' || doc_id AS subj,"
           " 'illustrates-concept' AS pred, cui AS obj FROM m"
           " WHERE doc_id % 3 = 0")
+
+    _triple = "doc_id, 'mentions-concept' AS pred, cui AS obj"
+    sql["kg_incremental_diff"] = (
+        "WITH newdocs AS ("
+        " SELECT doc_id, CASE WHEN doc_id % 5 = 0"
+        " THEN text || ' spark vector' ELSE text END AS text"
+        " FROM documents WHERE doc_id % 17 <> 3"
+        " UNION ALL"
+        " SELECT doc_id + 1000000 AS doc_id, 'hash join customer' AS text"
+        " FROM documents WHERE doc_id % 23 = 7), "
+        + _mentions_ctes_body() + ", "
+        + _mentions_ctes_body("newdocs", "_n")
+        + f" SELECT 'added' AS op, * FROM"
+          f" (SELECT DISTINCT {_triple} FROM m_n"
+          f"  EXCEPT SELECT DISTINCT {_triple} FROM m)"
+          f" UNION ALL"
+          f" SELECT 'removed' AS op, * FROM"
+          f" (SELECT DISTINCT {_triple} FROM m"
+          f"  EXCEPT SELECT DISTINCT {_triple} FROM m_n)")
 
     sql["kg_cooccurrence"] = (
         _mentions_cte()

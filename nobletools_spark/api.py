@@ -100,6 +100,21 @@ class NobleCoderSpark:
         return annotate(docs_df, self.index, self.cfg,
                         context=self.context, **kw)
 
+    def annotate_incremental(self, new_docs, old_fp, old_mentions, **kw):
+        """Snapshot-to-snapshot mention maintenance: only
+        fingerprint-changed/new docs go through the matcher; unchanged
+        docs carry their ``old_mentions`` rows forward; deleted docs
+        drop out. Equivalent to ``annotate(new_docs)`` as a row
+        multiset (operators/incremental.py). ``old_fp`` is the
+        ``doc_fingerprints`` table persisted by the previous run."""
+        from nobletools_spark.operators.incremental import (
+            incremental_mentions,
+        )
+
+        return incremental_mentions(
+            new_docs, old_fp, old_mentions,
+            lambda d: self.annotate(d, **kw))
+
     def extract(self, docs_df, templates_df, sections_df=None,
                 components_df=None, **kw):
         """Template-based information extraction (InformationExtractor

@@ -1,0 +1,168 @@
+"""Incremental KG maintenance: re-annotate only changed documents.
+
+At 10^12-document scale the matcher stage dominates pipeline cost, and a
+daily corpus snapshot touches a tiny fraction of rows. The reference
+re-processes whatever directory it is pointed at (NobleCoder batch mode,
+coder/NobleCoder.java process-all loop); this module is the
+beyond-reference piece a production KG needs: maintain the mention table
+across snapshots by fingerprinting document CONTENT and re-running the
+expensive annotate stage only where content actually changed.
+
+Semantics (the contract every test pins):
+
+    incremental_mentions(new_docs, old_fp, old_mentions, annotate_fn)
+        ==  annotate_fn(new_docs)          (as a row multiset)
+
+- *new* docs (id absent from ``old_fp``) and *changed* docs (fingerprint
+  differs) go through ``annotate_fn``;
+- *unchanged* docs carry their ``old_mentions`` rows forward untouched —
+  the matcher never sees them;
+- *deleted* docs (id absent from ``new_docs``) contribute nothing — their
+  old mentions drop out via the inner carry-forward join.
+
+Fingerprints cover the FULL ordered span sequence (kind, text,
+media_ref, offset) — the north-rule per-row invariant — via a canonical
+JSON rendering, so a span edit, reorder, kind flip, or media swap all
+change the fingerprint. JSON (not a raw struct hash) because Spark's
+hash expressions skip NULL fields, which would let
+(text=NULL, media_ref='x') collide with (text='x', media_ref=NULL).
+
+Scale shape: everything here is metadata-priced. ``old_fp`` is
+(doc_id, 8-byte fp); the tag join shuffles the new corpus once on
+doc_id (co-located and shuffle-free if both snapshot tables are
+bucketed by doc_id, the recommended layout); the carry-forward join
+shuffles the old mention table once against the skinny unchanged-id
+set. Both are a rounding error next to re-running the matcher over
+10^12 unchanged documents. ``h64`` keeps fingerprints replayable by
+the DuckDB oracle; swap ``hash_fn=F.xxhash64``-style builders on a real
+cluster (same plan shape, ~3x cheaper).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from nobletools_spark.functions.hashing import h64
+
+__all__ = [
+    "fingerprint_col",
+    "doc_fingerprints",
+    "incremental_mentions",
+    "increment_stats",
+    "snapshot_diff",
+]
+
+_FIELD_SEP = "\x1e"  # RS: cannot appear in to_json output unescaped
+_NULL_MARK = "\x00"
+
+
+def fingerprint_col(df: DataFrame, id_col: str = "doc_id",
+                    content_cols: tuple[str, ...] | None = None,
+                    hash_fn: Callable[[Column], Column] = h64) -> Column:
+    """Content-fingerprint COLUMN over ``df``'s content columns (default:
+    every column except ``id_col``, in schema order — deterministic).
+
+    Complex columns render through ``to_json`` (canonical field order,
+    NULL fields dropped BY NAME so they cannot alias a neighboring
+    field); atomic columns cast to string with an explicit NULL marker;
+    columns join on a separator that JSON must escape. The result is a
+    pure function of content — independent of partitioning, row order,
+    and engine."""
+    if content_cols is None:
+        content_cols = tuple(c for c in df.columns if c != id_col)
+    if not content_cols:
+        raise ValueError("fingerprint_col: no content columns")
+    parts = []
+    for c in content_cols:
+        dt = df.schema[c].dataType.typeName()
+        rendered = (F.to_json(F.col(c)) if dt in ("struct", "array", "map")
+                    else F.col(c).cast("string"))
+        parts.append(F.lit(c))
+        parts.append(F.coalesce(rendered, F.lit(_NULL_MARK)))
+    return hash_fn(F.concat_ws(_FIELD_SEP, *parts))
+
+
+def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                     content_cols: tuple[str, ...] | None = None,
+                     hash_fn: Callable[[Column], Column] = h64) -> DataFrame:
+    """(doc_id, fp) snapshot-state table — persist this next to the
+    mention table after every run; it is the prior state
+    ``incremental_mentions`` consumes on the next snapshot."""
+    return docs.select(
+        F.col(id_col).alias(id_col),
+        fingerprint_col(docs, id_col, content_cols, hash_fn).alias("fp"))
+
+
+def _tagged(new_docs: DataFrame, old_fp: DataFrame, id_col: str,
+            content_cols: tuple[str, ...] | None,
+            hash_fn: Callable[[Column], Column]) -> DataFrame:
+    """new_docs + ``_is_changed`` (new-or-content-differs) via ONE left
+    join against the skinny (doc_id, fp) state table."""
+    fp = fingerprint_col(new_docs, id_col, content_cols, hash_fn)
+    old = old_fp.select(F.col(id_col), F.col("fp").alias("_old_fp"))
+    return (new_docs.withColumn("_fp", fp)
+            .join(old, id_col, "left")
+            .withColumn("_is_changed",
+                        F.col("_old_fp").isNull()
+                        | (F.col("_fp") != F.col("_old_fp"))))
+
+
+def incremental_mentions(new_docs: DataFrame, old_fp: DataFrame,
+                         old_mentions: DataFrame,
+                         annotate_fn: Callable[[DataFrame], DataFrame],
+                         id_col: str = "doc_id",
+                         content_cols: tuple[str, ...] | None = None,
+                         hash_fn: Callable[[Column], Column] = h64) \
+        -> DataFrame:
+    """The incremental annotate stage (see module doc for the
+    equivalence contract). ``annotate_fn`` maps a docs frame to mention
+    rows with ``old_mentions``'s schema; it only ever receives the
+    changed/new subset."""
+    tagged = _tagged(new_docs, old_fp, id_col, content_cols, hash_fn)
+    changed = (tagged.filter("_is_changed")
+               .drop("_fp", "_old_fp", "_is_changed"))
+    unchanged_ids = tagged.filter(~F.col("_is_changed")).select(id_col)
+    fresh = annotate_fn(changed)
+    # inner join: changed docs were dropped from unchanged_ids (their
+    # stale rows are replaced by `fresh`), deleted docs are simply
+    # absent — no tombstone bookkeeping needed
+    carried = old_mentions.join(unchanged_ids, id_col)
+    return fresh.unionByName(carried.select(*fresh.columns))
+
+
+def increment_stats(new_docs: DataFrame, old_fp: DataFrame,
+                    id_col: str = "doc_id",
+                    content_cols: tuple[str, ...] | None = None,
+                    hash_fn: Callable[[Column], Column] = h64) -> DataFrame:
+    """One-row (n_new, n_changed, n_unchanged, n_deleted) audit frame —
+    the lineage/metrics companion: log it per snapshot so an
+    unexpectedly large n_changed (a fingerprint bug, an upstream
+    re-encode) is caught before it burns a full-corpus matcher run."""
+    tagged = _tagged(new_docs, old_fp, id_col, content_cols, hash_fn)
+    counts = tagged.agg(
+        F.sum(F.when(F.col("_old_fp").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_new"),
+        F.sum(F.when(F.col("_old_fp").isNotNull() & F.col("_is_changed"),
+                     1).otherwise(0)).cast("long").alias("n_changed"),
+        F.sum(F.when(~F.col("_is_changed"), 1).otherwise(0))
+        .cast("long").alias("n_unchanged"))
+    deleted = (old_fp.select(id_col)
+               .join(new_docs.select(id_col), id_col, "left_anti")
+               .agg(F.count("*").cast("long").alias("n_deleted")))
+    return counts.crossJoin(deleted)  # two 1-row frames
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Set difference between two snapshots of the same relation (e.g.
+    two mention-triple tables): rows only in ``new`` tagged
+    ``op='added'``, rows only in ``old`` tagged ``op='removed'``.
+    EXCEPT-DISTINCT semantics (null-safe row equality, duplicates
+    collapse) — exactly SQL ``EXCEPT``, so the DuckDB oracle is the
+    literal same query. Each side is one hash-partitioned set-difference
+    shuffle over skinny triple rows; there is no cheaper shape for an
+    unordered diff."""
+    added = new.subtract(old).withColumn("op", F.lit("added"))
+    removed = old.subtract(new).withColumn("op", F.lit("removed"))
+    return added.unionByName(removed)

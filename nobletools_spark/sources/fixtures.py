@@ -36,9 +36,16 @@ def interleaved_docs(spark, sf_dir: str):
     plus a trailing media span for every third document (media spans are
     carried through the pipeline untouched; per-row invariant is
     span-sequence equality)."""
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return interleave_raw(raw)
+
+
+def interleave_raw(raw):
+    """The interleave rule itself over any (doc_id:int, text) frame —
+    factored out so snapshot/mutation fixtures (incremental entries)
+    apply the IDENTICAL rule to derived corpora."""
     from pyspark.sql import functions as F
 
-    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
     text_span = F.struct(
         F.lit("text").alias("kind"),
         F.col("text").alias("text"),
