@@ -320,14 +320,35 @@ class Pipeline:
 
 def kg_stages(index, context=None, cfg=None,
               cooccurrence_salt: int = 8, templates_df=None,
-              components_df=None) -> list[Stage]:
+              components_df=None, incremental: bool = False) -> list[Stage]:
     """The standard KG-construction pipeline as resumable stages:
     mentions → (mention triples, co-occurrence triples) → triples union.
     isa/semtype triples join in when the inputs dict carries
     ``isa_edges`` / ``semtypes`` DataFrames. With a ``templates_df``
     (e.g. from templates_from_xml), an ``item_instances`` extraction
     stage runs after mentions — sectioning the documents and resolving
-    template items/components against the mention stream."""
+    template items/components against the mention stream.
+
+    Every run also persists a ``doc_fp`` state stage (span-sequence
+    content fingerprints). With ``incremental=True`` the mentions stage
+    consumes the PREVIOUS run's state — the inputs dict must carry
+    ``prev_doc_fp`` and ``prev_mentions`` (that run's ``doc_fp`` and
+    ``mentions`` outputs) — and only fingerprint-changed/new documents
+    go through the matcher (operators/incremental.py); the result is
+    row-identical to a full re-annotate, so every downstream stage is
+    untouched. The previous-run tables are ordinary pipeline inputs,
+    so their file fingerprints fold into this run's stage chain (and
+    ``incremental`` flips the mentions fingerprint, so toggling the
+    mode never resumes the other mode's parquet).
+
+    CONTRACT: ``incremental=True`` requires the SAME matcher
+    determinants (index, cfg, context) that produced
+    ``prev_mentions`` — carried-forward rows were minted by THAT
+    matcher, and no fingerprint can retro-fix them. Callers must fall
+    back to a full run when the terminology or config changed;
+    ``tools/run_pipeline.py`` enforces this with a matcher sidecar
+    (``kg_matcher.json``) written per run and compared on
+    ``--incremental-from``."""
     from nobletools_spark.model import MatchConfig
     from nobletools_spark.operators.matcher import annotate
     from nobletools_spark.operators.triples import (
@@ -349,8 +370,24 @@ def kg_stages(index, context=None, cfg=None,
         ctx_obj = context.value if hasattr(context, "value") else context
         mention_params["context"] = _stable_digest(ctx_obj)
 
+    if incremental:
+        mention_params["incremental"] = True
+
     def s_mentions(spark, r):
-        return annotate(r["documents"], index, cfg, context=context)
+        full = lambda d: annotate(d, index, cfg, context=context)  # noqa: E731
+        if not incremental:
+            return full(r["documents"])
+        from nobletools_spark.operators.incremental import (
+            incremental_mentions,
+        )
+
+        return incremental_mentions(r["documents"], r["prev_doc_fp"],
+                                    r["prev_mentions"], full)
+
+    def s_doc_fp(spark, r):
+        from nobletools_spark.operators.incremental import doc_fingerprints
+
+        return doc_fingerprints(r["documents"])
 
     def s_mention_triples(spark, r):
         return mention_triples(r["mentions"]).drop("doc_id")
@@ -412,6 +449,10 @@ def kg_stages(index, context=None, cfg=None,
             item_params["components"] = _df_digest(components_df)
         stages.append(Stage("item_instances", s_items,
                             params=item_params))
+    # appended last (same linear-chain reasoning as item_instances):
+    # the (doc_id, fp) state table the NEXT run's incremental mentions
+    # stage consumes as prev_doc_fp
+    stages.append(Stage("doc_fp", s_doc_fp))
     return stages
 
 

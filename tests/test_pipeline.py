@@ -34,7 +34,7 @@ def _collect_triples(res):
 
 def test_pipeline_outputs(spark, pipe_run):
     out, _, _, pipe, res = pipe_run
-    assert [r.status for r in pipe.reports] == ["computed"] * 4
+    assert [r.status for r in pipe.reports] == ["computed"] * 5
     triples = _collect_triples(res)
     assert triples
     preds = {t[1] for t in triples}
@@ -190,7 +190,7 @@ def test_template_extraction_stage(spark, tmp_path):
     # fingerprint chain of template-less output dirs
     assert [s.stage for s in pipe.reports] == [
         "mentions", "mention_triples", "cooccurrence", "triples",
-        "item_instances"]
+        "item_instances", "doc_fp"]
     got = {(r.doc_id, r.cui, r.start)
            for r in res["item_instances"].collect()}
     direct = extract_items(res["mentions"], edges, templates,
@@ -370,12 +370,14 @@ def test_kg_stage_params_force_recompute(spark, pipe_run):
                                                     run_config=rc)
     same = Pipeline(out, kg_stages(pytest_index(), cfg=MatchConfig()))
     same.run(spark, inputs, run_config=rc)
-    assert [r.status for r in same.reports] == ["resumed"] * 4
+    assert [r.status for r in same.reports] == ["resumed"] * 5
 
     p2 = Pipeline(out, kg_stages(pytest_index(),
                                  cfg=MatchConfig(subsumption_mode=False)))
     p2.run(spark, inputs, run_config=rc)
-    assert [r.status for r in p2.reports] == ["computed"] * 4
+    # doc_fp depends only on documents, but the linear chain
+    # recomputes it with everything downstream of the changed cfg
+    assert [r.status for r in p2.reports] == ["computed"] * 5
 
     # restore, then change only the salt: mentions/mention_triples
     # resume, cooccurrence + downstream recompute
@@ -385,7 +387,7 @@ def test_kg_stage_params_force_recompute(spark, pipe_run):
                                  cooccurrence_salt=16))
     p4.run(spark, inputs, run_config=rc)
     assert [r.status for r in p4.reports] == \
-        ["resumed", "resumed", "computed", "computed"]
+        ["resumed", "resumed", "computed", "computed", "computed"]
 
 
 def test_df_digest_handles_none_vs_str_ties(spark):
@@ -405,3 +407,45 @@ def test_df_digest_handles_none_vs_str_ties(spark):
     df3 = spark.createDataFrame([("T", "x", None), ("T", "x", "C999")],
                                 "a string, b string, c string")
     assert d1 != _df_digest(df3)
+
+
+def test_incremental_pipeline_run(spark, tmp_path):
+    """Run 1 (full) persists doc_fp; run 2 (incremental=True) over a
+    mutated corpus consumes it and produces triples identical to a
+    full run — and a third identical incremental run resumes every
+    stage."""
+    from pyspark.sql import functions as F
+
+    out1, out2 = str(tmp_path / "run1"), str(tmp_path / "run2")
+    docs = synthetic_corpus_df(spark, 40, seed=7)
+    edges = spark.createDataFrame(list(PYTEST_ISA_EDGES),
+                                  "cui string, parent string")
+    p1 = Pipeline(out1, kg_stages(pytest_index(), cfg=MatchConfig()))
+    r1 = p1.run(spark, {"documents": docs, "isa_edges": edges},
+                run_config={"corpus": "a"})
+    assert "doc_fp" in r1 and r1["doc_fp"].count() == 40
+
+    # snapshot 2: drop a quarter of the docs (content mutation paths
+    # are pinned by tests/test_incremental.py; here the stage wiring)
+    docs2 = docs.filter(~F.substring("doc_id", -1, 1).isin("1", "7"))
+    inputs2 = {"documents": docs2, "isa_edges": edges,
+               "prev_doc_fp": r1["doc_fp"],
+               "prev_mentions": r1["mentions"]}
+    p2 = Pipeline(out2, kg_stages(pytest_index(), cfg=MatchConfig(),
+                                  incremental=True))
+    r2 = p2.run(spark, inputs2, run_config={"corpus": "b"})
+    assert all(r.status == "computed" for r in p2.reports)
+
+    # ground truth: a full (non-incremental) pipeline over docs2
+    full = Pipeline(str(tmp_path / "full"),
+                    kg_stages(pytest_index(), cfg=MatchConfig()))
+    rf = full.run(spark, {"documents": docs2, "isa_edges": edges},
+                  run_config={"corpus": "b"})
+    assert _collect_triples(r2) == _collect_triples(rf)
+
+    # identical rerun resumes everything (the prev_* inputs fingerprint
+    # through the standard input machinery)
+    p3 = Pipeline(out2, kg_stages(pytest_index(), cfg=MatchConfig(),
+                                  incremental=True))
+    p3.run(spark, inputs2, run_config={"corpus": "b"})
+    assert all(r.status == "resumed" for r in p3.reports)

@@ -39,6 +39,13 @@ def main() -> None:
                     help=".template XML file: adds an item_instances "
                          "extraction stage (templates_from_xml)")
     ap.add_argument("--salt", type=int, default=8)
+    ap.add_argument("--incremental-from", metavar="PREV_OUT_DIR",
+                    help="previous run's --output dir: only "
+                         "fingerprint-changed/new docs go through the "
+                         "matcher; unchanged mentions carry forward. "
+                         "Falls back to a full run if the previous "
+                         "matcher sidecar (kg_matcher.json) is missing "
+                         "or differs (different terminology/config).")
     ap.add_argument("--force", action="store_true",
                     help="recompute all stages (ignore checkpoints)")
     args = ap.parse_args()
@@ -138,22 +145,47 @@ def main() -> None:
         templates_df = spark.createDataFrame(t_rows, TEMPLATES_DDL)
         if c_rows:
             components_df = spark.createDataFrame(c_rows, COMPONENTS_DDL)
+    # matcher sidecar: the determinants carried-forward mentions were
+    # minted under. Incremental mode is only sound when they match the
+    # previous run's sidecar (see kg_stages CONTRACT).
+    matcher_state = {"terminology": term_fp, "search": args.search,
+                     "context": bool(ctx)}
+    inputs = {"documents": docs, "isa_edges": isa_edges}
+    incremental = False
+    if args.incremental_from:
+        from nobletools_spark.plans.pipeline import _fs_read_json
+
+        prev = args.incremental_from.rstrip("/")
+        prev_state = _fs_read_json(spark, f"{prev}/kg_matcher.json")
+        if prev_state == matcher_state:
+            inputs["prev_doc_fp"] = spark.read.parquet(f"{prev}/doc_fp")
+            inputs["prev_mentions"] = spark.read.parquet(f"{prev}/mentions")
+            incremental = True
+        else:
+            print(f"incremental-from: matcher state differs or missing "
+                  f"at {prev}/kg_matcher.json - running FULL annotate",
+                  file=sys.stderr)
     pipe = Pipeline(args.output,
                     kg_stages(index, context=ctx, cfg=cfg,
                               cooccurrence_salt=args.salt,
                               templates_df=templates_df,
-                              components_df=components_df))
-    inputs = {"documents": docs, "isa_edges": isa_edges}
+                              components_df=components_df,
+                              incremental=incremental))
     if semtypes is not None:
         inputs["semtypes"] = semtypes
     run_config = {"search": args.search, "input": args.input,
                   "context": bool(ctx), "salt": args.salt,
                   "template": template_fp, "terminology": term_fp}
     res = pipe.run(spark, inputs, run_config=run_config, force=args.force)
+    from nobletools_spark.plans.pipeline import _fs_write_json
+
+    _fs_write_json(spark, f"{args.output.rstrip('/')}/kg_matcher.json",
+                   matcher_state)
     print(json.dumps({
         "stages": [{"stage": r.stage, "status": r.status, "rows": r.rows,
                     "wall_s": r.wall_s} for r in pipe.reports],
         "triples": res["triples"].count(),
+        "incremental": incremental,
         "output": args.output,
     }))
     spark.stop()
