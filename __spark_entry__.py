@@ -48,6 +48,7 @@ from nobletools_spark.operators.dedup import (
 )
 from nobletools_spark.operators.graph import (
     degrees,
+    label_propagation,
     pagerank,
     symmetrize,
     triangles,
@@ -195,9 +196,10 @@ def q_kg_incremental_diff(spark, sf_dir):
         return annotate(d, builtin_index(), CFG)
 
     # the old mention table feeds both the carry-forward join and the
-    # diff's old side — materialize once instead of re-running the
-    # matcher over the old corpus per consumer
-    old_m = fn(old_docs).localCheckpoint(eager=True)
+    # diff's old side — persist() so the matcher runs once over the old
+    # corpus (persist, not localCheckpoint: keeps the entry board free
+    # of ExistingRDD leaves; lineage depth is one map stage)
+    old_m = fn(old_docs).persist()
     new_m = incremental_mentions(new_docs, doc_fingerprints(old_docs),
                                  old_m, fn)
 
@@ -294,6 +296,16 @@ def q_kg_triangles(spark, sf_dir):
     (degree-oriented Suri-Vassilvitskii counting)."""
     return triangles(_cooc_pairs(spark, sf_dir)
                      .localCheckpoint(eager=True))
+
+
+def q_kg_communities(spark, sf_dir):
+    """Concept communities: 3 synchronous deterministic LPA rounds
+    (mode of neighbor labels, ties → smallest label) over the
+    symmetrized co-occurrence graph — the oracle unrolls the identical
+    rounds as CTEs."""
+    e = symmetrize(_cooc_pairs(spark, sf_dir).localCheckpoint(eager=True),
+                   weight=None)
+    return label_propagation(e, iterations=3)
 
 
 def q_kg_template_items(spark, sf_dir):
@@ -787,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_template_items": q_kg_template_items,
         "kg_cooccurrence": q_kg_cooccurrence,
         "kg_degrees": q_kg_degrees,
+        "kg_communities": q_kg_communities,
         "kg_pagerank": q_kg_pagerank,
         "kg_triangles": q_kg_triangles,
         "kg_isa_closure": q_kg_isa_closure,
@@ -1040,6 +1053,21 @@ def oracle_sql() -> dict[str, str]:
           "r0 AS (SELECT node, 1000000000::BIGINT AS r FROM n0), "
         + ", ".join(pr_iter.format(i=i, p=i - 1) for i in (1, 2, 3))
         + " SELECT node, r AS rank_fp FROM r3")
+
+    # 3 unrolled synchronous LPA rounds: mode of in-neighbor labels,
+    # ties -> smallest label (row_number over (count DESC, label)) —
+    # the exact argmax the Spark window computes
+    lpa_iter = (
+        "v{i} AS (SELECT e.dst AS node, l{p}.lbl, count(*)::BIGINT AS c"
+        " FROM edges e JOIN l{p} ON e.src = l{p}.node GROUP BY 1, 2), "
+        "l{i} AS (SELECT node, lbl FROM (SELECT node, lbl,"
+        " row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl)"
+        " AS rn FROM v{i}) WHERE rn = 1)")
+    sql["kg_communities"] = (
+        _mentions_cte() + graph_cte
+        + ", l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges), "
+        + ", ".join(lpa_iter.format(i=i, p=i - 1) for i in (1, 2, 3))
+        + " SELECT node, lbl AS community FROM l3")
 
     sql["kg_triangles"] = (
         _mentions_cte() + graph_cte

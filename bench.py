@@ -41,6 +41,7 @@ HEADLINE = (
     "kg_template_items",
     "kg_pagerank",
     "kg_triangles",
+    "kg_communities",
     "text_quality",
     "text_fingerprints",
     "dedup_exact_bag",
@@ -60,6 +61,7 @@ HEADLINE = (
     "text_pack_manifest",
     "media_frames",
     "media_decode",
+    "kg_incremental_diff",
 )
 
 

@@ -53,7 +53,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["symmetrize", "degrees", "pagerank", "triangles"]
+__all__ = ["symmetrize", "degrees", "pagerank", "triangles",
+           "label_propagation"]
 
 
 def symmetrize(pairs: DataFrame, a: str = "a", b: str = "b",
@@ -215,6 +216,85 @@ def pagerank(edges: DataFrame, iterations: int = 3,
         ranks = ranks.localCheckpoint(eager=True)
     eo.unpersist()
     return ranks
+
+
+def _lpa_local(rows: list, iterations: int) -> list:
+    """Pure-Python replay of the distributed LPA plan on collected
+    (src, dst) rows — IDENTICAL semantics: duplicate edge rows count as
+    multiple votes, a node's new label is the mode of its IN-neighbor
+    labels (max count, ties → smallest label), and a node with no
+    labeled in-neighbor drops out of the round (never happens on a
+    symmetrized view)."""
+    edges = [(r.src, r.dst) for r in rows]
+    labels = {u: u for u, _ in edges}
+    for _ in range(iterations):
+        cnt: dict = {}
+        for u, v in edges:
+            if u in labels:
+                k = (v, labels[u])
+                cnt[k] = cnt.get(k, 0) + 1
+        best: dict = {}
+        for (v, lbl), c in cnt.items():
+            cur = best.get(v)
+            if cur is None or c > cur[1] or (c == cur[1] and lbl < cur[0]):
+                best[v] = (lbl, c)
+        labels = {v: t[0] for v, t in best.items()}
+    return [(v, labels[v]) for v in sorted(labels, key=str)]
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3,
+                      driver_threshold: int = 100_000) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    over a directed edge view (src, dst): every node starts labeled
+    with itself; each round it adopts the most frequent label among its
+    in-neighbors, ties broken by the SMALLEST label — fully
+    deterministic, so the result is DuckDB-replayable (the oracle
+    unrolls the same rounds as CTEs). Returns (node, community).
+
+    Intended input is a ``symmetrize``d view (so in-neighbors ==
+    neighbors and every node votes every round); fixed synchronous
+    rounds sidestep the classic LPA oscillation nondeterminism —
+    communities stabilize in a few rounds on clustered graphs, and
+    identical inputs give identical outputs on any cluster size.
+
+    Scale shape: per round ONE co-keyed join (static edge side cached,
+    its exchange reused across rounds) + one (dst, label) count
+    aggregation + one per-node argmax window — all keyed on node ids,
+    no all-pairs anything; lineage localCheckpoint-truncated per round
+    like ``pagerank``. Terminology-bounded graphs short-circuit to a
+    driver replay behind one limit-probe job."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    edges = edges.select("src", "dst").where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if driver_threshold > 0:
+        probe = edges.limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            from pyspark.sql import types as T
+
+            node_type = edges.schema["src"].dataType
+            from nobletools_spark.session import local_table
+
+            schema = T.StructType([T.StructField("node", node_type),
+                                   T.StructField("community", node_type)])
+            return local_table(edges.sparkSession,
+                               _lpa_local(probe, iterations), schema)
+    from pyspark.sql import Window
+
+    e = edges.persist()
+    labels = (e.select(F.col("src").alias("node")).distinct()
+              .withColumn("lbl", F.col("node"))
+              .localCheckpoint(eager=True))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.col("lbl"))
+    for _ in range(iterations):
+        contribs = (e.join(labels, e["src"] == labels["node"])
+                    .groupBy(F.col("dst").alias("node"), "lbl")
+                    .agg(F.count("*").alias("c")))
+        labels = (contribs.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).select("node", "lbl")
+                  .localCheckpoint(eager=True))
+    e.unpersist()
+    return labels.select("node", F.col("lbl").alias("community"))
 
 
 def _triangles_local(rows: list) -> list:

@@ -136,3 +136,84 @@ def test_graph_ops_match_bruteforce(spark, edge_set):
               for r in pagerank(symmetrize(df), iterations=2, scale=10**9,
                                 driver_threshold=dt).collect()}
         assert pr == py_pagerank_int(pairs, 2), dt
+
+
+# --- label propagation ------------------------------------------------
+
+# two triangles bridged by one edge: LPA should give each triangle one
+# community (the min node id in it wins within 3 rounds)
+TWO_CLIQUES = [("A", "B", 1), ("B", "C", 1), ("A", "C", 1),
+               ("X", "Y", 1), ("Y", "Z", 1), ("X", "Z", 1),
+               ("C", "X", 1)]
+
+
+def py_lpa(pairs, iterations):
+    edges = []
+    for a, b, *_ in pairs:
+        edges += [(a, b), (b, a)]
+    labels = {u: u for u, _ in edges}
+    for _ in range(iterations):
+        cnt: dict = {}
+        for u, v in edges:
+            cnt.setdefault(v, {})
+            cnt[v][labels[u]] = cnt[v].get(labels[u], 0) + 1
+        labels = {v: min(d, key=lambda l: (-d[l], l))
+                  for v, d in cnt.items()}
+    return labels
+
+
+@pytest.mark.parametrize("dt", [0, 100_000],
+                         ids=["distributed", "driver"])
+def test_label_propagation_two_cliques(spark, dt):
+    from nobletools_spark.operators.graph import label_propagation
+
+    e = symmetrize(_pairs_df(spark, TWO_CLIQUES), weight=None)
+    got = {r["node"]: r["community"]
+           for r in label_propagation(e, 3, driver_threshold=dt).collect()}
+    assert got == py_lpa(TWO_CLIQUES, 3)
+    # the two triangles resolve to distinct communities
+    assert len({got["A"], got["B"], got["C"]}) == 1
+    assert len({got["X"], got["Y"], got["Z"]}) == 1
+    assert got["A"] != got["Y"]
+
+
+@pytest.mark.parametrize("dt", [0, 100_000],
+                         ids=["distributed", "driver"])
+def test_label_propagation_tie_breaks_smallest(spark, dt):
+    from nobletools_spark.operators.graph import label_propagation
+
+    # path A-B-C: B's neighbors vote A and C once each -> smallest (A)
+    e = symmetrize(_pairs_df(spark, [("A", "B", 1), ("B", "C", 1)]),
+                   weight=None)
+    got = {r["node"]: r["community"]
+           for r in label_propagation(e, 1, driver_threshold=dt).collect()}
+    assert got["B"] == "A"
+    assert got == py_lpa([("A", "B"), ("B", "C")], 1)
+
+
+@given(st.lists(st.tuples(st.sampled_from("ABCDEFG"),
+                          st.sampled_from("ABCDEFG")),
+                min_size=1, max_size=15),
+       st.integers(min_value=1, max_value=3))
+@settings(max_examples=12, deadline=None)
+def test_label_propagation_matches_replay(spark, pairs, iters):
+    from nobletools_spark.operators.graph import label_propagation
+
+    pairs = [(a, b) for a, b in pairs if a != b]
+    if not pairs:
+        return
+    e = symmetrize(_pairs_df(spark, [(a, b, 1) for a, b in pairs]),
+                   weight=None)
+    for dt in (0, 100_000):
+        got = {r["node"]: r["community"]
+               for r in label_propagation(e, iters,
+                                          driver_threshold=dt).collect()}
+        assert got == py_lpa(pairs, iters)
+
+
+def test_label_propagation_rejects_zero_iterations(spark):
+    from nobletools_spark.operators.graph import label_propagation
+
+    e = symmetrize(_pairs_df(spark, TWO_CLIQUES), weight=None)
+    with pytest.raises(ValueError):
+        label_propagation(e, 0)
