@@ -196,10 +196,14 @@ def q_kg_incremental_diff(spark, sf_dir):
         return annotate(d, builtin_index(), CFG)
 
     # the old mention table feeds both the carry-forward join and the
-    # diff's old side — persist() so the matcher runs once over the old
-    # corpus (persist, not localCheckpoint: keeps the entry board free
-    # of ExistingRDD leaves; lineage depth is one map stage)
-    old_m = fn(old_docs).persist()
+    # diff's old side — localCheckpoint so the matcher runs ONCE over
+    # the old corpus (localCheckpoint, not persist(): checkpoint blocks
+    # are freed by the ContextCleaner when this DataFrame is GC'd,
+    # while CacheManager entries would pin a full mention table per
+    # invocation until an explicit unpersist no caller can issue on a
+    # lazy result; the ExistingRDD leaf is the same intentional JVM
+    # truncation the graph entries carry)
+    old_m = fn(old_docs).localCheckpoint(eager=True)
     new_m = incremental_mentions(new_docs, doc_fingerprints(old_docs),
                                  old_m, fn)
 

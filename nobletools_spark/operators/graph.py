@@ -270,15 +270,9 @@ def label_propagation(edges: DataFrame, iterations: int = 3,
     if driver_threshold > 0:
         probe = edges.limit(driver_threshold + 1).collect()
         if len(probe) <= driver_threshold:
-            from pyspark.sql import types as T
-
-            node_type = edges.schema["src"].dataType
-            from nobletools_spark.session import local_table
-
-            schema = T.StructType([T.StructField("node", node_type),
-                                   T.StructField("community", node_type)])
-            return local_table(edges.sparkSession,
-                               _lpa_local(probe, iterations), schema)
+            return _local_result(edges, "src",
+                                 _lpa_local(probe, iterations),
+                                 "community", edges.schema["src"].dataType)
     from pyspark.sql import Window
 
     e = edges.persist()

@@ -54,8 +54,14 @@ __all__ = [
     "snapshot_diff",
 ]
 
-_FIELD_SEP = "\x1e"  # RS: cannot appear in to_json output unescaped
-_NULL_MARK = "\x00"
+def _netstring(c: Column) -> Column:
+    """Length-prefixed rendering (``<len>:<bytes>``): self-delimiting,
+    so concatenated parts cannot alias each other no matter what bytes
+    the values contain — the injection-proof alternative to a reserved
+    separator character. NULL renders as the bare marker ``N`` (no
+    length prefix, so it cannot collide with any netstring)."""
+    return F.coalesce(
+        F.concat(F.length(c).cast("string"), F.lit(":"), c), F.lit("N"))
 
 
 def fingerprint_col(df: DataFrame, id_col: str = "doc_id",
@@ -66,10 +72,11 @@ def fingerprint_col(df: DataFrame, id_col: str = "doc_id",
 
     Complex columns render through ``to_json`` (canonical field order,
     NULL fields dropped BY NAME so they cannot alias a neighboring
-    field); atomic columns cast to string with an explicit NULL marker;
-    columns join on a separator that JSON must escape. The result is a
-    pure function of content — independent of partitioning, row order,
-    and engine."""
+    field); atomic columns cast to string. Every part — column name and
+    value alike — is length-prefixed (netstring), so no value bytes can
+    imitate a boundary and two different row contents cannot render to
+    the same string. The result is a pure function of content —
+    independent of partitioning, row order, and engine."""
     if content_cols is None:
         content_cols = tuple(c for c in df.columns if c != id_col)
     if not content_cols:
@@ -79,9 +86,9 @@ def fingerprint_col(df: DataFrame, id_col: str = "doc_id",
         dt = df.schema[c].dataType.typeName()
         rendered = (F.to_json(F.col(c)) if dt in ("struct", "array", "map")
                     else F.col(c).cast("string"))
-        parts.append(F.lit(c))
-        parts.append(F.coalesce(rendered, F.lit(_NULL_MARK)))
-    return hash_fn(F.concat_ws(_FIELD_SEP, *parts))
+        parts.append(_netstring(F.lit(c)))
+        parts.append(_netstring(rendered))
+    return hash_fn(F.concat(*parts))
 
 
 def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
@@ -141,13 +148,18 @@ def increment_stats(new_docs: DataFrame, old_fp: DataFrame,
     unexpectedly large n_changed (a fingerprint bug, an upstream
     re-encode) is caught before it burns a full-corpus matcher run."""
     tagged = _tagged(new_docs, old_fp, id_col, content_cols, hash_fn)
+    # coalesce: SUM over zero rows is NULL — an all-deleted snapshot
+    # must report 0s, not NULLs that defeat downstream `> limit` alarms
     counts = tagged.agg(
-        F.sum(F.when(F.col("_old_fp").isNull(), 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("_old_fp").isNull(), 1)
+                         .otherwise(0)), F.lit(0))
         .cast("long").alias("n_new"),
-        F.sum(F.when(F.col("_old_fp").isNotNull() & F.col("_is_changed"),
-                     1).otherwise(0)).cast("long").alias("n_changed"),
-        F.sum(F.when(~F.col("_is_changed"), 1).otherwise(0))
-        .cast("long").alias("n_unchanged"))
+        F.coalesce(F.sum(F.when(F.col("_old_fp").isNotNull()
+                                & F.col("_is_changed"), 1)
+                         .otherwise(0)), F.lit(0))
+        .cast("long").alias("n_changed"),
+        F.coalesce(F.sum(F.when(~F.col("_is_changed"), 1).otherwise(0)),
+                   F.lit(0)).cast("long").alias("n_unchanged"))
     deleted = (old_fp.select(id_col)
                .join(new_docs.select(id_col), id_col, "left_anti")
                .agg(F.count("*").cast("long").alias("n_deleted")))

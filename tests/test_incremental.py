@@ -156,3 +156,28 @@ def test_no_op_snapshot_runs_matcher_on_nothing(spark):
                                base, fn)
     assert _mention_sets(inc) == _mention_sets(base)
     assert fn_calls == [0]
+
+
+def test_fingerprint_injection_proof_across_columns(spark):
+    """Netstring rendering: value bytes that imitate part boundaries
+    must not let two different rows collide (the reserved-separator
+    trap the length prefixes exist to avoid)."""
+    ddl = "doc_id string, a string, b string"
+    x = spark.createDataFrame([("d", "x", "y:b:q")], ddl)
+    y = spark.createDataFrame([("d", "x:b:y", "q")], ddl)
+    fx = doc_fingerprints(x).collect()[0].fp
+    fy = doc_fingerprints(y).collect()[0].fp
+    assert fx != fy
+    # a literal 'N' value must not collide with NULL either
+    n1 = spark.createDataFrame([("d", "N", "z")], ddl)
+    n2 = spark.createDataFrame([("d", None, "z")], ddl)
+    assert (doc_fingerprints(n1).collect()[0].fp
+            != doc_fingerprints(n2).collect()[0].fp)
+
+
+def test_increment_stats_empty_snapshot_reports_zeroes(spark):
+    old_docs = _docs(spark, OLD_ROWS)
+    empty = _docs(spark, [])
+    row = increment_stats(empty, doc_fingerprints(old_docs)).collect()[0]
+    assert (row.n_new, row.n_changed, row.n_unchanged, row.n_deleted) \
+        == (0, 0, 0, len(OLD_ROWS))

@@ -147,17 +147,33 @@ def main() -> None:
             components_df = spark.createDataFrame(c_rows, COMPONENTS_DDL)
     # matcher sidecar: the determinants carried-forward mentions were
     # minted under. Incremental mode is only sound when they match the
-    # previous run's sidecar (see kg_stages CONTRACT).
-    matcher_state = {"terminology": term_fp, "search": args.search,
-                     "context": bool(ctx)}
+    # previous run's sidecar (see kg_stages CONTRACT). The terminology
+    # identity is the BUILT INDEX digest (the exact object the matcher
+    # probes), not a source-file hash — it covers RRF dirs and
+    # source/semtype filters uniformly (an --rrf run with different
+    # filters builds a different index, hence a different digest).
+    from nobletools_spark.plans.pipeline import (
+        _fs_delete,
+        _fs_read_json,
+        _fs_write_json,
+        _stable_digest,
+    )
+
+    idx_obj = index.value if hasattr(index, "value") else index
+    matcher_state = {"index": _stable_digest(idx_obj),
+                     "search": args.search, "context": bool(ctx)}
+    out = args.output.rstrip("/")
     inputs = {"documents": docs, "isa_edges": isa_edges}
     incremental = False
     if args.incremental_from:
-        from nobletools_spark.plans.pipeline import _fs_read_json
-
         prev = args.incremental_from.rstrip("/")
         prev_state = _fs_read_json(spark, f"{prev}/kg_matcher.json")
-        if prev_state == matcher_state:
+        if os.path.abspath(prev) == os.path.abspath(out):
+            # in-place update would overwrite {out}/mentions while the
+            # incremental plan is reading it — run full instead
+            print("incremental-from: previous dir == --output; "
+                  "running FULL annotate", file=sys.stderr)
+        elif prev_state == matcher_state:
             inputs["prev_doc_fp"] = spark.read.parquet(f"{prev}/doc_fp")
             inputs["prev_mentions"] = spark.read.parquet(f"{prev}/mentions")
             incremental = True
@@ -176,11 +192,14 @@ def main() -> None:
     run_config = {"search": args.search, "input": args.input,
                   "context": bool(ctx), "salt": args.salt,
                   "template": template_fp, "terminology": term_fp}
+    # drop the stale sidecar BEFORE running (crash-consistency, same
+    # rule as stage manifests): a killed config-changed rerun must
+    # leave NO sidecar — a later --incremental-from of this dir then
+    # fail-safes to a full run — rather than one describing a matcher
+    # whose mentions parquet was already partially replaced
+    _fs_delete(spark, f"{out}/kg_matcher.json")
     res = pipe.run(spark, inputs, run_config=run_config, force=args.force)
-    from nobletools_spark.plans.pipeline import _fs_write_json
-
-    _fs_write_json(spark, f"{args.output.rstrip('/')}/kg_matcher.json",
-                   matcher_state)
+    _fs_write_json(spark, f"{out}/kg_matcher.json", matcher_state)
     print(json.dumps({
         "stages": [{"stage": r.stage, "status": r.status, "rows": r.rows,
                     "wall_s": r.wall_s} for r in pipe.reports],
