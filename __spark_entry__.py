@@ -163,21 +163,11 @@ def q_kg_media_triples(spark, sf_dir):
     return media_concept_triples(docs, _builtin_mentions(spark, sf_dir))
 
 
-def q_kg_incremental_diff(spark, sf_dir):
-    """Incremental KG maintenance (operators/incremental.py): a second
-    corpus snapshot — every 5th doc gains ' spark vector', every 17th≡3
-    doc is deleted, every 23rd≡7 doc spawns a brand-new doc — is
-    annotated INCREMENTALLY (fingerprint-changed/new docs only through
-    the matcher, unchanged mentions carried forward), then diffed
-    against the old triple set: (op, doc_id, pred, obj). The oracle
-    replays mentions over both snapshots and takes the same EXCEPTs —
-    so it checks BOTH the incremental-equals-full contract and the diff
-    operator."""
-    from nobletools_spark.operators.incremental import (
-        doc_fingerprints,
-        incremental_mentions,
-        snapshot_diff,
-    )
+def _snapshot_docs(spark, sf_dir):
+    """(old_docs, new_docs) interleaved corpus snapshots for the
+    incremental entries: every 5th doc gains ' spark vector', every
+    17th≡3 doc is deleted, every 23rd≡7 doc spawns a brand-new doc —
+    the same mutation the oracle's ``newdocs`` CTE applies."""
     from nobletools_spark.sources.fixtures import interleave_raw
 
     raw = _docs(spark, sf_dir).select("doc_id", "text")
@@ -189,12 +179,28 @@ def q_kg_incremental_diff(spark, sf_dir):
     added = (raw.filter(F.col("doc_id") % 23 == 7)
              .select((F.col("doc_id") + 1000000).alias("doc_id"),
                      F.lit("hash join customer").alias("text")))
-    old_docs = interleave_raw(raw)
-    new_docs = interleave_raw(kept.unionByName(added))
+    return interleave_raw(raw), interleave_raw(kept.unionByName(added))
 
-    def fn(d):
-        return annotate(d, builtin_index(), CFG)
 
+def _fn_annotate(d):
+    return annotate(d, builtin_index(), CFG)
+
+
+def q_kg_incremental_diff(spark, sf_dir):
+    """Incremental KG maintenance (operators/incremental.py): the
+    mutated second snapshot is annotated INCREMENTALLY
+    (fingerprint-changed/new docs only through the matcher, unchanged
+    mentions carried forward), then diffed against the old triple set:
+    (op, doc_id, pred, obj). The oracle replays mentions over both
+    snapshots and takes the same EXCEPTs — so it checks BOTH the
+    incremental-equals-full contract and the diff operator."""
+    from nobletools_spark.operators.incremental import (
+        doc_fingerprints,
+        incremental_mentions,
+        snapshot_diff,
+    )
+
+    old_docs, new_docs = _snapshot_docs(spark, sf_dir)
     # the old mention table feeds both the carry-forward join and the
     # diff's old side — localCheckpoint so the matcher runs ONCE over
     # the old corpus (localCheckpoint, not persist(): checkpoint blocks
@@ -203,9 +209,9 @@ def q_kg_incremental_diff(spark, sf_dir):
     # invocation until an explicit unpersist no caller can issue on a
     # lazy result; the ExistingRDD leaf is the same intentional JVM
     # truncation the graph entries carry)
-    old_m = fn(old_docs).localCheckpoint(eager=True)
+    old_m = _fn_annotate(old_docs).localCheckpoint(eager=True)
     new_m = incremental_mentions(new_docs, doc_fingerprints(old_docs),
-                                 old_m, fn)
+                                 old_m, _fn_annotate)
 
     def to_triples(m):
         return (m.select(F.col("doc_id").cast("long").alias("doc_id"),
@@ -214,6 +220,31 @@ def q_kg_incremental_diff(spark, sf_dir):
                 .distinct())
 
     return snapshot_diff(to_triples(old_m), to_triples(new_m))
+
+
+def q_kg_incremental_cooc(spark, sf_dir):
+    """Delta-maintained co-occurrence over the mutated snapshot
+    (incremental-view maintenance for a distributive aggregate):
+    new = old − pairs(departed docs) + pairs(arrived docs), zero-count
+    pairs dropped. The oracle recomputes co-occurrence FROM SCRATCH
+    over the new snapshot — hash equality proves delta == full."""
+    from nobletools_spark.operators.incremental import (
+        doc_fingerprints,
+        incremental_cooccurrence,
+        incremental_update,
+    )
+
+    old_docs, new_docs = _snapshot_docs(spark, sf_dir)
+    old_m = _fn_annotate(old_docs).localCheckpoint(eager=True)
+    old_cooc = cooccurrence_triples(
+        old_m.withColumn("doc_id", F.col("doc_id").cast("long")),
+        salt_buckets=8)
+    _, removed, added = incremental_update(
+        new_docs, doc_fingerprints(old_docs), old_m, _fn_annotate)
+    cast = lambda m: m.withColumn("doc_id",  # noqa: E731
+                                  F.col("doc_id").cast("long"))
+    return incremental_cooccurrence(old_cooc, cast(removed), cast(added),
+                                    salt_buckets=8)
 
 
 def q_kg_cooccurrence(spark, sf_dir):
@@ -846,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": q_text_contamination,
         "kg_media_triples": q_kg_media_triples,
         "kg_incremental_diff": q_kg_incremental_diff,
+        "kg_incremental_cooc": q_kg_incremental_cooc,
     }
 
 
@@ -1016,6 +1048,23 @@ def oracle_sql() -> dict[str, str]:
           f" SELECT 'removed' AS op, * FROM"
           f" (SELECT DISTINCT {_triple} FROM m"
           f"  EXCEPT SELECT DISTINCT {_triple} FROM m_n)")
+
+    # full-recompute replay over the NEW snapshot: hash equality with
+    # the Spark side's delta-maintained table proves delta == full
+    sql["kg_incremental_cooc"] = (
+        "WITH newdocs AS ("
+        " SELECT doc_id, CASE WHEN doc_id % 5 = 0"
+        " THEN text || ' spark vector' ELSE text END AS text"
+        " FROM documents WHERE doc_id % 17 <> 3"
+        " UNION ALL"
+        " SELECT doc_id + 1000000 AS doc_id, 'hash join customer' AS text"
+        " FROM documents WHERE doc_id % 23 = 7), "
+        + _mentions_ctes_body("newdocs", "_n")
+        + " SELECT a.cui AS subj, 'co-occurs-with' AS pred,"
+          " b.cui AS obj, count(*)::BIGINT AS n_docs"
+          " FROM m_n a JOIN m_n b"
+          " ON a.doc_id = b.doc_id AND a.cui < b.cui"
+          " GROUP BY a.cui, b.cui")
 
     sql["kg_cooccurrence"] = (
         _mentions_cte()

@@ -62,6 +62,7 @@ HEADLINE = (
     "media_frames",
     "media_decode",
     "kg_incremental_diff",
+    "kg_incremental_cooc",
 )
 
 

@@ -50,6 +50,8 @@ __all__ = [
     "fingerprint_col",
     "doc_fingerprints",
     "incremental_mentions",
+    "incremental_update",
+    "incremental_cooccurrence",
     "increment_stats",
     "snapshot_diff",
 ]
@@ -116,16 +118,22 @@ def _tagged(new_docs: DataFrame, old_fp: DataFrame, id_col: str,
                         | (F.col("_fp") != F.col("_old_fp"))))
 
 
-def incremental_mentions(new_docs: DataFrame, old_fp: DataFrame,
-                         old_mentions: DataFrame,
-                         annotate_fn: Callable[[DataFrame], DataFrame],
-                         id_col: str = "doc_id",
-                         content_cols: tuple[str, ...] | None = None,
-                         hash_fn: Callable[[Column], Column] = h64) \
-        -> DataFrame:
-    """The incremental annotate stage (see module doc for the
-    equivalence contract). ``annotate_fn`` maps a docs frame to mention
-    rows with ``old_mentions``'s schema; it only ever receives the
+def incremental_update(new_docs: DataFrame, old_fp: DataFrame,
+                       old_mentions: DataFrame,
+                       annotate_fn: Callable[[DataFrame], DataFrame],
+                       id_col: str = "doc_id",
+                       content_cols: tuple[str, ...] | None = None,
+                       hash_fn: Callable[[Column], Column] = h64) \
+        -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The incremental annotate stage plus its row deltas:
+    ``(mentions, removed, added)`` where ``mentions`` is the maintained
+    table (≡ a full re-annotate, see module doc), ``removed`` is the
+    OLD rows that left it (changed docs' stale rows + deleted docs'
+    rows) and ``added`` is the fresh rows that entered it (changed +
+    new docs). The deltas feed downstream delta aggregation
+    (``incremental_cooccurrence``) — they are increment-sized, not
+    corpus-sized. ``annotate_fn`` maps a docs frame to mention rows
+    with ``old_mentions``'s schema; it only ever receives the
     changed/new subset."""
     tagged = _tagged(new_docs, old_fp, id_col, content_cols, hash_fn)
     changed = (tagged.filter("_is_changed")
@@ -136,7 +144,54 @@ def incremental_mentions(new_docs: DataFrame, old_fp: DataFrame,
     # stale rows are replaced by `fresh`), deleted docs are simply
     # absent — no tombstone bookkeeping needed
     carried = old_mentions.join(unchanged_ids, id_col)
-    return fresh.unionByName(carried.select(*fresh.columns))
+    removed = old_mentions.join(unchanged_ids, id_col, "left_anti")
+    return (fresh.unionByName(carried.select(*fresh.columns)),
+            removed, fresh)
+
+
+def incremental_mentions(new_docs: DataFrame, old_fp: DataFrame,
+                         old_mentions: DataFrame,
+                         annotate_fn: Callable[[DataFrame], DataFrame],
+                         id_col: str = "doc_id",
+                         content_cols: tuple[str, ...] | None = None,
+                         hash_fn: Callable[[Column], Column] = h64) \
+        -> DataFrame:
+    """``incremental_update`` without the deltas (see above)."""
+    return incremental_update(new_docs, old_fp, old_mentions,
+                              annotate_fn, id_col, content_cols,
+                              hash_fn)[0]
+
+
+def incremental_cooccurrence(old_cooc: DataFrame, removed: DataFrame,
+                             added: DataFrame,
+                             salt_buckets: int = 0) -> DataFrame:
+    """Delta-maintain the co-occurrence triple table
+    (operators/triples.cooccurrence_triples output). ``n_docs`` is a
+    sum over documents, so it is linearly decomposable:
+
+        new = old − pairs(removed docs' old mentions)
+                  + pairs(added docs' new mentions)
+
+    A changed doc appears in BOTH deltas; pairs it kept cancel exactly
+    (−1 + 1), pairs it lost/gained adjust by one. Pairs whose count
+    reaches 0 drop out. At 10^12 documents this replaces the
+    corpus-wide pair aggregation with one over (concept-pair table +
+    increment-sized deltas) — the classic incremental-view-maintenance
+    shape for distributive aggregates. Equivalence to the full
+    recompute is oracle-checked (kg_incremental_cooc) and test-pinned.
+
+    ``removed``/``added`` must be the FULL old/new mention rows of
+    departing/arriving docs (``incremental_update``'s deltas): per-doc
+    pair sets are derived here, so partial rows would under-count."""
+    from nobletools_spark.operators.triples import cooccurrence_triples
+
+    neg = (cooccurrence_triples(removed, salt_buckets)
+           .withColumn("n_docs", -F.col("n_docs")))
+    pos = cooccurrence_triples(added, salt_buckets)
+    return (old_cooc.unionByName(neg).unionByName(pos)
+            .groupBy("subj", "pred", "obj")
+            .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+            .filter(F.col("n_docs") > 0))
 
 
 def increment_stats(new_docs: DataFrame, old_fp: DataFrame,

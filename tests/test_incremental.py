@@ -181,3 +181,66 @@ def test_increment_stats_empty_snapshot_reports_zeroes(spark):
     row = increment_stats(empty, doc_fingerprints(old_docs)).collect()[0]
     assert (row.n_new, row.n_changed, row.n_unchanged, row.n_deleted) \
         == (0, 0, 0, len(OLD_ROWS))
+
+
+def test_incremental_update_deltas(spark):
+    old_docs, new_docs = _docs(spark, OLD_ROWS), _docs(spark, NEW_ROWS)
+    from nobletools_spark.operators.incremental import incremental_update
+
+    fn = lambda d: annotate(d, builtin_index(), CFG)  # noqa: E731
+    base = fn(old_docs)
+    mentions, removed, added = incremental_update(
+        new_docs, doc_fingerprints(old_docs), base, fn)
+    # removed = changed docs' stale rows + deleted docs' rows
+    assert {r.doc_id for r in removed.select("doc_id").collect()} \
+        == {"d2", "d3"}
+    # added = changed + new docs' fresh rows
+    assert {r.doc_id for r in added.select("doc_id").collect()} \
+        == {"d2", "d5"}
+    # maintained table == old - removed + added (as mention sets)
+    assert _mention_sets(mentions) \
+        == (_mention_sets(base) - _mention_sets(removed)) \
+        | _mention_sets(added)
+
+
+def test_incremental_cooccurrence_equals_full(spark):
+    from nobletools_spark.operators.incremental import (
+        incremental_cooccurrence,
+        incremental_update,
+    )
+    from nobletools_spark.operators.triples import cooccurrence_triples
+
+    fn = lambda d: annotate(d, builtin_index(), CFG)  # noqa: E731
+    for salt in (0, 4):
+        old_docs, new_docs = _docs(spark, OLD_ROWS), _docs(spark, NEW_ROWS)
+        base = fn(old_docs).localCheckpoint(eager=True)
+        _, removed, added = incremental_update(
+            new_docs, doc_fingerprints(old_docs), base, fn)
+        got = incremental_cooccurrence(
+            cooccurrence_triples(base, salt), removed, added, salt)
+        want = cooccurrence_triples(fn(new_docs), salt)
+        as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+        assert as_set(got) == as_set(want)
+
+
+def test_incremental_cooccurrence_drops_zero_pairs(spark):
+    """A pair whose every supporting doc departs must vanish, and a
+    changed doc that KEEPS a pair must leave its count untouched."""
+    from nobletools_spark.operators.incremental import (
+        incremental_cooccurrence,
+    )
+    from nobletools_spark.operators.triples import cooccurrence_triples
+
+    ddl = "doc_id string, cui string"
+    old_m = spark.createDataFrame(
+        [("a", "C1"), ("a", "C2"),          # doc a: pair C1-C2
+         ("b", "C1"), ("b", "C2"),          # doc b: pair C1-C2
+         ("c", "C2"), ("c", "C3")], ddl)    # doc c: pair C2-C3
+    # doc c deleted; doc b re-annotated but keeps the same pair
+    removed = spark.createDataFrame(
+        [("c", "C2"), ("c", "C3"), ("b", "C1"), ("b", "C2")], ddl)
+    added = spark.createDataFrame([("b", "C1"), ("b", "C2")], ddl)
+    got = {(r.subj, r.obj): r.n_docs
+           for r in incremental_cooccurrence(
+               cooccurrence_triples(old_m), removed, added).collect()}
+    assert got == {("C1", "C2"): 2}
