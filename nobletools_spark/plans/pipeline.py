@@ -332,11 +332,15 @@ def kg_stages(index, context=None, cfg=None,
     Every run also persists a ``doc_fp`` state stage (span-sequence
     content fingerprints). With ``incremental=True`` the mentions stage
     consumes the PREVIOUS run's state — the inputs dict must carry
-    ``prev_doc_fp`` and ``prev_mentions`` (that run's ``doc_fp`` and
-    ``mentions`` outputs) — and only fingerprint-changed/new documents
+    ``prev_doc_fp``, ``prev_mentions``, and ``prev_cooccurrence`` (that
+    run's stage outputs) — and only fingerprint-changed/new documents
     go through the matcher (operators/incremental.py); the result is
     row-identical to a full re-annotate, so every downstream stage is
-    untouched. The previous-run tables are ordinary pipeline inputs,
+    untouched. The co-occurrence stage also goes incremental: it
+    delta-aggregates the previous pair table with the increment's
+    removed/added mention rows (derived from materialized stage
+    parquet — nothing is re-annotated) instead of re-aggregating the
+    whole corpus. The previous-run tables are ordinary pipeline inputs,
     so their file fingerprints fold into this run's stage chain (and
     ``incremental`` flips the mentions fingerprint, so toggling the
     mode never resumes the other mode's parquet).
@@ -393,7 +397,25 @@ def kg_stages(index, context=None, cfg=None,
         return mention_triples(r["mentions"]).drop("doc_id")
 
     def s_cooccurrence(spark, r):
-        return cooccurrence_triples(r["mentions"], cooccurrence_salt)
+        if not incremental:
+            return cooccurrence_triples(r["mentions"], cooccurrence_salt)
+        # delta aggregation (incremental-view maintenance): derive the
+        # row deltas from ALREADY-MATERIALIZED tables — this run's
+        # mentions/doc_fp stage parquet and the previous run's state —
+        # so no document is re-annotated here; the pair aggregation
+        # touches only (previous pair table + increment-sized deltas)
+        from nobletools_spark.operators.incremental import (
+            incremental_cooccurrence,
+        )
+
+        cur = r["doc_fp"].select("doc_id", F.col("fp").alias("_new_fp"))
+        unchanged = (r["prev_doc_fp"].join(cur, "doc_id")
+                     .filter(F.col("fp") == F.col("_new_fp"))
+                     .select("doc_id"))
+        removed = r["prev_mentions"].join(unchanged, "doc_id", "left_anti")
+        added = r["mentions"].join(unchanged, "doc_id", "left_anti")
+        return incremental_cooccurrence(r["prev_cooccurrence"], removed,
+                                        added, cooccurrence_salt)
 
     def s_triples(spark, r):
         from nobletools_spark.operators.canonical import (
@@ -438,6 +460,12 @@ def kg_stages(index, context=None, cfg=None,
               params={"salt": cooccurrence_salt}),
         Stage("triples", s_triples, partition_by=("pred",)),
     ]
+    if incremental:
+        # delta cooccurrence consumes this run's doc_fp → hoist it
+        # ahead of the aggregation. Safe for the linear chain: the
+        # incremental mentions fingerprint already diverges from full
+        # mode, so no full-mode checkpoint could resume here anyway
+        stages.insert(1, Stage("doc_fp", s_doc_fp))
     if templates_df is not None:
         # appended LAST: the linear fingerprint chain means inserting
         # mid-list would invalidate existing mention_triples/
@@ -449,10 +477,12 @@ def kg_stages(index, context=None, cfg=None,
             item_params["components"] = _df_digest(components_df)
         stages.append(Stage("item_instances", s_items,
                             params=item_params))
-    # appended last (same linear-chain reasoning as item_instances):
-    # the (doc_id, fp) state table the NEXT run's incremental mentions
-    # stage consumes as prev_doc_fp
-    stages.append(Stage("doc_fp", s_doc_fp))
+    if not incremental:
+        # appended last (same linear-chain reasoning as item_instances):
+        # the (doc_id, fp) state table the NEXT run's incremental
+        # mentions stage consumes as prev_doc_fp. Incremental runs
+        # hoisted it ahead of the delta aggregation instead.
+        stages.append(Stage("doc_fp", s_doc_fp))
     return stages
 
 

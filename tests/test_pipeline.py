@@ -430,11 +430,16 @@ def test_incremental_pipeline_run(spark, tmp_path):
     docs2 = docs.filter(~F.substring("doc_id", -1, 1).isin("1", "7"))
     inputs2 = {"documents": docs2, "isa_edges": edges,
                "prev_doc_fp": r1["doc_fp"],
-               "prev_mentions": r1["mentions"]}
+               "prev_mentions": r1["mentions"],
+               "prev_cooccurrence": r1["cooccurrence"]}
     p2 = Pipeline(out2, kg_stages(pytest_index(), cfg=MatchConfig(),
                                   incremental=True))
     r2 = p2.run(spark, inputs2, run_config={"corpus": "b"})
     assert all(r.status == "computed" for r in p2.reports)
+    # delta cooccurrence consumes this run's doc_fp -> hoisted early
+    assert [s.stage for s in p2.reports] == [
+        "mentions", "doc_fp", "mention_triples", "cooccurrence",
+        "triples"]
 
     # ground truth: a full (non-incremental) pipeline over docs2
     full = Pipeline(str(tmp_path / "full"),
@@ -442,6 +447,11 @@ def test_incremental_pipeline_run(spark, tmp_path):
     rf = full.run(spark, {"documents": docs2, "isa_edges": edges},
                   run_config={"corpus": "b"})
     assert _collect_triples(r2) == _collect_triples(rf)
+    # the delta-maintained pair table matches the full recompute
+    # INCLUDING counts (triples drop n_docs, so check it directly)
+    cooc = lambda r: sorted(tuple(x) for x in r["cooccurrence"]
+                            .select("subj", "obj", "n_docs").collect())
+    assert cooc(r2) == cooc(rf)
 
     # identical rerun resumes everything (the prev_* inputs fingerprint
     # through the standard input machinery)

@@ -176,6 +176,8 @@ def main() -> None:
         elif prev_state == matcher_state:
             inputs["prev_doc_fp"] = spark.read.parquet(f"{prev}/doc_fp")
             inputs["prev_mentions"] = spark.read.parquet(f"{prev}/mentions")
+            inputs["prev_cooccurrence"] = spark.read.parquet(
+                f"{prev}/cooccurrence")
             incremental = True
         else:
             print(f"incremental-from: matcher state differs or missing "
