@@ -459,3 +459,34 @@ def test_incremental_pipeline_run(spark, tmp_path):
                                   incremental=True))
     p3.run(spark, inputs2, run_config={"corpus": "b"})
     assert all(r.status == "resumed" for r in p3.reports)
+
+
+def test_incremental_chain_three_generations(spark, tmp_path):
+    """Snapshot state must propagate across GENERATIONS of incremental
+    runs: run2 consumes run1's state, run3 consumes run2's — and run3's
+    outputs (triples AND pair counts) equal a from-scratch run on the
+    third corpus."""
+    edges = spark.createDataFrame(list(PYTEST_ISA_EDGES),
+                                  "cui string, parent string")
+    docs1 = synthetic_corpus_df(spark, 30, seed=7)
+    docs2 = docs1.filter(~F.substring("doc_id", -1, 1).isin("3"))
+    docs3 = docs2.filter(~F.substring("doc_id", -1, 1).isin("8"))
+
+    def run(out, docs, prev=None):
+        inputs = {"documents": docs, "isa_edges": edges}
+        if prev is not None:
+            inputs |= {"prev_doc_fp": prev["doc_fp"],
+                       "prev_mentions": prev["mentions"],
+                       "prev_cooccurrence": prev["cooccurrence"]}
+        pipe = Pipeline(out, kg_stages(pytest_index(), cfg=MatchConfig(),
+                                       incremental=prev is not None))
+        return pipe.run(spark, inputs, run_config={"g": out})
+
+    r1 = run(str(tmp_path / "g1"), docs1)
+    r2 = run(str(tmp_path / "g2"), docs2, r1)
+    r3 = run(str(tmp_path / "g3"), docs3, r2)
+    rf = run(str(tmp_path / "full3"), docs3)
+    assert _collect_triples(r3) == _collect_triples(rf)
+    cooc = lambda r: sorted(tuple(x) for x in r["cooccurrence"]
+                            .select("subj", "obj", "n_docs").collect())
+    assert cooc(r3) == cooc(rf)
