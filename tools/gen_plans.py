@@ -129,6 +129,24 @@ NOTES = {
                       " centroid literals inlined); map-side home-cell"
                       " assignment; ONE cell-keyed self-join with"
                       " max_cell dropping oversized cells on both sides",
+    "kg_communities": "3 deterministic synchronous LPA rounds (mode of"
+                      " neighbor labels, smallest-label ties); per round"
+                      " one co-keyed join + one count agg + one per-node"
+                      " argmax window — driver fast path at this scale",
+    "kg_incremental_diff": "fingerprint-gated re-annotation: only"
+                           " changed/new docs hit the matcher (one"
+                           " skinny fp join), unchanged mentions carry"
+                           " forward; diff = two EXCEPT-DISTINCT"
+                           " shuffles over skinny triples. Exchanges"
+                           " are doc_id-/triple-keyed, all"
+                           " increment-proportional at scale",
+    "kg_incremental_cooc": "delta IVM: new = old − pairs(removed) +"
+                           " pairs(added); the exchanges are the three"
+                           " pair aggregations (old table replay at"
+                           " bench scale + two INCREMENT-sized deltas)"
+                           " + fp joins — in production `old` is read"
+                           " from the previous run's parquet, so only"
+                           " delta-sized work remains",
 }
 
 
