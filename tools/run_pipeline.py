@@ -202,13 +202,38 @@ def main() -> None:
     _fs_delete(spark, f"{out}/kg_matcher.json")
     res = pipe.run(spark, inputs, run_config=run_config, force=args.force)
     _fs_write_json(spark, f"{out}/kg_matcher.json", matcher_state)
-    print(json.dumps({
+    report = {
         "stages": [{"stage": r.stage, "status": r.status, "rows": r.rows,
                     "wall_s": r.wall_s} for r in pipe.reports],
         "triples": res["triples"].count(),
         "incremental": incremental,
         "output": args.output,
-    }))
+    }
+    if incremental:
+        # the per-snapshot audit row: an unexpectedly large n_changed
+        # (fingerprint bug, upstream re-encode) shows up HERE, in the
+        # run report an operator actually reads. Derived from the
+        # materialized doc_fp tables — no extra fingerprint compute
+        from pyspark.sql import functions as F
+
+        cur = res["doc_fp"].select("doc_id", F.col("fp").alias("_n"))
+        j = inputs["prev_doc_fp"].join(cur, "doc_id", "full")
+        srow = j.agg(
+            F.coalesce(F.sum(F.when(F.col("fp").isNull(), 1)
+                             .otherwise(0)), F.lit(0)).alias("n_new"),
+            F.coalesce(F.sum(F.when(F.col("fp").isNotNull()
+                                    & F.col("_n").isNotNull()
+                                    & (F.col("fp") != F.col("_n")), 1)
+                             .otherwise(0)), F.lit(0)).alias("n_changed"),
+            F.coalesce(F.sum(F.when(F.col("fp") == F.col("_n"), 1)
+                             .otherwise(0)), F.lit(0)).alias("n_unchanged"),
+            F.coalesce(F.sum(F.when(F.col("_n").isNull(), 1)
+                             .otherwise(0)), F.lit(0)).alias("n_deleted"),
+        ).collect()[0]
+        report["increment"] = {k: int(srow[k]) for k in
+                               ("n_new", "n_changed", "n_unchanged",
+                                "n_deleted")}
+    print(json.dumps(report))
     spark.stop()
 
 
