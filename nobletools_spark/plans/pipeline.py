@@ -332,8 +332,8 @@ def kg_stages(index, context=None, cfg=None,
     Every run also persists a ``doc_fp`` state stage (span-sequence
     content fingerprints). With ``incremental=True`` the mentions stage
     consumes the PREVIOUS run's state — the inputs dict must carry
-    ``prev_doc_fp``, ``prev_mentions``, and ``prev_cooccurrence`` (that
-    run's stage outputs) — and only fingerprint-changed/new documents
+    ``prev_doc_fp``, ``prev_mentions``, ``prev_mention_triples``, and
+    ``prev_cooccurrence`` (that run's stage outputs) — and only fingerprint-changed/new documents
     go through the matcher (operators/incremental.py); the result is
     row-identical to a full re-annotate, so every downstream stage is
     untouched. The co-occurrence stage also goes incremental: it
@@ -393,8 +393,27 @@ def kg_stages(index, context=None, cfg=None,
 
         return doc_fingerprints(r["documents"])
 
+    def _unchanged_ids(r):
+        """doc_ids whose fingerprint matches the previous run's —
+        derived from the two materialized skinny state tables."""
+        cur = r["doc_fp"].select("doc_id", F.col("fp").alias("_new_fp"))
+        return (r["prev_doc_fp"].join(cur, "doc_id")
+                .filter(F.col("fp") == F.col("_new_fp"))
+                .select("doc_id"))
+
     def s_mention_triples(spark, r):
-        return mention_triples(r["mentions"]).drop("doc_id")
+        if not incremental:
+            return mention_triples(r["mentions"]).drop("doc_id")
+        # (doc, cui) triples key on doc_id, so carry-forward is exact:
+        # unchanged docs' triples come from the previous run's parquet
+        # and only the increment pays the distinct shuffle — the
+        # corpus-wide distinct disappears from the incremental path
+        unchanged = _unchanged_ids(r)
+        carried = r["prev_mention_triples"].join(
+            unchanged.withColumnRenamed("doc_id", "subj"), "subj")
+        fresh_m = r["mentions"].join(unchanged, "doc_id", "left_anti")
+        fresh = mention_triples(fresh_m).drop("doc_id")
+        return carried.select(*fresh.columns).unionByName(fresh)
 
     def s_cooccurrence(spark, r):
         if not incremental:
@@ -408,10 +427,7 @@ def kg_stages(index, context=None, cfg=None,
             incremental_cooccurrence,
         )
 
-        cur = r["doc_fp"].select("doc_id", F.col("fp").alias("_new_fp"))
-        unchanged = (r["prev_doc_fp"].join(cur, "doc_id")
-                     .filter(F.col("fp") == F.col("_new_fp"))
-                     .select("doc_id"))
+        unchanged = _unchanged_ids(r)
         removed = r["prev_mentions"].join(unchanged, "doc_id", "left_anti")
         added = r["mentions"].join(unchanged, "doc_id", "left_anti")
         return incremental_cooccurrence(r["prev_cooccurrence"], removed,

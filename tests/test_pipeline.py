@@ -431,6 +431,7 @@ def test_incremental_pipeline_run(spark, tmp_path):
     inputs2 = {"documents": docs2, "isa_edges": edges,
                "prev_doc_fp": r1["doc_fp"],
                "prev_mentions": r1["mentions"],
+               "prev_mention_triples": r1["mention_triples"],
                "prev_cooccurrence": r1["cooccurrence"]}
     p2 = Pipeline(out2, kg_stages(pytest_index(), cfg=MatchConfig(),
                                   incremental=True))
@@ -477,6 +478,7 @@ def test_incremental_chain_three_generations(spark, tmp_path):
         if prev is not None:
             inputs |= {"prev_doc_fp": prev["doc_fp"],
                        "prev_mentions": prev["mentions"],
+                       "prev_mention_triples": prev["mention_triples"],
                        "prev_cooccurrence": prev["cooccurrence"]}
         pipe = Pipeline(out, kg_stages(pytest_index(), cfg=MatchConfig(),
                                        incremental=prev is not None))

@@ -178,6 +178,8 @@ def main() -> None:
             inputs["prev_mentions"] = spark.read.parquet(f"{prev}/mentions")
             inputs["prev_cooccurrence"] = spark.read.parquet(
                 f"{prev}/cooccurrence")
+            inputs["prev_mention_triples"] = spark.read.parquet(
+                f"{prev}/mention_triples")
             incremental = True
         else:
             print(f"incremental-from: matcher state differs or missing "
