@@ -343,6 +343,40 @@ def q_kg_communities(spark, sf_dir):
     return label_propagation(e, iterations=3)
 
 
+def q_kg_lift(spark, sf_dir):
+    """Edge-confidence scoring for the co-occurrence predicate
+    (operators/triples.lift_triples): exact fixed-point lift
+    (= monotone PMI) from pair doc-counts and per-concept doc
+    frequencies — the standard gate before a pair becomes a KG edge."""
+    from nobletools_spark.operators.triples import lift_triples
+
+    return lift_triples(_builtin_mentions(spark, sf_dir), salt_buckets=8)
+
+
+def q_kg_khop(spark, sf_dir):
+    """2-hop neighborhood of concept C104 over the symmetrized
+    co-occurrence graph (operators/graph.k_hop): minimum hop distance
+    per reachable node — the 'what is within two relations of X?' KG
+    query."""
+    from nobletools_spark.operators.graph import k_hop
+
+    e = symmetrize(_cooc_pairs(spark, sf_dir).localCheckpoint(eager=True),
+                   weight=None)
+    return k_hop(e, ["C104"], 2)
+
+
+def q_kg_negatives(spark, sf_dir):
+    """Deterministic filtered tail-corruption negatives over the
+    co-occurrence triples (operators/triples.negative_triples):
+    3 hash-drawn corrupt tails per positive, true triples and identity
+    corruptions filtered — the KG-embedding training-sample generator."""
+    from nobletools_spark.operators.triples import negative_triples
+
+    t = cooccurrence_triples(_builtin_mentions(spark, sf_dir),
+                             salt_buckets=8)
+    return negative_triples(t, n_neg=3)
+
+
 def q_kg_template_items(spark, sf_dir):
     """Extraction-template ItemInstances (TemplateItem.process
     :347-451 ancestry gating over the builtin template fixture):
@@ -833,6 +867,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_by_ancestor": q_kg_mentions_by_ancestor,
         "kg_template_items": q_kg_template_items,
         "kg_cooccurrence": q_kg_cooccurrence,
+        "kg_lift": q_kg_lift,
+        "kg_khop": q_kg_khop,
+        "kg_negatives": q_kg_negatives,
         "kg_degrees": q_kg_degrees,
         "kg_communities": q_kg_communities,
         "kg_pagerank": q_kg_pagerank,
@@ -1087,6 +1124,64 @@ def oracle_sql() -> dict[str, str]:
         _mentions_cte() + graph_cte
         + " SELECT src AS node, count(*)::BIGINT AS degree,"
           " sum(w)::BIGINT AS weighted_degree FROM edges GROUP BY src")
+
+    # exact fixed-point lift: all-integer arithmetic, see
+    # operators/triples.lift_triples (pairs reuses graph_cte's md/pairs)
+    sql["kg_lift"] = (
+        _mentions_cte() + graph_cte
+        + ", freq AS (SELECT cui, count(*)::BIGINT AS n_c FROM md"
+          " GROUP BY cui), "
+          "tot AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_total"
+          " FROM md) "
+          "SELECT p.a AS subj, 'co-occurs-with' AS pred, p.b AS obj,"
+          " p.w AS n_docs,"
+          " ((1000000 * p.w * t.n_total) // (fa.n_c * fb.n_c))::BIGINT"
+          " AS lift_fp"
+          " FROM pairs p JOIN freq fa ON p.a = fa.cui"
+          " JOIN freq fb ON p.b = fb.cui CROSS JOIN tot t")
+
+    # 2 unrolled BFS rounds from seed C104: frontier minus visited,
+    # min-hop by construction (a node enters at its first round)
+    sql["kg_khop"] = (
+        _mentions_cte() + graph_cte
+        + ", h0 AS (SELECT 'C104' AS node, 0 AS hops), "
+          "f1 AS (SELECT DISTINCT e.dst AS node FROM edges e"
+          " JOIN h0 ON e.src = h0.node"
+          " WHERE e.dst NOT IN (SELECT node FROM h0)), "
+          "h1 AS (SELECT node, hops FROM h0"
+          " UNION ALL SELECT node, 1 FROM f1), "
+          "f2 AS (SELECT DISTINCT e.dst AS node FROM edges e"
+          " JOIN f1 ON e.src = f1.node"
+          " WHERE e.dst NOT IN (SELECT node FROM h1)) "
+          "SELECT node, hops::INTEGER AS hops FROM"
+          " (SELECT node, hops FROM h1"
+          " UNION ALL SELECT node, 2 FROM f2)")
+
+    # hash-drawn filtered tail corruptions (triples.negative_triples):
+    # the triple set is graph_cte's pairs table re-labeled
+    neg_hash = _SQL_H64.format(
+        x="'neg|' || c.subj || '|' || c.pred || '|' || c.obj || '|'"
+          " || c.neg_slot::VARCHAR")
+    sql["kg_negatives"] = (
+        _mentions_cte() + graph_cte
+        + ", t AS (SELECT a AS subj, 'co-occurs-with' AS pred, b AS obj"
+          " FROM pairs), "
+          "ents AS (SELECT DISTINCT e AS entity FROM"
+          " (SELECT subj AS e FROM t UNION ALL SELECT obj FROM t)), "
+          "ranked AS (SELECT entity,"
+          " row_number() OVER (ORDER BY entity) - 1 AS rank FROM ents), "
+          "n AS (SELECT count(*)::BIGINT AS n_entities FROM ents), "
+          "cand AS (SELECT c.subj, c.pred, c.obj, c.neg_slot, "
+        + neg_hash + " % n.n_entities AS rank"
+          " FROM (SELECT t.*, i.neg_slot FROM t CROSS JOIN"
+          " (SELECT unnest([0, 1, 2]) AS neg_slot) i) c CROSS JOIN n), "
+          "hit AS (SELECT c.subj, c.pred, c.obj, r.entity, c.neg_slot"
+          " FROM cand c JOIN ranked r ON c.rank = r.rank"
+          " WHERE r.entity <> c.obj) "
+          "SELECT h.subj, h.pred, h.obj, h.entity AS neg_obj,"
+          " h.neg_slot::INTEGER AS neg_slot FROM hit h"
+          " WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.subj = h.subj"
+          " AND t.pred = h.pred AND t.obj = h.entity)")
 
     # 3 unrolled fixed-point PageRank iterations (scale 10^9, d=85/100):
     # integer division + integer sums are reduction-order-independent,

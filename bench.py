@@ -63,6 +63,9 @@ HEADLINE = (
     "media_decode",
     "kg_incremental_diff",
     "kg_incremental_cooc",
+    "kg_lift",
+    "kg_khop",
+    "kg_negatives",
 )
 
 

@@ -246,6 +246,113 @@ def cooccurrence_triples(mentions_df: DataFrame,
         F.col("cui_b").alias("obj"), F.col("n_docs").cast("long").alias("n_docs"))
 
 
+def lift_triples(mentions_df: DataFrame, scale: int = 10**6,
+                 salt_buckets: int = 0) -> DataFrame:
+    """Co-occurrence triples with an exact fixed-point LIFT confidence:
+
+        lift = P(a,b) / (P(a)·P(b)) = n_pair · N / (n_a · n_b)
+
+    emitted as ``lift_fp = ⌊scale · n_pair · N / (n_a · n_b)⌋`` (BIGINT).
+    Lift is the monotone transform of PMI (PMI = log2 lift), so ranking
+    and thresholding by ``lift_fp`` IS ranking by PMI — and unlike a
+    float log it is computed entirely in integer arithmetic, hence
+    bit-reproducible across partitionings and engines (the same
+    fixed-point trick as ``graph.pagerank``). lift_fp > scale ⇔ the
+    pair co-occurs more than independence predicts — the standard
+    edge-confidence gate before materializing co-occurrence triples
+    into a downstream KG.
+
+    Plan shape: ``cooccurrence_triples`` (the one corpus-scale shuffle,
+    salted when ``salt_buckets`` > 0) joined against the per-concept
+    document-frequency table TWICE — that table is
+    concept-vocabulary-sized, so both joins broadcast — plus a 1-row
+    corpus-size aggregate crossJoined in (no driver action).
+
+    Overflow bound: scale·n_pair·N < 2^63, i.e. exact through
+    ~9·10^12 doc-pair products at the default scale; past that run with
+    a smaller ``scale`` or switch the expression to doubles (the
+    production float path, same plan shape).
+    """
+    cooc = cooccurrence_triples(mentions_df, salt_buckets)
+    dc = mentions_df.select("doc_id", "cui").distinct()
+    freq = dc.groupBy("cui").agg(F.count("*").cast("long").alias("n_c"))
+    total = dc.select(F.count_distinct("doc_id").cast("long").alias("n_total"))
+    fa = freq.select(F.col("cui").alias("subj"), F.col("n_c").alias("n_a"))
+    fb = freq.select(F.col("cui").alias("obj"), F.col("n_c").alias("n_b"))
+    return (cooc.join(F.broadcast(fa), "subj")
+            .join(F.broadcast(fb), "obj")
+            .crossJoin(F.broadcast(total))
+            .select("subj", "pred", "obj", "n_docs",
+                    F.expr(f"CAST(({int(scale)} * n_docs * n_total) DIV "
+                           "(n_a * n_b) AS BIGINT)").alias("lift_fp")))
+
+
+def negative_triples(triples_df: DataFrame, n_neg: int = 2,
+                     entities_df: DataFrame | None = None,
+                     seed: str = "neg") -> DataFrame:
+    """Deterministic filtered tail-corruption negatives for
+    KG-embedding training (the TransE/DistMult sampling recipe): for
+    each true triple (s, p, o) and slot i ∈ [0, n_neg), corrupt the
+    tail to the entity whose rank is ``h64('<seed>|s|p|o|i') mod N``
+    over the alphabetically-ranked entity vocabulary, then FILTER out
+    corruptions that reproduce the original tail or any true (s, p, o')
+    triple. Output: (subj, pred, obj, neg_obj, neg_slot) — one row per
+    surviving (positive, slot) pair, keyed to the positive it corrupts
+    (the contrastive-loss pairing the training loop consumes); row
+    count ≤ n_neg per true triple (collisions drop, the standard
+    "filtered" protocol — callers wanting an exact count oversample
+    n_neg and window-trim).
+
+    Hash-based (not RNG-based) sampling: the negative set is a pure
+    function of (triples, entities, seed) — reproducible across runs,
+    partitionings, and engines (DuckDB-oracle replayable), and re-runs
+    of an incremental pipeline regenerate identical negatives for
+    unchanged triples.
+
+    Scale shape: the entity vocabulary is concept-vocabulary-sized
+    (UMLS ≈ 4M CUIs), so its global ``row_number`` rank and both
+    probe joins broadcast; the true-triple anti-join is co-keyed on
+    (subj, pred, obj). n_neg fan-out is a map-side explode. The filter
+    is DIRECTED — for undirected predicates stored canonically
+    (subj < obj, e.g. co-occurrence) a corruption can reproduce a true
+    pair in reverse orientation; pass the symmetrized true set as
+    ``triples_df`` when that matters for the training objective.
+    Separator
+    caveat: ids must not contain '|' (CUIs never do); swap the concat
+    for a netstring rendering (operators/incremental.py) otherwise."""
+    if n_neg < 1:
+        raise ValueError("n_neg must be >= 1")
+    from pyspark.sql import Window
+
+    from nobletools_spark.functions.hashing import h64
+
+    t = triples_df.select("subj", "pred", "obj").distinct()
+    ents = (entities_df.select(F.col(entities_df.columns[0]).alias("entity"))
+            if entities_df is not None
+            else t.select(F.col("subj").alias("entity"))
+            .unionByName(t.select(F.col("obj").alias("entity")))).distinct()
+    # terminology-bounded global rank: single-partition window by
+    # design (see docstring); larger vocabularies pre-materialize ids
+    ranked = ents.withColumn(
+        "rank", F.row_number().over(Window.orderBy("entity")) - 1)
+    n_ents = ents.agg(F.count("*").cast("long").alias("n_entities"))
+    cand = (t.select("subj", "pred", "obj",
+                     F.explode(F.sequence(
+                         F.lit(0), F.lit(int(n_neg) - 1))).alias("neg_slot"))
+            .crossJoin(F.broadcast(n_ents))
+            .withColumn("rank", h64(F.concat_ws(
+                "|", F.lit(seed), "subj", "pred", "obj", "neg_slot"))
+                % F.col("n_entities")))
+    hit = (cand.join(F.broadcast(ranked), "rank")
+           .filter(F.col("entity") != F.col("obj")))
+    return (hit.join(t.select("subj", "pred",
+                              F.col("obj").alias("entity")),
+                     ["subj", "pred", "entity"], "left_anti")
+            .select("subj", "pred", "obj",
+                    F.col("entity").alias("neg_obj"),
+                    F.col("neg_slot").cast("int").alias("neg_slot")))
+
+
 def write_triples(df: DataFrame, path: str, fmt: str = "parquet",
                   mode: str = "overwrite") -> None:
     """Partitioned triple sink. On a cluster this is an Iceberg table

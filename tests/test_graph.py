@@ -217,3 +217,93 @@ def test_label_propagation_rejects_zero_iterations(spark):
     e = symmetrize(_pairs_df(spark, TWO_CLIQUES), weight=None)
     with pytest.raises(ValueError):
         label_propagation(e, 0)
+
+
+# chain A-B-C-D-E plus isolate pair F-G: distances from A are 0..4
+CHAIN = [("A", "B", 1), ("B", "C", 1), ("C", "D", 1), ("D", "E", 1),
+         ("F", "G", 1)]
+
+
+def py_khop(pairs, seeds, k):
+    adj: dict[str, set[str]] = {}
+    for a, b, *_ in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    hops = {s: 0 for s in seeds}
+    frontier = set(hops)
+    for d in range(1, k + 1):
+        nxt = set().union(*(adj.get(u, set()) for u in frontier)) \
+            - hops.keys() if frontier else set()
+        for v in nxt:
+            hops[v] = d
+        frontier = nxt
+    return hops
+
+
+@pytest.mark.parametrize("dt", [100_000, 0])  # driver + distributed
+@pytest.mark.parametrize("k", [0, 1, 2, 4])
+def test_k_hop_chain(spark, dt, k):
+    from nobletools_spark.operators.graph import k_hop
+
+    e = symmetrize(_pairs_df(spark, CHAIN), weight=None)
+    got = {r["node"]: r["hops"]
+           for r in k_hop(e, ["A"], k, driver_threshold=dt).collect()}
+    assert got == py_khop(CHAIN, ["A"], k)
+
+
+@pytest.mark.parametrize("dt", [100_000, 0])
+def test_k_hop_multi_seed_min_distance(spark, dt):
+    from nobletools_spark.operators.graph import k_hop
+
+    e = symmetrize(_pairs_df(spark, CHAIN), weight=None)
+    got = {r["node"]: r["hops"]
+           for r in k_hop(e, ["A", "E"], 2, driver_threshold=dt).collect()}
+    # C is 2 hops from both ends; B/D are 1 from the nearer seed
+    assert got == {"A": 0, "E": 0, "B": 1, "D": 1, "C": 2}
+
+
+@pytest.mark.parametrize("dt", [100_000, 0])
+def test_k_hop_seed_absent_from_graph(spark, dt):
+    from nobletools_spark.operators.graph import k_hop
+
+    e = symmetrize(_pairs_df(spark, CHAIN), weight=None)
+    got = {r["node"]: r["hops"]
+           for r in k_hop(e, ["Z"], 3, driver_threshold=dt).collect()}
+    assert got == {"Z": 0}
+
+
+def test_k_hop_dataframe_seeds_and_early_exit(spark):
+    from nobletools_spark.operators.graph import k_hop
+
+    e = symmetrize(_pairs_df(spark, CHAIN), weight=None)
+    seeds = spark.createDataFrame([("F",), ("F",)], "s string")
+    # k far beyond the component diameter: the drained-frontier
+    # early exit must stop the loop, and dup seeds collapse
+    got = {r["node"]: r["hops"]
+           for r in k_hop(e, seeds, 9, driver_threshold=0).collect()}
+    assert got == {"F": 0, "G": 1}
+
+
+def test_k_hop_rejects_negative_k(spark):
+    from nobletools_spark.operators.graph import k_hop
+
+    e = symmetrize(_pairs_df(spark, CHAIN), weight=None)
+    with pytest.raises(ValueError):
+        k_hop(e, ["A"], -1)
+
+
+@settings(max_examples=15, deadline=None)
+@given(edge_set=st.sets(
+    st.tuples(st.sampled_from("ABCDEF"), st.sampled_from("ABCDEF")),
+    max_size=12), k=st.integers(0, 3))
+def test_k_hop_matches_bruteforce(spark, edge_set, k):
+    from nobletools_spark.operators.graph import k_hop
+
+    pairs = [(a, b, 1) for a, b in edge_set if a != b]
+    if not pairs:
+        return
+    e = symmetrize(_pairs_df(spark, pairs), weight=None)
+    for dt in (100_000, 0):
+        got = {r["node"]: r["hops"]
+               for r in k_hop(e, ["A"], k, driver_threshold=dt).collect()}
+        assert got == py_khop(pairs, ["A"], k)

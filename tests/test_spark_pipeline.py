@@ -361,3 +361,76 @@ def test_word_stats_df_matches_index_counts(spark):
     assert got == want
     # the quirk itself: 'ran' is a substring of same-concept 'grand'
     assert got["ran"] == 2
+
+
+def test_lift_triples_exact_fixed_point(spark):
+    from nobletools_spark.operators.triples import lift_triples
+
+    m = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (1, "C"), (2, "A"), (2, "B"),
+         (3, "B"), (3, "D"), (4, "A"), (1, "A")],  # dup mention collapses
+        "doc_id bigint, cui string")
+    got = {(r.subj, r.obj): (r.n_docs, r.lift_fp)
+           for r in lift_triples(m).collect()}
+    # N=4; docfreq A=3 B=3 C=1 D=1
+    assert got == {
+        ("A", "B"): (2, (10**6 * 2 * 4) // (3 * 3)),
+        ("A", "C"): (1, (10**6 * 1 * 4) // (3 * 1)),
+        ("B", "C"): (1, (10**6 * 1 * 4) // (3 * 1)),
+        ("B", "D"): (1, (10**6 * 1 * 4) // (3 * 1)),
+    }
+    # independence gate: lift_fp > scale iff co-occurrence beats chance
+    assert got[("A", "B")][1] < 10**6 < got[("B", "D")][1]
+
+
+def test_lift_triples_salted_equals_plain(spark, mentions):
+    from nobletools_spark.operators.triples import lift_triples
+
+    plain = {(r.subj, r.obj): r.lift_fp
+             for r in lift_triples(mentions, salt_buckets=0).collect()}
+    salted = {(r.subj, r.obj): r.lift_fp
+              for r in lift_triples(mentions, salt_buckets=8).collect()}
+    assert plain == salted and plain
+
+
+def test_negative_triples_contract(spark):
+    from nobletools_spark.operators.triples import negative_triples
+
+    t = spark.createDataFrame(
+        [("A", "p", "B"), ("A", "p", "C"), ("B", "p", "C"),
+         ("A", "p", "B")],  # dup collapses
+        "subj string, pred string, obj string")
+    out = negative_triples(t, n_neg=4).collect()
+    negs = {(r.subj, r.pred, r.obj, r.neg_obj, r.neg_slot) for r in out}
+    assert len(negs) == len(out)  # (positive, slot) is a unique key
+    true = {("A", "p", "B"), ("A", "p", "C"), ("B", "p", "C")}
+    ents = {"A", "B", "C"}
+    for s, p, o, no, slot in negs:
+        assert (s, p, o) in true              # keyed to its positive
+        assert (s, p, no) not in true         # filtered protocol
+        assert no != o
+        assert no in ents and 0 <= slot < 4   # tails from the vocab
+    # ≤ n_neg per true triple, and the hash sampler lands SOME rows
+    from collections import Counter
+    per = Counter((s, p, o) for s, p, o, _, _ in negs)
+    assert negs and all(c <= 4 for c in per.values())
+    # determinism: a re-run is bit-identical
+    again = {(r.subj, r.pred, r.obj, r.neg_obj, r.neg_slot)
+             for r in negative_triples(t, n_neg=4).collect()}
+    assert negs == again
+    # a different seed changes the draw
+    other = {(r.subj, r.pred, r.obj, r.neg_obj, r.neg_slot)
+             for r in negative_triples(t, n_neg=4, seed="neg2").collect()}
+    assert negs != other
+
+
+def test_negative_triples_explicit_entities_and_validation(spark):
+    from nobletools_spark.operators.triples import negative_triples
+
+    t = spark.createDataFrame([("A", "p", "B")],
+                              "subj string, pred string, obj string")
+    ents = spark.createDataFrame([("X",), ("Y",), ("B",)], "entity string")
+    out = negative_triples(t, n_neg=6, entities_df=ents).collect()
+    assert out and all(r.neg_obj in {"X", "Y"} for r in out)  # B == true
+    with pytest.raises(ValueError):
+        negative_triples(t, n_neg=0)
