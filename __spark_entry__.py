@@ -377,6 +377,44 @@ def q_kg_negatives(spark, sf_dir):
     return negative_triples(t, n_neg=3)
 
 
+# (tui_s, tui_o, pred) predicate-induction rules over the builtin type
+# system: T001 = Operator Concept, T002 = Entity Concept
+BUILTIN_TYPE_RULES = (
+    ("T001", "T002", "operates-on"),
+    ("T001", "T001", "composes-with"),
+)
+
+
+def q_kg_typed_cooc(spark, sf_dir):
+    """Ontology-typed predicate induction
+    (operators/triples.typed_cooccurrence): co-occurrence pairs
+    relabeled by (subj-type, obj-type) rules — operator×entity pairs
+    become 'operates-on', operator×operator 'composes-with'."""
+    from nobletools_spark.operators.triples import typed_cooccurrence
+
+    cooc = cooccurrence_triples(_builtin_mentions(spark, sf_dir),
+                                salt_buckets=8)
+    sem = _dim(spark, [(c, t) for c, t, _ in BUILTIN_SEMTYPES],
+               "cui string, tui string")
+    rules = _dim(spark, list(BUILTIN_TYPE_RULES),
+                 "tui_s string, tui_o string, pred string")
+    return typed_cooccurrence(cooc, sem, rules)
+
+
+def q_kg_relations(spark, sf_dir):
+    """Sentence-level relation candidates
+    (operators/triples.relation_triples): same-sentence ordered mention
+    pairs aggregated to (subj, obj, n_sents, min_gap). Rows-only by
+    declared design: subject/object order and gaps derive from the
+    matcher's character offsets, which the SQL oracle cannot replay
+    (same declaration as kg_mentions_full); the pairing/aggregation
+    semantics are pinned by tests/test_spark_pipeline.py geometry and
+    e2e sentence-scoping tests."""
+    from nobletools_spark.operators.triples import relation_triples
+
+    return relation_triples(_builtin_mentions(spark, sf_dir), max_gap=200)
+
+
 def q_kg_template_items(spark, sf_dir):
     """Extraction-template ItemInstances (TemplateItem.process
     :347-451 ancestry gating over the builtin template fixture):
@@ -870,6 +908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_lift": q_kg_lift,
         "kg_khop": q_kg_khop,
         "kg_negatives": q_kg_negatives,
+        "kg_typed_cooc": q_kg_typed_cooc,
+        "kg_relations": q_kg_relations,
         "kg_degrees": q_kg_degrees,
         "kg_communities": q_kg_communities,
         "kg_pagerank": q_kg_pagerank,
@@ -1139,6 +1179,26 @@ def oracle_sql() -> dict[str, str]:
           " AS lift_fp"
           " FROM pairs p JOIN freq fa ON p.a = fa.cui"
           " JOIN freq fb ON p.b = fb.cui CROSS JOIN tot t")
+
+    # typed predicate induction: pairs × semtypes² × rules, both rule
+    # orientations, re-oriented so subj carries tui_s (triples.py)
+    sql["kg_typed_cooc"] = (
+        _mentions_cte() + graph_cte
+        + ", sem AS (SELECT * FROM "
+        + _values([(c, t) for c, t, _ in BUILTIN_SEMTYPES],
+                  ("cui", "tui")) + "), "
+          "rules AS (SELECT * FROM "
+        + _values(BUILTIN_TYPE_RULES, ("tui_s", "tui_o", "pred")) + "), "
+          "typed AS (SELECT p.a AS subj, p.b AS obj, p.w AS n_docs,"
+          " sa.tui AS tui_s, sb.tui AS tui_o FROM pairs p"
+          " JOIN sem sa ON p.a = sa.cui JOIN sem sb ON p.b = sb.cui) "
+          "SELECT DISTINCT subj, pred, obj, n_docs FROM ("
+          "SELECT t.subj, r.pred, t.obj, t.n_docs FROM typed t"
+          " JOIN rules r ON t.tui_s = r.tui_s AND t.tui_o = r.tui_o"
+          " UNION ALL "
+          "SELECT t.obj AS subj, r.pred, t.subj AS obj, t.n_docs"
+          " FROM typed t"
+          " JOIN rules r ON t.tui_s = r.tui_o AND t.tui_o = r.tui_s)")
 
     # 2 unrolled BFS rounds from seed C104: frontier minus visited,
     # min-hop by construction (a node enters at its first round)

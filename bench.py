@@ -66,6 +66,8 @@ HEADLINE = (
     "kg_lift",
     "kg_khop",
     "kg_negatives",
+    "kg_typed_cooc",
+    "kg_relations",
 )
 
 

@@ -287,6 +287,106 @@ def lift_triples(mentions_df: DataFrame, scale: int = 10**6,
                            "(n_a * n_b) AS BIGINT)").alias("lift_fp")))
 
 
+def typed_cooccurrence(cooc_df: DataFrame, semtypes_df: DataFrame,
+                       rules_df: DataFrame) -> DataFrame:
+    """Ontology-typed predicate induction: relabel untyped
+    co-occurrence pairs with predicates keyed by the semantic-type pair
+    — the KG-construction step that turns a statistical signal
+    ('co-occurs-with') into a typed relation ('operates-on') using the
+    terminology's own type system (the reference ships the types via
+    MRSTY, ConceptImporter.java:1056-1067, but never lifts them onto
+    edges; this is the beyond-reference lift).
+
+    ``cooc_df``: canonical undirected pairs (subj < obj, n_docs) —
+    ``cooccurrence_triples`` output. ``semtypes_df``: (cui, tui).
+    ``rules_df``: (tui_s, tui_o, pred) — DIRECTED rules; a pair matches
+    a rule in either orientation and is emitted re-oriented so subj
+    carries ``tui_s`` (a rule with tui_s = tui_o matches both ways and
+    collapses to the canonical orientation via distinct). Concepts with
+    several semantic types match every applicable rule.
+
+    Plan shape: the pair table joins the (terminology-sized, broadcast)
+    semtype table twice and the (tiny, broadcast) rule table twice —
+    one scan of the corpus-derived pair table, no new corpus shuffle;
+    the final distinct is pair-table-sized."""
+    sa = semtypes_df.select(F.col("cui").alias("subj"),
+                            F.col("tui").alias("tui_s"))
+    sb = semtypes_df.select(F.col("cui").alias("obj"),
+                            F.col("tui").alias("tui_o"))
+    typed = (cooc_df.drop("pred")
+             .join(F.broadcast(sa), "subj")
+             .join(F.broadcast(sb), "obj"))
+    fwd = typed.join(F.broadcast(rules_df), ["tui_s", "tui_o"]).select(
+        "subj", "pred", "obj", "n_docs")
+    rules_rev = rules_df.select(F.col("tui_s").alias("tui_o"),
+                                F.col("tui_o").alias("tui_s"), "pred")
+    rev = typed.join(F.broadcast(rules_rev), ["tui_s", "tui_o"]).select(
+        F.col("obj").alias("subj"), "pred",
+        F.col("subj").alias("obj"), "n_docs")
+    return fwd.unionByName(rev).distinct()
+
+
+def relation_mentions(mentions_df: DataFrame,
+                      max_gap: int = 100) -> DataFrame:
+    """Sentence-level relation candidates with evidence geometry: one
+    row per ordered same-sentence mention pair where the subject span
+    ends before the object span starts and the character gap between
+    them is ≤ ``max_gap`` — the standard candidate generator for
+    pattern/ML relation extraction (doc-level co-occurrence is too
+    coarse to imply a stated relation; same-sentence adjacency is the
+    usual evidence bar). Output: (doc_id, sent_offset, subj_cui,
+    obj_cui, subj_start, subj_end, obj_start, obj_end, gap) with
+    offsets in document coordinates as emitted by the matcher.
+
+    Identical-concept pairs (subj_cui == obj_cui) are dropped —
+    self-relations are coreference, not relations. Overlapping spans
+    are dropped by the a.end ≤ b.start order condition (an overlap is
+    one mention subsuming another, already resolved by the matcher's
+    subsumption sweep).
+
+    Plan shape: one self-join keyed on (doc_id, sent_offset) — the
+    per-sentence mention set is tiny, so the pair explosion is
+    sentence-local, exactly the ``cooccurrence_triples`` shape with a
+    finer key; no other shuffle."""
+    m = (mentions_df.select("doc_id", "sent_offset", "cui", "start", "end")
+         .distinct())
+    a = m.alias("a")
+    b = m.alias("b")
+    return (a.join(b, ["doc_id", "sent_offset"])
+            .filter((F.col("a.end") <= F.col("b.start"))
+                    & (F.col("a.cui") != F.col("b.cui"))
+                    & (F.col("b.start") - F.col("a.end") <= max_gap))
+            .select("doc_id", "sent_offset",
+                    F.col("a.cui").alias("subj_cui"),
+                    F.col("b.cui").alias("obj_cui"),
+                    F.col("a.start").alias("subj_start"),
+                    F.col("a.end").alias("subj_end"),
+                    F.col("b.start").alias("obj_start"),
+                    F.col("b.end").alias("obj_end"),
+                    (F.col("b.start") - F.col("a.end")).alias("gap")))
+
+
+def relation_triples(mentions_df: DataFrame, max_gap: int = 100,
+                     min_sents: int = 1) -> DataFrame:
+    """Aggregated sentence-level relation candidates:
+    (subj, 'co-occurs-in-sentence', obj, n_sents, min_gap) where
+    ``n_sents`` counts distinct (doc, sentence) evidence sites and
+    ``min_gap`` is the tightest observed span gap (small = likely a
+    stated relation, e.g. 'X of Y'). Direction is textual order —
+    (A, B) and (B, A) are distinct rows when both orders occur.
+    ``min_sents`` gates out one-off pairings. One aggregation shuffle
+    over the (sentence-local) pair stream."""
+    pairs = relation_mentions(mentions_df, max_gap)
+    return (pairs.groupBy(F.col("subj_cui").alias("subj"),
+                          F.col("obj_cui").alias("obj"))
+            .agg(F.count_distinct("doc_id", "sent_offset")
+                 .cast("long").alias("n_sents"),
+                 F.min("gap").cast("int").alias("min_gap"))
+            .filter(F.col("n_sents") >= min_sents)
+            .select("subj", F.lit("co-occurs-in-sentence").alias("pred"),
+                    "obj", "n_sents", "min_gap"))
+
+
 def negative_triples(triples_df: DataFrame, n_neg: int = 2,
                      entities_df: DataFrame | None = None,
                      seed: str = "neg") -> DataFrame:

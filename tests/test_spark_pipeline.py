@@ -434,3 +434,90 @@ def test_negative_triples_explicit_entities_and_validation(spark):
     assert out and all(r.neg_obj in {"X", "Y"} for r in out)  # B == true
     with pytest.raises(ValueError):
         negative_triples(t, n_neg=0)
+
+
+def test_typed_cooccurrence_rules_and_orientation(spark):
+    from nobletools_spark.operators.triples import typed_cooccurrence
+
+    cooc = spark.createDataFrame(
+        [("A", "co-occurs-with", "B", 3), ("A", "co-occurs-with", "C", 1),
+         ("B", "co-occurs-with", "C", 2)],
+        "subj string, pred string, obj string, n_docs bigint")
+    sem = spark.createDataFrame(
+        [("A", "T1"), ("B", "T2"), ("C", "T1"), ("C", "T2")],
+        "cui string, tui string")
+    rules = spark.createDataFrame(
+        [("T1", "T2", "operates-on"), ("T1", "T1", "peer-of")],
+        "tui_s string, tui_o string, pred string")
+    got = {(r.subj, r.pred, r.obj, r.n_docs)
+           for r in typed_cooccurrence(cooc, sem, rules).collect()}
+    assert got == {
+        # (A,B): A=T1, B=T2 -> forward rule
+        ("A", "operates-on", "B", 3),
+        # (A,C): C is T1 and T2 -> both the directed rule (A T1 -> C T2)
+        # and the symmetric T1-T1 rule in both orientations
+        ("A", "operates-on", "C", 1),
+        ("A", "peer-of", "C", 1), ("C", "peer-of", "A", 1),
+        # (B,C): B=T2, C=T1 -> rule matches reversed -> re-oriented
+        ("C", "operates-on", "B", 2),
+    }
+
+
+def test_relation_mentions_geometry(spark):
+    from nobletools_spark.operators.triples import relation_mentions
+
+    m = spark.createDataFrame(
+        # doc 1 sentence 0: X[0,5) Y[8,12) Z[40,44); sentence 50: X[50,55)
+        [("1", 0, "X", 0, 5), ("1", 0, "Y", 8, 12), ("1", 0, "Z", 40, 44),
+         ("1", 50, "X", 50, 55),
+         # doc 2: overlapping pair + same-cui pair
+         ("2", 0, "X", 0, 10), ("2", 0, "Y", 5, 12), ("2", 0, "X", 20, 24)],
+        "doc_id string, sent_offset int, cui string, start int, end int")
+    got = {(r.doc_id, r.subj_cui, r.obj_cui, r.gap)
+           for r in relation_mentions(m, max_gap=30).collect()}
+    assert got == {
+        ("1", "X", "Y", 3),      # 8 - 5
+        ("1", "Y", "Z", 28),     # 40 - 12, within gap cap
+        # (X, Z) gap 35 > 30 dropped; cross-sentence X pairs dropped;
+        # doc2 X/Y overlap dropped; doc2 X..X same-cui dropped
+        ("2", "Y", "X", 8),      # 20 - 12: textual order decides subj
+    }
+    # gap cap boundary: exactly max_gap survives
+    wide = {(r.subj_cui, r.obj_cui)
+            for r in relation_mentions(m, max_gap=35).collect()}
+    assert ("X", "Z") in wide
+
+
+def test_relation_triples_aggregation(spark):
+    from nobletools_spark.operators.triples import relation_triples
+
+    m = spark.createDataFrame(
+        [("1", 0, "X", 0, 5), ("1", 0, "Y", 8, 12),
+         ("2", 0, "X", 0, 5), ("2", 0, "Y", 20, 24),
+         ("3", 0, "Y", 0, 5), ("3", 0, "X", 9, 13)],
+        "doc_id string, sent_offset int, cui string, start int, end int")
+    got = {(r.subj, r.pred, r.obj, r.n_sents, r.min_gap)
+           for r in relation_triples(m).collect()}
+    assert got == {("X", "co-occurs-in-sentence", "Y", 2, 3),
+                   ("Y", "co-occurs-in-sentence", "X", 1, 4)}
+    gated = {(r.subj, r.obj)
+             for r in relation_triples(m, min_sents=2).collect()}
+    assert gated == {("X", "Y")}
+
+
+def test_relation_mentions_e2e_sentence_scoping(spark):
+    """Through the real matcher: mentions in different sentences of one
+    document never pair; mentions in one sentence pair in offset
+    order with document-coordinate gaps."""
+    from nobletools_spark.operators.triples import relation_mentions
+    from nobletools_spark.sources.fixtures import pytest_index
+
+    docs = spark.createDataFrame(
+        [("d1", [("text", "Deep margin is clear. Nasal septum with "
+                          "fish noted.", None, 0)])], SPANS_DDL)
+    mm = annotate(docs, pytest_index(), CFG)
+    pairs = {(r.subj_cui, r.obj_cui)
+             for r in relation_mentions(mm, max_gap=200).collect()}
+    # sentence 1 has only C001 (deep margin, subsuming); sentence 2 has
+    # C004 (nasal septum) then C006 (fish) — the ONLY pair
+    assert pairs == {("C004", "C006")}
