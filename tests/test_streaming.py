@@ -383,3 +383,70 @@ def test_sessionize_string_user_ids_stay_separate(spark):
     got = {(r.user_id, r.session_idx): r.n_events
            for r in sessionize(events, gap_minutes=30).collect()}
     assert got == {("alice", 1): 2, ("alice", 2): 1, ("bob", 1): 1}
+
+
+def test_streaming_incremental_maintenance(spark, tmp_path):
+    """Upsert stream through start_incremental_maintenance: after every
+    micro-batch the state mention table equals a full re-annotate of
+    the latest version of every doc, and the matcher only ever sees
+    fingerprint-changed docs (re-delivered identical docs are join-skipped)."""
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+    from nobletools_spark.streaming.stream import (
+        read_upsert_state,
+        start_incremental_maintenance,
+    )
+
+    idx = pytest_index()
+    seen_counts = []
+
+    def annotate_fn(docs):
+        seen_counts.append(docs.count())
+        return annotate(docs, idx, MatchConfig(), min_parallelism=1)
+
+    def span(t):
+        return [("text", t, None, 0)]
+
+    in_path = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    def run_batch(rows, name):
+        spark.createDataFrame(rows, SPANS_DDL).coalesce(1) \
+            .write.parquet(f"{in_path}/{name}")
+        q = start_incremental_maintenance(
+            read_document_stream(spark, f"{in_path}/*"), state,
+            annotate_fn, ck)
+        q.awaitTermination(120)
+
+    def state_key():
+        _, m = read_upsert_state(spark, state)
+        return _key(m.collect())
+
+    def want_key(rows):
+        docs = spark.createDataFrame(rows, SPANS_DDL)
+        return _key(annotate(docs, idx, MatchConfig(),
+                             min_parallelism=1).collect())
+
+    # batch 1: initial corpus
+    b1 = [("d1", span("deep margin is clear")),
+          ("d2", span("nasal septum noted")),
+          ("d3", span("fish was positive"))]
+    run_batch(b1, "b1")
+    assert state_key() == want_key(b1)
+    assert seen_counts[-1] == 3
+
+    # batch 2: d2 changed, d4 new, d1 re-delivered UNCHANGED
+    b2 = [("d1", span("deep margin is clear")),
+          ("d2", span("septum of the nose deviates")),
+          ("d4", span("DCIS with deep margins"))]
+    run_batch(b2, "b2")
+    latest = [b1[0], b2[1], b1[2], b2[2]]
+    assert state_key() == want_key(latest)
+    assert seen_counts[-1] == 2  # d1 skipped: identical fingerprint
+
+    # batch 3: d4 changed again
+    b3 = [("d4", span("no fish seen"))]
+    run_batch(b3, "b3")
+    latest = [b1[0], b2[1], b1[2], b3[0]]
+    assert state_key() == want_key(latest)
+    assert seen_counts[-1] == 1
