@@ -415,6 +415,20 @@ def q_kg_relations(spark, sf_dir):
     return relation_triples(_builtin_mentions(spark, sf_dir), max_gap=200)
 
 
+def q_kg_concept_nodes(spark, sf_dir):
+    """Property-graph node table (operators/triples.concept_nodes):
+    per-concept corpus stats + co-occurrence degree + semantic types +
+    preferred name — the vertex side matching the triple edge sinks."""
+    from nobletools_spark.operators.triples import concept_nodes
+
+    m = _builtin_mentions(spark, sf_dir)
+    sem = _dim(spark, [(c, t) for c, t, _ in BUILTIN_SEMTYPES],
+               "cui string, tui string")
+    names = _dim(spark, [(c["cui"], c["name"]) for c in BUILTIN_CONCEPTS],
+                 "cui string, name string")
+    return concept_nodes(m, sem, names, salt_buckets=8)
+
+
 def q_kg_template_items(spark, sf_dir):
     """Extraction-template ItemInstances (TemplateItem.process
     :347-451 ancestry gating over the builtin template fixture):
@@ -910,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": q_kg_negatives,
         "kg_typed_cooc": q_kg_typed_cooc,
         "kg_relations": q_kg_relations,
+        "kg_concept_nodes": q_kg_concept_nodes,
         "kg_degrees": q_kg_degrees,
         "kg_communities": q_kg_communities,
         "kg_pagerank": q_kg_pagerank,
@@ -1179,6 +1194,28 @@ def oracle_sql() -> dict[str, str]:
           " AS lift_fp"
           " FROM pairs p JOIN freq fa ON p.a = fa.cui"
           " JOIN freq fb ON p.b = fb.cui CROSS JOIN tot t")
+
+    # property-graph node table: md counts + symmetrized-degree join +
+    # sorted comma-joined semtype list + name dim (triples.concept_nodes)
+    sql["kg_concept_nodes"] = (
+        _mentions_cte() + graph_cte
+        + ", nodes AS (SELECT cui, count(*)::BIGINT AS n_docs FROM md"
+          " GROUP BY cui), "
+          "deg AS (SELECT src AS cui, count(*)::BIGINT AS degree,"
+          " sum(w)::BIGINT AS weighted_degree FROM edges GROUP BY src), "
+          "sem AS (SELECT cui, string_agg(tui, ',' ORDER BY tui) AS tuis"
+          " FROM (SELECT DISTINCT cui, tui FROM "
+        + _values([(c, t) for c, t, _ in BUILTIN_SEMTYPES], ("cui", "tui"))
+        + ") GROUP BY cui), "
+          "names AS (SELECT * FROM "
+        + _values([(c["cui"], c["name"]) for c in BUILTIN_CONCEPTS],
+                  ("cui", "name")) + ") "
+          "SELECT n.cui, n.n_docs, COALESCE(d.degree, 0)::BIGINT AS degree,"
+          " COALESCE(d.weighted_degree, 0)::BIGINT AS weighted_degree,"
+          " s.tuis, nm.name FROM nodes n"
+          " LEFT JOIN deg d ON n.cui = d.cui"
+          " LEFT JOIN sem s ON n.cui = s.cui"
+          " LEFT JOIN names nm ON n.cui = nm.cui")
 
     # typed predicate induction: pairs × semtypes² × rules, both rule
     # orientations, re-oriented so subj carries tui_s (triples.py)

@@ -68,6 +68,7 @@ HEADLINE = (
     "kg_negatives",
     "kg_typed_cooc",
     "kg_relations",
+    "kg_concept_nodes",
 )
 
 

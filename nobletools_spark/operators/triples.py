@@ -387,6 +387,53 @@ def relation_triples(mentions_df: DataFrame, max_gap: int = 100,
                     "obj", "n_sents", "min_gap"))
 
 
+def concept_nodes(mentions_df: DataFrame,
+                  semtypes_df: DataFrame | None = None,
+                  names_df: DataFrame | None = None,
+                  salt_buckets: int = 0) -> DataFrame:
+    """Node-side materialization of the KG property graph: one row per
+    mentioned concept with its corpus statistics and graph degree —
+    the companion table to the (subj, pred, obj) edge sinks
+    (``write_triples``), so a property-graph consumer (GraphFrames,
+    graph DBs) gets vertices and edges from the same pipeline.
+
+    Columns: (cui, n_docs, degree, weighted_degree[, tuis][, name]) —
+    ``n_docs`` = distinct documents mentioning the concept; degree
+    columns count distinct co-occurrence partners / sum pair doc-counts
+    (0 for concepts that never co-occur); ``tuis`` is the sorted
+    comma-joined semantic-type list when ``semtypes_df`` (cui, tui) is
+    given; ``name`` joins from ``names_df`` (cui, name).
+
+    Plan shape: the (doc, cui) distinct + per-concept count is one
+    corpus-keyed aggregation; the degree input reuses
+    ``cooccurrence_triples`` (salted under skew like every consumer);
+    semtype/name joins broadcast (terminology-sized). Output is
+    concept-vocabulary-sized."""
+    from nobletools_spark.operators.graph import degrees, symmetrize
+
+    dc = mentions_df.select("doc_id", "cui").distinct()
+    nodes = dc.groupBy("cui").agg(
+        F.count("*").cast("long").alias("n_docs"))
+    pairs = cooccurrence_triples(mentions_df, salt_buckets).select(
+        F.col("subj").alias("a"), F.col("obj").alias("b"),
+        F.col("n_docs").alias("weight"))
+    deg = degrees(symmetrize(pairs)).withColumnRenamed("node", "cui")
+    nodes = (nodes.join(deg, "cui", "left")
+             .select("cui", "n_docs",
+                     F.coalesce("degree", F.lit(0)).alias("degree"),
+                     F.coalesce("weighted_degree", F.lit(0))
+                     .alias("weighted_degree")))
+    if semtypes_df is not None:
+        tuis = (semtypes_df.groupBy("cui")
+                .agg(F.concat_ws(",", F.array_sort(F.collect_set("tui")))
+                     .alias("tuis")))
+        nodes = nodes.join(F.broadcast(tuis), "cui", "left")
+    if names_df is not None:
+        nodes = nodes.join(
+            F.broadcast(names_df.select("cui", "name")), "cui", "left")
+    return nodes
+
+
 def negative_triples(triples_df: DataFrame, n_neg: int = 2,
                      entities_df: DataFrame | None = None,
                      seed: str = "neg") -> DataFrame:

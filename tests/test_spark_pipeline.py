@@ -521,3 +521,23 @@ def test_relation_mentions_e2e_sentence_scoping(spark):
     # sentence 1 has only C001 (deep margin, subsuming); sentence 2 has
     # C004 (nasal septum) then C006 (fish) — the ONLY pair
     assert pairs == {("C004", "C006")}
+
+
+def test_concept_nodes_table(spark):
+    from nobletools_spark.operators.triples import concept_nodes
+
+    m = spark.createDataFrame(
+        # A+B co-occur twice; C is mentioned alone (degree 0); dup row
+        [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "C"), (3, "C")],
+        "doc_id bigint, cui string")
+    sem = spark.createDataFrame(
+        [("A", "T2"), ("A", "T1"), ("B", "T1")], "cui string, tui string")
+    names = spark.createDataFrame(
+        [("A", "Alpha"), ("C", "Gamma")], "cui string, name string")
+    got = {r.cui: (r.n_docs, r.degree, r.weighted_degree, r.tuis, r.name)
+           for r in concept_nodes(m, sem, names).collect()}
+    assert got == {
+        "A": (2, 1, 2, "T1,T2", "Alpha"),   # sorted tui list
+        "B": (2, 1, 2, "T1", None),         # no name row
+        "C": (1, 0, 0, None, "Gamma"),      # never co-occurs
+    }
