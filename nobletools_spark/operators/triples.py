@@ -215,7 +215,8 @@ def mentions_with_ancestor(mentions_df: DataFrame, edges_df: DataFrame,
 
 
 def cooccurrence_triples(mentions_df: DataFrame,
-                         salt_buckets: int = 0) -> DataFrame:
+                         salt_buckets: int = 0,
+                         assume_distinct: bool = False) -> DataFrame:
     """Same-document co-mention pairs with document counts:
     (cui_a, 'co-occurs-with', cui_b, n_docs), cui_a < cui_b.
 
@@ -225,8 +226,23 @@ def cooccurrence_triples(mentions_df: DataFrame,
     explicit two-phase aggregation spreads hot pairs (Zipf-skewed
     concepts) across ``salt_buckets`` partial keys before the final sum —
     the blacklist analog for co-occurrence (SURVEY.md §4).
+
+    ``assume_distinct``: the input is already a distinct (doc, cui)
+    projection (a caller sharing one persisted projection across
+    several aggregates, e.g. ``lift_triples``) — skips the redundant
+    distinct shuffle.
     """
-    dc = mentions_df.select("doc_id", "cui").distinct()
+    dc = mentions_df.select("doc_id", "cui")
+    if not assume_distinct:
+        # persist the distinct projection: the pair self-join reads it
+        # on BOTH sides, and exchange reuse is not guaranteed under AQE
+        # (small inputs flip to a broadcast join whose build side is a
+        # separate computation) — without the cache the mentions
+        # lineage, i.e. a full matcher pass at corpus scale, executes
+        # once per side. Left to the LRU block manager (triangles()
+        # convention); callers sharing their own persisted projection
+        # pass assume_distinct=True instead.
+        dc = dc.distinct().persist()
     pairs = (dc.alias("a").join(dc.alias("b"), "doc_id")
              .filter(F.col("a.cui") < F.col("b.cui"))
              .select("doc_id", F.col("a.cui").alias("cui_a"),
@@ -273,8 +289,13 @@ def lift_triples(mentions_df: DataFrame, scale: int = 10**6,
     a smaller ``scale`` or switch the expression to doubles (the
     production float path, same plan shape).
     """
-    cooc = cooccurrence_triples(mentions_df, salt_buckets)
-    dc = mentions_df.select("doc_id", "cui").distinct()
+    # ONE corpus pass: pairs, doc frequencies, and the corpus size all
+    # derive from the same persisted (doc, cui) projection — without it
+    # Spark recomputes the mentions lineage (a full matcher pass at
+    # corpus scale) once per aggregate. Left to the LRU block manager
+    # after the query, the triangles() convention.
+    dc = mentions_df.select("doc_id", "cui").distinct().persist()
+    cooc = cooccurrence_triples(dc, salt_buckets, assume_distinct=True)
     freq = dc.groupBy("cui").agg(F.count("*").cast("long").alias("n_c"))
     total = dc.select(F.count_distinct("doc_id").cast("long").alias("n_total"))
     fa = freq.select(F.col("cui").alias("subj"), F.col("n_c").alias("n_a"))
@@ -313,9 +334,12 @@ def typed_cooccurrence(cooc_df: DataFrame, semtypes_df: DataFrame,
                             F.col("tui").alias("tui_s"))
     sb = semtypes_df.select(F.col("cui").alias("obj"),
                             F.col("tui").alias("tui_o"))
+    # persist: the forward and reversed rule joins both read this
+    # (pair-table-sized) intermediate; without the cache the corpus
+    # lineage under cooc_df executes once per orientation
     typed = (cooc_df.drop("pred")
              .join(F.broadcast(sa), "subj")
-             .join(F.broadcast(sb), "obj"))
+             .join(F.broadcast(sb), "obj")).persist()
     fwd = typed.join(F.broadcast(rules_df), ["tui_s", "tui_o"]).select(
         "subj", "pred", "obj", "n_docs")
     rules_rev = rules_df.select(F.col("tui_s").alias("tui_o"),
@@ -411,10 +435,13 @@ def concept_nodes(mentions_df: DataFrame,
     concept-vocabulary-sized."""
     from nobletools_spark.operators.graph import degrees, symmetrize
 
-    dc = mentions_df.select("doc_id", "cui").distinct()
+    # shared persisted (doc, cui) projection: node counts AND the pair
+    # table derive from it — one matcher pass, not two (see lift_triples)
+    dc = mentions_df.select("doc_id", "cui").distinct().persist()
     nodes = dc.groupBy("cui").agg(
         F.count("*").cast("long").alias("n_docs"))
-    pairs = cooccurrence_triples(mentions_df, salt_buckets).select(
+    pairs = cooccurrence_triples(dc, salt_buckets,
+                                  assume_distinct=True).select(
         F.col("subj").alias("a"), F.col("obj").alias("b"),
         F.col("n_docs").alias("weight"))
     deg = degrees(symmetrize(pairs)).withColumnRenamed("node", "cui")
@@ -473,7 +500,10 @@ def negative_triples(triples_df: DataFrame, n_neg: int = 2,
 
     from nobletools_spark.functions.hashing import h64
 
-    t = triples_df.select("subj", "pred", "obj").distinct()
+    # the distinct triple set feeds four plan legs (both entity scans,
+    # the candidate stream, the anti-join) — persist so an expensive
+    # upstream lineage (the matcher) runs once, not four times
+    t = triples_df.select("subj", "pred", "obj").distinct().persist()
     ents = (entities_df.select(F.col(entities_df.columns[0]).alias("entity"))
             if entities_df is not None
             else t.select(F.col("subj").alias("entity"))
