@@ -347,6 +347,12 @@ def extract_items(mentions_df: DataFrame, edges_df: DataFrame,
     for c in ("start", "end"):
         if c not in cols:
             m = m.withColumn(c, F.lit(None).cast("int"))
+    if components_df is not None:
+        # the component pass reads the mention stream a second time
+        # (m2 below); persist so an expensive lineage (a live matcher
+        # plan rather than a materialized stage table) executes once —
+        # AQE does not guarantee exchange reuse across the two legs
+        m = m.persist()
 
     # ancestry gate (hasAncestor :316-318 = equals || ancestor-closure
     # containment), pre-expanded on the TERMINOLOGY side: each template

@@ -372,8 +372,11 @@ def relation_mentions(mentions_df: DataFrame,
     per-sentence mention set is tiny, so the pair explosion is
     sentence-local, exactly the ``cooccurrence_triples`` shape with a
     finer key; no other shuffle."""
+    # persist: the sentence-local self-join reads this projection on
+    # both sides — one matcher pass, not two (cooccurrence_triples
+    # convention)
     m = (mentions_df.select("doc_id", "sent_offset", "cui", "start", "end")
-         .distinct())
+         .distinct().persist())
     a = m.alias("a")
     b = m.alias("b")
     return (a.join(b, ["doc_id", "sent_offset"])
