@@ -185,9 +185,12 @@ def incremental_cooccurrence(old_cooc: DataFrame, removed: DataFrame,
     pair sets are derived here, so partial rows would under-count."""
     from nobletools_spark.operators.triples import cooccurrence_triples
 
-    neg = (cooccurrence_triples(removed, salt_buckets)
+    # cache=False: this runs once per snapshot in a long-lived driver —
+    # session-lifetime cache entries would accumulate per increment,
+    # and the delta frames are increment-sized (usually parquet-backed)
+    neg = (cooccurrence_triples(removed, salt_buckets, cache=False)
            .withColumn("n_docs", -F.col("n_docs")))
-    pos = cooccurrence_triples(added, salt_buckets)
+    pos = cooccurrence_triples(added, salt_buckets, cache=False)
     return (old_cooc.unionByName(neg).unionByName(pos)
             .groupBy("subj", "pred", "obj")
             .agg(F.sum("n_docs").cast("long").alias("n_docs"))

@@ -216,7 +216,8 @@ def mentions_with_ancestor(mentions_df: DataFrame, edges_df: DataFrame,
 
 def cooccurrence_triples(mentions_df: DataFrame,
                          salt_buckets: int = 0,
-                         assume_distinct: bool = False) -> DataFrame:
+                         assume_distinct: bool = False,
+                         cache: bool = True) -> DataFrame:
     """Same-document co-mention pairs with document counts:
     (cui_a, 'co-occurs-with', cui_b, n_docs), cui_a < cui_b.
 
@@ -234,15 +235,20 @@ def cooccurrence_triples(mentions_df: DataFrame,
     """
     dc = mentions_df.select("doc_id", "cui")
     if not assume_distinct:
-        # persist the distinct projection: the pair self-join reads it
-        # on BOTH sides, and exchange reuse is not guaranteed under AQE
-        # (small inputs flip to a broadcast join whose build side is a
-        # separate computation) — without the cache the mentions
-        # lineage, i.e. a full matcher pass at corpus scale, executes
-        # once per side. Left to the LRU block manager (triangles()
-        # convention); callers sharing their own persisted projection
-        # pass assume_distinct=True instead.
-        dc = dc.distinct().persist()
+        dc = dc.distinct()
+        if cache:
+            # persist the distinct projection: the pair self-join reads
+            # it on BOTH sides, and exchange reuse is not guaranteed
+            # under AQE (small inputs flip to a broadcast join whose
+            # build side is a separate computation) — without the cache
+            # the mentions lineage, i.e. a full matcher pass at corpus
+            # scale, executes once per side. Lifecycle: cached entries
+            # live until session end (CacheManager) — the right trade
+            # for one-shot analytical queries (triangles() convention);
+            # UNBOUNDED repeat callers in one driver (per-snapshot
+            # incremental maintenance) pass cache=False, where the
+            # inputs are increment-sized or parquet-backed anyway.
+            dc = dc.persist()
     pairs = (dc.alias("a").join(dc.alias("b"), "doc_id")
              .filter(F.col("a.cui") < F.col("b.cui"))
              .select("doc_id", F.col("a.cui").alias("cui_a"),
@@ -322,9 +328,13 @@ def typed_cooccurrence(cooc_df: DataFrame, semtypes_df: DataFrame,
     ``cooccurrence_triples`` output. ``semtypes_df``: (cui, tui).
     ``rules_df``: (tui_s, tui_o, pred) — DIRECTED rules; a pair matches
     a rule in either orientation and is emitted re-oriented so subj
-    carries ``tui_s`` (a rule with tui_s = tui_o matches both ways and
-    collapses to the canonical orientation via distinct). Concepts with
-    several semantic types match every applicable rule.
+    carries ``tui_s``. A rule with tui_s = tui_o matches both ways and
+    emits BOTH directed rows (the induced relation is symmetric, so
+    (A, peer-of, C) and (C, peer-of, A) both appear — consumers wanting
+    one row per undirected edge filter subj < obj). Concepts with
+    several semantic types match every applicable rule; the final
+    distinct dedups only identical rows from overlapping type
+    combinations, not orientations.
 
     Plan shape: the pair table joins the (terminology-sized, broadcast)
     semtype table twice and the (tiny, broadcast) rule table twice —

@@ -135,10 +135,19 @@ def start_incremental_maintenance(docs_stream: DataFrame, state_dir: str,
     a ``_CURRENT`` pointer file renamed into place atomically (POSIX
     rename) only after both tables commit — a crash mid-batch leaves
     the pointer at the previous version and Structured Streaming
-    replays the batch from the checkpoint. Old versions are retained
-    (time-travel / debugging); prune them like any snapshot dir. On a
-    real cluster swap the versioned-parquet + pointer scheme for an
-    Iceberg MERGE INTO — same per-batch plan, table-format commits.
+    replays the batch from the checkpoint. The OTHER crash window —
+    after the pointer rename but before the streaming checkpoint
+    commits — replays a batch whose state is already current; the
+    pointer guard at the top of the batch fn detects it (pointer ≥
+    batch_id) and no-ops, because re-processing would overwrite the
+    very version the new plans lazily read (an unrecoverable
+    read/overwrite wedge). Corollary: ``state_dir`` and
+    ``checkpoint_path`` must live and die together — a fresh checkpoint
+    restarts batch ids at 0 and the guard would skip real work against
+    an old state dir. Old versions are retained (time-travel /
+    debugging); prune them like any snapshot dir. On a real cluster
+    swap the versioned-parquet + pointer scheme for an Iceberg MERGE
+    INTO — same per-batch plan, table-format commits.
 
     A batch carrying several rows for one doc_id must pre-resolve to
     the latest (this function keeps an arbitrary one per id —
@@ -151,6 +160,14 @@ def start_incremental_maintenance(docs_stream: DataFrame, state_dir: str,
 
     def _process(batch, batch_id):
         spark = batch.sparkSession
+        ptr = os.path.join(state_dir, "_CURRENT")
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                committed = int(f.read().strip())
+            if committed >= batch_id:
+                # crash replay of a batch whose state already committed
+                # (pointer renamed, checkpoint didn't) — see docstring
+                return
         batch = batch.dropDuplicates([id_col])
         bfp = doc_fingerprints(batch, id_col)
         state = read_upsert_state(spark, state_dir)

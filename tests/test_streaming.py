@@ -450,3 +450,47 @@ def test_streaming_incremental_maintenance(spark, tmp_path):
     latest = [b1[0], b2[1], b1[2], b3[0]]
     assert state_key() == want_key(latest)
     assert seen_counts[-1] == 1
+
+
+def test_streaming_incremental_replay_guard(spark, tmp_path):
+    """Crash window between the _CURRENT pointer rename and the
+    streaming checkpoint commit: the replayed batch (same batch_id,
+    state already current) must no-op — re-processing would overwrite
+    the version its own plans read. Simulated with a fresh checkpoint
+    (batch ids restart at 0 = the committed pointer)."""
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+    from nobletools_spark.streaming.stream import (
+        read_upsert_state,
+        start_incremental_maintenance,
+    )
+
+    idx = pytest_index()
+    calls = []
+
+    def annotate_fn(docs):
+        calls.append(docs.count())
+        return annotate(docs, idx, MatchConfig(), min_parallelism=1)
+
+    in_path = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    rows = [("d1", [("text", "deep margin is clear", None, 0)])]
+    spark.createDataFrame(rows, SPANS_DDL).coalesce(1) \
+        .write.parquet(f"{in_path}/b1")
+
+    q = start_incremental_maintenance(
+        read_document_stream(spark, f"{in_path}/*"), state,
+        annotate_fn, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    assert calls == [1]
+    _, m = read_upsert_state(spark, state)
+    before = _key(m.collect())
+
+    # replay: fresh checkpoint re-delivers the same files as batch 0,
+    # the pointer already says 0 — guard must skip without annotating
+    q2 = start_incremental_maintenance(
+        read_document_stream(spark, f"{in_path}/*"), state,
+        annotate_fn, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    assert calls == [1]  # annotate_fn never re-ran
+    _, m2 = read_upsert_state(spark, state)
+    assert _key(m2.collect()) == before
