@@ -147,6 +147,35 @@ NOTES = {
                            " + fp joins — in production `old` is read"
                            " from the previous run's parquet, so only"
                            " delta-sized work remains",
+    "kg_lift": "pairs + doc-frequency + corpus-N all derive from ONE"
+               " persisted (doc,cui) projection (matcher runs once);"
+               " both frequency joins broadcast (vocab-sized); the"
+               " BroadcastNestedLoopJoin is the 1-ROW corpus-total"
+               " crossJoin — constant-size at any scale; lift is"
+               " integer fixed-point, bit-reproducible",
+    "kg_khop": "frontier BFS: per round one co-keyed join + distinct +"
+               " visited anti-join, frontier/visited node-sized, rounds"
+               " = constant k (not diameter), localCheckpoint-truncated;"
+               " exchanges 0 here = the driver fast path under the"
+               " 100k-edge probe — the distributed path engages beyond",
+    "kg_negatives": "distinct triple set persisted once (4 plan legs);"
+                    " entity rank is terminology-bounded (single-"
+                    "partition window by design, pre-materialize ids"
+                    " past ~4M CUIs); candidate fan-out is a map-side"
+                    " explode + hash-mod; the BroadcastNestedLoopJoin"
+                    " is the 1-ROW entity-count crossJoin; anti-join"
+                    " co-keyed on (subj,pred,obj)",
+    "kg_typed_cooc": "pair table shuffles once (salted cooc agg);"
+                     " semtype and rule joins broadcast (terminology-/"
+                     "rule-sized); both orientations probed map-side",
+    "kg_relations": "map-only matcher feeds a SENTENCE-keyed self-join"
+                    " (sentence-local pairs, gap-capped — never a"
+                    " corpus self-join); shared mention projection"
+                    " persisted so the matcher pass runs once",
+    "kg_concept_nodes": "one corpus-keyed (doc,cui) aggregation; degree"
+                        " legs reuse the persisted pair table; semtype/"
+                        "name joins broadcast (terminology-sized) —"
+                        " vertices + edges from the same lineage",
 }
 
 
