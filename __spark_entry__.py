@@ -455,6 +455,11 @@ def q_text_quality(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
 
+def q_text_classifier(spark, sf_dir):
+    from nobletools_spark.operators.textstats import classifier_score
+    return classifier_score(_docs(spark, sf_dir), n_buckets=4096)
+
+
 # deterministic non-Latin tails for the script-vote leg of lang_id —
 # (modulus, tail) in priority order; shared verbatim with the oracle SQL
 _SCRIPT_TAILS = (
@@ -935,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_word_stats": q_kg_word_stats,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
+        "text_classifier": q_text_classifier,
         "text_lang_id": q_text_lang_id,
         "text_repetition": q_text_repetition,
         "text_fingerprints": q_text_fingerprints,
@@ -1453,6 +1459,30 @@ def oracle_sql() -> dict[str, str]:
         f" tl / n AS avg_token_len,"
         f" 0.4 * (nd / n) + 0.3 * (1.0 - nstop / n)"
         f" + 0.3 * least((tl / n) / 8.0, 1.0) AS quality FROM b")
+
+    # hashed n-gram classifier: constants + hash shared with
+    # operators/textstats.classifier_score (CLF_SEED/CLF_MIX, sql_h64)
+    from nobletools_spark.functions.hashing import sql_h64 as _sqlh
+    from nobletools_spark.operators.textstats import CLF_MIX, CLF_SEED
+
+    clf_b, clf_s = 4096, 1000
+    uni_h = _sqlh(f"'{CLF_SEED}|' || x")
+    big_h = _sqlh(f"'{CLF_SEED}|' || tk[i-1] || ' ' || tk[i]")
+    sql["text_classifier"] = (
+        f"WITH t AS (SELECT doc_id::BIGINT AS doc_id,"
+        f" string_split(coalesce(text, ''), ' ') AS tk FROM documents), "
+        f"f AS (SELECT doc_id, list_concat("
+        f"list_transform(tk, x -> {uni_h} % {clf_b}),"
+        f" list_transform(range(2, len(tk) + 1),"
+        f" i -> {big_h} % {clf_b})) AS fb FROM t), "
+        f"s AS (SELECT doc_id, len(fb)::BIGINT AS n_features,"
+        f" list_aggregate(list_transform(fb,"
+        f" b -> (b * {CLF_MIX}) % {2 * clf_s + 1} - {clf_s}),"
+        f" 'sum')::BIGINT AS logit_fp FROM f) "
+        f"SELECT doc_id, n_features, logit_fp,"
+        f" logit_fp::DOUBLE / (n_features * {clf_s})::DOUBLE AS score,"
+        f" logit_fp::DOUBLE / (n_features * {clf_s})::DOUBLE >= 0.0"
+        f" AS keep FROM s")
 
     votes = _lang_votes_sql()
     vote_cols = ", ".join(f"{votes[lang]} AS v_{lang}" for lang in LANGS)

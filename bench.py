@@ -43,6 +43,7 @@ HEADLINE = (
     "kg_triangles",
     "kg_communities",
     "text_quality",
+    "text_classifier",
     "text_fingerprints",
     "dedup_exact_bag",
     "dedup_window_spans",

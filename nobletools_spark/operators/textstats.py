@@ -128,6 +128,66 @@ def quality_score(docs: DataFrame,
     )
 
 
+# classifier_score defaults, shared verbatim with the DuckDB oracle in
+# __spark_entry__ so the two sides cannot silently desynchronize
+CLF_SEED = 7
+CLF_MIX = 2654435761  # Knuth multiplicative-hash constant
+
+
+def classifier_score(docs: DataFrame, n_buckets: int = 4096,
+                     scale: int = 1000, threshold: float = 0.0,
+                     seed: int = CLF_SEED) -> DataFrame:
+    """Model-based quality gate: a hashed bag-of-n-grams linear
+    classifier over (unigram + bigram) features — the fastText-shaped
+    scorer used for corpus filtering at crawl scale (quality/educational
+    classifiers gating web text before training). ``quality_score``
+    above is the heuristic-ratio gate; this is the learned-model gate's
+    exact plan shape: per token one md5 + modulo into ``n_buckets``
+    hash buckets, an integer weight per bucket, one in-array fold —
+    all whole-stage-codegen column expressions, map-only, zero shuffle.
+
+    Weights here are a deterministic function of the bucket id
+    (``(b·2654435761) mod (2·scale+1) − scale``, the Knuth
+    multiplicative mix) because no learned artifact ships in this
+    sandbox; production swaps in trained weights as a broadcast array
+    literal (``element_at(weights, b+1)``) — identical plan, identical
+    cost. Scoring is integer fixed-point: ``logit_fp`` is an exact
+    BIGINT sum (order-free, bit-reproducible across partitionings and
+    engines); ``score = logit_fp / (scale·n_features)`` is one IEEE
+    division of exactly-agreed integers, so the DuckDB oracle matches
+    bit-for-bit. NULL text scores as the empty document ('' token).
+
+    Output: (doc_id, n_features, logit_fp, score, keep) with
+    ``keep = score >= threshold``.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    toks = ws_tokens_col()
+    nt = F.size(toks)
+    pre = F.lit(f"{seed}|")
+    bmod = F.lit(int(n_buckets))
+    uni = F.transform(toks, lambda t: h64(F.concat(pre, t)) % bmod)
+    big = F.zip_with(
+        F.slice(toks, 1, nt - F.lit(1)),
+        F.slice(toks, 2, nt - F.lit(1)),
+        lambda a, b: h64(F.concat(pre, a, F.lit(" "), b)) % bmod)
+    feats = F.concat(uni, big)
+    wmod = F.lit(2 * int(scale) + 1)
+    logit = F.aggregate(
+        feats, F.lit(0).cast("long"),
+        lambda acc, b: acc + (b * F.lit(CLF_MIX)) % wmod
+        - F.lit(int(scale)))
+    nf = F.size(feats).cast("long")
+    score = logit.cast("double") / (nf * F.lit(int(scale))).cast("double")
+    return docs.select(
+        doc_id_col(docs),
+        nf.alias("n_features"),
+        logit.cast("long").alias("logit_fp"),
+        score.alias("score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
 def _max_run(sorted_arr: Column) -> Column:
     """Longest run of equal adjacent elements in a SORTED array = max
     occurrence count of any element — computed as a single map-side

@@ -807,3 +807,57 @@ def test_shuffle_assignments_stable_under_corpus_growth(spark):
         new = [d for d, (sh, p) in sorted(b.items(), key=lambda x: x[1][1])
                if sh == s and d in a]
         assert old == new, s  # relative order preserved
+
+
+def test_classifier_score_replays_in_python(spark):
+    """Hashed n-gram classifier: logit_fp equals the exact pure-Python
+    replay (md5 bucket hash, Knuth-mix integer weights, unigrams +
+    bigrams), NULL text scores as the empty doc, a single-token doc has
+    no bigram features, and the keep flag follows the threshold."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from nobletools_spark.operators.textstats import classifier_score
+
+    B, SCALE, SEED = 64, 1000, 7
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def replay(text: str | None):
+        toks = (text or "").split(" ")
+        feats = [h(f"{SEED}|{t}") % B for t in toks]
+        feats += [h(f"{SEED}|{a} {b}") % B
+                  for a, b in zip(toks, toks[1:])]
+        logit = sum((f * 2654435761) % (2 * SCALE + 1) - SCALE
+                    for f in feats)
+        return len(feats), logit, logit / (SCALE * len(feats))
+
+    rows = [(1, "the quick brown fox"), (2, "single"), (3, None),
+            (4, "a a a"), (5, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r
+           for r in classifier_score(docs, n_buckets=B,
+                                     scale=SCALE).collect()}
+    for d, t in rows:
+        nf, logit, score = replay(t)
+        assert (got[d].n_features, got[d].logit_fp) == (nf, logit), d
+        assert got[d].score == score, d
+        assert got[d].keep == (score >= 0.0), d
+    assert got[2].n_features == 1          # single token -> no bigrams
+    assert got[3].n_features == 1          # NULL text == '' token
+    # repeated tokens hash identically: doc 4 = 3 equal unigrams + 2
+    # equal bigrams
+    u = h(f"{SEED}|a") % B
+    bg = h(f"{SEED}|a a") % B
+    assert got[4].logit_fp == (
+        3 * ((u * 2654435761) % 2001 - 1000)
+        + 2 * ((bg * 2654435761) % 2001 - 1000))
+    # threshold moves the keep flag
+    hi = {r.doc_id: r.keep
+          for r in classifier_score(docs, n_buckets=B,
+                                    threshold=1.1).collect()}
+    assert not any(hi.values())            # score <= 1 always
+    with _pytest.raises(ValueError):
+        classifier_score(docs, n_buckets=0)

@@ -147,6 +147,11 @@ NOTES = {
                            " + fp joins — in production `old` is read"
                            " from the previous run's parquet, so only"
                            " delta-sized work remains",
+    "text_classifier": "hashed n-gram linear quality gate: per-token"
+                       " md5 bucket + integer-weight in-array fold,"
+                       " pure whole-stage codegen, zero shuffle;"
+                       " learned weights swap in as a broadcast array"
+                       " literal with the identical plan",
     "kg_lift": "pairs + doc-frequency + corpus-N all derive from ONE"
                " persisted (doc,cui) projection (matcher runs once);"
                " both frequency joins broadcast (vocab-sized); the"
