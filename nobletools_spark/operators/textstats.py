@@ -136,7 +136,8 @@ CLF_MIX = 2654435761  # Knuth multiplicative-hash constant
 
 def classifier_score(docs: DataFrame, n_buckets: int = 4096,
                      scale: int = 1000, threshold: float = 0.0,
-                     seed: int = CLF_SEED) -> DataFrame:
+                     seed: int = CLF_SEED,
+                     weights: "list[int] | None" = None) -> DataFrame:
     """Model-based quality gate: a hashed bag-of-n-grams linear
     classifier over (unigram + bigram) features — the fastText-shaped
     scorer used for corpus filtering at crawl scale (quality/educational
@@ -146,12 +147,16 @@ def classifier_score(docs: DataFrame, n_buckets: int = 4096,
     hash buckets, an integer weight per bucket, one in-array fold —
     all whole-stage-codegen column expressions, map-only, zero shuffle.
 
-    Weights here are a deterministic function of the bucket id
-    (``(b·2654435761) mod (2·scale+1) − scale``, the Knuth
-    multiplicative mix) because no learned artifact ships in this
-    sandbox; production swaps in trained weights as a broadcast array
-    literal (``element_at(weights, b+1)``) — identical plan, identical
-    cost. Scoring is integer fixed-point: ``logit_fp`` is an exact
+    ``weights`` is the trained model: ``n_buckets`` integer fixed-point
+    weights (trained floats rounded to ``round(w·scale)``), inlined as
+    an array literal and looked up with ``element_at`` inside the fold —
+    the production path for any model that fits a plan literal (a 2^20
+    float32 model is 4 MB — broadcast territory; same plan shape).
+    When ``weights`` is None a deterministic function of the bucket id
+    stands in (``(b·2654435761) mod (2·scale+1) − scale``, the Knuth
+    multiplicative mix) since no learned artifact ships in this
+    sandbox — identical plan, identical cost, exercised by the same
+    oracle. Scoring is integer fixed-point: ``logit_fp`` is an exact
     BIGINT sum (order-free, bit-reproducible across partitionings and
     engines); ``score = logit_fp / (scale·n_features)`` is one IEEE
     division of exactly-agreed integers, so the DuckDB oracle matches
@@ -162,6 +167,10 @@ def classifier_score(docs: DataFrame, n_buckets: int = 4096,
     """
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
+    if weights is not None and len(weights) != n_buckets:
+        raise ValueError(
+            f"weights must have exactly n_buckets={n_buckets} entries,"
+            f" got {len(weights)}")
     toks = ws_tokens_col()
     nt = F.size(toks)
     pre = F.lit(f"{seed}|")
@@ -172,11 +181,18 @@ def classifier_score(docs: DataFrame, n_buckets: int = 4096,
         F.slice(toks, 2, nt - F.lit(1)),
         lambda a, b: h64(F.concat(pre, a, F.lit(" "), b)) % bmod)
     feats = F.concat(uni, big)
-    wmod = F.lit(2 * int(scale) + 1)
-    logit = F.aggregate(
-        feats, F.lit(0).cast("long"),
-        lambda acc, b: acc + (b * F.lit(CLF_MIX)) % wmod
-        - F.lit(int(scale)))
+    if weights is not None:
+        warr = F.lit([int(w) for w in weights])
+        logit = F.aggregate(
+            feats, F.lit(0).cast("long"),
+            lambda acc, b: acc + F.element_at(
+                warr, (b + F.lit(1)).cast("int")).cast("long"))
+    else:
+        wmod = F.lit(2 * int(scale) + 1)
+        logit = F.aggregate(
+            feats, F.lit(0).cast("long"),
+            lambda acc, b: acc + (b * F.lit(CLF_MIX)) % wmod
+            - F.lit(int(scale)))
     nf = F.size(feats).cast("long")
     score = logit.cast("double") / (nf * F.lit(int(scale))).cast("double")
     return docs.select(

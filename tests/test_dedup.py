@@ -861,3 +861,48 @@ def test_classifier_score_replays_in_python(spark):
     assert not any(hi.values())            # score <= 1 always
     with _pytest.raises(ValueError):
         classifier_score(docs, n_buckets=0)
+
+
+def test_classifier_score_trained_weights_path(spark):
+    """The explicit-weights path: inlining the Knuth-mix table as a
+    trained-weights array reproduces the default path exactly (same
+    plan family, same scores); custom weights replay in Python; a
+    wrong-length table raises."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from nobletools_spark.operators.textstats import (CLF_MIX, CLF_SEED,
+                                                      classifier_score)
+
+    B, SCALE = 32, 1000
+    rows = [(1, "alpha beta gamma"), (2, "beta beta"), (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    mix_table = [(b * CLF_MIX) % (2 * SCALE + 1) - SCALE for b in range(B)]
+    base = {r.doc_id: r for r in
+            classifier_score(docs, n_buckets=B, scale=SCALE).collect()}
+    same = {r.doc_id: r for r in
+            classifier_score(docs, n_buckets=B, scale=SCALE,
+                             weights=mix_table).collect()}
+    for d, _t in rows:
+        assert (base[d].logit_fp, base[d].score) == \
+               (same[d].logit_fp, same[d].score), d
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    custom = [((b * 13) % 7) - 3 for b in range(B)]
+    got = {r.doc_id: r for r in
+           classifier_score(docs, n_buckets=B, scale=SCALE,
+                            weights=custom).collect()}
+    for d, t in rows:
+        toks = (t or "").split(" ")
+        feats = [h(f"{CLF_SEED}|{x}") % B for x in toks]
+        feats += [h(f"{CLF_SEED}|{a} {b}") % B
+                  for a, b in zip(toks, toks[1:])]
+        want = sum(custom[f] for f in feats)
+        assert got[d].logit_fp == want, d
+        assert got[d].score == want / (SCALE * len(feats)), d
+    with _pytest.raises(ValueError):
+        classifier_score(docs, n_buckets=B, weights=[1, 2, 3])
