@@ -329,12 +329,13 @@ def test_streaming_template_extraction(spark, tmp_path):
 
 def test_streaming_training_data_ops(spark, tmp_path):
     """The stateless training-data operators (filter_decisions,
-    chunk_documents) run unchanged on a streaming source and match
-    their batch outputs exactly — corpus prep works as a continuous
-    ingestion pipeline, not just a batch job."""
+    chunk_documents, classifier_score) run unchanged on a streaming
+    source and match their batch outputs exactly — corpus prep works as
+    a continuous ingestion pipeline, not just a batch job."""
     from pyspark.sql import functions as F
     from nobletools_spark.operators.textstats import (
         chunk_documents,
+        classifier_score,
         filter_decisions,
     )
 
@@ -349,13 +350,17 @@ def test_streaming_training_data_ops(spark, tmp_path):
     batch_filter = {tuple(r) for r in filter_decisions(docs).collect()}
     batch_chunks = {tuple(r) for r in
                     chunk_documents(docs, 16, 4).collect()}
+    batch_clf = {tuple(r) for r in
+                 classifier_score(docs, n_buckets=64).collect()}
 
     stream = spark.readStream.schema("doc_id long, text string") \
         .parquet(in_path)
     for name, op, want in (
             ("filter", filter_decisions, batch_filter),
             ("chunks", lambda d: chunk_documents(d, 16, 4),
-             batch_chunks)):
+             batch_chunks),
+            ("clf", lambda d: classifier_score(d, n_buckets=64),
+             batch_clf)):
         out = str(tmp_path / f"out_{name}")
         ck = str(tmp_path / f"ck_{name}")
         q = (op(stream).writeStream.format("parquet")
