@@ -427,7 +427,9 @@ def relation_triples(mentions_df: DataFrame, max_gap: int = 100,
 def concept_nodes(mentions_df: DataFrame,
                   semtypes_df: DataFrame | None = None,
                   names_df: DataFrame | None = None,
-                  salt_buckets: int = 0) -> DataFrame:
+                  salt_buckets: int = 0,
+                  _dc: DataFrame | None = None,
+                  _pairs: DataFrame | None = None) -> DataFrame:
     """Node-side materialization of the KG property graph: one row per
     mentioned concept with its corpus statistics and graph degree —
     the companion table to the (subj, pred, obj) edge sinks
@@ -449,12 +451,16 @@ def concept_nodes(mentions_df: DataFrame,
     from nobletools_spark.operators.graph import degrees, symmetrize
 
     # shared persisted (doc, cui) projection: node counts AND the pair
-    # table derive from it — one matcher pass, not two (see lift_triples)
-    dc = mentions_df.select("doc_id", "cui").distinct().persist()
+    # table derive from it — one matcher pass, not two (see lift_triples);
+    # property_graph passes its own via _dc so edges share it too
+    dc = (_dc if _dc is not None
+          else mentions_df.select("doc_id", "cui").distinct().persist())
     nodes = dc.groupBy("cui").agg(
         F.count("*").cast("long").alias("n_docs"))
-    pairs = cooccurrence_triples(dc, salt_buckets,
-                                  assume_distinct=True).select(
+    cooc = (_pairs if _pairs is not None
+            else cooccurrence_triples(dc, salt_buckets,
+                                      assume_distinct=True))
+    pairs = cooc.select(
         F.col("subj").alias("a"), F.col("obj").alias("b"),
         F.col("n_docs").alias("weight"))
     deg = degrees(symmetrize(pairs)).withColumnRenamed("node", "cui")
@@ -472,6 +478,36 @@ def concept_nodes(mentions_df: DataFrame,
         nodes = nodes.join(
             F.broadcast(names_df.select("cui", "name")), "cui", "left")
     return nodes
+
+
+def property_graph(mentions_df: DataFrame,
+                   semtypes_df: DataFrame | None = None,
+                   names_df: DataFrame | None = None,
+                   salt_buckets: int = 0) -> "tuple[DataFrame, DataFrame]":
+    """The (vertices, edges) hand-off pair in the conventional
+    property-graph schema every graph consumer expects (GraphFrames
+    requires ``id`` on vertices and ``src``/``dst`` on edges; graph DBs
+    bulk-load the same shape): vertices = ``concept_nodes`` with ``cui``
+    exposed as ``id``; edges = co-occurrence pairs as (src, dst,
+    relationship, weight), both canonical-orientation rows, derived
+    from the SAME persisted (doc, cui) projection so the matcher
+    lineage executes once for the whole pair.
+
+    This is a column-rename facade over ``concept_nodes`` +
+    ``cooccurrence_triples`` — no extra shuffle beyond theirs; pass the
+    result straight to ``graph.degrees``/``pagerank``/... after
+    renaming, or to a GraphFrame on a cluster that ships it."""
+    dc = mentions_df.select("doc_id", "cui").distinct().persist()
+    cooc = cooccurrence_triples(dc, salt_buckets,
+                                assume_distinct=True).persist()
+    verts = concept_nodes(mentions_df, semtypes_df, names_df,
+                          salt_buckets, _dc=dc,
+                          _pairs=cooc).withColumnRenamed("cui", "id")
+    edges = cooc.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst"),
+        F.col("pred").alias("relationship"),
+        F.col("n_docs").alias("weight"))
+    return verts, edges
 
 
 def negative_triples(triples_df: DataFrame, n_neg: int = 2,

@@ -541,3 +541,29 @@ def test_concept_nodes_table(spark):
         "B": (2, 1, 2, "T1", None),         # no name row
         "C": (1, 0, 0, None, "Gamma"),      # never co-occurs
     }
+
+
+def test_property_graph_pair(spark):
+    """property_graph emits the conventional GraphFrames-shaped pair:
+    vertices = concept_nodes with cui exposed as id, edges =
+    canonical-orientation co-occurrence rows (src < dst) with the
+    predicate as relationship — both derived from one shared
+    projection/pair table."""
+    from nobletools_spark.operators.triples import (concept_nodes,
+                                                    property_graph)
+
+    m = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "C")],
+        "doc_id bigint, cui string")
+    sem = spark.createDataFrame([("A", "T1")], "cui string, tui string")
+    verts, edges = property_graph(m, semtypes_df=sem)
+    assert "id" in verts.columns and "cui" not in verts.columns
+    want = {r.cui: (r.n_docs, r.degree, r.weighted_degree, r.tuis)
+            for r in concept_nodes(m, sem).collect()}
+    got = {r.id: (r.n_docs, r.degree, r.weighted_degree, r.tuis)
+           for r in verts.collect()}
+    assert got == want
+    e = [(r.src, r.dst, r.relationship, r.weight)
+         for r in edges.collect()]
+    assert e == [("A", "B", "co-occurs-with", 2)]
+    assert all(s < d for s, d, _r, _w in e)
