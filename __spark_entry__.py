@@ -457,7 +457,7 @@ def q_text_quality(spark, sf_dir):
 
 def q_text_classifier(spark, sf_dir):
     from nobletools_spark.operators.textstats import classifier_score
-    return classifier_score(_docs(spark, sf_dir), n_buckets=4096)
+    return classifier_score(_docs(spark, sf_dir))
 
 
 # deterministic non-Latin tails for the script-vote leg of lang_id —
@@ -1460,14 +1460,17 @@ def oracle_sql() -> dict[str, str]:
         f" 0.4 * (nd / n) + 0.3 * (1.0 - nstop / n)"
         f" + 0.3 * least((tl / n) / 8.0, 1.0) AS quality FROM b")
 
-    # hashed n-gram classifier: constants + hash shared with
-    # operators/textstats.classifier_score (CLF_SEED/CLF_MIX, sql_h64)
-    from nobletools_spark.functions.hashing import sql_h64 as _sqlh
-    from nobletools_spark.operators.textstats import CLF_MIX, CLF_SEED
+    # hashed n-gram classifier: every constant + the seeded hash come
+    # from the operator module / hashing helpers, so the two sides
+    # cannot desynchronize
+    from nobletools_spark.functions.hashing import sql_h64_seeded
+    from nobletools_spark.operators.textstats import (CLF_BUCKETS,
+                                                      CLF_MIX, CLF_SCALE,
+                                                      CLF_SEED)
 
-    clf_b, clf_s = 4096, 1000
-    uni_h = _sqlh(f"'{CLF_SEED}|' || x")
-    big_h = _sqlh(f"'{CLF_SEED}|' || tk[i-1] || ' ' || tk[i]")
+    clf_b, clf_s = CLF_BUCKETS, CLF_SCALE
+    uni_h = sql_h64_seeded(CLF_SEED, "x")
+    big_h = sql_h64_seeded(CLF_SEED, "tk[i-1] || ' ' || tk[i]")
     sql["text_classifier"] = (
         f"WITH t AS (SELECT doc_id::BIGINT AS doc_id,"
         f" string_split(coalesce(text, ''), ' ') AS tk FROM documents), "

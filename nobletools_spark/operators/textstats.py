@@ -132,10 +132,15 @@ def quality_score(docs: DataFrame,
 # __spark_entry__ so the two sides cannot silently desynchronize
 CLF_SEED = 7
 CLF_MIX = 2654435761  # Knuth multiplicative-hash constant
+CLF_BUCKETS = 4096
+CLF_SCALE = 1000
+# b·CLF_MIX inside the default-weights fold must stay < 2^63:
+# 2^31 · 2654435761 ≈ 5.7e18 < 2^63−1 (≈9.2e18)
+_CLF_MAX_BUCKETS = 1 << 31
 
 
-def classifier_score(docs: DataFrame, n_buckets: int = 4096,
-                     scale: int = 1000, threshold: float = 0.0,
+def classifier_score(docs: DataFrame, n_buckets: int = CLF_BUCKETS,
+                     scale: int = CLF_SCALE, threshold: float = 0.0,
                      seed: int = CLF_SEED,
                      weights: "list[int] | None" = None) -> DataFrame:
     """Model-based quality gate: a hashed bag-of-n-grams linear
@@ -165,21 +170,25 @@ def classifier_score(docs: DataFrame, n_buckets: int = 4096,
     Output: (doc_id, n_features, logit_fp, score, keep) with
     ``keep = score >= threshold``.
     """
-    if n_buckets < 1:
-        raise ValueError("n_buckets must be >= 1")
+    if not 1 <= n_buckets <= _CLF_MAX_BUCKETS:
+        raise ValueError(
+            f"n_buckets must be in [1, {_CLF_MAX_BUCKETS}] (the default"
+            f"-weights mix overflows BIGINT past that)")
     if weights is not None and len(weights) != n_buckets:
         raise ValueError(
             f"weights must have exactly n_buckets={n_buckets} entries,"
             f" got {len(weights)}")
+    from nobletools_spark.functions.hashing import h64_seeded
+
     toks = ws_tokens_col()
     nt = F.size(toks)
-    pre = F.lit(f"{seed}|")
     bmod = F.lit(int(n_buckets))
-    uni = F.transform(toks, lambda t: h64(F.concat(pre, t)) % bmod)
+    uni = F.transform(toks, lambda t: h64_seeded(seed, t) % bmod)
     big = F.zip_with(
         F.slice(toks, 1, nt - F.lit(1)),
         F.slice(toks, 2, nt - F.lit(1)),
-        lambda a, b: h64(F.concat(pre, a, F.lit(" "), b)) % bmod)
+        lambda a, b: h64_seeded(
+            seed, F.concat(a, F.lit(" "), b)) % bmod)
     feats = F.concat(uni, big)
     if weights is not None:
         warr = F.lit([int(w) for w in weights])
@@ -198,7 +207,7 @@ def classifier_score(docs: DataFrame, n_buckets: int = 4096,
     return docs.select(
         doc_id_col(docs),
         nf.alias("n_features"),
-        logit.cast("long").alias("logit_fp"),
+        logit.alias("logit_fp"),
         score.alias("score"),
         (score >= F.lit(float(threshold))).alias("keep"),
     )

@@ -424,42 +424,17 @@ def relation_triples(mentions_df: DataFrame, max_gap: int = 100,
                     "obj", "n_sents", "min_gap"))
 
 
-def concept_nodes(mentions_df: DataFrame,
-                  semtypes_df: DataFrame | None = None,
-                  names_df: DataFrame | None = None,
-                  salt_buckets: int = 0,
-                  _dc: DataFrame | None = None,
-                  _pairs: DataFrame | None = None) -> DataFrame:
-    """Node-side materialization of the KG property graph: one row per
-    mentioned concept with its corpus statistics and graph degree —
-    the companion table to the (subj, pred, obj) edge sinks
-    (``write_triples``), so a property-graph consumer (GraphFrames,
-    graph DBs) gets vertices and edges from the same pipeline.
-
-    Columns: (cui, n_docs, degree, weighted_degree[, tuis][, name]) —
-    ``n_docs`` = distinct documents mentioning the concept; degree
-    columns count distinct co-occurrence partners / sum pair doc-counts
-    (0 for concepts that never co-occur); ``tuis`` is the sorted
-    comma-joined semantic-type list when ``semtypes_df`` (cui, tui) is
-    given; ``name`` joins from ``names_df`` (cui, name).
-
-    Plan shape: the (doc, cui) distinct + per-concept count is one
-    corpus-keyed aggregation; the degree input reuses
-    ``cooccurrence_triples`` (salted under skew like every consumer);
-    semtype/name joins broadcast (terminology-sized). Output is
-    concept-vocabulary-sized."""
+def _nodes_from(dc: DataFrame, cooc: DataFrame,
+                semtypes_df: DataFrame | None,
+                names_df: DataFrame | None) -> DataFrame:
+    """Shared vertex-table core of ``concept_nodes``/``property_graph``:
+    both hand in the same persisted (doc, cui) projection and pair
+    table so the matcher lineage and the pair aggregation each run
+    once however many outputs consume them."""
     from nobletools_spark.operators.graph import degrees, symmetrize
 
-    # shared persisted (doc, cui) projection: node counts AND the pair
-    # table derive from it — one matcher pass, not two (see lift_triples);
-    # property_graph passes its own via _dc so edges share it too
-    dc = (_dc if _dc is not None
-          else mentions_df.select("doc_id", "cui").distinct().persist())
     nodes = dc.groupBy("cui").agg(
         F.count("*").cast("long").alias("n_docs"))
-    cooc = (_pairs if _pairs is not None
-            else cooccurrence_triples(dc, salt_buckets,
-                                      assume_distinct=True))
     pairs = cooc.select(
         F.col("subj").alias("a"), F.col("obj").alias("b"),
         F.col("n_docs").alias("weight"))
@@ -480,29 +455,69 @@ def concept_nodes(mentions_df: DataFrame,
     return nodes
 
 
+def concept_nodes(mentions_df: DataFrame,
+                  semtypes_df: DataFrame | None = None,
+                  names_df: DataFrame | None = None,
+                  salt_buckets: int = 0,
+                  cache: bool = True) -> DataFrame:
+    """Node-side materialization of the KG property graph: one row per
+    mentioned concept with its corpus statistics and graph degree —
+    the companion table to the (subj, pred, obj) edge sinks
+    (``write_triples``), so a property-graph consumer (GraphFrames,
+    graph DBs) gets vertices and edges from the same pipeline.
+
+    Columns: (cui, n_docs, degree, weighted_degree[, tuis][, name]) —
+    ``n_docs`` = distinct documents mentioning the concept; degree
+    columns count distinct co-occurrence partners / sum pair doc-counts
+    (0 for concepts that never co-occur); ``tuis`` is the sorted
+    comma-joined semantic-type list when ``semtypes_df`` (cui, tui) is
+    given; ``name`` joins from ``names_df`` (cui, name).
+
+    Plan shape: the (doc, cui) distinct + per-concept count is one
+    corpus-keyed aggregation; the degree input reuses
+    ``cooccurrence_triples`` (salted under skew like every consumer);
+    semtype/name joins broadcast (terminology-sized). Output is
+    concept-vocabulary-sized. ``cache=False`` skips the session-
+    lifetime persist of the shared (doc, cui) projection — pass it
+    from unbounded repeat callers in one driver (the
+    ``cooccurrence_triples`` lifecycle convention)."""
+    # shared persisted (doc, cui) projection: node counts AND the pair
+    # table derive from it — one matcher pass, not two (see lift_triples)
+    dc = mentions_df.select("doc_id", "cui").distinct()
+    if cache:
+        dc = dc.persist()
+    cooc = cooccurrence_triples(dc, salt_buckets, assume_distinct=True)
+    return _nodes_from(dc, cooc, semtypes_df, names_df)
+
+
 def property_graph(mentions_df: DataFrame,
                    semtypes_df: DataFrame | None = None,
                    names_df: DataFrame | None = None,
-                   salt_buckets: int = 0) -> "tuple[DataFrame, DataFrame]":
+                   salt_buckets: int = 0,
+                   cache: bool = True) -> "tuple[DataFrame, DataFrame]":
     """The (vertices, edges) hand-off pair in the conventional
     property-graph schema every graph consumer expects (GraphFrames
     requires ``id`` on vertices and ``src``/``dst`` on edges; graph DBs
     bulk-load the same shape): vertices = ``concept_nodes`` with ``cui``
     exposed as ``id``; edges = co-occurrence pairs as (src, dst,
     relationship, weight), both canonical-orientation rows, derived
-    from the SAME persisted (doc, cui) projection so the matcher
-    lineage executes once for the whole pair.
+    from the SAME persisted (doc, cui) projection and pair table so the
+    matcher lineage and the pair aggregation each execute once for the
+    whole pair.
 
-    This is a column-rename facade over ``concept_nodes`` +
-    ``cooccurrence_triples`` — no extra shuffle beyond theirs; pass the
-    result straight to ``graph.degrees``/``pagerank``/... after
-    renaming, or to a GraphFrame on a cluster that ships it."""
-    dc = mentions_df.select("doc_id", "cui").distinct().persist()
-    cooc = cooccurrence_triples(dc, salt_buckets,
-                                assume_distinct=True).persist()
-    verts = concept_nodes(mentions_df, semtypes_df, names_df,
-                          salt_buckets, _dc=dc,
-                          _pairs=cooc).withColumnRenamed("cui", "id")
+    This is a column-rename facade over the shared ``_nodes_from`` core
+    + ``cooccurrence_triples`` — no extra shuffle beyond theirs; pass
+    the result straight to ``graph.degrees``/``pagerank``/... after
+    renaming, or to a GraphFrame on a cluster that ships it.
+    ``cache=False`` skips both session-lifetime persists (the
+    ``cooccurrence_triples`` lifecycle convention for unbounded repeat
+    callers in one driver)."""
+    dc = mentions_df.select("doc_id", "cui").distinct()
+    cooc = cooccurrence_triples(dc, salt_buckets, assume_distinct=True)
+    if cache:
+        dc, cooc = dc.persist(), cooc.persist()
+    verts = _nodes_from(dc, cooc, semtypes_df,
+                        names_df).withColumnRenamed("cui", "id")
     edges = cooc.select(
         F.col("subj").alias("src"), F.col("obj").alias("dst"),
         F.col("pred").alias("relationship"),
