@@ -474,6 +474,56 @@ def run_spark_extract(spark) -> set:
     return _matrix_to_cells(header, out_rows)
 
 
+def ref_triples(ref_mentions: "Counter") -> "Counter":
+    """The reference's emitted triple set, derived from its mention
+    stream by the same rule the engine's emitters implement (distinct
+    doc×concept mention triples; same-doc concept pairs a<b with
+    distinct-document counts). Predicate labels are the engine's
+    vocabulary constants — the comparison is over the graph structure
+    (nodes, edges, doc counts), which is where the two engines can
+    disagree."""
+    from collections import defaultdict
+
+    docs = defaultdict(set)
+    for key in ref_mentions:          # (doc, start, end, code, score)
+        docs[key[0]].add(key[3])
+    out, pair_docs = Counter(), Counter()
+    for d, codes in docs.items():
+        sc = sorted(codes)
+        for c in sc:
+            _madd(out, (d, "mentions-concept", c))
+        for i, a in enumerate(sc):
+            for b in sc[i + 1:]:
+                pair_docs[(a, b)] += 1
+    for (a, b), n in pair_docs.items():
+        _madd(out, (a, "co-occurs-with", b, n))
+    return out
+
+
+def run_spark_triples(spark) -> "Counter":
+    """The engine's ACTUAL triple emitters over the annotated corpus:
+    one matcher pass (persisted mentions), then mention_triples +
+    cooccurrence_triples(salt_buckets=8) exactly as the pipeline runs
+    them."""
+    from nobletools_spark.api import NobleCoderSpark
+    from nobletools_spark.operators.triples import (cooccurrence_triples,
+                                                    mention_triples)
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+
+    nc = NobleCoderSpark.from_obo(spark, open(OBO).read())
+    rows = [(fn[:-4], [("text", open(f"{DOCS}/{fn}",
+                                     encoding="utf-8").read(), None, 0)])
+            for fn in sorted(os.listdir(DOCS))]
+    m = nc.annotate(spark.createDataFrame(rows, SPANS_DDL)).persist()
+    out = Counter()
+    for r in mention_triples(m).select("subj", "pred", "obj").collect():
+        _madd(out, (r.subj, r.pred, r.obj))
+    for r in cooccurrence_triples(m, salt_buckets=8).collect():
+        _madd(out, (r.subj, r.pred, r.obj, r.n_docs))
+    m.unpersist()
+    return out
+
+
 def compare(ref, eng, label: str) -> dict:
     """Multiset precision/recall: tp counts each key min(ref_n, eng_n)
     times, so duplicate emissions on either side surface as <1.0."""
@@ -509,8 +559,14 @@ def main() -> None:
     emit_fixture(n_docs)
     spark = get_spark(cores=8)
     results = {"n_docs": n_docs, "adversarial_docs": len(ADVERSARIAL)}
-    results["mentions"] = compare(run_reference(), run_spark(spark),
-                                  "mentions")
+    ref_m = run_reference()
+    results["mentions"] = compare(ref_m, run_spark(spark), "mentions")
+    # triple leg — the north metric stated literally: the (subj, pred,
+    # obj) rows the ENGINE'S OWN emitters materialize (mention_triples
+    # + salted cooccurrence_triples with doc counts) vs the same
+    # derivation rule applied to the REFERENCE's mention stream
+    results["triples"] = compare(ref_triples(ref_m),
+                                 run_spark_triples(spark), "triples")
     # ConText leg: both engines load the SAME modifier ontology
     # (tests/test_context.py CONTEXT_OWL) and must agree on the full
     # (mention, sorted modifier set) tuples
