@@ -906,3 +906,57 @@ def test_classifier_score_trained_weights_path(spark):
         assert got[d].score == want / (SCALE * len(feats)), d
     with _pytest.raises(ValueError):
         classifier_score(docs, n_buckets=B, weights=[1, 2, 3])
+
+
+def test_classifier_score_adversarial_corpus(spark):
+    """Seeded adversarial corpus (NULLs, empties, whitespace runs,
+    unicode, numerals, repeated tokens, one giant doc) through
+    classifier_score vs the exact pure-Python replay — logit_fp and
+    score bit-equal on every row, in both weight modes."""
+    import hashlib
+    import random
+
+    from nobletools_spark.operators.textstats import (CLF_MIX, CLF_SEED,
+                                                      classifier_score)
+
+    rng = random.Random(20260818)
+    pool = ["the", "Spark", "naïve", "grade", "3", "φ-x", "a" * 40,
+            "don't", "v2.1", "", "  ", "\t", "α β", "row,col", "END."]
+    rows = []
+    for i in range(200):
+        if i % 17 == 0:
+            rows.append((i, None))
+        elif i % 23 == 0:
+            rows.append((i, ""))
+        else:
+            n = rng.randint(1, 30)
+            rows.append((i, " ".join(rng.choice(pool) for _ in range(n))))
+    rows.append((1000, "giant " * 3000))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    B, SCALE = 128, 1000
+    custom = [((b * 29) % 11) - 5 for b in range(B)]
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def replay(text, weights):
+        toks = (text or "").split(" ")
+        feats = [h(f"{CLF_SEED}|{t}") % B for t in toks]
+        feats += [h(f"{CLF_SEED}|{a} {b}") % B
+                  for a, b in zip(toks, toks[1:])]
+        if weights is None:
+            logit = sum((f * CLF_MIX) % (2 * SCALE + 1) - SCALE
+                        for f in feats)
+        else:
+            logit = sum(weights[f] for f in feats)
+        return len(feats), logit, logit / (SCALE * len(feats))
+
+    for weights in (None, custom):
+        got = {r.doc_id: r
+               for r in classifier_score(docs, n_buckets=B, scale=SCALE,
+                                         weights=weights).collect()}
+        assert len(got) == len(rows)
+        for d, t in rows:
+            assert (got[d].n_features, got[d].logit_fp,
+                    got[d].score) == replay(t, weights), (d, weights is None)
