@@ -24,6 +24,43 @@ from pyspark.sql import DataFrame, functions as F
 PATH_DEPTH_LIMIT = 7  # util/PathHelper.java:28
 
 
+# ConText modifier values that make a mention NON-ASSERTED for KG
+# purposes: negated, experienced by someone other than the patient,
+# hypothetical, or hedged/speculative. The i2b2-2010-assertion /
+# SemRep convention: only asserted patient facts become graph edges;
+# everything else stays in the mention table with its modifiers.
+DEFAULT_ASSERTION_DROPS: dict[str, tuple[str, ...]] = {
+    "Polarity": ("Negative_Polarity",),
+    "Experiencer": ("FamilyMember_Experiencer", "Other_Experiencer"),
+    "Temporality": ("Hypothetical_Temporality",),
+    "ContextualModality": ("Hedged_ContextualModality",
+                           "Hypothetical_ContextualModality"),
+}
+
+
+def asserted_mentions(mentions_df: DataFrame,
+                      drops: dict[str, tuple[str, ...]] | None = None
+                      ) -> DataFrame:
+    """Assertion gate for KG materialization: keep only mentions whose
+    ConText ``modifiers`` map carries none of the ``drops`` values —
+    a mention of 'melanoma' inside "no evidence of melanoma" or
+    "family history of melanoma" must NOT assert a mentions-concept /
+    co-occurrence edge (the knowledge graph states patient facts, not
+    string hits). Mentions annotated WITHOUT ConText (no ``modifiers``
+    column) pass through unchanged — there is nothing to gate on.
+
+    Pure map-side filter (one map lookup per drop type inside
+    whole-stage codegen) — composes with any emitter at zero plan
+    cost. Missing map keys count as the type's default (asserted)."""
+    if "modifiers" not in mentions_df.columns:
+        return mentions_df
+    cond = F.lit(True)
+    for mod_type, vals in (drops or DEFAULT_ASSERTION_DROPS).items():
+        v = F.coalesce(F.col("modifiers").getItem(mod_type), F.lit(""))
+        cond = cond & ~v.isin(*vals)
+    return mentions_df.filter(cond)
+
+
 def mention_triples(mentions_df: DataFrame) -> DataFrame:
     """One triple per distinct (doc, cui): doc mentions-concept CUI."""
     return (mentions_df

@@ -320,7 +320,8 @@ class Pipeline:
 
 def kg_stages(index, context=None, cfg=None,
               cooccurrence_salt: int = 8, templates_df=None,
-              components_df=None, incremental: bool = False) -> list[Stage]:
+              components_df=None, incremental: bool = False,
+              asserted: bool = False) -> list[Stage]:
     """The standard KG-construction pipeline as resumable stages:
     mentions → (mention triples, co-occurrence triples) → triples union.
     isa/semtype triples join in when the inputs dict carries
@@ -356,11 +357,21 @@ def kg_stages(index, context=None, cfg=None,
     from nobletools_spark.model import MatchConfig
     from nobletools_spark.operators.matcher import annotate
     from nobletools_spark.operators.triples import (
+        asserted_mentions,
         cooccurrence_triples,
         isa_closure_triples,
         mention_triples,
         semtype_triples,
     )
+
+    # assertion gate (asserted=True): only ConText-asserted mentions
+    # (not negated / other-experiencer / hypothetical / hedged) become
+    # graph edges. Applied at every mention consumption downstream of
+    # the mentions stage — the mention TABLE itself keeps all rows with
+    # their modifiers, so the gate is a reversible materialization
+    # choice, not data loss; prev-run rows in incremental mode carry
+    # their modifiers through stage parquet and gate identically.
+    gate = asserted_mentions if asserted else (lambda df: df)
 
     cfg = cfg or MatchConfig()
     # every closure-captured output determinant folds into the stage
@@ -403,7 +414,7 @@ def kg_stages(index, context=None, cfg=None,
 
     def s_mention_triples(spark, r):
         if not incremental:
-            return mention_triples(r["mentions"]).drop("doc_id")
+            return mention_triples(gate(r["mentions"])).drop("doc_id")
         # (doc, cui) triples key on doc_id, so carry-forward is exact:
         # unchanged docs' triples come from the previous run's parquet
         # and only the increment pays the distinct shuffle — the
@@ -412,12 +423,13 @@ def kg_stages(index, context=None, cfg=None,
         carried = r["prev_mention_triples"].join(
             unchanged.withColumnRenamed("doc_id", "subj"), "subj")
         fresh_m = r["mentions"].join(unchanged, "doc_id", "left_anti")
-        fresh = mention_triples(fresh_m).drop("doc_id")
+        fresh = mention_triples(gate(fresh_m)).drop("doc_id")
         return carried.select(*fresh.columns).unionByName(fresh)
 
     def s_cooccurrence(spark, r):
         if not incremental:
-            return cooccurrence_triples(r["mentions"], cooccurrence_salt)
+            return cooccurrence_triples(gate(r["mentions"]),
+                                        cooccurrence_salt)
         # delta aggregation (incremental-view maintenance): derive the
         # row deltas from ALREADY-MATERIALIZED tables — this run's
         # mentions/doc_fp stage parquet and the previous run's state —
@@ -428,8 +440,11 @@ def kg_stages(index, context=None, cfg=None,
         )
 
         unchanged = _unchanged_ids(r)
-        removed = r["prev_mentions"].join(unchanged, "doc_id", "left_anti")
-        added = r["mentions"].join(unchanged, "doc_id", "left_anti")
+        # the deltas must gate like the prev pair table was built
+        # (run_pipeline's sidecar rejects an asserted-flag mismatch)
+        removed = gate(r["prev_mentions"]).join(unchanged, "doc_id",
+                                                "left_anti")
+        added = gate(r["mentions"]).join(unchanged, "doc_id", "left_anti")
         return incremental_cooccurrence(r["prev_cooccurrence"], removed,
                                         added, cooccurrence_salt)
 
@@ -469,11 +484,12 @@ def kg_stages(index, context=None, cfg=None,
                              sections_df=sections_from_docs(r["documents"]),
                              components_df=components_df)
 
+    emit_params = {"asserted": True} if asserted else {}
     stages = [
         Stage("mentions", s_mentions, params=mention_params),
-        Stage("mention_triples", s_mention_triples),
+        Stage("mention_triples", s_mention_triples, params=emit_params),
         Stage("cooccurrence", s_cooccurrence,
-              params={"salt": cooccurrence_salt}),
+              params={"salt": cooccurrence_salt, **emit_params}),
         Stage("triples", s_triples, partition_by=("pred",)),
     ]
     if incremental:

@@ -492,3 +492,76 @@ def test_incremental_chain_three_generations(spark, tmp_path):
     cooc = lambda r: sorted(tuple(x) for x in r["cooccurrence"]
                             .select("subj", "obj", "n_docs").collect())
     assert cooc(r3) == cooc(rf)
+
+
+def test_asserted_gate_in_pipeline(spark, tmp_path):
+    """kg_stages(asserted=True): negated / family-history mentions stay
+    in the mention table WITH their modifiers but emit no graph edges
+    (mention triples or co-occurrence); toggling the flag recomputes
+    the emitter stages while the matcher stage resumes."""
+    from nobletools_spark.operators.context import default_context_index
+    from nobletools_spark.sources.fixtures import SPANS_DDL, builtin_index
+
+    rows = [
+        ("d1", [("text", "The patient has spark and vector.", None, 0)]),
+        ("d2", [("text", "No evidence of spark. We found vector.",
+                 None, 0)]),
+        ("d3", [("text", "Family history of vector.", None, 0)]),
+    ]
+    docs = spark.createDataFrame(rows, SPANS_DDL)
+    ctx = default_context_index()
+    out = str(tmp_path / "kg")
+    pipe = Pipeline(out, kg_stages(builtin_index(), context=ctx,
+                                   asserted=True))
+    res = pipe.run(spark, {"documents": docs})
+    mt = {(r.subj, r.obj) for r in res["mention_triples"].collect()}
+    assert mt == {("d1", "C101"), ("d1", "C102"), ("d2", "C102")}
+    # the mention TABLE keeps every row, modifiers intact
+    m = res["mentions"]
+    assert m.filter(
+        "modifiers['Polarity'] = 'Negative_Polarity'").count() >= 1
+    assert m.filter("doc_id = 'd3'").count() >= 1
+    cooc = {(r.subj, r.obj) for r in res["cooccurrence"].collect()}
+    assert cooc == {("C101", "C102")}   # only d1 has 2 asserted mentions
+    # flag off: emitters recompute (param fingerprint), matcher resumes
+    pipe2 = Pipeline(out, kg_stages(builtin_index(), context=ctx))
+    res2 = pipe2.run(spark, {"documents": docs})
+    st = {r.stage: r.status for r in pipe2.reports}
+    assert st["mentions"] == "resumed"
+    assert st["mention_triples"] == "computed"
+    assert st["cooccurrence"] == "computed"
+    mt2 = {(r.subj, r.obj) for r in res2["mention_triples"].collect()}
+    assert ("d2", "C101") in mt2 and ("d3", "C102") in mt2
+
+
+def test_asserted_mentions_operator(spark):
+    """asserted_mentions: drops each DEFAULT_ASSERTION_DROPS value,
+    keeps default/positive rows, treats a missing map key as asserted,
+    and passes a modifier-less mention table through unchanged."""
+    from nobletools_spark.operators.triples import (
+        DEFAULT_ASSERTION_DROPS,
+        asserted_mentions,
+    )
+
+    rows = [
+        (1, "C1", {"Polarity": "Positive_Polarity"}),
+        (2, "C1", {"Polarity": "Negative_Polarity"}),
+        (3, "C1", {"Experiencer": "FamilyMember_Experiencer"}),
+        (4, "C1", {"Temporality": "Hypothetical_Temporality"}),
+        (5, "C1", {"ContextualModality": "Hedged_ContextualModality"}),
+        (6, "C1", {}),                 # no keys at all -> asserted
+        (7, "C1", None),               # NULL map -> asserted
+    ]
+    m = spark.createDataFrame(
+        rows, "doc_id long, cui string, modifiers map<string,string>")
+    got = {r.doc_id for r in asserted_mentions(m).collect()}
+    assert got == {1, 6, 7}
+    # custom drops override the default table
+    got2 = {r.doc_id for r in asserted_mentions(
+        m, {"Polarity": ("Positive_Polarity",)}).collect()}
+    assert got2 == {2, 3, 4, 5, 6, 7}
+    # no modifiers column: identity
+    bare = spark.createDataFrame([(1, "C1")], "doc_id long, cui string")
+    assert asserted_mentions(bare).collect() == bare.collect()
+    assert set(DEFAULT_ASSERTION_DROPS) <= {
+        "Polarity", "Experiencer", "Temporality", "ContextualModality"}

@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--semtypes", default="")
     ap.add_argument("--context", action="store_true",
                     help="enable ConText modifier assignment")
+    ap.add_argument("--asserted", action="store_true",
+                    help="only ConText-asserted mentions (not negated/"
+                         "other-experiencer/hypothetical/hedged) become"
+                         " graph edges; the mention table keeps all "
+                         "rows with modifiers (requires --context)")
     ap.add_argument("--template",
                     help=".template XML file: adds an item_instances "
                          "extraction stage (templates_from_xml)")
@@ -49,6 +54,9 @@ def main() -> None:
     ap.add_argument("--force", action="store_true",
                     help="recompute all stages (ignore checkpoints)")
     args = ap.parse_args()
+    if args.asserted and not args.context:
+        ap.error("--asserted requires --context (the gate reads the "
+                 "ConText modifiers map)")
 
     from pyspark.sql import SparkSession
 
@@ -160,8 +168,13 @@ def main() -> None:
     )
 
     idx_obj = index.value if hasattr(index, "value") else index
+    # 'asserted' sits in the sidecar although it is an emitter flag,
+    # not a matcher determinant: incremental carry-forward reuses the
+    # previous run's TRIPLE/PAIR tables, which were materialized under
+    # that run's gate — a flag mismatch makes them non-reusable
     matcher_state = {"index": _stable_digest(idx_obj),
-                     "search": args.search, "context": bool(ctx)}
+                     "search": args.search, "context": bool(ctx),
+                     "asserted": bool(args.asserted)}
     out = args.output.rstrip("/")
     inputs = {"documents": docs, "isa_edges": isa_edges}
     incremental = False
@@ -190,11 +203,13 @@ def main() -> None:
                               cooccurrence_salt=args.salt,
                               templates_df=templates_df,
                               components_df=components_df,
-                              incremental=incremental))
+                              incremental=incremental,
+                              asserted=args.asserted))
     if semtypes is not None:
         inputs["semtypes"] = semtypes
     run_config = {"search": args.search, "input": args.input,
                   "context": bool(ctx), "salt": args.salt,
+                  "asserted": bool(args.asserted),
                   "template": template_fp, "terminology": term_fp}
     # drop the stale sidecar BEFORE running (crash-consistency, same
     # rule as stage manifests): a killed config-changed rerun must
