@@ -413,7 +413,10 @@ def relation_mentions(mentions_df: DataFrame,
     self-relations are coreference, not relations. Overlapping spans
     are dropped by the a.end ≤ b.start order condition (an overlap is
     one mention subsuming another, already resolved by the matcher's
-    subsumption sweep).
+    subsumption sweep). Compose with ``asserted_mentions`` first when
+    candidates should exclude negated/hypothetical mentions — a
+    relation stated under negation ("no spread to lymph nodes") is
+    evidence AGAINST the edge, not for it.
 
     Plan shape: one self-join keyed on (doc_id, sent_offset) — the
     per-sentence mention set is tiny, so the pair explosion is

@@ -349,7 +349,10 @@ def kg_stages(index, context=None, cfg=None,
     CONTRACT: ``incremental=True`` requires the SAME matcher
     determinants (index, cfg, context) that produced
     ``prev_mentions`` — carried-forward rows were minted by THAT
-    matcher, and no fingerprint can retro-fix them. Callers must fall
+    matcher, and no fingerprint can retro-fix them. The SAME
+    ``asserted`` flag is part of the contract too: carried
+    ``prev_mention_triples`` / ``prev_cooccurrence`` rows were
+    materialized under the previous run's gate. Callers must fall
     back to a full run when the terminology or config changed;
     ``tools/run_pipeline.py`` enforces this with a matcher sidecar
     (``kg_matcher.json``) written per run and compared on
