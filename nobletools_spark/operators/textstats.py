@@ -142,7 +142,8 @@ _CLF_MAX_BUCKETS = 1 << 31
 def classifier_score(docs: DataFrame, n_buckets: int = CLF_BUCKETS,
                      scale: int = CLF_SCALE, threshold: float = 0.0,
                      seed: int = CLF_SEED,
-                     weights: "list[int] | None" = None) -> DataFrame:
+                     weights: "list[int] | None" = None,
+                     hasher=None) -> DataFrame:
     """Model-based quality gate: a hashed bag-of-n-grams linear
     classifier over (unigram + bigram) features — the fastText-shaped
     scorer used for corpus filtering at crawl scale (quality/educational
@@ -167,6 +168,12 @@ def classifier_score(docs: DataFrame, n_buckets: int = CLF_BUCKETS,
     division of exactly-agreed integers, so the DuckDB oracle matches
     bit-for-bit. NULL text scores as the empty document ('' token).
 
+    ``hasher`` follows the hashing-module convention: a
+    ``Column -> Column`` bucket-hash builder over the seeded feature
+    string; default ``h64`` (md5-derived, DuckDB-replayable). On a
+    real cluster swap ``hasher=F.xxhash64`` — same plan shape, ~3x
+    cheaper per feature, no oracle parity needed there.
+
     Output: (doc_id, n_features, logit_fp, score, keep) with
     ``keep = score >= threshold``.
     """
@@ -178,17 +185,21 @@ def classifier_score(docs: DataFrame, n_buckets: int = CLF_BUCKETS,
         raise ValueError(
             f"weights must have exactly n_buckets={n_buckets} entries,"
             f" got {len(weights)}")
-    from nobletools_spark.functions.hashing import h64_seeded
-
+    hasher = hasher or h64
+    pre = F.lit(f"{seed}|")
     toks = ws_tokens_col()
     nt = F.size(toks)
     bmod = F.lit(int(n_buckets))
-    uni = F.transform(toks, lambda t: h64_seeded(seed, t) % bmod)
+    # pmod, not %: xxhash64 yields negative longs and a negative bucket
+    # would break both weight paths; for the non-negative default h64
+    # pmod == %, so oracle parity is unaffected
+    uni = F.transform(toks,
+                      lambda t: F.pmod(hasher(F.concat(pre, t)), bmod))
     big = F.zip_with(
         F.slice(toks, 1, nt - F.lit(1)),
         F.slice(toks, 2, nt - F.lit(1)),
-        lambda a, b: h64_seeded(
-            seed, F.concat(a, F.lit(" "), b)) % bmod)
+        lambda a, b: F.pmod(hasher(
+            F.concat(pre, a, F.lit(" "), b)), bmod))
     feats = F.concat(uni, big)
     if weights is not None:
         warr = F.lit([int(w) for w in weights])
