@@ -115,6 +115,54 @@ class NobleCoderSpark:
             new_docs, old_fp, old_mentions,
             lambda d: self.annotate(d, **kw))
 
+    def build_kg(self, docs_df, isa_edges=None, semtypes=None,
+                 synonym_edges=None, salt_buckets: int = 8,
+                 asserted: bool = False):
+        """One-call KG construction for notebook / ad-hoc use:
+        annotate → [assertion gate] → mention + co-occurrence triples
+        [+ isa closure] [+ semantic types] [+ CUI canonicalization] as
+        a single (subj, pred, obj) DataFrame — the same composition
+        the resumable pipeline materializes stage-by-stage
+        (``plans/pipeline.kg_stages``; use that + ``Pipeline`` for
+        checkpointed production runs). ONE matcher pass: the (doc,
+        cui) projection is persisted and shared by both corpus-scale
+        emitters (the lift_triples convention)."""
+        from nobletools_spark.operators.triples import (
+            asserted_mentions,
+            cooccurrence_triples,
+            isa_closure_triples,
+            mention_triples,
+            semtype_triples,
+        )
+
+        if asserted and self.context is None:
+            raise ValueError("asserted=True requires a ConText index "
+                             "(the gate reads the modifiers map)")
+        m = self.annotate(docs_df)
+        if asserted:
+            m = asserted_mentions(m)
+        dc = m.select("doc_id", "cui").distinct().persist()
+        t = mention_triples(dc).select("subj", "pred", "obj")
+        t = t.unionByName(
+            cooccurrence_triples(dc, salt_buckets, assume_distinct=True)
+            .select("subj", "pred", "obj"))
+        if isa_edges is not None:
+            t = t.unionByName(
+                isa_closure_triples(isa_edges)
+                .select("subj", "pred", "obj"))
+        if semtypes is not None:
+            t = t.unionByName(
+                semtype_triples(semtypes).select("subj", "pred", "obj"))
+        if synonym_edges is not None:
+            from nobletools_spark.operators.canonical import (
+                canonical_map,
+                canonicalize_triples,
+            )
+
+            t = canonicalize_triples(t, canonical_map(synonym_edges),
+                                     cols=("obj",))
+        return t
+
     def extract(self, docs_df, templates_df, sections_df=None,
                 components_df=None, **kw):
         """Template-based information extraction (InformationExtractor

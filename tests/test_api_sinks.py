@@ -301,3 +301,33 @@ def test_export_orf_nameless_concept_keeps_referential_integrity(
     # and the MRDEF row for the nameless concept maps too
     def_cuis = {ln.split("|")[0] for ln in lines("MRDEF")}
     assert def_cuis == {tumor_id}
+
+
+def test_build_kg_matches_pipeline_composition(spark, tmp_path):
+    """build_kg equals the resumable pipeline's triples stage on the
+    same corpus (same emitters, same unions, same canonicalization
+    hook points), and asserted=True without a ConText index raises."""
+    import pytest as _pytest
+
+    from nobletools_spark.model import MatchConfig
+    from nobletools_spark.plans.pipeline import Pipeline, kg_stages
+    from nobletools_spark.sources.fixtures import (
+        PYTEST_ISA_EDGES,
+        pytest_index,
+        synthetic_corpus_df,
+    )
+
+    docs = synthetic_corpus_df(spark, 40, seed=11)
+    edges = spark.createDataFrame(list(PYTEST_ISA_EDGES),
+                                  "cui string, parent string")
+    nc = NobleCoderSpark(pytest_index(), MatchConfig())
+    got = sorted(tuple(r) for r in
+                 nc.build_kg(docs, isa_edges=edges).collect())
+    pipe = Pipeline(str(tmp_path / "kg"),
+                    kg_stages(pytest_index(), cfg=MatchConfig()))
+    res = pipe.run(spark, {"documents": docs, "isa_edges": edges})
+    want = sorted(tuple(r) for r in
+                  res["triples"].select("subj", "pred", "obj").collect())
+    assert got == want and got
+    with _pytest.raises(ValueError):
+        nc.build_kg(docs, asserted=True)   # no ConText index
