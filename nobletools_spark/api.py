@@ -163,6 +163,27 @@ class NobleCoderSpark:
                                      cols=("obj",))
         return t
 
+    def build_property_graph(self, docs_df, semtypes_df=None,
+                             names_df=None, salt_buckets: int = 8,
+                             asserted: bool = False):
+        """One-call (vertices, edges) property-graph pair: annotate →
+        [assertion gate] → ``operators/triples.property_graph`` (id /
+        src / dst / relationship / weight — the GraphFrames hand-off
+        schema). Shares one matcher pass and one pair table across
+        both sides."""
+        from nobletools_spark.operators.triples import (
+            asserted_mentions,
+            property_graph,
+        )
+
+        if asserted and self.context is None:
+            raise ValueError("asserted=True requires a ConText index "
+                             "(the gate reads the modifiers map)")
+        m = self.annotate(docs_df)
+        if asserted:
+            m = asserted_mentions(m)
+        return property_graph(m, semtypes_df, names_df, salt_buckets)
+
     def extract(self, docs_df, templates_df, sections_df=None,
                 components_df=None, **kw):
         """Template-based information extraction (InformationExtractor

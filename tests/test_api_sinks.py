@@ -331,3 +331,26 @@ def test_build_kg_matches_pipeline_composition(spark, tmp_path):
     assert got == want and got
     with _pytest.raises(ValueError):
         nc.build_kg(docs, asserted=True)   # no ConText index
+
+
+def test_build_property_graph_facade(spark):
+    """build_property_graph returns the GraphFrames-shaped pair from
+    one annotate pass; asserted=True without ConText raises."""
+    import pytest as _pytest
+
+    from nobletools_spark.model import MatchConfig
+    from nobletools_spark.sources.fixtures import (
+        pytest_index,
+        synthetic_corpus_df,
+    )
+
+    docs = synthetic_corpus_df(spark, 30, seed=3)
+    nc = NobleCoderSpark(pytest_index(), MatchConfig())
+    verts, edges = nc.build_property_graph(docs)
+    assert {"id", "n_docs", "degree", "weighted_degree"} <= set(verts.columns)
+    assert ["src", "dst", "relationship", "weight"] == edges.columns
+    assert verts.count() > 0
+    e = edges.collect()
+    assert all(r.src < r.dst for r in e)
+    with _pytest.raises(ValueError):
+        nc.build_property_graph(docs, asserted=True)
