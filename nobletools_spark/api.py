@@ -117,7 +117,7 @@ class NobleCoderSpark:
 
     def build_kg(self, docs_df, isa_edges=None, semtypes=None,
                  synonym_edges=None, salt_buckets: int = 8,
-                 asserted: bool = False):
+                 asserted: bool = False, cache: bool = True):
         """One-call KG construction for notebook / ad-hoc use:
         annotate → [assertion gate] → mention + co-occurrence triples
         [+ isa closure] [+ semantic types] [+ CUI canonicalization] as
@@ -126,23 +126,34 @@ class NobleCoderSpark:
         (``plans/pipeline.kg_stages``; use that + ``Pipeline`` for
         checkpointed production runs). ONE matcher pass: the (doc,
         cui) projection is persisted and shared by both corpus-scale
-        emitters (the lift_triples convention)."""
+        emitters (the lift_triples convention), and the mention leg
+        reads it directly — no second distinct. ``cache=False`` skips
+        the session-lifetime persist (the cooccurrence_triples
+        lifecycle convention for unbounded repeat callers)."""
         from nobletools_spark.operators.triples import (
             asserted_mentions,
             cooccurrence_triples,
             isa_closure_triples,
-            mention_triples,
             semtype_triples,
         )
 
         if asserted and self.context is None:
             raise ValueError("asserted=True requires a ConText index "
                              "(the gate reads the modifiers map)")
+        from pyspark.sql import functions as F
+
         m = self.annotate(docs_df)
         if asserted:
             m = asserted_mentions(m)
-        dc = m.select("doc_id", "cui").distinct().persist()
-        t = mention_triples(dc).select("subj", "pred", "obj")
+        dc = m.select("doc_id", "cui").distinct()
+        if cache:
+            dc = dc.persist()
+        # dc is already the distinct (doc, cui) set — the mention leg
+        # is a pure projection of it (mention_triples' own distinct
+        # would re-shuffle the whole table for nothing)
+        t = dc.select(F.col("doc_id").alias("subj"),
+                      F.lit("mentions-concept").alias("pred"),
+                      F.col("cui").alias("obj"))
         t = t.unionByName(
             cooccurrence_triples(dc, salt_buckets, assume_distinct=True)
             .select("subj", "pred", "obj"))
@@ -165,7 +176,8 @@ class NobleCoderSpark:
 
     def build_property_graph(self, docs_df, semtypes_df=None,
                              names_df=None, salt_buckets: int = 8,
-                             asserted: bool = False):
+                             asserted: bool = False,
+                             cache: bool = True):
         """One-call (vertices, edges) property-graph pair: annotate →
         [assertion gate] → ``operators/triples.property_graph`` (id /
         src / dst / relationship / weight — the GraphFrames hand-off
@@ -182,7 +194,8 @@ class NobleCoderSpark:
         m = self.annotate(docs_df)
         if asserted:
             m = asserted_mentions(m)
-        return property_graph(m, semtypes_df, names_df, salt_buckets)
+        return property_graph(m, semtypes_df, names_df, salt_buckets,
+                              cache=cache)
 
     def extract(self, docs_df, templates_df, sections_df=None,
                 components_df=None, **kw):

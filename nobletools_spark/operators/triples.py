@@ -55,7 +55,8 @@ def asserted_mentions(mentions_df: DataFrame,
     if "modifiers" not in mentions_df.columns:
         return mentions_df
     cond = F.lit(True)
-    for mod_type, vals in (drops or DEFAULT_ASSERTION_DROPS).items():
+    drops = DEFAULT_ASSERTION_DROPS if drops is None else drops
+    for mod_type, vals in drops.items():
         v = F.coalesce(F.col("modifiers").getItem(mod_type), F.lit(""))
         cond = cond & ~v.isin(*vals)
     return mentions_df.filter(cond)
@@ -524,9 +525,13 @@ def concept_nodes(mentions_df: DataFrame,
     # shared persisted (doc, cui) projection: node counts AND the pair
     # table derive from it — one matcher pass, not two (see lift_triples)
     dc = mentions_df.select("doc_id", "cui").distinct()
-    if cache:
-        dc = dc.persist()
     cooc = cooccurrence_triples(dc, salt_buckets, assume_distinct=True)
+    if cache:
+        # cooc too: _nodes_from's symmetrize reads the pair table on
+        # BOTH union legs, and exchange reuse across legs is not
+        # guaranteed (the 6a77e13 finding) — unpersisted, the one
+        # corpus-scale pair aggregation would execute twice
+        dc, cooc = dc.persist(), cooc.persist()
     return _nodes_from(dc, cooc, semtypes_df, names_df)
 
 

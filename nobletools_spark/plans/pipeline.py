@@ -367,6 +367,12 @@ def kg_stages(index, context=None, cfg=None,
         semtype_triples,
     )
 
+    if asserted and context is None:
+        # without ConText the mention table has no modifiers column and
+        # the gate is a silent identity — an "assertion-gated" run that
+        # gates nothing; fail loudly like run_pipeline/build_kg do
+        raise ValueError("asserted=True requires a ConText index "
+                         "(the gate reads the modifiers map)")
     # assertion gate (asserted=True): only ConText-asserted mentions
     # (not negated / other-experiencer / hypothetical / hedged) become
     # graph edges. Applied at every mention consumption downstream of

@@ -565,3 +565,21 @@ def test_asserted_mentions_operator(spark):
     assert asserted_mentions(bare).collect() == bare.collect()
     assert set(DEFAULT_ASSERTION_DROPS) <= {
         "Polarity", "Experiencer", "Temporality", "ContextualModality"}
+
+
+def test_asserted_guards_and_empty_drops(spark):
+    """kg_stages(asserted=True) without a ConText index raises (the
+    gate would silently be an identity); an explicit empty drops dict
+    means 'gate on nothing', not 'use defaults'."""
+    import pytest as _pytest
+
+    from nobletools_spark.operators.triples import asserted_mentions
+    from nobletools_spark.sources.fixtures import pytest_index
+
+    with _pytest.raises(ValueError):
+        kg_stages(pytest_index(), asserted=True)
+    m = spark.createDataFrame(
+        [(1, "C1", {"Polarity": "Negative_Polarity"})],
+        "doc_id long, cui string, modifiers map<string,string>")
+    assert asserted_mentions(m, {}).count() == 1     # explicit no-gate
+    assert asserted_mentions(m).count() == 0         # default gate
