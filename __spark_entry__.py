@@ -163,6 +163,24 @@ def q_kg_media_triples(spark, sf_dir):
     return media_concept_triples(docs, _builtin_mentions(spark, sf_dir))
 
 
+def q_kg_media_adjacent(spark, sf_dir):
+    """Span-adjacency media edges (media_adjacent_concept_edges): each
+    media span links only to concepts in the ADJACENT text spans with
+    a signed span-order distance. On this fixture's two-span layout
+    (one text span + trailing media on every 3rd doc) adjacency equals
+    the doc and every edge carries rel_pos = -1 — which is exactly
+    what makes the posexplode/offset-window plumbing SQL-replayable
+    here; the multi-span geometry is pinned by
+    tests/test_multimodal.py::test_media_adjacent_concept_edges."""
+    from nobletools_spark.operators.multimodal import (
+        media_adjacent_concept_edges,
+    )
+
+    docs = interleaved_docs(spark, sf_dir)
+    return media_adjacent_concept_edges(docs,
+                                        _builtin_mentions(spark, sf_dir))
+
+
 def _snapshot_docs(spark, sf_dir):
     """(old_docs, new_docs) interleaved corpus snapshots for the
     incremental entries: every 5th doc gains ' spark vector', every
@@ -974,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_drop_near": q_dedup_drop_near,
         "text_contamination": q_text_contamination,
         "kg_media_triples": q_kg_media_triples,
+        "kg_media_adjacent": q_kg_media_adjacent,
         "kg_incremental_diff": q_kg_incremental_diff,
         "kg_incremental_cooc": q_kg_incremental_cooc,
     }
@@ -1126,6 +1145,17 @@ def oracle_sql() -> dict[str, str]:
         _mentions_cte()
         + " SELECT DISTINCT 'media://' || doc_id AS subj,"
           " 'illustrates-concept' AS pred, cui AS obj FROM m"
+          " WHERE doc_id % 3 = 0")
+
+    # adjacency replay on the two-span fixture layout: the single text
+    # span at offset 0 precedes the trailing media span, so every
+    # mention is adjacent at signed span distance -1 (multi-span
+    # geometry is pinned by the operator's unit test)
+    sql["kg_media_adjacent"] = (
+        _mentions_cte()
+        + " SELECT DISTINCT 'media://' || doc_id AS subj,"
+          " 'depicts-concept' AS pred, cui AS obj,"
+          " (-1)::INTEGER AS rel_pos FROM m"
           " WHERE doc_id % 3 = 0")
 
     _triple = "doc_id, 'mentions-concept' AS pred, cui AS obj"

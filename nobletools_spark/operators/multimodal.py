@@ -829,6 +829,53 @@ def sample_frames(media_df: DataFrame, every_ms: int = 1000,
     return media_df.select("media_ref", "content").mapInPandas(fn, FRAMES_DDL)
 
 
+def media_adjacent_concept_edges(docs_df: DataFrame,
+                                 mentions_df: DataFrame,
+                                 neighbors: int = 1) -> DataFrame:
+    """Span-adjacency refinement of ``media_concept_triples``:
+    (media_ref, 'depicts-concept', cui, rel_pos) linking each media
+    span only to concepts mentioned in the text spans ADJACENT in span
+    order (|position delta| ≤ ``neighbors``) — the caption under a
+    figure and the paragraph referencing it, not every concept in the
+    document. On a long interleaved document (hundreds of text spans,
+    a handful of figures) the doc-level edge drowns the signal; the
+    adjacent edge is the one a multimodal KG consumer wants.
+    ``rel_pos`` is the text span's signed span-order distance
+    (-1 = immediately before the media span, +1 = the caption after).
+
+    Scale shape: spans explode to per-doc span rows (span-count-sized,
+    tiny vs the corpus), adjacency is a doc-keyed join of media ×
+    nearby text spans, and mentions attach by doc-keyed join + offset
+    range filter against each adjacent text span's [offset,
+    offset+len) window — no corpus self-join, no shuffle beyond the
+    doc-keyed joins and the final distinct."""
+    if neighbors < 1:
+        raise ValueError("neighbors must be >= 1")
+    sp = docs_df.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s"))
+    media = (sp.filter(F.col("s.kind") == "media")
+             .select("doc_id", F.col("pos").alias("m_pos"),
+                     F.col("s.media_ref").alias("media_ref")))
+    text = (sp.filter(F.col("s.kind") == "text")
+            .select("doc_id", F.col("pos").alias("t_pos"),
+                    F.col("s.offset").alias("t_off"),
+                    F.length(F.coalesce(F.col("s.text"), F.lit("")))
+                    .alias("t_len")))
+    adj = (media.join(text, "doc_id")
+           .filter(F.abs(F.col("t_pos") - F.col("m_pos"))
+                   <= F.lit(int(neighbors))))
+    m = mentions_df.select("doc_id", "cui", "start")
+    hits = (adj.join(m, "doc_id")
+            .filter((F.col("start") >= F.col("t_off"))
+                    & (F.col("start") < F.col("t_off") + F.col("t_len"))))
+    return (hits.select(
+        F.col("media_ref").alias("subj"),
+        F.lit("depicts-concept").alias("pred"),
+        F.col("cui").alias("obj"),
+        (F.col("t_pos") - F.col("m_pos")).cast("int").alias("rel_pos"))
+        .distinct())
+
+
 def media_concept_triples(docs_df: DataFrame, mentions_df: DataFrame) -> DataFrame:
     """(media_ref, 'illustrates-concept', cui): connect media spans to
     the concepts mentioned in the same document — the multimodal edge of

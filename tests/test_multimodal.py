@@ -756,3 +756,37 @@ def test_decode_png_bounded_inflate():
             + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="oversized PNG body"):
         decode_png(bomb)
+
+
+def test_media_adjacent_concept_edges(spark):
+    """Adjacency-scoped media edges: a figure links to concepts in the
+    text spans immediately before/after it (the caption), not to every
+    concept in the document; neighbors widens the window; rel_pos is
+    the signed span-order distance."""
+    import pytest as _pytest
+
+    from nobletools_spark.model import MatchConfig
+    from nobletools_spark.operators.multimodal import (
+        media_adjacent_concept_edges,
+    )
+    from nobletools_spark.sources.fixtures import SPANS_DDL, builtin_index
+
+    t0 = "the patient has spark."            # C101, span pos 0
+    t2 = "figure shows vector."              # C102, span pos 2
+    t3 = "the customer ordered data."        # C103, span pos 3
+    docs = spark.createDataFrame(
+        [("d1", [("text", t0, None, 0),
+                 ("media", None, "media://x", len(t0) + 1),
+                 ("text", t2, None, len(t0) + 2),
+                 ("text", t3, None, len(t0) + len(t2) + 3)])],
+        SPANS_DDL)
+    m = annotate(docs, builtin_index(), MatchConfig())
+    got = {(r.subj, r.obj, r.rel_pos)
+           for r in media_adjacent_concept_edges(docs, m).collect()}
+    assert got == {("media://x", "C101", -1), ("media://x", "C102", 1)}
+    wide = {(r.obj, r.rel_pos)
+            for r in media_adjacent_concept_edges(docs, m,
+                                                  neighbors=2).collect()}
+    assert wide == {("C101", -1), ("C102", 1), ("C103", 2)}
+    with _pytest.raises(ValueError):
+        media_adjacent_concept_edges(docs, m, neighbors=0)

@@ -152,6 +152,11 @@ NOTES = {
                        " pure whole-stage codegen, zero shuffle;"
                        " learned weights swap in as a broadcast array"
                        " literal with the identical plan",
+    "kg_media_adjacent": "spans posexplode to per-doc span rows (tiny"
+                         " vs corpus); media x nearby-text adjacency"
+                         " and the mention attach are doc-keyed joins"
+                         " + offset-range filters — no corpus"
+                         " self-join",
     "kg_lift": "pairs + doc-frequency + corpus-N all derive from ONE"
                " persisted (doc,cui) projection (matcher runs once);"
                " both frequency joins broadcast (vocab-sized); the"
