@@ -1029,7 +1029,17 @@ def _norm_chain(expr: str) -> str:
 def _mentions_ctes_body(src: str = "documents", sfx: str = "") -> str:
     """The norm/m CTE pair over any docs relation ``src``; ``sfx``
     disambiguates when one query replays mentions over two corpus
-    snapshots (kg_incremental_diff)."""
+    snapshots (kg_incremental_diff).
+
+    Scope note: the LIKE/regex replay assumes every surface hit passes
+    the matcher's score gate, which holds for the driver corpora's
+    vocabulary (VOCAB_STEMS): each term word appears only in surface
+    forms that match a synonym exactly ('customer'). A corpus word
+    that matched ONLY via stemming (bare 'custom') would be rejected
+    by the engine's reference-pinned stem-only single-word penalty
+    (match_core._score_concept, scoreConcept :2388-2495) while this
+    replay would count it — that divergence is intentionally pinned by
+    the matcher's unit tests, not exercised by the oracle."""
     branches = []
     for word, cui in BUILTIN_SINGLE_TERMS:
         branches.append(

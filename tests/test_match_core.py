@@ -285,3 +285,25 @@ def test_acronym_duplicate_same_code_mentions_removed():
     acronym_pass(sents2)
     who2 = [m for m in out if m.cui == "C009"]
     assert len(who2) == 1 and who2[0].annotations == [("WHO", 0)]
+
+
+def test_single_word_stem_only_penalty():
+    """scoreConcept (NobleCoderTerminology.java:2388-2495): a single
+    word matching a synonym ONLY via stemming (surface 'custom' vs
+    synonym 'customer', not a plural) takes the -10 penalty and drops
+    below the mention gate; the exact surface, the plural surface
+    ('customs' — is_plural exempts it), and the multi-word term all
+    match. Pins the quirk the DuckDB oracle's LIKE replay cannot see
+    (see __spark_entry__._mentions_ctes_body scope note)."""
+    from nobletools_spark.model import MatchConfig
+    from nobletools_spark.operators.match_core import match_sentence
+    from nobletools_spark.sources.fixtures import builtin_index
+
+    idx = builtin_index()
+    cfg = MatchConfig().for_search()
+    assert match_sentence("a custom row", idx, cfg) == []
+    assert [m.cui for m in match_sentence("the customer ordered",
+                                          idx, cfg)] == ["C103"]
+    assert [m.cui for m in match_sentence("customs", idx, cfg)] == ["C103"]
+    assert [m.cui for m in match_sentence("custom entity here",
+                                          idx, cfg)] == ["C103"]
