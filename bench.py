@@ -62,6 +62,7 @@ HEADLINE = (
     "text_pack_manifest",
     "media_frames",
     "media_decode",
+    "kg_media_adjacent",
     "kg_incremental_diff",
     "kg_incremental_cooc",
     "kg_lift",
