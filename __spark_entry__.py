@@ -271,6 +271,49 @@ def q_kg_cooccurrence(spark, sf_dir):
     return cooccurrence_triples(m, salt_buckets=8)
 
 
+def q_kg_integrity(spark, sf_dir):
+    """Pre-publish KG integrity validation (triples.kg_integrity):
+    the corpus co-occurrence pairs + terminology isa/semtype triples
+    are clean by construction, so the report is exactly the five
+    deterministically planted violations — while the whole snapshot
+    (incl. the corpus-derived edges) flows through the broadcast
+    anti-joins."""
+    from nobletools_spark.operators.triples import (
+        cooccurrence_triples,
+        isa_triples,
+        kg_integrity,
+        semtype_triples,
+    )
+
+    m = _builtin_mentions(spark, sf_dir) \
+        .withColumn("doc_id", F.col("doc_id").cast("long"))
+    cooc = (cooccurrence_triples(m, salt_buckets=8)
+            .select(F.col("subj").cast("string"), "pred", "obj"))
+    edges = _dim(spark, list(BUILTIN_ISA_EDGES),
+                 "cui string, parent string")
+    sem = _dim(spark, [(c, t) for c, t, _ in BUILTIN_SEMTYPES],
+               "cui string, tui string")
+    planted = _dim(spark, list(_INTEGRITY_PLANTED),
+                   "subj string, pred string, obj string")
+    t = (isa_triples(edges).unionByName(semtype_triples(sem))
+         .unionByName(cooc).unionByName(planted))
+    node_ids = sorted({c["cui"] for c in BUILTIN_CONCEPTS}
+                      | {x for e in BUILTIN_ISA_EDGES for x in e})
+    known = _dim(spark, [(k,) for k in node_ids], "cui string")
+    tuis = _dim(spark, [("T001",), ("T002",)], "tui string")
+    return kg_integrity(t, known, tuis)
+
+
+# deterministic planted violations shared verbatim with the oracle SQL
+_INTEGRITY_PLANTED = (
+    ("C999", "isa", "C101"),                    # unknown_subject
+    ("C101", "isa", "CX"),                      # unknown_object
+    ("C101", "co-occurs-with", "C101"),         # self + non-canonical
+    ("C108", "co-occurs-with", "C101"),         # non-canonical
+    ("C101", "has-semantic-type", "T9"),        # unknown_tui
+)
+
+
 def q_kg_isa_closure(spark, sf_dir):
     edges = _dim(spark, list(BUILTIN_ISA_EDGES),
                  "cui string, parent string")
@@ -953,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_triangles": q_kg_triangles,
         "kg_isa_closure": q_kg_isa_closure,
+        "kg_integrity": q_kg_integrity,
         "kg_semtypes": q_kg_semtypes,
         "kg_canonical": q_kg_canonical,
         "kg_word_stats": q_kg_word_stats,
@@ -1210,6 +1254,47 @@ def oracle_sql() -> dict[str, str]:
           " count(*)::BIGINT AS n_docs"
           " FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.cui < b.cui"
           " GROUP BY a.cui, b.cui")
+
+    # integrity validation: full replay of the kg_integrity anti-join
+    # logic over the same snapshot (corpus cooc + terminology isa/
+    # semtype + the planted violations) — constants all come from the
+    # shared fixture tuples
+    isa_vals = ", ".join(f"('{c}','isa','{p}')"
+                         for c, p in BUILTIN_ISA_EDGES)
+    sem_vals = ", ".join(f"('{c}','has-semantic-type','{t}')"
+                         for c, t, _ in BUILTIN_SEMTYPES)
+    planted_vals = ", ".join(f"('{s}','{p}','{o}')"
+                             for s, p, o in _INTEGRITY_PLANTED)
+    node_ids = sorted({c["cui"] for c in BUILTIN_CONCEPTS}
+                      | {x for e in BUILTIN_ISA_EDGES for x in e})
+    known_vals = ", ".join(f"('{k}')" for k in node_ids)
+    sql["kg_integrity"] = (
+        _mentions_cte()
+        + f", cooc AS (SELECT DISTINCT a.cui AS subj,"
+          f" 'co-occurs-with' AS pred, b.cui AS obj FROM m a JOIN m b"
+          f" ON a.doc_id = b.doc_id AND a.cui < b.cui),"
+          f" allt AS (SELECT * FROM cooc"
+          f" UNION SELECT * FROM (VALUES {isa_vals}) i(subj, pred, obj)"
+          f" UNION SELECT * FROM (VALUES {sem_vals}) s(subj, pred, obj)"
+          f" UNION SELECT * FROM (VALUES {planted_vals})"
+          f" p(subj, pred, obj)),"
+          f" known(kid) AS (SELECT * FROM (VALUES {known_vals})),"
+          f" tuis(ktui) AS (VALUES ('T001'), ('T002'))"
+          f" SELECT DISTINCT subj, pred, obj, violation FROM ("
+          f" SELECT subj, pred, obj, 'unknown_subject' AS violation"
+          f" FROM allt WHERE pred IN ('isa', 'co-occurs-with')"
+          f" AND subj NOT IN (SELECT kid FROM known)"
+          f" UNION ALL SELECT subj, pred, obj, 'unknown_object'"
+          f" FROM allt WHERE pred IN ('isa', 'co-occurs-with')"
+          f" AND obj NOT IN (SELECT kid FROM known)"
+          f" UNION ALL SELECT subj, pred, obj, 'self_edge'"
+          f" FROM allt WHERE pred IN ('isa', 'co-occurs-with')"
+          f" AND subj = obj"
+          f" UNION ALL SELECT subj, pred, obj, 'non_canonical_pair'"
+          f" FROM allt WHERE pred = 'co-occurs-with' AND subj >= obj"
+          f" UNION ALL SELECT subj, pred, obj, 'unknown_tui'"
+          f" FROM allt WHERE pred = 'has-semantic-type'"
+          f" AND obj NOT IN (SELECT ktui FROM tuis))")
 
     # shared co-occurrence graph CTEs for the graph-analytics family:
     # distinct (doc, cui) -> unordered pairs -> symmetrized edge view

@@ -81,6 +81,64 @@ def semtype_triples(semtypes_df: DataFrame) -> DataFrame:
             .distinct())
 
 
+def kg_integrity(triples_df: DataFrame, known_ids_df: DataFrame,
+                 known_tuis_df: DataFrame | None = None,
+                 cache: bool = True) -> DataFrame:
+    """Pre-publish integrity validation of a materialized triple set —
+    the QA gate a KG pipeline runs before exposing a snapshot. Returns
+    VIOLATION rows (subj, pred, obj, violation), empty when clean:
+
+    - ``unknown_subject`` / ``unknown_object``: a concept-typed edge
+      (``isa`` / ``co-occurs-with``) endpoint absent from
+      ``known_ids_df`` (the terminology vocabulary the snapshot was
+      built against — a corrupted write or a stale-terminology merge
+      shows up here).
+    - ``self_edge``: subj == obj on those predicates (no concept isa /
+      co-occurs-with itself; a canonicalization bug minting one).
+    - ``non_canonical_pair``: a ``co-occurs-with`` row with
+      subj >= obj — the emitters' canonical-orientation invariant
+      (subj < obj), whose violation silently double-counts pairs
+      downstream.
+    - ``unknown_tui``: a ``has-semantic-type`` object absent from
+      ``known_tuis_df`` (when given).
+
+    Plan shape: the triple scan is filtered per predicate family and
+    anti-/semi-joined against BROADCAST vocabulary tables
+    (terminology-sized) — no corpus-keyed shuffle, violations-only
+    output. Five report legs read the snapshot, so the skinny
+    projection is persisted once (``cache=False`` to opt out; with a
+    parquet-backed snapshot the legs then share the file scan) —
+    without it an inline lineage (e.g. a live co-occurrence
+    aggregation) would recompute per leg."""
+    ids = F.broadcast(
+        known_ids_df.select(F.col(known_ids_df.columns[0]).alias("kid"))
+        .distinct())
+    t = triples_df.select("subj", "pred", "obj")
+    if cache:
+        t = t.persist()
+    edge = t.filter(F.col("pred").isin("isa", "co-occurs-with"))
+    unk_s = (edge.join(ids, edge["subj"] == ids["kid"], "left_anti")
+             .withColumn("violation", F.lit("unknown_subject")))
+    unk_o = (edge.join(ids, edge["obj"] == ids["kid"], "left_anti")
+             .withColumn("violation", F.lit("unknown_object")))
+    self_e = (edge.filter(F.col("subj") == F.col("obj"))
+              .withColumn("violation", F.lit("self_edge")))
+    non_canon = (t.filter((F.col("pred") == "co-occurs-with")
+                          & (F.col("subj") >= F.col("obj")))
+                 .withColumn("violation", F.lit("non_canonical_pair")))
+    out = unk_s.unionByName(unk_o).unionByName(self_e) \
+               .unionByName(non_canon)
+    if known_tuis_df is not None:
+        tuis = F.broadcast(
+            known_tuis_df.select(
+                F.col(known_tuis_df.columns[0]).alias("ktui")).distinct())
+        sem = t.filter(F.col("pred") == "has-semantic-type")
+        out = out.unionByName(
+            sem.join(tuis, sem["obj"] == tuis["ktui"], "left_anti")
+            .withColumn("violation", F.lit("unknown_tui")))
+    return out.distinct()
+
+
 def isa_triples(edges_df: DataFrame) -> DataFrame:
     """edges_df: (cui, parent) direct BROADER edges → isa triples."""
     return (edges_df

@@ -567,3 +567,42 @@ def test_property_graph_pair(spark):
          for r in edges.collect()]
     assert e == [("A", "B", "co-occurs-with", 2)]
     assert all(s < d for s, d, _r, _w in e)
+
+
+def test_kg_integrity_validator(spark):
+    """kg_integrity: unknown endpoints, self edges, non-canonical
+    co-occurrence orientation, and unknown TUIs are each flagged once;
+    clean rows (incl. doc-subject mention triples, out of scope)
+    produce nothing; a clean snapshot validates to zero rows."""
+    from pyspark.sql import functions as F
+
+    from nobletools_spark.operators.triples import kg_integrity
+
+    triples = spark.createDataFrame([
+        ("C101", "isa", "C130"),
+        ("C101", "co-occurs-with", "C102"),
+        ("C999", "isa", "C130"),
+        ("C101", "isa", "CXXX"),
+        ("C102", "co-occurs-with", "C102"),
+        ("C103", "co-occurs-with", "C101"),
+        ("C101", "has-semantic-type", "T002"),
+        ("C101", "has-semantic-type", "T999"),
+        ("d1", "mentions-concept", "C101"),
+    ], "subj string, pred string, obj string")
+    known = spark.createDataFrame(
+        [("C101",), ("C102",), ("C103",), ("C130",)], "cui string")
+    tuis = spark.createDataFrame([("T001",), ("T002",)], "tui string")
+    got = {tuple(r) for r in kg_integrity(triples, known, tuis).collect()}
+    assert got == {
+        ("C999", "isa", "C130", "unknown_subject"),
+        ("C101", "isa", "CXXX", "unknown_object"),
+        ("C102", "co-occurs-with", "C102", "self_edge"),
+        ("C102", "co-occurs-with", "C102", "non_canonical_pair"),
+        ("C103", "co-occurs-with", "C101", "non_canonical_pair"),
+        ("C101", "has-semantic-type", "T999", "unknown_tui"),
+    }
+    clean = triples.filter(
+        ~F.col("subj").isin("C999", "C103")
+        & ~F.col("obj").isin("CXXX", "T999")
+        & (F.col("subj") != F.col("obj")))
+    assert kg_integrity(clean, known, tuis).count() == 0

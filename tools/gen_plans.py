@@ -152,6 +152,13 @@ NOTES = {
                        " pure whole-stage codegen, zero shuffle;"
                        " learned weights swap in as a broadcast array"
                        " literal with the identical plan",
+    "kg_integrity": "per-predicate filters + BROADCAST anti-joins vs"
+                    " terminology-sized vocabularies; violations-only"
+                    " output. The snapshot projection is persisted and"
+                    " shared by the five report legs — the static plan"
+                    " re-renders the cached subtree (and its exchanges)"
+                    " per leg, but execution computes it ONCE; on a"
+                    " parquet-backed snapshot the gate costs one scan",
     "kg_media_adjacent": "spans posexplode to per-doc span rows (tiny"
                          " vs corpus); media x nearby-text adjacency"
                          " and the mention attach are doc-keyed joins"
