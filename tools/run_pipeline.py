@@ -53,6 +53,11 @@ def main() -> None:
                          "or differs (different terminology/config).")
     ap.add_argument("--force", action="store_true",
                     help="recompute all stages (ignore checkpoints)")
+    ap.add_argument("--validate", action="store_true",
+                    help="post-run KG integrity gate (kg_integrity) "
+                         "over the materialized triples; violations "
+                         "land in <output>/_integrity and a nonzero "
+                         "count exits 1")
     args = ap.parse_args()
     if args.asserted and not args.context:
         ap.error("--asserted requires --context (the gate reads the "
@@ -250,6 +255,32 @@ def main() -> None:
         report["increment"] = {k: int(srow[k]) for k in
                                ("n_new", "n_changed", "n_unchanged",
                                 "n_deleted")}
+    if args.validate:
+        # pre-publish QA gate over the materialized snapshot: unknown
+        # endpoints / self edges / non-canonical pairs / dangling TUIs
+        # against the vocabulary THIS run was built from. Violations
+        # land in {out}/_integrity and the count in the run report;
+        # nonzero exits 1 so a scheduler fails the publish step.
+        from pyspark.sql import functions as F
+
+        from nobletools_spark.operators.triples import kg_integrity
+        from nobletools_spark.session import local_table
+
+        node_ids = sorted(
+            set(idx_obj.concepts)
+            | {r for e in isa_edges.collect() for r in (e[0], e[1])})
+        known = local_table(spark, [(k,) for k in node_ids],
+                            "cui string")
+        tuis = (semtypes.select("tui").distinct()
+                if semtypes is not None else None)
+        viol = kg_integrity(
+            spark.read.parquet(f"{out}/triples"), known, tuis)
+        viol.write.mode("overwrite").parquet(f"{out}/_integrity")
+        n_viol = spark.read.parquet(f"{out}/_integrity").count()
+        report["integrity_violations"] = n_viol
+        if n_viol:
+            print(json.dumps(report))
+            sys.exit(1)
     print(json.dumps(report))
     spark.stop()
 
