@@ -63,6 +63,7 @@ HEADLINE = (
     "media_frames",
     "media_decode",
     "kg_media_adjacent",
+    "kg_integrity",
     "kg_incremental_diff",
     "kg_incremental_cooc",
     "kg_lift",
