@@ -304,6 +304,51 @@ def q_kg_integrity(spark, sf_dir):
     return kg_integrity(t, known, tuis)
 
 
+def _updated_concepts():
+    """The 'next terminology release' snapshot: BUILTIN_CONCEPTS with
+    deterministic planted changes (rename C102, extra C103 synonym,
+    C104 semtype swap, C108 dropped, C999 added) — shared between the
+    Spark query and the oracle's diff replay."""
+    out = []
+    for c in BUILTIN_CONCEPTS:
+        c = dict(c)
+        if c["cui"] == "C102":
+            c["name"] = "Vector Type v2"
+        elif c["cui"] == "C103":
+            c["synonyms"] = tuple(c["synonyms"]) + ("client",)
+        elif c["cui"] == "C104":
+            c["semtypes"] = ("T003",)
+        elif c["cui"] == "C108":
+            continue
+        out.append(c)
+    out.append({"cui": "C999", "name": "New Concept",
+                "synonyms": ("New Concept",), "semtypes": ("T002",),
+                "sources": ("TST",)})
+    return out
+
+
+def q_kg_stale_triples(spark, sf_dir):
+    """Release-update impact analysis: terminology_diff between the
+    builtin snapshot and its planted next release, then stale_triples
+    over the REAL corpus mention + co-occurrence triples — the
+    work-list for selective re-materialization after a UMLS update."""
+    from nobletools_spark.index import stale_triples, terminology_diff
+    from nobletools_spark.operators.triples import (
+        cooccurrence_triples,
+        mention_triples,
+    )
+    from nobletools_spark.sources.obo import concepts_df_from_records
+
+    m = _builtin_mentions(spark, sf_dir)
+    t = (mention_triples(m).select("subj", "pred", "obj")
+         .unionByName(cooccurrence_triples(m, salt_buckets=8)
+                      .select("subj", "pred", "obj")))
+    diff = terminology_diff(
+        concepts_df_from_records(spark, BUILTIN_CONCEPTS),
+        concepts_df_from_records(spark, _updated_concepts()))
+    return stale_triples(t, diff)
+
+
 # deterministic planted violations shared verbatim with the oracle SQL
 _INTEGRITY_PLANTED = (
     ("C999", "isa", "C101"),                    # unknown_subject
@@ -997,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": q_kg_triangles,
         "kg_isa_closure": q_kg_isa_closure,
         "kg_integrity": q_kg_integrity,
+        "kg_stale_triples": q_kg_stale_triples,
         "kg_semtypes": q_kg_semtypes,
         "kg_canonical": q_kg_canonical,
         "kg_word_stats": q_kg_word_stats,
@@ -1259,6 +1305,48 @@ def oracle_sql() -> dict[str, str]:
     # logic over the same snapshot (corpus cooc + terminology isa/
     # semtype + the planted violations) — constants all come from the
     # shared fixture tuples
+    # terminology-release diff replay: both snapshots rendered from the
+    # SAME Python constants as the Spark query, full-outer change
+    # classification and the per-endpoint stale join replayed in SQL
+    def _concept_vals(cs):
+        rows = []
+        for c in cs:
+            syn = ", ".join(f"'{s}'" for s in sorted(c["synonyms"]))
+            sty = ", ".join(f"'{s}'" for s in sorted(c["semtypes"]))
+            rows.append(f"('{c['cui']}', '{c['name']}',"
+                        f" [{syn}], [{sty}])")
+        return ", ".join(rows)
+
+    sql["kg_stale_triples"] = (
+        _mentions_cte()
+        + f", oldt(cui, name, syn, sty) AS (VALUES"
+          f" {_concept_vals(BUILTIN_CONCEPTS)}),"
+          f" newt(cui, name, syn, sty) AS (VALUES"
+          f" {_concept_vals(_updated_concepts())}),"
+          f" j AS (SELECT coalesce(o.cui, n.cui) AS cui,"
+          f" o.name AS old_name, n.name AS new_name, o.syn AS osyn,"
+          f" n.syn AS nsyn, o.sty AS osty, n.sty AS nsty"
+          f" FROM oldt o FULL JOIN newt n ON o.cui = n.cui),"
+          f" diff AS ("
+          f" SELECT cui, 'removed' AS change FROM j"
+          f" WHERE new_name IS NULL"
+          f" UNION ALL SELECT cui, 'renamed' FROM j"
+          f" WHERE old_name IS NOT NULL AND new_name IS NOT NULL"
+          f" AND old_name <> new_name"
+          f" UNION ALL SELECT cui, 'synonyms_changed' FROM j"
+          f" WHERE old_name IS NOT NULL AND new_name IS NOT NULL"
+          f" AND osyn <> nsyn),"
+          f" allt AS (SELECT DISTINCT doc_id::VARCHAR AS subj,"
+          f" 'mentions-concept' AS pred, cui AS obj FROM m"
+          f" UNION SELECT DISTINCT a.cui, 'co-occurs-with', b.cui"
+          f" FROM m a JOIN m b ON a.doc_id = b.doc_id"
+          f" AND a.cui < b.cui)"
+          f" SELECT DISTINCT subj, pred, obj, stale_cui, change FROM ("
+          f" SELECT t.subj, t.pred, t.obj, d.cui AS stale_cui,"
+          f" d.change FROM allt t JOIN diff d ON t.subj = d.cui"
+          f" UNION ALL SELECT t.subj, t.pred, t.obj, d.cui, d.change"
+          f" FROM allt t JOIN diff d ON t.obj = d.cui)")
+
     isa_vals = ", ".join(f"('{c}','isa','{p}')"
                          for c, p in BUILTIN_ISA_EDGES)
     sem_vals = ", ".join(f"('{c}','has-semantic-type','{t}')"

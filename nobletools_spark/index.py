@@ -343,3 +343,70 @@ def build_index_df(spark, concepts_df, compact: bool = False,
     if blacklist:
         idx.blacklist = build_blacklist(idx)
     return idx
+
+
+def terminology_diff(old_df, new_df):
+    """Release-to-release terminology diff: one row per (cui, change)
+    across two concept snapshots (the ``concepts_df_from_records``
+    schema), change ∈ {'added', 'removed', 'renamed',
+    'synonyms_changed', 'semtypes_changed'} — what a UMLS/NCIt update
+    actually did, and the input to deciding which KG edges need
+    re-materialization (see ``stale_triples``). A renamed concept can
+    also report synonym/semtype changes (independent facts, one row
+    each). Columns: (cui, change, old_name, new_name).
+
+    Plan shape: ONE full-outer join on cui (both sides
+    terminology-sized) + array_sort equality on the set-valued
+    columns — no corpus involvement at all."""
+    from pyspark.sql import functions as F
+
+    o = old_df.select(
+        F.col("cui"), F.col("name").alias("old_name"),
+        F.array_sort("synonyms").alias("old_syn"),
+        F.array_sort("semtypes").alias("old_sty"))
+    n = new_df.select(
+        F.col("cui"), F.col("name").alias("new_name"),
+        F.array_sort("synonyms").alias("new_syn"),
+        F.array_sort("semtypes").alias("new_sty"))
+    j = o.join(n, "cui", "full")
+    added = (j.filter(F.col("old_name").isNull())
+             .select("cui", F.lit("added").alias("change"),
+                     "old_name", "new_name"))
+    removed = (j.filter(F.col("new_name").isNull())
+               .select("cui", F.lit("removed").alias("change"),
+                       "old_name", "new_name"))
+    both = j.filter(F.col("old_name").isNotNull()
+                    & F.col("new_name").isNotNull())
+    renamed = (both.filter(F.col("old_name") != F.col("new_name"))
+               .select("cui", F.lit("renamed").alias("change"),
+                       "old_name", "new_name"))
+    syn = (both.filter(F.col("old_syn") != F.col("new_syn"))
+           .select("cui", F.lit("synonyms_changed").alias("change"),
+                   "old_name", "new_name"))
+    sty = (both.filter(F.col("old_sty") != F.col("new_sty"))
+           .select("cui", F.lit("semtypes_changed").alias("change"),
+                   "old_name", "new_name"))
+    return (added.unionByName(removed).unionByName(renamed)
+            .unionByName(syn).unionByName(sty))
+
+
+def stale_triples(triples_df, diff_df,
+                  changes: tuple = ("removed", "renamed",
+                                    "synonyms_changed")) -> "object":
+    """KG edges invalidated by a terminology update: triples whose
+    subject or object CUI appears in ``terminology_diff`` output with
+    one of ``changes`` — the work-list for selective re-materialization
+    (re-annotate only documents touching changed concepts instead of
+    the full-run fallback the incremental sidecar forces today).
+    Output: (subj, pred, obj, stale_cui, change), one row per affected
+    endpoint. Broadcast join against the diff (terminology-sized);
+    the corpus-scale triple table never shuffles."""
+    from pyspark.sql import functions as F
+
+    d = F.broadcast(
+        diff_df.filter(F.col("change").isin(*changes))
+        .select(F.col("cui").alias("stale_cui"), "change"))
+    t = triples_df.select("subj", "pred", "obj")
+    s_hit = t.join(d, t["subj"] == d["stale_cui"])
+    o_hit = t.join(d, t["obj"] == d["stale_cui"])
+    return s_hit.unionByName(o_hit).distinct()

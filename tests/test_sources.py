@@ -297,3 +297,59 @@ def test_concepts_from_sql_df(spark):
     idx = build_index_df(spark, out)
     assert idx.lookup_by_code("C1").name == "Melanoma"
     assert "melanoma" in idx.term_cuis
+
+
+def test_terminology_diff_and_stale_triples(spark):
+    """Release diff: added/removed/renamed/synonyms_changed/
+    semtypes_changed each flagged exactly once (a renamed concept with
+    changed synonyms reports both facts); stale_triples returns the
+    edges touching affected CUIs on either endpoint, once per
+    endpoint hit."""
+    old = [
+        {"cui": "C1", "name": "Alpha", "synonyms": ("Alpha", "a1"),
+         "semtypes": ("T1",), "sources": ("S",)},
+        {"cui": "C2", "name": "Beta", "synonyms": ("Beta",),
+         "semtypes": ("T1",), "sources": ("S",)},
+        {"cui": "C3", "name": "Gamma", "synonyms": ("Gamma",),
+         "semtypes": ("T1",), "sources": ("S",)},
+        {"cui": "C4", "name": "Delta", "synonyms": ("Delta",),
+         "semtypes": ("T1",), "sources": ("S",)},
+    ]
+    new = [
+        {"cui": "C1", "name": "Alpha", "synonyms": ("Alpha", "a1"),
+         "semtypes": ("T1",), "sources": ("S",)},          # unchanged
+        {"cui": "C2", "name": "Beta Prime", "synonyms": ("Beta", "bp"),
+         "semtypes": ("T1",), "sources": ("S",)},          # renamed+syn
+        {"cui": "C3", "name": "Gamma", "synonyms": ("Gamma",),
+         "semtypes": ("T2",), "sources": ("S",)},          # semtypes
+        {"cui": "C5", "name": "Epsilon", "synonyms": ("Epsilon",),
+         "semtypes": ("T1",), "sources": ("S",)},          # added
+    ]                                                       # C4 removed
+    from nobletools_spark.index import stale_triples, terminology_diff
+    from nobletools_spark.sources.obo import concepts_df_from_records
+
+    diff = terminology_diff(concepts_df_from_records(spark, old),
+                            concepts_df_from_records(spark, new))
+    got = {(r.cui, r.change) for r in diff.collect()}
+    assert got == {("C5", "added"), ("C4", "removed"),
+                   ("C2", "renamed"), ("C2", "synonyms_changed"),
+                   ("C3", "semtypes_changed")}
+    names = {(r.cui, r.change): (r.old_name, r.new_name)
+             for r in diff.collect()}
+    assert names[("C2", "renamed")] == ("Beta", "Beta Prime")
+    assert names[("C5", "added")] == (None, "Epsilon")
+
+    triples = spark.createDataFrame(
+        [("C1", "isa", "C2"), ("C1", "co-occurs-with", "C3"),
+         ("C4", "isa", "C1"), ("d1", "mentions-concept", "C5")],
+        "subj string, pred string, obj string")
+    stale = {tuple(r) for r in stale_triples(triples, diff).collect()}
+    # C2 (renamed + syn) hits C1-isa-C2's object twice (two change
+    # rows) -> distinct keeps both (different change values)
+    assert stale == {
+        ("C1", "isa", "C2", "C2", "renamed"),
+        ("C1", "isa", "C2", "C2", "synonyms_changed"),
+        ("C4", "isa", "C1", "C4", "removed"),
+    }
+    # semtype-only change is not in the default stale classes
+    assert all(c != "semtypes_changed" for *_t, c in stale)

@@ -152,6 +152,12 @@ NOTES = {
                        " pure whole-stage codegen, zero shuffle;"
                        " learned weights swap in as a broadcast array"
                        " literal with the identical plan",
+    "kg_stale_triples": "terminology diff = ONE full-outer join of two"
+                        " terminology-sized snapshots (no corpus);"
+                        " stale work-list = broadcast join of the"
+                        " change rows against the triple stream, one"
+                        " leg per endpoint — the corpus never"
+                        " shuffles on a diff key",
     "kg_integrity": "per-predicate filters + BROADCAST anti-joins vs"
                     " terminology-sized vocabularies; violations-only"
                     " output. The snapshot projection is persisted and"
