@@ -332,16 +332,23 @@ def q_kg_stale_triples(spark, sf_dir):
     builtin snapshot and its planted next release, then stale_triples
     over the REAL corpus mention + co-occurrence triples — the
     work-list for selective re-materialization after a UMLS update."""
-    from nobletools_spark.index import stale_triples, terminology_diff
+    from nobletools_spark.index import terminology_diff
     from nobletools_spark.operators.triples import (
         cooccurrence_triples,
-        mention_triples,
+        stale_triples,
     )
     from nobletools_spark.sources.obo import concepts_df_from_records
 
-    m = _builtin_mentions(spark, sf_dir)
-    t = (mention_triples(m).select("subj", "pred", "obj")
-         .unionByName(cooccurrence_triples(m, salt_buckets=8)
+    # single matcher pass: both triple families and both stale-join
+    # legs derive from one persisted (doc, cui) projection (the
+    # lift_triples convention)
+    dc = (_builtin_mentions(spark, sf_dir)
+          .select("doc_id", "cui").distinct().persist())
+    t = (dc.select(F.col("doc_id").alias("subj"),
+                   F.lit("mentions-concept").alias("pred"),
+                   F.col("cui").alias("obj"))
+         .unionByName(cooccurrence_triples(dc, salt_buckets=8,
+                                           assume_distinct=True)
                       .select("subj", "pred", "obj")))
     diff = terminology_diff(
         concepts_df_from_records(spark, BUILTIN_CONCEPTS),

@@ -351,62 +351,42 @@ def terminology_diff(old_df, new_df):
     schema), change ∈ {'added', 'removed', 'renamed',
     'synonyms_changed', 'semtypes_changed'} — what a UMLS/NCIt update
     actually did, and the input to deciding which KG edges need
-    re-materialization (see ``stale_triples``). A renamed concept can
-    also report synonym/semtype changes (independent facts, one row
-    each). Columns: (cui, change, old_name, new_name).
+    re-materialization (see ``operators/triples.stale_triples``). A
+    renamed concept can also report synonym/semtype changes
+    (independent facts, one row each).
+    Columns: (cui, change, old_name, new_name).
 
     Plan shape: ONE full-outer join on cui (both sides
-    terminology-sized) + array_sort equality on the set-valued
-    columns — no corpus involvement at all."""
+    terminology-sized), all five change classes computed as flags in a
+    single projection and exploded — the join executes once.
+    Presence is tracked by per-side markers (not name nullability) and
+    the field comparisons are null-safe, so NULL names/arrays diff
+    correctly."""
     from pyspark.sql import functions as F
 
     o = old_df.select(
-        F.col("cui"), F.col("name").alias("old_name"),
+        F.col("cui"), F.lit(True).alias("in_old"),
+        F.col("name").alias("old_name"),
         F.array_sort("synonyms").alias("old_syn"),
         F.array_sort("semtypes").alias("old_sty"))
     n = new_df.select(
-        F.col("cui"), F.col("name").alias("new_name"),
+        F.col("cui"), F.lit(True).alias("in_new"),
+        F.col("name").alias("new_name"),
         F.array_sort("synonyms").alias("new_syn"),
         F.array_sort("semtypes").alias("new_sty"))
     j = o.join(n, "cui", "full")
-    added = (j.filter(F.col("old_name").isNull())
-             .select("cui", F.lit("added").alias("change"),
+    in_old = F.coalesce(F.col("in_old"), F.lit(False))
+    in_new = F.coalesce(F.col("in_new"), F.lit(False))
+    both = in_old & in_new
+    changes = F.filter(F.array(
+        F.when(~in_old & in_new, F.lit("added")),
+        F.when(in_old & ~in_new, F.lit("removed")),
+        F.when(both & ~F.col("old_name").eqNullSafe(F.col("new_name")),
+               F.lit("renamed")),
+        F.when(both & ~F.col("old_syn").eqNullSafe(F.col("new_syn")),
+               F.lit("synonyms_changed")),
+        F.when(both & ~F.col("old_sty").eqNullSafe(F.col("new_sty")),
+               F.lit("semtypes_changed")),
+    ), lambda x: x.isNotNull())
+    return (j.select("cui", F.explode(changes).alias("change"),
                      "old_name", "new_name"))
-    removed = (j.filter(F.col("new_name").isNull())
-               .select("cui", F.lit("removed").alias("change"),
-                       "old_name", "new_name"))
-    both = j.filter(F.col("old_name").isNotNull()
-                    & F.col("new_name").isNotNull())
-    renamed = (both.filter(F.col("old_name") != F.col("new_name"))
-               .select("cui", F.lit("renamed").alias("change"),
-                       "old_name", "new_name"))
-    syn = (both.filter(F.col("old_syn") != F.col("new_syn"))
-           .select("cui", F.lit("synonyms_changed").alias("change"),
-                   "old_name", "new_name"))
-    sty = (both.filter(F.col("old_sty") != F.col("new_sty"))
-           .select("cui", F.lit("semtypes_changed").alias("change"),
-                   "old_name", "new_name"))
-    return (added.unionByName(removed).unionByName(renamed)
-            .unionByName(syn).unionByName(sty))
-
-
-def stale_triples(triples_df, diff_df,
-                  changes: tuple = ("removed", "renamed",
-                                    "synonyms_changed")) -> "object":
-    """KG edges invalidated by a terminology update: triples whose
-    subject or object CUI appears in ``terminology_diff`` output with
-    one of ``changes`` — the work-list for selective re-materialization
-    (re-annotate only documents touching changed concepts instead of
-    the full-run fallback the incremental sidecar forces today).
-    Output: (subj, pred, obj, stale_cui, change), one row per affected
-    endpoint. Broadcast join against the diff (terminology-sized);
-    the corpus-scale triple table never shuffles."""
-    from pyspark.sql import functions as F
-
-    d = F.broadcast(
-        diff_df.filter(F.col("change").isin(*changes))
-        .select(F.col("cui").alias("stale_cui"), "change"))
-    t = triples_df.select("subj", "pred", "obj")
-    s_hit = t.join(d, t["subj"] == d["stale_cui"])
-    o_hit = t.join(d, t["obj"] == d["stale_cui"])
-    return s_hit.unionByName(o_hit).distinct()

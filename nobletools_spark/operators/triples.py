@@ -139,6 +139,35 @@ def kg_integrity(triples_df: DataFrame, known_ids_df: DataFrame,
     return out.distinct()
 
 
+def stale_triples(triples_df: DataFrame, diff_df: DataFrame,
+                  changes: tuple = ("removed", "renamed",
+                                    "synonyms_changed"),
+                  cache: bool = True) -> DataFrame:
+    """KG edges invalidated by a terminology update: triples whose
+    subject or object CUI appears in ``index.terminology_diff`` output
+    with one of ``changes`` — the work-list for selective
+    re-materialization (re-annotate only documents touching changed
+    concepts instead of the full-run fallback the incremental sidecar
+    forces today). Output: (subj, pred, obj, stale_cui, change), one
+    row per affected endpoint.
+
+    Broadcast join against the diff (terminology-sized); the
+    corpus-scale triple table never shuffles. Two legs (subject hit /
+    object hit) read the snapshot, so the skinny projection is
+    persisted once unless ``cache=False`` (the kg_integrity
+    convention — with a parquet-backed snapshot the legs then share
+    the file scan)."""
+    d = F.broadcast(
+        diff_df.filter(F.col("change").isin(*changes))
+        .select(F.col("cui").alias("stale_cui"), "change"))
+    t = triples_df.select("subj", "pred", "obj")
+    if cache:
+        t = t.persist()
+    s_hit = t.join(d, t["subj"] == d["stale_cui"])
+    o_hit = t.join(d, t["obj"] == d["stale_cui"])
+    return s_hit.unionByName(o_hit).distinct()
+
+
 def isa_triples(edges_df: DataFrame) -> DataFrame:
     """edges_df: (cui, parent) direct BROADER edges → isa triples."""
     return (edges_df

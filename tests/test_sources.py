@@ -325,7 +325,8 @@ def test_terminology_diff_and_stale_triples(spark):
         {"cui": "C5", "name": "Epsilon", "synonyms": ("Epsilon",),
          "semtypes": ("T1",), "sources": ("S",)},          # added
     ]                                                       # C4 removed
-    from nobletools_spark.index import stale_triples, terminology_diff
+    from nobletools_spark.index import terminology_diff
+    from nobletools_spark.operators.triples import stale_triples
     from nobletools_spark.sources.obo import concepts_df_from_records
 
     diff = terminology_diff(concepts_df_from_records(spark, old),
@@ -353,3 +354,25 @@ def test_terminology_diff_and_stale_triples(spark):
     }
     # semtype-only change is not in the default stale classes
     assert all(c != "semtypes_changed" for *_t, c in stale)
+
+
+def test_terminology_diff_null_safety(spark):
+    """NULL fields diff correctly: presence comes from per-side
+    markers (a concept with a NULL old name is NOT 'added'), and the
+    null-safe comparisons report NULL->value transitions instead of
+    silently dropping them."""
+    from nobletools_spark.index import terminology_diff
+
+    ddl = ("cui string, name string, synonyms array<string>, "
+           "semtypes array<string>")
+    old = spark.createDataFrame(
+        [("C1", None, None, ["T1"]),       # NULL name + NULL synonyms
+         ("C2", "B", ["B"], ["T1"])], ddl)
+    new = spark.createDataFrame(
+        [("C1", "Alpha", ["Alpha"], ["T1"]),
+         ("C2", "B", ["B"], ["T1"])], ddl)
+    got = {(r.cui, r.change) for r in
+           terminology_diff(old, new).collect()}
+    # C1 existed: renamed (NULL->Alpha) + synonyms_changed
+    # (NULL->[Alpha]), NOT 'added'; C2 unchanged
+    assert got == {("C1", "renamed"), ("C1", "synonyms_changed")}
