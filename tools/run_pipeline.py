@@ -183,6 +183,8 @@ def main() -> None:
     out = args.output.rstrip("/")
     inputs = {"documents": docs, "isa_edges": isa_edges}
     incremental = False
+    term_diff_counts = None
+    from pyspark.sql.functions import count as F_count
     if args.incremental_from:
         prev = args.incremental_from.rstrip("/")
         prev_state = _fs_read_json(spark, f"{prev}/kg_matcher.json")
@@ -203,6 +205,29 @@ def main() -> None:
             print(f"incremental-from: matcher state differs or missing "
                   f"at {prev}/kg_matcher.json - running FULL annotate",
                   file=sys.stderr)
+            # when the mismatch is a terminology change, say WHAT
+            # changed: diff the previous run's persisted concept
+            # snapshot against this run's, write the change rows to
+            # {out}/_terminology_diff, and summarize in the report —
+            # the operator deciding whether a full re-run was worth it
+            # reads this, and stale_triples over {prev}/triples turns
+            # it into the invalidated-edge work-list
+            try:
+                prev_term = spark.read.parquet(f"{prev}/terminology")
+                from nobletools_spark.index import terminology_diff
+
+                d = terminology_diff(prev_term, concepts_df)
+                d.write.mode("overwrite").parquet(
+                    f"{out}/_terminology_diff")
+                term_diff_counts = {
+                    r["change"]: r["n"]
+                    for r in d.groupBy("change")
+                    .agg(F_count("*").alias("n")).collect()}
+                print(f"terminology diff vs {prev}: "
+                      f"{term_diff_counts}", file=sys.stderr)
+            except Exception as e:  # older runs have no snapshot
+                print(f"terminology diff unavailable: {e}",
+                      file=sys.stderr)
     pipe = Pipeline(args.output,
                     kg_stages(index, context=ctx, cfg=cfg,
                               cooccurrence_salt=args.salt,
@@ -223,6 +248,11 @@ def main() -> None:
     # whose mentions parquet was already partially replaced
     _fs_delete(spark, f"{out}/kg_matcher.json")
     res = pipe.run(spark, inputs, run_config=run_config, force=args.force)
+    # persist the concept snapshot (terminology-sized) so the NEXT
+    # run's sidecar mismatch can report a release diff; written before
+    # the sidecar (a crash between the two leaves no sidecar, so the
+    # snapshot is never trusted against a half-finished run)
+    concepts_df.write.mode("overwrite").parquet(f"{out}/terminology")
     _fs_write_json(spark, f"{out}/kg_matcher.json", matcher_state)
     report = {
         "stages": [{"stage": r.stage, "status": r.status, "rows": r.rows,
@@ -231,6 +261,8 @@ def main() -> None:
         "incremental": incremental,
         "output": args.output,
     }
+    if term_diff_counts is not None:
+        report["terminology_diff"] = term_diff_counts
     if incremental:
         # the per-snapshot audit row: an unexpectedly large n_changed
         # (fingerprint bug, upstream re-encode) shows up HERE, in the
