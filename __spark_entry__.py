@@ -1030,10 +1030,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration order matters: the driver's correctness gate records a
+    # PREFIX of this dict (50 entries in round 4), so the least-proven /
+    # newest entries sit right after the flagship, and long-stable rows
+    # (green since rounds 1-3) plus the two declared rows-only entries
+    # (kg_mentions_full / kg_relations, which record `no_oracle` either
+    # way) live at the tail.
     return {
         "kg_mentions": q_kg_mentions,
-        "kg_mentions_full": q_kg_mentions_full,
-        "kg_doc_concepts": q_kg_doc_concepts,
+        "text_mix_sample": q_text_mix_sample,
+        "text_vocab": q_text_vocab,
+        "text_pack": q_text_pack,
+        "text_pack_manifest": q_text_pack_manifest,
+        "text_chunks": q_text_chunks,
+        "dedup_drop_near": q_dedup_drop_near,
+        "text_contamination": q_text_contamination,
+        "kg_media_triples": q_kg_media_triples,
+        "kg_media_adjacent": q_kg_media_adjacent,
+        "kg_incremental_diff": q_kg_incremental_diff,
+        "kg_incremental_cooc": q_kg_incremental_cooc,
         "kg_mentions_by_ancestor": q_kg_mentions_by_ancestor,
         "kg_template_items": q_kg_template_items,
         "kg_cooccurrence": q_kg_cooccurrence,
@@ -1041,18 +1056,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_khop": q_kg_khop,
         "kg_negatives": q_kg_negatives,
         "kg_typed_cooc": q_kg_typed_cooc,
-        "kg_relations": q_kg_relations,
-        "kg_concept_nodes": q_kg_concept_nodes,
-        "kg_degrees": q_kg_degrees,
         "kg_communities": q_kg_communities,
         "kg_pagerank": q_kg_pagerank,
         "kg_triangles": q_kg_triangles,
         "kg_isa_closure": q_kg_isa_closure,
         "kg_integrity": q_kg_integrity,
         "kg_stale_triples": q_kg_stale_triples,
-        "kg_semtypes": q_kg_semtypes,
         "kg_canonical": q_kg_canonical,
-        "kg_word_stats": q_kg_word_stats,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_classifier": q_text_classifier,
@@ -1060,10 +1070,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_fingerprints": q_text_fingerprints,
         "text_pii_scrub": q_text_pii_scrub,
-        "text_sample": q_text_sample,
-        "text_shuffle": q_text_shuffle,
-        "events_rollup": q_events_rollup,
-        "events_sessionize": q_events_sessionize,
         "dedup_exact_bag": q_dedup_exact_bag,
         "dedup_window_spans": q_dedup_window_spans,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1081,17 +1087,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "text_filter": q_text_filter,
         "dedup_strip_windows": q_dedup_strip_windows,
-        "text_mix_sample": q_text_mix_sample,
-        "text_vocab": q_text_vocab,
-        "text_pack": q_text_pack,
-        "text_pack_manifest": q_text_pack_manifest,
-        "text_chunks": q_text_chunks,
-        "dedup_drop_near": q_dedup_drop_near,
-        "text_contamination": q_text_contamination,
-        "kg_media_triples": q_kg_media_triples,
-        "kg_media_adjacent": q_kg_media_adjacent,
-        "kg_incremental_diff": q_kg_incremental_diff,
-        "kg_incremental_cooc": q_kg_incremental_cooc,
+        # --- tail: stable-green since rounds 1-3, or declared rows-only ---
+        "kg_doc_concepts": q_kg_doc_concepts,
+        "kg_concept_nodes": q_kg_concept_nodes,
+        "kg_degrees": q_kg_degrees,
+        "kg_semtypes": q_kg_semtypes,
+        "kg_word_stats": q_kg_word_stats,
+        "text_sample": q_text_sample,
+        "text_shuffle": q_text_shuffle,
+        "events_rollup": q_events_rollup,
+        "events_sessionize": q_events_sessionize,
+        "kg_mentions_full": q_kg_mentions_full,
+        "kg_relations": q_kg_relations,
     }
 
 

@@ -152,7 +152,7 @@ def main() -> None:
     annotate_sec = min(annotate_samples)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    payload = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -169,8 +169,19 @@ def main() -> None:
         "annotate_triples_per_sec": round(n_triples / annotate_sec, 1),
         "cpu_probe_sec": {"before": probe_before,
                           "after": _cpu_probe()},
-    }))
+    })
+    # Capture-proofing (r4 verdict #3: the driver's tail-grab truncated
+    # BENCH_r04.json to an unparseable fragment): persist the JSON to a
+    # file AND print it twice — once before Spark shutdown noise, once as
+    # the very last line — so any head- or tail-anchored capture lands a
+    # complete line.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_LOCAL.json")
+    with open(out_path, "w") as fh:
+        fh.write(payload + "\n")
+    print(payload, flush=True)
     spark.stop()
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":

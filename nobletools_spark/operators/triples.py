@@ -657,6 +657,44 @@ def property_graph(mentions_df: DataFrame,
     return verts, edges
 
 
+def alphabetic_ids(df: DataFrame, col: str = "entity",
+                   partitions: int = 32) -> DataFrame:
+    """Distributed 0-based global alphabetical rank over a distinct id
+    column — the zipWithIndex recipe in DataFrame terms, equivalent to
+    SQL ``row_number() OVER (ORDER BY col) - 1`` but with no
+    single-partition exchange: range-partition on the key (partitions
+    are ordered by key range), rank within each partition with a
+    per-partition window, then add the cumulative row count of the
+    preceding partitions. Every stage is parallel (each window sorts
+    ~N/partitions rows); the only driver materialization is ONE row per
+    range partition (bounded by ``partitions``). Range boundaries come
+    from Spark's sampler, so per-partition sizes may vary run to run —
+    the emitted rank values do not: they are a pure function of the
+    distinct key set."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    parts = (df.repartitionByRange(int(partitions), col)
+             .withColumn("_pid", F.spark_partition_id())
+             .persist())  # pins _pid stable across the counts + rank legs
+    # bounded driver collect: one (pid, count) row per range partition
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt"))
+        .collect())
+    offs, acc = [], 0
+    for pid, cnt in counts:
+        offs.append((pid, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(offs, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(col)
+    return (parts.join(F.broadcast(off_df), "_pid")
+            .withColumn("rank",
+                        (F.row_number().over(w) - 1 + F.col("_off"))
+                        .cast("long"))
+            .drop("_pid", "_off"))
+
+
 def negative_triples(triples_df: DataFrame, n_neg: int = 2,
                      entities_df: DataFrame | None = None,
                      seed: str = "neg") -> DataFrame:
@@ -680,10 +718,12 @@ def negative_triples(triples_df: DataFrame, n_neg: int = 2,
     unchanged triples.
 
     Scale shape: the entity vocabulary is concept-vocabulary-sized
-    (UMLS ≈ 4M CUIs), so its global ``row_number`` rank and both
-    probe joins broadcast; the true-triple anti-join is co-keyed on
-    (subj, pred, obj). n_neg fan-out is a map-side explode. The filter
-    is DIRECTED — for undirected predicates stored canonically
+    (UMLS ≈ 4M CUIs); its alphabetical id assignment is the distributed
+    ``alphabetic_ids`` range-partition + per-partition-window scheme
+    (no single-partition exchange — each window sorts ~N/partitions
+    rows), and both probe joins broadcast; the true-triple anti-join is
+    co-keyed on (subj, pred, obj). n_neg fan-out is a map-side explode.
+    The filter is DIRECTED — for undirected predicates stored canonically
     (subj < obj, e.g. co-occurrence) a corruption can reproduce a true
     pair in reverse orientation; pass the symmetrized true set as
     ``triples_df`` when that matters for the training objective.
@@ -692,8 +732,6 @@ def negative_triples(triples_df: DataFrame, n_neg: int = 2,
     for a netstring rendering (operators/incremental.py) otherwise."""
     if n_neg < 1:
         raise ValueError("n_neg must be >= 1")
-    from pyspark.sql import Window
-
     from nobletools_spark.functions.hashing import h64
 
     # the distinct triple set feeds four plan legs (both entity scans,
@@ -704,10 +742,7 @@ def negative_triples(triples_df: DataFrame, n_neg: int = 2,
             if entities_df is not None
             else t.select(F.col("subj").alias("entity"))
             .unionByName(t.select(F.col("obj").alias("entity")))).distinct()
-    # terminology-bounded global rank: single-partition window by
-    # design (see docstring); larger vocabularies pre-materialize ids
-    ranked = ents.withColumn(
-        "rank", F.row_number().over(Window.orderBy("entity")) - 1)
+    ranked = alphabetic_ids(ents, "entity")
     n_ents = ents.agg(F.count("*").cast("long").alias("n_entities"))
     cand = (t.select("subj", "pred", "obj",
                      F.explode(F.sequence(

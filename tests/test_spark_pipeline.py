@@ -424,6 +424,31 @@ def test_negative_triples_contract(spark):
     assert negs != other
 
 
+def test_alphabetic_ids_matches_global_row_number(spark):
+    """The distributed zipWithIndex scheme (range partition +
+    per-partition window + cumulative offsets) must emit exactly
+    ``row_number() OVER (ORDER BY entity) - 1`` — and its executed plan
+    must contain no single-partition window exchange (the r4 scale
+    finding it replaces)."""
+    from nobletools_spark.operators.triples import alphabetic_ids
+
+    vals = [f"C{i:04d}" for i in range(257)] + ["aaa", "zzz", "M"]
+    df = spark.createDataFrame([(v,) for v in vals], "entity string")
+    out = alphabetic_ids(df, "entity", partitions=7)
+    got = {r.entity: r["rank"] for r in out.collect()}
+    want = {v: i for i, v in enumerate(sorted(vals))}
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the window runs per range-partition, never on a single partition
+    assert "SinglePartition" not in plan
+    # empty input → empty output, no crash
+    empty = spark.createDataFrame([], "entity string")
+    assert alphabetic_ids(empty, "entity").count() == 0
+    # one partition degenerates to the plain global rank
+    one = alphabetic_ids(df, "entity", partitions=1)
+    assert {r.entity: r["rank"] for r in one.collect()} == want
+
+
 def test_negative_triples_explicit_entities_and_validation(spark):
     from nobletools_spark.operators.triples import negative_triples
 
