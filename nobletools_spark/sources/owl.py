@@ -74,14 +74,87 @@ def _tag_local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1] if "}" in tag else tag
 
 
+def owl_imports(xml_text: str) -> list[str]:
+    """IRIs of the document's ``owl:imports`` declarations (under any
+    ``owl:Ontology`` header), in document order, deduplicated."""
+    root = ET.fromstring(xml_text)
+    iris: list[str] = []
+    for onto in root.iter(f"{OWL}Ontology"):
+        for imp in onto.findall(f"{OWL}imports"):
+            iri = imp.get(f"{RDF}resource")
+            if iri and iri not in iris:
+                iris.append(iri)
+    return iris
+
+
 def parse_owl(xml_text: str,
-              source_name: str | None = None) -> tuple[list[dict],
-                                                       list[tuple[str, str]]]:
+              source_name: str | None = None,
+              imports: object = "error") -> tuple[list[dict],
+                                                  list[tuple[str, str]]]:
     """Parse an RDF/XML OWL document → (concepts, isa_edges), same
     output shape as ``parse_obo``. Anonymous classes (no rdf:about /
     rdf:ID) and owl:Restriction-valued subClassOf axioms are skipped —
     the reference's class iterator only yields named classes
-    (ConceptImporter.java:359-361 skips null/duplicate codes)."""
+    (ConceptImporter.java:359-361 skips null/duplicate codes).
+
+    ``owl:imports`` handling (the reference resolves imports through
+    the OWL-API load path, ontology/owl/OOntology.java; silently
+    dropping them would yield a partial hierarchy — the worst failure
+    mode for an isa-closure consumer):
+
+    - ``imports="error"`` (default): raise ``ValueError`` listing the
+      unresolved import IRIs if the document declares any.
+    - ``imports="ignore"``: parse only this document, emitting a
+      ``UserWarning`` naming the skipped IRIs.
+    - ``imports={iri: xml_text, ...}`` (a Mapping): offline resolver —
+      imported modules are parsed and merged (transitively; cycles and
+      repeat imports load once; duplicate codes keep the first
+      definition, matching the reference's duplicate-code skip). A
+      declared IRI missing from the resolver raises ``ValueError``.
+    """
+    concepts: list[dict] = []
+    edges: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    loaded: set[str] = set()
+    queue: list[tuple[str, str | None]] = [(xml_text, source_name)]
+    resolver = imports if hasattr(imports, "get") else None
+    while queue:
+        text, src = queue.pop(0)
+        declared = owl_imports(text)
+        pending = [i for i in declared if i not in loaded]
+        if pending and resolver is None:
+            if imports == "ignore":
+                import warnings
+
+                warnings.warn(
+                    "owl:imports skipped (partial hierarchy): "
+                    + ", ".join(pending), stacklevel=2)
+            else:
+                raise ValueError(
+                    "ontology declares owl:imports that are not resolved "
+                    "(pass imports={iri: xml_text} to load offline, or "
+                    "imports='ignore' to accept a partial hierarchy): "
+                    + ", ".join(pending))
+        elif pending:
+            missing = [i for i in pending if resolver.get(i) is None]
+            if missing:
+                raise ValueError(
+                    "owl:imports IRIs missing from the resolver: "
+                    + ", ".join(missing))
+            for iri in pending:
+                loaded.add(iri)
+                queue.append((resolver[iri], source_name))
+        _parse_owl_module(text, src, concepts, edges, seen)
+    return concepts, edges
+
+
+def _parse_owl_module(xml_text: str, source_name: str | None,
+                      concepts: list[dict],
+                      edges: list[tuple[str, str]],
+                      seen: set[str]) -> None:
+    """Single-document class walk shared by every module of an imports
+    closure; appends into the accumulator lists (first definition of a
+    duplicate code wins via ``seen``)."""
     root = ET.fromstring(xml_text)
     base = root.get("{http://www.w3.org/XML/1998/namespace}base", "")
     if source_name is None:
@@ -89,9 +162,6 @@ def parse_owl(xml_text: str,
         uri = (onto.get(f"{RDF}about") if onto is not None else "") or base
         source_name = local_name(uri) if uri else "OWL"
 
-    concepts: list[dict] = []
-    edges: list[tuple[str, str]] = []
-    seen: set[str] = set()
     for cls in root.iter(f"{OWL}Class"):
         about = cls.get(f"{RDF}about")
         if about is None:
@@ -157,7 +227,6 @@ def parse_owl(xml_text: str,
             "definition": definition,
             "codes": tuple(codes),
         })
-    return concepts, edges
 
 
 def _is_regexp(s: str) -> bool:

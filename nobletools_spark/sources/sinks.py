@@ -148,12 +148,58 @@ def write_item_instances_tsv(items_df: DataFrame, path: str,
      .option("sep", "\t").option("header", True).csv(path))
 
 
-def html_report_df(docs_df: DataFrame, mentions_df: DataFrame) -> DataFrame:
-    """Per-document annotated HTML (util/HTMLExporter.java:424-519
-    equivalent): mention spans wrapped in <span class=mention
-    title=CUI> — (doc_id, html). Distributed: a doc-local groupBy +
-    string assembly in a pandas-grouped UDF-free expression path would
-    need offset math, so this uses applyInPandas per document."""
+# util/HTMLExporter.java:476-485 — the hover-highlight / jump / resize
+# script every report page carries (h = highlight yellow, u = unhighlight,
+# j = jump to anchor, l = pane sizing)
+_HTML_SCRIPT = (
+    '<script type="text/javascript">'
+    'function h(id){for(i=0;i<id.length;i++){'
+    'document.getElementById(id[i]).style.backgroundColor="yellow";}}'
+    'function u(id){for(i=0;i<id.length;i++){'
+    'document.getElementById(id[i]).style.backgroundColor="white";}}'
+    'function j(id){for(i=0;i<id.length;i++){'
+    'location.href="#";location.href="#"+id[i];}}'
+    "</script>")
+
+# Mention.isNegated/:237-238, isHedged/:241-242 → the N / U prefix on
+# codeLabel's per-mention code ids (HTMLExporter.java:222)
+_NEGATED = "Negative_Polarity"
+_HEDGED = "Hedged_ContextualModality"
+# tooltip modifier order — HTMLExporter.getModifiers:247-256
+_TIP_MODIFIERS = ("Certainty", "Polarity", "Experiencer", "Temporality")
+
+
+def html_report_df(docs_df: DataFrame, mentions_df: DataFrame,
+                   concepts_df: DataFrame | None = None) -> DataFrame:
+    """Per-document annotated HTML report with the reference's
+    span-highlight structure (util/HTMLExporter.java export(Document)
+    :424-519, codeSentence :318-345, codeLabel :215-236, codeMentions
+    :355-380, codeConcept :266-284) — (doc_id, html).
+
+    Fidelity reproduced: word-level annotation spans become
+    ``<label id="{doc_offset}">`` elements colored green (default
+    modifiers) or #994d00 (any non-default modifier), with
+    mouseover-highlight of the owning concepts' legend entries and a
+    tooltip carrying "name (code) [semtypes]" plus the 4-modifier
+    block; a "Concepts" legend lists each concept once (sorted by name
+    then code, alternating blue/black) with mouseover/jump wiring to
+    its annotation ids and a tooltip of code, semtypes, definition and
+    terms; newlines render as <br>; the page is the reference's
+    two-pane (report | concepts) table with the found-items footer.
+    Deviations (documented): the legend anchors at the first annotation
+    id instead of the reference's terminology-servlet URL (offline
+    engine), and Header-sentence bolding is skipped (sentence types are
+    not an input of this sink). Annotations that CONTAIN or are
+    contained by an already-kept annotation are skipped
+    (groupAnnotations/intersects :292-315), and the left-to-right walk
+    drops any survivor starting before the cursor — the reference
+    reaches the same outcome through its StringIndexOutOfBounds catch
+    (:337-341).
+
+    Distributed shape: concept metadata broadcast-joins onto mentions;
+    ONE shuffle groups everything by doc_id; HTML assembly is
+    applyInPandas (Arrow batches, per-doc string building — inherently
+    imperative offset math, the sanctioned pandas-UDF case)."""
     import pandas as pd
     from html import escape
 
@@ -167,35 +213,211 @@ def html_report_df(docs_df: DataFrame, mentions_df: DataFrame) -> DataFrame:
              .select("doc_id", F.col("s.text").alias("text"),
                      F.coalesce(F.col("s.offset"), F.lit(0))
                      .alias("offset")))
-    anns = (mentions_df
-            .select("doc_id", "cui", "start", "end"))
+
+    m = mentions_df
+    if "annotations" not in m.columns:
+        # minimal inputs: the whole mention span is its one annotation
+        m = m.withColumn("annotations", F.array(F.struct(
+            F.coalesce(F.col("matched_term"), F.col("cui")).alias("text"),
+            F.col("start").cast("int").alias("offset"))))
+    if "modifiers" not in m.columns:
+        m = m.withColumn("modifiers",
+                         F.lit(None).cast("map<string,string>"))
+    if concepts_df is not None:
+        meta = concepts_df.select(
+            "cui", F.col("name").alias("c_name"),
+            F.concat_ws(", ", "semtypes").alias("c_sty"),
+            (F.col("definition") if "definition" in concepts_df.columns
+             else F.lit(None).cast("string")).alias("c_def"),
+            F.concat_ws("; ", "synonyms").alias("c_syn"))
+        m = m.join(F.broadcast(meta), "cui", "left")
+    else:
+        m = (m.withColumn("c_name", F.lit(None).cast("string"))
+             .withColumn("c_sty", F.lit(None).cast("string"))
+             .withColumn("c_def", F.lit(None).cast("string"))
+             .withColumn("c_syn", F.lit(None).cast("string")))
+    anns = m.select("doc_id", "cui", "start", "end", "annotations",
+                    "modifiers", "c_name", "c_sty", "c_def", "c_syn")
     joined = spans.join(anns, "doc_id", "left")
 
+    def _contains(a: tuple, b: tuple) -> bool:
+        return a[0] <= b[0] and b[1] <= a[1]
+
     def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        from nobletools_spark.operators.context import DEFAULT_VALUES
+
         out = []
         for doc_id, g in pdf.groupby("doc_id"):  # scalar key: stable across pandas 1.x/2.x
+            # one logical mention list per doc (rows repeat per text span)
+            mentions = {}
+            for r in g.itertuples():
+                if pd.notna(r.start) and r.cui is not None:
+                    key = (r.cui, int(r.start), int(r.end))
+                    if key not in mentions:
+                        mentions[key] = r
+            # annotation → owning mentions (groupAnnotations :292-306,
+            # containment-skip via intersects :308-315)
+            ann_owners: dict[tuple, list] = {}
+            for key in sorted(mentions):
+                r = mentions[key]
+                # Arrow hands array<struct> back as a numpy array —
+                # `or []` trips its ambiguous truth value
+                for a in (r.annotations if r.annotations is not None
+                          else []):
+                    if a is None or a["offset"] is None:
+                        continue
+                    span = (int(a["offset"]),
+                            int(a["offset"]) + len(a["text"] or ""),
+                            a["text"] or "")
+                    hit = next((k for k in ann_owners
+                                if k[:2] == span[:2]), None)
+                    if hit is not None:
+                        ann_owners[hit].append(r)
+                    elif not any(_contains(k, span) or _contains(span, k)
+                                 for k in ann_owners):
+                        ann_owners[span] = [r]
+
+            def code_id(r) -> str:
+                mods = dict(r.modifiers or {})
+                p = ("N" if mods.get("Polarity") == _NEGATED else
+                     "U" if mods.get("ContextualModality") == _HEDGED
+                     else "")
+                return p + r.cui
+
+            def is_default(r) -> bool:
+                mods = dict(r.modifiers or {})
+                return all(DEFAULT_VALUES.get(k) == v
+                           for k, v in mods.items())
+
+            # ---- report pane: per text span, labels left-to-right ----
             parts = []
             for (text, offset), gg in g.groupby(["text", "offset"]):
-                ms = sorted({(int(r.start) - int(offset),
-                              int(r.end) - int(offset), r.cui)
-                             for r in gg.itertuples()
-                             if pd.notna(r.start)})
+                local = sorted(
+                    (k[0] - int(offset), k[1] - int(offset), k)
+                    for k in ann_owners
+                    if int(offset) <= k[0]
+                    and k[1] - int(offset) <= len(text))
                 html, pos = [], 0
-                for st, en, cui in ms:
-                    if st < pos or st < 0 or en > len(text):
-                        continue  # overlapping/foreign span: keep first
-                    html.append(escape(text[pos:st]))
-                    html.append(f'<span class="mention" title="{cui}">'
-                                f"{escape(text[st:en])}</span>")
+                for st, en, key in local:
+                    if st < pos:
+                        continue  # walk-order skip (see docstring)
+                    owners = ann_owners[key]
+                    codes = ",".join(f"'{code_id(r)}'" for r in owners)
+                    tip, color = [], "green"
+                    for r in owners:
+                        nm = r.c_name or r.cui
+                        tip.append(f"{nm} ({r.cui}) [{r.c_sty or ''}]")
+                        mods = dict(r.modifiers or {})
+                        tip.extend(f"\t{t} :\t{mods.get(t, '')}"
+                                   for t in _TIP_MODIFIERS)
+                        if not is_default(r):
+                            color = "#994d00"
+                    html.append(escape(text[pos:st]).replace("\n", "<br>"))
+                    html.append(
+                        f'<label id="{key[0]}" class="mention" '
+                        f'style="color:{color};" '
+                        f'onmouseover="h([{codes}]);" '
+                        f'onmouseout="u([{codes}]);" '
+                        f'title="{escape(chr(10).join(tip))}">'
+                        f"{escape(text[st:en])}</label>")
                     pos = en
-                html.append(escape(text[pos:]))
+                html.append(escape(text[pos:]).replace("\n", "<br>"))
                 parts.append((int(offset), "".join(html)))
-            body = "\n<br/>\n".join(h for _, h in sorted(parts))
-            out.append((doc_id, f"<html><body>{body}</body></html>"))
+            report = "\n<br/>\n".join(h for _, h in sorted(parts))
+
+            # ---- concepts pane (codeMentions :355-380) ----
+            by_concept: dict[tuple, list] = {}
+            rep: dict[tuple, object] = {}
+            for key, owners in sorted(ann_owners.items()):
+                for r in owners:
+                    ck = (r.c_name or r.cui, r.cui)
+                    by_concept.setdefault(ck, []).append(key)
+                    rep.setdefault(ck, r)
+            legend, alt = [], True
+            for ck in sorted(by_concept):  # name then code (:356-361)
+                nm, cui = ck
+                r = rep[ck]
+                keys = list(dict.fromkeys(by_concept[ck]))
+                ids = ",".join(f"'{k[0]}'" for k in keys)
+                color = "blue" if alt else "black"
+                alt = not alt
+                tip = (f"{cui} [{r.c_sty or ''}]\n{r.c_def or ''}\n"
+                       f"terms:  {r.c_syn or ''}")
+                first = keys[0][0]
+                # legend id is the PLAIN code — codeConcept:267 leaves
+                # its prefix empty, so negated labels' h('N'+code) find
+                # no legend anchor; quirk reproduced as-is
+                legend.append(
+                    f'<a style="color:{color};" id="{cui}" '
+                    f'href="#{first}" '
+                    f'onmouseover="h([{ids}]);'
+                    f"t=setTimeout(function(){{j([{ids}]);}},2000);\" "
+                    f'onmouseout="u([{ids}]); clearTimeout(t);" '
+                    f'title="{escape(tip)}">{escape(nm)}</a> &nbsp; ')
+            concepts_html = (
+                "<p><b>Concepts</b><br>" + "".join(legend) + "</p>"
+                if legend else "")
+            n_found = len(mentions)
+
+            page = (
+                '<html xmlns="http://www.w3.org/1999/xhtml">'
+                f"<head><title>Report Processor Output</title>"
+                f"{_HTML_SCRIPT}</head>"
+                '<body><table width="100%" style="table-layout:fixed;"'
+                ' cellspacing="5">'
+                f'<tr><td colspan=2 align=center><h3>{escape(str(doc_id))}'
+                "</h3></td></tr>"
+                f'<tr><td width="50%" valign=middle><div id="d1" '
+                f'style="overflow: auto;">{report}</div></td>'
+                f'<td width="50%" valign=top><div id="d2" '
+                f'style="overflow: auto;">{concepts_html}</div></td></tr>'
+                f"<tr><td colspan=2 align=center>found items: "
+                f"<b>{n_found}</b></td></tr>"
+                "</table></body></html>")
+            out.append((doc_id, page))
         return pd.DataFrame(out, columns=["doc_id", "html"])
 
     return joined.groupBy("doc_id").applyInPandas(
         render, "doc_id string, html string")
+
+
+def write_html_report(docs_df: DataFrame, mentions_df: DataFrame,
+                      path: str, concepts_df: DataFrame | None = None,
+                      max_docs: int = 100) -> None:
+    """Materialize per-document ``reports/<doc_id>.html`` files plus the
+    reference's ``index.html`` frame page (HTMLExporter.getIndex
+    :389-407, flush :412-420) for human review. One HTML FILE per
+    document cannot be the scale path (the DataFrame from
+    ``html_report_df`` is); this writes a BOUNDED sample — the first
+    ``max_docs`` doc_ids — and the driver-side collect is bounded by
+    the same cap."""
+    import os
+    from html import escape
+
+    sample = docs_df.orderBy("doc_id").limit(int(max_docs))
+    rows = (html_report_df(sample, mentions_df, concepts_df)
+            .orderBy("doc_id").collect())  # bounded by max_docs
+    os.makedirs(os.path.join(path, "reports"), exist_ok=True)
+    links = []
+    for r in rows:
+        name = str(r.doc_id)
+        with open(os.path.join(path, "reports", f"{name}.html"), "w") as fh:
+            fh.write(r.html)
+        links.append(
+            '<span style="font-size: 90%; display:block;">'
+            f'<a href="reports/{name}.html" target="frame">'
+            f"{escape(name)}</a></span>")
+    with open(os.path.join(path, "index.html"), "w") as fh:
+        fh.write(
+            '<html xmlns="http://www.w3.org/1999/xhtml">'
+            "<head><title>Noble Coder</title></head>"
+            '<body bgcolor="#EEEEFF"><center><h3>Noble Coder Output</h3>'
+            "</center><table width=\"100%\" height=\"95%\" border=0>"
+            '<tr><td align="left" valign="top" width="200px">'
+            f'<div id="d1" style="overflow: auto;">{"".join(links)}</div>'
+            '</td><td valign=top><iframe frameborder="0" scrolling="auto"'
+            ' name="frame" width="100%" height="100%"></iframe>'
+            "</td></tr></table></body></html>")
 
 
 def _name_and_synonyms() -> "F.Column":

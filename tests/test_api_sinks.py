@@ -2,6 +2,7 @@
 export), and the ancestry-gated mention filter."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from nobletools_spark.api import NobleCoderSpark
 from nobletools_spark.model import MatchConfig
@@ -145,17 +146,75 @@ def test_canonicalize_triples(spark):
 
 
 def test_html_report(spark):
+    """Span-highlighted HTML (HTMLExporter.java:424-519 fidelity):
+    annotation-level <label> highlights whose ids/offsets agree with the
+    mention table, concept legend with hover wiring, footer count."""
+    import re
+
     from nobletools_spark.operators.matcher import annotate
     from nobletools_spark.sources.fixtures import SPANS_DDL
     from nobletools_spark.sources.sinks import html_report_df
 
     docs = spark.createDataFrame(
-        [("d1", [("text", "Melanoma was seen.", None, 0)]),
+        [("d1", [("text", "Melanoma was seen.\nDeep margin clear.",
+                  None, 0)]),
          ("d2", [("text", "Nothing here.", None, 0)])], SPANS_DDL)
     m = annotate(docs, pytest_index(), MatchConfig())
     html = {r.doc_id: r.html for r in html_report_df(docs, m).collect()}
-    assert '<span class="mention" title="C013">Melanoma</span>' in html["d1"]
-    assert "Nothing here." in html["d2"] and "<span" not in html["d2"]
+
+    # --- parity of highlighted offsets with the mention table ---
+    # every word annotation of every mention appears as a <label> whose
+    # id is the annotation's document offset and whose text is the
+    # annotation's surface form (codeLabel :215-236)
+    labels = dict(re.findall(r'<label id="(\d+)"[^>]*>([^<]*)</label>',
+                             html["d1"]))
+    anns = {(str(a["offset"]), a["text"])
+            for r in m.filter(F.col("doc_id") == "d1").collect()
+            for a in r.annotations}
+    for off, text in anns:
+        assert labels.get(off) == text, (off, text, labels)
+    # no stray highlights beyond the mention table
+    assert set(labels) == {off for off, _ in anns}
+
+    # mouseover wiring carries the owning concept code (quirk: N/U
+    # prefix when negated/hedged), label default color is green
+    assert "h(['C013'])" in html["d1"]
+    assert 'style="color:green;"' in html["d1"]
+    # concept legend: bold header, entry id = plain code, jump href to
+    # the first annotation id, alternating first color blue
+    assert "<b>Concepts</b>" in html["d1"]
+    assert re.search(r'<a style="color:blue;" id="C0\d\d"', html["d1"])
+    # newline → <br> (export(Document) :442-449)
+    assert "<br>" in html["d1"]
+    # footer found-items count equals the mention count
+    n1 = m.filter(F.col("doc_id") == "d1").count()
+    assert f"found items: <b>{n1}</b>" in html["d1"]
+    # mention-free document: no labels, no legend, zero count
+    assert "<label" not in html["d2"] and "Nothing here." in html["d2"]
+    assert "found items: <b>0</b>" in html["d2"]
+
+
+def test_write_html_report(spark, tmp_path):
+    """write_html_report: bounded per-doc files + index.html frame page
+    (HTMLExporter.getIndex :389-407)."""
+    import os
+
+    from nobletools_spark.operators.matcher import annotate
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+    from nobletools_spark.sources.sinks import write_html_report
+
+    docs = spark.createDataFrame(
+        [("d1", [("text", "Melanoma was seen.", None, 0)]),
+         ("d2", [("text", "Nothing here.", None, 0)])], SPANS_DDL)
+    m = annotate(docs, pytest_index(), MatchConfig())
+    out = str(tmp_path / "html")
+    write_html_report(docs, m, out, max_docs=1)  # bounded sample
+    assert os.path.exists(f"{out}/index.html")
+    assert os.path.exists(f"{out}/reports/d1.html")
+    assert not os.path.exists(f"{out}/reports/d2.html")  # cap respected
+    idx = open(f"{out}/index.html").read()
+    assert 'href="reports/d1.html" target="frame"' in idx
+    assert "<label" in open(f"{out}/reports/d1.html").read()
 
 
 def test_export_orf_round_trip(spark, tmp_path):

@@ -236,6 +236,79 @@ def test_parse_owl():
     assert pretty_name("deepMargin") == "deep Margin"
 
 
+OWL_MAIN_WITH_IMPORT = """\
+<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xml:base="http://example.org/main">
+  <owl:Ontology rdf:about="http://example.org/main">
+    <owl:imports rdf:resource="http://example.org/upper"/>
+  </owl:Ontology>
+  <owl:Class rdf:about="http://example.org/main#Melanoma">
+    <rdfs:label>melanoma</rdfs:label>
+    <rdfs:subClassOf rdf:resource="http://example.org/upper#Neoplasm"/>
+  </owl:Class>
+</rdf:RDF>
+"""
+
+OWL_UPPER_MODULE = """\
+<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xml:base="http://example.org/upper">
+  <owl:Ontology rdf:about="http://example.org/upper">
+    <owl:imports rdf:resource="http://example.org/main"/>
+  </owl:Ontology>
+  <owl:Class rdf:about="http://example.org/upper#Neoplasm">
+    <rdfs:label>neoplasm</rdfs:label>
+    <rdfs:subClassOf rdf:resource="http://example.org/upper#Disease"/>
+  </owl:Class>
+  <owl:Class rdf:about="http://example.org/upper#Disease"/>
+</rdf:RDF>
+"""
+
+
+def test_parse_owl_imports():
+    """owl:imports (r4 verdict #4): loud by default, complete hierarchy
+    with an offline resolver, cycle-safe, explicit partial-load opt-in."""
+    import warnings
+
+    import pytest
+
+    from nobletools_spark.sources.owl import owl_imports, parse_owl
+
+    assert owl_imports(OWL_MAIN_WITH_IMPORT) == ["http://example.org/upper"]
+    assert owl_imports(OWL_SAMPLE) == []
+
+    # default: a declared-but-unresolved import is an error naming the IRI
+    with pytest.raises(ValueError, match="example.org/upper"):
+        parse_owl(OWL_MAIN_WITH_IMPORT)
+    # resolver missing the IRI is equally loud
+    with pytest.raises(ValueError, match="missing from the resolver"):
+        parse_owl(OWL_MAIN_WITH_IMPORT, imports={})
+
+    # offline resolver: both modules load, cross-module isa edge intact,
+    # and the upper module's back-import (a cycle) loads each doc once
+    resolver = {"http://example.org/upper": OWL_UPPER_MODULE,
+                "http://example.org/main": OWL_MAIN_WITH_IMPORT}
+    concepts, edges = parse_owl(OWL_MAIN_WITH_IMPORT, imports=resolver)
+    by = {c["cui"]: c for c in concepts}
+    assert set(by) == {"Melanoma", "Neoplasm", "Disease"}
+    assert ("Melanoma", "Neoplasm") in edges
+    assert ("Neoplasm", "Disease") in edges
+
+    # explicit opt-in to a partial hierarchy warns with the IRIs
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        concepts, edges = parse_owl(OWL_MAIN_WITH_IMPORT, imports="ignore")
+    assert any("example.org/upper" in str(x.message) for x in w)
+    assert {c["cui"] for c in concepts} == {"Melanoma"}
+    # import-free documents are unaffected by the default
+    assert parse_owl(OWL_SAMPLE)[0]
+
+
 def test_owl_to_index_end_to_end(spark):
     """OWL fixture → index → annotate round-trip (same gate as OBO),
     including the regex synonym route and the codeMap lookup."""

@@ -30,6 +30,14 @@ def main() -> None:
     ap.add_argument("--rrf")
     ap.add_argument("--obo")
     ap.add_argument("--owl", help="RDF/XML ontology terminology")
+    ap.add_argument("--owl-imports", metavar="DIR|ignore",
+                    help="owl:imports resolution for --owl: a directory "
+                         "holding the imported modules (each import IRI "
+                         "resolves to DIR/<last path segment>, .owl/.rdf"
+                         "/.xml extensions tried), or 'ignore' to accept "
+                         "a PARTIAL hierarchy. Default: a declared "
+                         "import is an error (silent partial isa graphs "
+                         "are the failure mode)")
     ap.add_argument("--search", default="best-match")
     ap.add_argument("--sources", default="")
     ap.add_argument("--semtypes", default="")
@@ -109,12 +117,44 @@ def main() -> None:
         import hashlib
 
         from nobletools_spark.sources.obo import concepts_df_from_records
-        from nobletools_spark.sources.owl import parse_owl
+        from nobletools_spark.sources.owl import local_name, owl_imports, parse_owl
 
         with open(args.owl) as f:
             src = f.read()
         term_fp = hashlib.md5(src.encode()).hexdigest()
-        concepts, edges = parse_owl(src)
+        imports: object = "error"
+        if args.owl_imports == "ignore":
+            imports = "ignore"
+        elif args.owl_imports:
+            # offline resolver: IRI → DIR/<last segment>[.owl|.rdf|.xml];
+            # resolve transitively so modules importing modules load too
+            def _resolve(dirname: str) -> dict[str, str]:
+                out: dict[str, str] = {}
+                todo = list(owl_imports(src))
+                while todo:
+                    iri = todo.pop()
+                    if iri in out:
+                        continue
+                    seg = local_name(iri)
+                    for cand in (seg, f"{seg}.owl", f"{seg}.rdf",
+                                 f"{seg}.xml"):
+                        p = os.path.join(dirname, cand)
+                        if os.path.exists(p):
+                            with open(p) as fh:
+                                out[iri] = fh.read()
+                            todo.extend(owl_imports(out[iri]))
+                            break
+                    # unresolved IRIs stay absent — parse_owl raises
+                    # with the exact missing list
+                return out
+
+            imports = _resolve(args.owl_imports)
+            # imported content is a matcher determinant: fold it into
+            # the terminology fingerprint so checkpoints invalidate
+            for iri in sorted(imports):
+                term_fp = hashlib.md5(
+                    (term_fp + imports[iri]).encode()).hexdigest()
+        concepts, edges = parse_owl(src, imports=imports)
         concepts_df = concepts_df_from_records(spark, concepts)
         isa_edges = spark.createDataFrame(edges, "cui string, parent string")
         semtypes = None
