@@ -95,7 +95,10 @@ def parse_owl(xml_text: str,
     output shape as ``parse_obo``. Anonymous classes (no rdf:about /
     rdf:ID) and owl:Restriction-valued subClassOf axioms are skipped —
     the reference's class iterator only yields named classes
-    (ConceptImporter.java:359-361 skips null/duplicate codes).
+    (ConceptImporter.java:359-361 skips null/duplicate codes) — but
+    NAMED members of subClassOf/equivalentClass intersections become
+    parents (the reference reads superclasses through an OWL reasoner,
+    ontology/owl/OClass.java:208-219, which entails exactly those).
 
     ``owl:imports`` handling (the reference resolves imports through
     the OWL-API load path, ontology/owl/OOntology.java; silently
@@ -197,6 +200,21 @@ def _parse_owl_module(xml_text: str, source_name: str | None,
                         else None
                 if parent:
                     edges.append((code, local_name(parent)))
+                else:
+                    edges.extend((code, p)
+                                 for p in _intersection_parents(child))
+            elif child.tag == f"{OWL}equivalentClass":
+                # NCIt-style defined classes: equivalentClass
+                # (intersectionOf [NamedParent, Restriction...]) — the
+                # reference reads superclasses through an OWL REASONER
+                # (OClass.getSuperClasses → getOWLReasoner(),
+                # ontology/owl/OClass.java:208-219), which entails the
+                # named intersection members as parents; losing them
+                # here would silently flatten every defined-class
+                # hierarchy (anonymous restriction members stay
+                # skipped, as documented)
+                edges.extend((code, p)
+                             for p in _intersection_parents(child))
             elif child.tag == f"{OWL}deprecated" and text.lower() == "true":
                 deprecated = True
             elif not text:
@@ -227,6 +245,22 @@ def _parse_owl_module(xml_text: str, source_name: str | None,
             "definition": definition,
             "codes": tuple(codes),
         })
+
+
+def _intersection_parents(el) -> list[str]:
+    """Named members (rdf:Description / owl:Class with an about/resource)
+    of any owl:intersectionOf nested under ``el`` — the parents an OWL
+    reasoner entails for a defined class; anonymous members
+    (owl:Restriction etc.) are skipped."""
+    out: list[str] = []
+    for ix in el.iter(f"{OWL}intersectionOf"):
+        for mem in ix:
+            if _tag_local(mem.tag) not in ("Description", "Class"):
+                continue
+            uri = mem.get(f"{RDF}resource") or mem.get(f"{RDF}about")
+            if uri:
+                out.append(local_name(uri))
+    return out
 
 
 def _is_regexp(s: str) -> bool:

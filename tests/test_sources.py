@@ -270,6 +270,55 @@ OWL_UPPER_MODULE = """\
 """
 
 
+OWL_DEFINED_CLASS = """\
+<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xml:base="http://example.org/t">
+  <owl:Ontology rdf:about="http://example.org/t"/>
+  <owl:Class rdf:about="http://example.org/t#Neoplasm"/>
+  <owl:Class rdf:about="http://example.org/t#Skin_Disorder"/>
+  <owl:Class rdf:about="http://example.org/t#Melanoma">
+    <rdfs:label>melanoma</rdfs:label>
+    <owl:equivalentClass>
+      <owl:Class>
+        <owl:intersectionOf rdf:parseType="Collection">
+          <rdf:Description rdf:about="http://example.org/t#Neoplasm"/>
+          <owl:Restriction>
+            <owl:onProperty rdf:resource="http://example.org/t#site"/>
+            <owl:someValuesFrom rdf:resource="http://example.org/t#Skin"/>
+          </owl:Restriction>
+        </owl:intersectionOf>
+      </owl:Class>
+    </owl:equivalentClass>
+    <rdfs:subClassOf>
+      <owl:Class>
+        <owl:intersectionOf rdf:parseType="Collection">
+          <owl:Class rdf:about="http://example.org/t#Skin_Disorder"/>
+        </owl:intersectionOf>
+      </owl:Class>
+    </rdfs:subClassOf>
+  </owl:Class>
+</rdf:RDF>
+"""
+
+
+def test_parse_owl_defined_class_parents():
+    """NCIt-style defined classes: NAMED members of equivalentClass /
+    subClassOf intersections become isa parents (the reference entails
+    them via its OWL reasoner, OClass.java:208-219); anonymous
+    restriction members stay skipped."""
+    from nobletools_spark.sources.owl import parse_owl
+
+    concepts, edges = parse_owl(OWL_DEFINED_CLASS)
+    assert ("Melanoma", "Neoplasm") in edges        # equivalentClass ∩
+    assert ("Melanoma", "Skin_Disorder") in edges   # subClassOf ∩
+    # the restriction filler is NOT a parent
+    assert ("Melanoma", "Skin") not in edges
+    assert {c["cui"] for c in concepts} >= {"Melanoma", "Neoplasm"}
+
+
 def test_parse_owl_imports():
     """owl:imports (r4 verdict #4): loud by default, complete hierarchy
     with an offline resolver, cycle-safe, explicit partial-load opt-in."""
