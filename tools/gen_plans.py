@@ -182,9 +182,11 @@ NOTES = {
                " exchanges 0 here = the driver fast path under the"
                " 100k-edge probe — the distributed path engages beyond",
     "kg_negatives": "distinct triple set persisted once (4 plan legs);"
-                    " entity rank is terminology-bounded (single-"
-                    "partition window by design, pre-materialize ids"
-                    " past ~4M CUIs); candidate fan-out is a map-side"
+                    " entity rank is the DISTRIBUTED alphabetic_ids"
+                    " scheme (range partition + per-partition window +"
+                    " cumulative offsets — no single-partition window"
+                    " exchange; the only SinglePartition is the 1-row"
+                    " global count agg); candidate fan-out is a map-side"
                     " explode + hash-mod; the BroadcastNestedLoopJoin"
                     " is the 1-ROW entity-count crossJoin; anti-join"
                     " co-keyed on (subj,pred,obj)",
@@ -218,7 +220,16 @@ def main() -> None:
         plan = df._jdf.queryExecution().executedPlan().toString()
         joins = re.findall(r"(\w*(?:HashJoin|NestedLoopJoin|MergeJoin))\b",
                            plan)
-        exchanges = len(re.findall(r"\bExchange (?!SinglePartition)", plan))
+        # count DISTINCT exchange operators: the plan STRING reprints a
+        # cached/shared subtree under every InMemoryTableScan and reused
+        # leg, so raw matches overcount multiplicatively once a query
+        # persists two nested frames (e.g. kg_negatives: 150 raw vs 19
+        # real). plan_ids dedupe; plans without ids fall back to raw.
+        ex_ids = set(re.findall(
+            r"\bExchange (?!SinglePartition)[^\n]*?plan_id=(\d+)", plan))
+        exchanges = (len(ex_ids) if ex_ids else
+                     len(re.findall(r"\bExchange (?!SinglePartition)",
+                                    plan)))
         scans = sorted(set(re.findall(r"ReadSchema: (\S+)", plan)))
         out.append(f"## {name}")
         out.append("")
