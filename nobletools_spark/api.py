@@ -77,14 +77,20 @@ class NobleCoderSpark:
 
     @classmethod
     def from_owl(cls, spark, owl_xml: str, cfg: MatchConfig = MatchConfig(),
-                 context=None) -> "NobleCoderSpark":
+                 context=None, imports: object = "error"
+                 ) -> "NobleCoderSpark":
         """Terminology from an RDF/XML OWL ontology
-        (ConceptImporter.loadOntology parity, sources/owl.py)."""
+        (ConceptImporter.loadOntology parity, sources/owl.py).
+
+        ``imports`` is passed through to ``parse_owl``: ``"error"``
+        (default, loud on unresolved ``owl:imports``), ``"ignore"``
+        (partial hierarchy with a warning), or a ``{iri: xml_text}``
+        resolver dict for offline modular ontologies."""
         from nobletools_spark.index import build_index_df
         from nobletools_spark.sources.obo import concepts_df_from_records
         from nobletools_spark.sources.owl import parse_owl
 
-        concepts, edges = parse_owl(owl_xml)
+        concepts, edges = parse_owl(owl_xml, imports=imports)
         idx = build_index_df(spark, concepts_df_from_records(spark, concepts))
         inst = cls(idx, cfg, context)
         inst.isa_edges = tuple(edges)

@@ -87,6 +87,22 @@ def owl_imports(xml_text: str) -> list[str]:
     return iris
 
 
+def owl_ontology_iris(xml_text: str) -> list[str]:
+    """The document's own ontology IRIs (``rdf:about`` of every
+    ``owl:Ontology`` header, plus ``xml:base`` if set) — what other
+    modules' ``owl:imports`` declarations would reference it by."""
+    root = ET.fromstring(xml_text)
+    iris: list[str] = []
+    base = root.get("{http://www.w3.org/XML/1998/namespace}base")
+    if base:
+        iris.append(base)
+    for onto in root.iter(f"{OWL}Ontology"):
+        about = onto.get(f"{RDF}about")
+        if about and about not in iris:
+            iris.append(about)
+    return iris
+
+
 def parse_owl(xml_text: str,
               source_name: str | None = None,
               imports: object = "error") -> tuple[list[dict],
@@ -123,6 +139,11 @@ def parse_owl(xml_text: str,
     resolver = imports if hasattr(imports, "get") else None
     while queue:
         text, src = queue.pop(0)
+        # a document's own IRIs count as loaded BEFORE its imports are
+        # chased, so cyclic module sets (upper imports main back) and
+        # back-references to the root document resolve instead of
+        # demanding the root from the resolver / double-parsing it
+        loaded.update(owl_ontology_iris(text))
         declared = owl_imports(text)
         pending = [i for i in declared if i not in loaded]
         if pending and resolver is None:

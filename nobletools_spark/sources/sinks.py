@@ -200,6 +200,8 @@ def html_report_df(docs_df: DataFrame, mentions_df: DataFrame,
     ONE shuffle groups everything by doc_id; HTML assembly is
     applyInPandas (Arrow batches, per-doc string building — inherently
     imperative offset math, the sanctioned pandas-UDF case)."""
+    import bisect
+
     import pandas as pd
     from html import escape
 
@@ -216,9 +218,17 @@ def html_report_df(docs_df: DataFrame, mentions_df: DataFrame,
 
     m = mentions_df
     if "annotations" not in m.columns:
-        # minimal inputs: the whole mention span is its one annotation
+        # minimal inputs (doc_id,cui,start,end): the whole mention span
+        # is its one annotation. Annotation text is used ONLY for its
+        # length (the render slices the document text for the label),
+        # so synthesize a filler of exactly end-start chars rather than
+        # trusting matched_term (absent on bare tables; stemmed terms
+        # are a different length than the surface span)
         m = m.withColumn("annotations", F.array(F.struct(
-            F.coalesce(F.col("matched_term"), F.col("cui")).alias("text"),
+            F.repeat(F.lit("x"),
+                     F.greatest(F.lit(0),
+                                (F.col("end") - F.col("start"))
+                                .cast("int"))).alias("text"),
             F.col("start").cast("int").alias("offset"))))
     if "modifiers" not in m.columns:
         m = m.withColumn("modifiers",
@@ -240,9 +250,6 @@ def html_report_df(docs_df: DataFrame, mentions_df: DataFrame,
                     "modifiers", "c_name", "c_sty", "c_def", "c_syn")
     joined = spans.join(anns, "doc_id", "left")
 
-    def _contains(a: tuple, b: tuple) -> bool:
-        return a[0] <= b[0] and b[1] <= a[1]
-
     def render(pdf: pd.DataFrame) -> pd.DataFrame:
         from nobletools_spark.operators.context import DEFAULT_VALUES
 
@@ -256,8 +263,16 @@ def html_report_df(docs_df: DataFrame, mentions_df: DataFrame,
                     if key not in mentions:
                         mentions[key] = r
             # annotation → owning mentions (groupAnnotations :292-306,
-            # containment-skip via intersects :308-315)
+            # containment-skip via intersects :308-315). Kept spans are
+            # an antichain under containment (insertion rejects any
+            # containment pair), so sorted by start their ends strictly
+            # increase — exact hits are a dict probe and containment
+            # needs only the two bisect neighbors: the predecessor has
+            # the max end among starts <= s, the successor the min end
+            # among starts >= s. O(A log A) vs the naive full rescan.
             ann_owners: dict[tuple, list] = {}
+            kept: list[tuple] = []      # (start, end, span_key), sorted
+            exact: dict[tuple, tuple] = {}
             for key in sorted(mentions):
                 r = mentions[key]
                 # Arrow hands array<struct> back as a numpy array —
@@ -266,16 +281,22 @@ def html_report_df(docs_df: DataFrame, mentions_df: DataFrame,
                           else []):
                     if a is None or a["offset"] is None:
                         continue
-                    span = (int(a["offset"]),
-                            int(a["offset"]) + len(a["text"] or ""),
-                            a["text"] or "")
-                    hit = next((k for k in ann_owners
-                                if k[:2] == span[:2]), None)
+                    st = int(a["offset"])
+                    en = st + len(a["text"] or "")
+                    span = (st, en, a["text"] or "")
+                    hit = exact.get((st, en))
                     if hit is not None:
                         ann_owners[hit].append(r)
-                    elif not any(_contains(k, span) or _contains(span, k)
-                                 for k in ann_owners):
-                        ann_owners[span] = [r]
+                        continue
+                    i = bisect.bisect_right(kept, (st, float("inf")))
+                    if i > 0 and kept[i - 1][1] >= en:
+                        continue        # predecessor contains span
+                    j = bisect.bisect_left(kept, (st,))
+                    if j < len(kept) and kept[j][1] <= en:
+                        continue        # span contains successor
+                    ann_owners[span] = [r]
+                    exact[(st, en)] = span
+                    kept.insert(i, (st, en, span))
 
             def code_id(r) -> str:
                 mods = dict(r.modifiers or {})
@@ -292,11 +313,15 @@ def html_report_df(docs_df: DataFrame, mentions_df: DataFrame,
             # ---- report pane: per text span, labels left-to-right ----
             parts = []
             for (text, offset), gg in g.groupby(["text", "offset"]):
-                local = sorted(
-                    (k[0] - int(offset), k[1] - int(offset), k)
-                    for k in ann_owners
-                    if int(offset) <= k[0]
-                    and k[1] - int(offset) <= len(text))
+                # kept is start-sorted with strictly increasing ends,
+                # so the spans inside [offset, offset+len(text)] are
+                # one contiguous run
+                off = int(offset)
+                local = []
+                for st0, en0, k in kept[bisect.bisect_left(kept, (off,)):]:
+                    if en0 - off > len(text):
+                        break
+                    local.append((st0 - off, en0 - off, k))
                 html, pos = [], 0
                 for st, en, key in local:
                     if st < pos:
@@ -392,6 +417,7 @@ def write_html_report(docs_df: DataFrame, mentions_df: DataFrame,
     ``max_docs`` doc_ids — and the driver-side collect is bounded by
     the same cap."""
     import os
+    import re
     from html import escape
 
     sample = docs_df.orderBy("doc_id").limit(int(max_docs))
@@ -399,13 +425,23 @@ def write_html_report(docs_df: DataFrame, mentions_df: DataFrame,
             .orderBy("doc_id").collect())  # bounded by max_docs
     os.makedirs(os.path.join(path, "reports"), exist_ok=True)
     links = []
+    used: set[str] = set()
     for r in rows:
         name = str(r.doc_id)
-        with open(os.path.join(path, "reports", f"{name}.html"), "w") as fh:
+        # doc_ids are arbitrary strings: strip path separators and
+        # anything else unsafe for a filename, dedupe collisions
+        safe = re.sub(r"[^A-Za-z0-9._-]", "_", name).lstrip(".") or "doc"
+        if safe in used:
+            i = 2
+            while f"{safe}~{i}" in used:
+                i += 1
+            safe = f"{safe}~{i}"
+        used.add(safe)
+        with open(os.path.join(path, "reports", f"{safe}.html"), "w") as fh:
             fh.write(r.html)
         links.append(
             '<span style="font-size: 90%; display:block;">'
-            f'<a href="reports/{name}.html" target="frame">'
+            f'<a href="reports/{safe}.html" target="frame">'
             f"{escape(name)}</a></span>")
     with open(os.path.join(path, "index.html"), "w") as fh:
         fh.write(

@@ -348,6 +348,17 @@ def test_parse_owl_imports():
     assert ("Melanoma", "Neoplasm") in edges
     assert ("Neoplasm", "Disease") in edges
 
+    # the root document's own IRI needn't be in the resolver: upper's
+    # back-import of main resolves against the root's self-declared IRI
+    # (parse_owl registers each document's owl:Ontology IRIs as loaded
+    # before chasing its imports)
+    concepts, edges = parse_owl(
+        OWL_MAIN_WITH_IMPORT,
+        imports={"http://example.org/upper": OWL_UPPER_MODULE})
+    assert {c["cui"] for c in concepts} == {"Melanoma", "Neoplasm",
+                                            "Disease"}
+    assert ("Neoplasm", "Disease") in edges
+
     # explicit opt-in to a partial hierarchy warns with the IRIs
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
@@ -356,6 +367,25 @@ def test_parse_owl_imports():
     assert {c["cui"] for c in concepts} == {"Melanoma"}
     # import-free documents are unaffected by the default
     assert parse_owl(OWL_SAMPLE)[0]
+
+
+def test_from_owl_imports_passthrough(spark):
+    """api.from_owl forwards ``imports`` to parse_owl: loud by default
+    on a modular ontology, complete index + cross-module isa edge with
+    an offline resolver."""
+    import pytest
+
+    from nobletools_spark.api import NobleCoderSpark
+
+    with pytest.raises(ValueError, match="example.org/upper"):
+        NobleCoderSpark.from_owl(spark, OWL_MAIN_WITH_IMPORT)
+
+    nc = NobleCoderSpark.from_owl(
+        spark, OWL_MAIN_WITH_IMPORT,
+        imports={"http://example.org/upper": OWL_UPPER_MODULE})
+    assert ("Melanoma", "Neoplasm") in nc.isa_edges
+    assert ("Neoplasm", "Disease") in nc.isa_edges
+    assert nc.lookup_concept("Disease") is not None
 
 
 def test_owl_to_index_end_to_end(spark):

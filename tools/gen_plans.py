@@ -224,12 +224,17 @@ def main() -> None:
         # cached/shared subtree under every InMemoryTableScan and reused
         # leg, so raw matches overcount multiplicatively once a query
         # persists two nested frames (e.g. kg_negatives: 150 raw vs 19
-        # real). plan_ids dedupe; plans without ids fall back to raw.
-        ex_ids = set(re.findall(
-            r"\bExchange (?!SinglePartition)[^\n]*?plan_id=(\d+)", plan))
-        exchanges = (len(ex_ids) if ex_ids else
-                     len(re.findall(r"\bExchange (?!SinglePartition)",
-                                    plan)))
+        # real). plan_ids dedupe; exchange lines WITHOUT a plan_id
+        # (cached relations planned with AQE off, subquery sections)
+        # are deduped by line text instead of being dropped whenever
+        # some other exchange happens to carry an id.
+        ex_ids: set[str] = set()
+        ex_noid: set[str] = set()
+        for ln in re.findall(r"\bExchange (?!SinglePartition)[^\n]*",
+                             plan):
+            m = re.search(r"plan_id=(\d+)", ln)
+            (ex_ids.add(m.group(1)) if m else ex_noid.add(ln))
+        exchanges = len(ex_ids) + len(ex_noid)
         scans = sorted(set(re.findall(r"ReadSchema: (\S+)", plan)))
         out.append(f"## {name}")
         out.append("")
