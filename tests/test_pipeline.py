@@ -583,3 +583,47 @@ def test_asserted_guards_and_empty_drops(spark):
         "doc_id long, cui string, modifiers map<string,string>")
     assert asserted_mentions(m, {}).count() == 1     # explicit no-gate
     assert asserted_mentions(m).count() == 0         # default gate
+
+
+def test_run_pipeline_cli_html_report(tmp_path):
+    """tools/run_pipeline.py --html-report N: the CLI writes the
+    bounded span-highlighted review reports (reference HTMLExporter
+    output shape: reports/<doc>.html + index.html frame page) under
+    <output>/html and records the path in the run report. Subprocess
+    because main() owns its own SparkSession lifecycle."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    docs = tmp_path / "docs.parquet"
+    # flat (doc_id, text) shape — also exercises the CLI's spans wrap
+    pd.DataFrame({
+        "doc_id": ["a", "b", "c"],
+        "text": ["Deep margin shows melanoma.",
+                 "No significant findings.",
+                 "Melanoma, stage unknown."],
+    }).to_parquet(docs)
+    obo = tmp_path / "t.obo"
+    obo.write_text(
+        "[Term]\nid: T:1\nname: melanoma\n\n"
+        "[Term]\nid: T:2\nname: deep margin\n")
+    out = tmp_path / "run"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "run_pipeline.py"),
+         "--input", str(docs), "--obo", str(obo), "--output", str(out),
+         "--html-report", "2"],
+        cwd=repo, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["html"] == f"{out}/html"
+    reports_dir = out / "html" / "reports"
+    names = sorted(p.name for p in reports_dir.iterdir())
+    assert names == ["a.html", "b.html"]      # first N doc_ids only
+    a = (reports_dir / "a.html").read_text()
+    assert "<label" in a and "melanoma" in a  # highlighted span
+    assert "<b>Concepts</b>" in a             # legend pane
+    idx = (out / "html" / "index.html").read_text()
+    assert 'href="reports/a.html" target="frame"' in idx

@@ -61,6 +61,14 @@ def main() -> None:
                          "or differs (different terminology/config).")
     ap.add_argument("--force", action="store_true",
                     help="recompute all stages (ignore checkpoints)")
+    ap.add_argument("--html-report", type=int, metavar="N",
+                    help="write span-highlighted HTML review reports "
+                         "(reference HTMLExporter parity: highlighted "
+                         "text pane, concept legend, index.html frame "
+                         "page) for the first N doc_ids to "
+                         "<output>/html. A bounded driver-side sample "
+                         "for human review — the scale path is the "
+                         "html_report_df DataFrame")
     ap.add_argument("--validate", action="store_true",
                     help="post-run KG integrity gate (kg_integrity) "
                          "over the materialized triples; violations "
@@ -303,6 +311,13 @@ def main() -> None:
     }
     if term_diff_counts is not None:
         report["terminology_diff"] = term_diff_counts
+    if args.html_report:
+        from nobletools_spark.sources.sinks import write_html_report
+
+        write_html_report(docs, res["mentions"], f"{out}/html",
+                          concepts_df=concepts_df,
+                          max_docs=args.html_report)
+        report["html"] = f"{out}/html"
     if incremental:
         # the per-snapshot audit row: an unexpectedly large n_changed
         # (fingerprint bug, upstream re-encode) shows up HERE, in the
