@@ -96,6 +96,28 @@ class NobleCoderSpark:
         inst.isa_edges = tuple(edges)
         return inst
 
+    @classmethod
+    def from_remote(cls, spark, remote, cfg: MatchConfig = MatchConfig(),
+                    context=None, max_concepts: int | None = None
+                    ) -> "NobleCoderSpark":
+        """Terminology snapshot from a ``RemoteTerminology`` client
+        (sources/remote.py; reference: terminology/impl/
+        RemoteTerminology.java:24, BioPortalTerminology.java:41).
+
+        The remote terminology is paged down ONCE (``fetch_all``) and
+        materialized into the same broadcastable ``TerminologyIndex``
+        every local loader builds — per-mention network lookups inside
+        executors would be the 100 TB anti-pattern (docs × RPC latency
+        against a non-reproducible moving target)."""
+        from nobletools_spark.index import build_index_df
+        from nobletools_spark.sources.obo import concepts_df_from_records
+
+        concepts, edges = remote.fetch_all(max_concepts=max_concepts)
+        idx = build_index_df(spark, concepts_df_from_records(spark, concepts))
+        inst = cls(idx, cfg, context)
+        inst.isa_edges = tuple(edges)
+        return inst
+
     # ------------------------------------------------------------------
     # corpus path
     # ------------------------------------------------------------------

@@ -113,8 +113,10 @@ def parse_owl(xml_text: str,
     the reference's class iterator only yields named classes
     (ConceptImporter.java:359-361 skips null/duplicate codes) — but
     NAMED members of subClassOf/equivalentClass intersections become
-    parents (the reference reads superclasses through an OWL reasoner,
-    ontology/owl/OClass.java:208-219, which entails exactly those).
+    parents, and NAMED members of top-level equivalentClass unions
+    become children (the reference reads super/sub-classes through an
+    OWL reasoner, ontology/owl/OClass.java:208-219, which entails
+    exactly those).
 
     ``owl:imports`` handling (the reference resolves imports through
     the OWL-API load path, ontology/owl/OOntology.java; silently
@@ -236,6 +238,14 @@ def _parse_owl_module(xml_text: str, source_name: str | None,
                 # skipped, as documented)
                 edges.extend((code, p)
                              for p in _intersection_parents(child))
+                # A ≡ (B ∪ C) entails B ⊑ A and C ⊑ A: every named
+                # union member becomes a CHILD of the defined class —
+                # the other reasoner-entailed edge family (OBO-style
+                # union_of classes); unions nested inside an
+                # intersection or restriction entail no such edge and
+                # are skipped by the walk
+                edges.extend((m, code)
+                             for m in _union_children(child))
             elif child.tag == f"{OWL}deprecated" and text.lower() == "true":
                 deprecated = True
             elif not text:
@@ -281,6 +291,35 @@ def _intersection_parents(el) -> list[str]:
             uri = mem.get(f"{RDF}resource") or mem.get(f"{RDF}about")
             if uri:
                 out.append(local_name(uri))
+    return out
+
+
+def _union_children(el) -> list[str]:
+    """Named members (rdf:Description / owl:Class with an
+    about/resource) of ``owl:unionOf`` lists reachable from ``el``
+    WITHOUT crossing an intersectionOf / Restriction / complementOf
+    boundary — only a top-level ``A ≡ (B ∪ C)`` entails the member
+    edges ``B ⊑ A``; a union inside an intersection or under a
+    restriction does not."""
+    out: list[str] = []
+
+    def walk(node):
+        tag = _tag_local(node.tag)
+        if tag in ("intersectionOf", "Restriction", "complementOf"):
+            return
+        if tag == "unionOf":
+            for mem in node:
+                if _tag_local(mem.tag) not in ("Description", "Class"):
+                    continue
+                uri = mem.get(f"{RDF}resource") or mem.get(f"{RDF}about")
+                if uri:
+                    out.append(local_name(uri))
+            return
+        for sub in node:
+            walk(sub)
+
+    for sub in el:
+        walk(sub)
     return out
 
 

@@ -319,6 +319,59 @@ def test_parse_owl_defined_class_parents():
     assert {c["cui"] for c in concepts} >= {"Melanoma", "Neoplasm"}
 
 
+OWL_UNION_CLASS = """\
+<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xml:base="http://example.org/u">
+  <owl:Ontology rdf:about="http://example.org/u"/>
+  <owl:Class rdf:about="http://example.org/u#Benign"/>
+  <owl:Class rdf:about="http://example.org/u#Malignant"/>
+  <owl:Class rdf:about="http://example.org/u#Neoplasm">
+    <owl:equivalentClass>
+      <owl:Class>
+        <owl:unionOf rdf:parseType="Collection">
+          <rdf:Description rdf:about="http://example.org/u#Benign"/>
+          <owl:Class rdf:about="http://example.org/u#Malignant"/>
+        </owl:unionOf>
+      </owl:Class>
+    </owl:equivalentClass>
+  </owl:Class>
+  <owl:Class rdf:about="http://example.org/u#Mixed">
+    <owl:equivalentClass>
+      <owl:Class>
+        <owl:intersectionOf rdf:parseType="Collection">
+          <rdf:Description rdf:about="http://example.org/u#Neoplasm"/>
+          <owl:Class>
+            <owl:unionOf rdf:parseType="Collection">
+              <rdf:Description rdf:about="http://example.org/u#Benign"/>
+            </owl:unionOf>
+          </owl:Class>
+        </owl:intersectionOf>
+      </owl:Class>
+    </owl:equivalentClass>
+  </owl:Class>
+</rdf:RDF>
+"""
+
+
+def test_parse_owl_union_children():
+    """OBO-style union classes: A ≡ (B ∪ C) entails B ⊑ A and C ⊑ A,
+    so named union members become CHILDREN of the defined class (the
+    reference's reasoner entails these, OClass.java:208-219). A union
+    nested inside an intersection entails no member edge."""
+    from nobletools_spark.sources.owl import parse_owl
+
+    _, edges = parse_owl(OWL_UNION_CLASS)
+    assert ("Benign", "Neoplasm") in edges
+    assert ("Malignant", "Neoplasm") in edges
+    # the union inside Mixed's intersection must NOT leak member edges
+    assert ("Benign", "Mixed") not in edges
+    # and intersection members still become parents
+    assert ("Mixed", "Neoplasm") in edges
+
+
 def test_parse_owl_imports():
     """owl:imports (r4 verdict #4): loud by default, complete hierarchy
     with an offline resolver, cycle-safe, explicit partial-load opt-in."""
