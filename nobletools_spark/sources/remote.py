@@ -178,12 +178,14 @@ class RemoteTerminology:
             page = self._get("concepts", offset=offset,
                              limit=self.page_size)
             batch = page.get("concepts") or []
+            fresh = 0
             for obj in batch:
                 c = _as_concept(obj)
                 if c["cui"] in seen or not self._keep(c):
                     continue
                 seen.add(c["cui"])
                 concepts.append(c)
+                fresh += 1
             edges.extend((ch, pa) for ch, pa in page.get("edges") or ())
             total = page.get("total", total)
             offset += len(batch)
@@ -193,6 +195,11 @@ class RemoteTerminology:
                     f"{max_concepts} (fetched {len(concepts)} so far); "
                     "raise the guard or filter server-side")
             if not batch or (total is not None and offset >= total):
+                break
+            if fresh == 0 and total is None:
+                # a server that ignores ``offset`` and reports no total
+                # would otherwise page forever; every concept in this
+                # page was already seen → nothing further can arrive
                 break
         # dedupe edges, preserve order (mirrors parse_owl's first-wins)
         return concepts, list(dict.fromkeys(edges))

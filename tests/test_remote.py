@@ -118,6 +118,23 @@ def test_remote_fetch_all_paging():
                           page_size=2).fetch_all(max_concepts=1)
 
 
+def test_remote_fetch_all_no_progress_break():
+    """A server that ignores offset and reports no total must not page
+    forever: a page contributing zero new concepts ends the snapshot."""
+    from nobletools_spark.sources.remote import RemoteTerminology
+
+    calls = []
+
+    def fetch(url):
+        calls.append(url)
+        return json.dumps({"concepts": CONCEPTS[:2], "edges": []}).encode()
+
+    concepts, _ = RemoteTerminology("http://x", transport=fetch,
+                                    page_size=2).fetch_all()
+    assert [c["cui"] for c in concepts] == ["C0001", "C0002"]
+    assert len(calls) == 2  # first page + the no-progress repeat, then stop
+
+
 def test_remote_http_end_to_end(spark):
     """Real transport leg: an in-process 127.0.0.1 http.server serves
     the endpoint contract; from_remote snapshots it into the broadcast
