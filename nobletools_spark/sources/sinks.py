@@ -652,3 +652,124 @@ def export_orf(concepts_df: DataFrame, path: str, lat: str = "ENG",
         F.lit("").alias("end"))
     (mrsab.select(F.concat_ws("|", *mrsab.columns).alias("line"))
      .write.mode("overwrite").text(f"{path}/MRSAB"))
+
+
+# ---------------------------------------------------------------------------
+# OWL (RDF/XML) terminology export — the reference builds OWL ontologies
+# from seed terminologies (util/OntologyCreator.java:105-338 over the
+# OWL-API; ontology/OntologyUtils URI conventions). One XML document per
+# terminology by nature, so the build is driver-side over the
+# terminology-sized concept set (the same bound as every loader in
+# sources/) and round-trips through sources/owl.py:parse_owl.
+# ---------------------------------------------------------------------------
+
+_XML_NAME_RE = None  # built lazily in _prop_tag
+
+
+def _prop_tag(sab: str) -> str:
+    """Alternate-code property tag for a source: the sab itself when it
+    already reads as a code property to parse_owl's `_CODE_RE`
+    (UMLS_CUI, NCI_code, ...), else `{sab}_ID` — and `code` when the
+    sab isn't a valid XML name at all."""
+    global _XML_NAME_RE
+    import re as _re
+
+    if _XML_NAME_RE is None:
+        _XML_NAME_RE = _re.compile(r"[A-Za-z_][A-Za-z0-9_.-]*$")
+    if not sab or not _XML_NAME_RE.match(sab):
+        return "code"
+    if _re.search(r"(?i)cui|code|id", sab):
+        return sab
+    return f"{sab}_ID"
+
+
+def export_owl(concepts, isa_edges=(),
+               base_iri: str = "http://noble.tools/export",
+               ontology_name: str | None = None) -> str:
+    """Concepts + isa edges → one RDF/XML OWL document (string).
+
+    ``concepts`` is either the loaders' concept-dict iterable
+    (cui/name/synonyms/semtypes/definition/codes — parse_obo/parse_owl/
+    fetch_all output) or a concepts DataFrame in the
+    ``concepts_df_from_records`` schema (collected here: terminologies
+    are dimension-sized, the package-wide driver-parse bound).
+
+    Round-trip contract (tested): ``parse_owl(export_owl(c, e))``
+    reproduces cui, name, synonyms, semtypes, definition, and EVERY
+    isa edge; alternate codes come back under the ``_prop_tag`` name
+    (plus the URI code parse_owl always adds). A hierarchy-only node
+    (an edge child with no concept row) is emitted as a bare owl:Class
+    carrying its subClassOf — re-parsing yields it as a pretty-named
+    concept, the same thing the reference's class iterator would do.
+    """
+    from xml.sax.saxutils import escape, quoteattr
+
+    if hasattr(concepts, "collect"):  # a concepts DataFrame
+        concepts = [{
+            "cui": r.cui, "name": r.name,
+            "synonyms": tuple(r.synonyms or ()),
+            "semtypes": tuple(r.semtypes or ()),
+            "definition": getattr(r, "definition", None),
+            "codes": tuple((c["sab"], c["code"]) for c in (r.codes or ()))
+            if "codes" in r.__fields__ else (),
+        } for r in concepts.collect()]
+    if hasattr(isa_edges, "collect"):
+        isa_edges = [(r[0], r[1]) for r in isa_edges.collect()]
+
+    parents: dict[str, list[str]] = {}
+    for child, parent in isa_edges:
+        parents.setdefault(child, []).append(parent)
+
+    nt = f"{base_iri}#"
+    out = [
+        '<?xml version="1.0"?>',
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"',
+        '         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"',
+        '         xmlns:owl="http://www.w3.org/2002/07/owl#"',
+        f'         xmlns:nt={quoteattr(nt)}',
+        f'         xml:base={quoteattr(base_iri)}>',
+        f'  <owl:Ontology rdf:about={quoteattr(base_iri)}'
+        + (f'><rdfs:label>{escape(ontology_name)}</rdfs:label>'
+           '</owl:Ontology>' if ontology_name else '/>'),
+    ]
+    for c in concepts:
+        cui, name = c["cui"], c["name"]
+        out.append(f'  <owl:Class rdf:about={quoteattr(base_iri + "#" + cui)}>')
+        out.append(f'    <rdfs:label>{escape(name)}</rdfs:label>')
+        for syn in c.get("synonyms") or ():
+            if syn and syn != name:
+                out.append(f'    <nt:synonym>{escape(syn)}</nt:synonym>')
+        for st in c.get("semtypes") or ():
+            out.append(
+                f'    <nt:Semantic_Type>{escape(st)}</nt:Semantic_Type>')
+        if c.get("definition"):
+            out.append(f'    <nt:definition>{escape(c["definition"])}'
+                       '</nt:definition>')
+        for sab, code in c.get("codes") or ():
+            if sab == "URI":  # parse_owl re-adds the class URI itself
+                continue
+            tag = _prop_tag(sab)
+            out.append(f'    <nt:{tag}>{escape(code)}</nt:{tag}>')
+        for p in parents.get(cui, ()):
+            out.append('    <rdfs:subClassOf '
+                       f'rdf:resource={quoteattr(base_iri + "#" + p)}/>')
+        out.append('  </owl:Class>')
+    for cui in sorted(set(parents) - {c["cui"] for c in concepts}):
+        # hierarchy-only node: no concept row, but its isa edges must
+        # survive the round trip
+        out.append(f'  <owl:Class rdf:about={quoteattr(base_iri + "#" + cui)}>')
+        for p in parents[cui]:
+            out.append('    <rdfs:subClassOf '
+                       f'rdf:resource={quoteattr(base_iri + "#" + p)}/>')
+        out.append('  </owl:Class>')
+    out.append('</rdf:RDF>')
+    return "\n".join(out) + "\n"
+
+
+def write_owl(concepts, path: str, isa_edges=(), **kw) -> None:
+    """export_owl to a single local/DBFS-mounted file (one document per
+    terminology; driver-side by nature, like the reference's
+    OntologyCreator file output)."""
+    xml = export_owl(concepts, isa_edges, **kw)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(xml)

@@ -413,3 +413,56 @@ def test_build_property_graph_facade(spark):
     assert all(r.src < r.dst for r in e)
     with _pytest.raises(ValueError):
         nc.build_property_graph(docs, asserted=True)
+
+
+def test_export_owl_round_trip(spark, tmp_path):
+    """OWL export (OntologyCreator.java:105-338 workflow): concepts +
+    isa edges → RDF/XML that parse_owl reads back losslessly — name,
+    synonyms, semtypes, definition, alternate codes (under the
+    _prop_tag name), XML-escaped content, and EVERY edge including
+    those through hierarchy-only parents."""
+    from nobletools_spark.sources.fixtures import (
+        BUILTIN_CONCEPTS,
+        BUILTIN_ISA_EDGES,
+    )
+    from nobletools_spark.sources.obo import concepts_df_from_records
+    from nobletools_spark.sources.owl import parse_owl
+    from nobletools_spark.sources.sinks import export_owl, write_owl
+
+    xml = export_owl(BUILTIN_CONCEPTS, BUILTIN_ISA_EDGES)
+    concepts, edges = parse_owl(xml)
+    by = {c["cui"]: c for c in concepts}
+    for o in BUILTIN_CONCEPTS:
+        g = by[o["cui"]]
+        assert g["name"] == o["name"]
+        assert set(g["synonyms"]) >= set(o["synonyms"])
+        assert g["semtypes"] == tuple(o["semtypes"])
+    assert set(edges) == set(BUILTIN_ISA_EDGES)
+    # hierarchy-only parents come back as pretty-named concepts
+    assert "C100" in by
+
+    # escaping + definition + alternate-code property naming
+    c = [{"cui": "X1", "name": 'a <b> & "c"',
+          "synonyms": ('a <b> & "c"', "alt&syn"), "semtypes": ("T1",),
+          "sources": ("S",), "definition": "def <&>",
+          "codes": (("UMLS_CUI", "C0001"), ("NCI", "N1"),
+                    ("URI", "ignored"), ("we!rd", "W"))}]
+    got = {g["cui"]: g for g in parse_owl(export_owl(c, [("X1", "P1")]))[0]}
+    codes = dict(got["X1"]["codes"])
+    assert got["X1"]["name"] == 'a <b> & "c"'
+    assert "alt&syn" in got["X1"]["synonyms"]
+    assert got["X1"]["definition"] == "def <&>"
+    assert codes["UMLS_CUI"] == "C0001"      # already a code property
+    assert codes["NCI_ID"] == "N1"           # suffixed to read as one
+    assert codes["code"] == "W"              # invalid XML name fallback
+    assert ("X1", "P1") in parse_owl(export_owl(c, [("X1", "P1")]))[1]
+
+    # DataFrame input branch + file sink
+    df = concepts_df_from_records(spark, BUILTIN_CONCEPTS)
+    p = str(tmp_path / "term.owl")
+    write_owl(df, p, isa_edges=BUILTIN_ISA_EDGES,
+              ontology_name="Builtin Terminology")
+    concepts2, edges2 = parse_owl(open(p).read())
+    assert {c["cui"] for c in concepts2} >= {o["cui"] for o in
+                                             BUILTIN_CONCEPTS}
+    assert set(edges2) == set(BUILTIN_ISA_EDGES)
