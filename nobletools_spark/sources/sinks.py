@@ -683,6 +683,97 @@ def _prop_tag(sab: str) -> str:
     return f"{sab}_ID"
 
 
+def _concept_records(concepts) -> list[dict]:
+    """Loaders' concept dicts, or a ``concepts_df_from_records``-schema
+    DataFrame collected to them (terminologies are dimension-sized, the
+    package-wide driver-parse bound)."""
+    if hasattr(concepts, "collect"):
+        return [{
+            "cui": r.cui, "name": r.name,
+            "synonyms": tuple(r.synonyms or ()),
+            "semtypes": tuple(r.semtypes or ()),
+            "definition": getattr(r, "definition", None),
+            "codes": tuple((c["sab"], c["code"]) for c in (r.codes or ()))
+            if "codes" in r.__fields__ else (),
+        } for r in concepts.collect()]
+    return list(concepts)
+
+
+def _edge_pairs(isa_edges) -> list[tuple[str, str]]:
+    if hasattr(isa_edges, "collect"):
+        return [(r[0], r[1]) for r in isa_edges.collect()]
+    return [tuple(e) for e in isa_edges]
+
+
+def select_branch(concepts, isa_edges, roots,
+                  semtypes=(), depth: int | None = None):
+    """Branch selection for terminology export — the reference's
+    TerminologyExporter workflow (ui/TerminologyExporter.java:743-845):
+    depth-first from the chosen root concepts over isa children, with
+
+    - a semantic-type filter that prunes the WHOLE subtree under a
+      non-matching node (isFilteredOut :969-979 + the early return at
+      :815 — children of a filtered node are never visited even if they
+      would match),
+    - an optional recursion depth (:716-718; ``None`` = unbounded, the
+      reference's ``Integer.MAX_VALUE``; ``depth=1`` keeps roots only),
+    - revisit semantics for diamonds/cycles (:822-826): an
+      already-exported node gains the extra parent edge (unless that
+      edge would duplicate or directly invert an already-kept link) and
+      its subtree is not re-walked.
+
+    ``concepts``/``isa_edges`` accept the loaders' driver-side shapes or
+    DataFrames (collected here — terminology-sized). Returns
+    ``(kept_concepts, kept_edges)`` in deterministic DFS preorder
+    (children sorted by cui); ``kept_edges`` are the traversed
+    ``(child, parent)`` links, so ``export_owl(*select_branch(...))``
+    emits exactly the selected hierarchy. A root or child that has isa
+    edges but no concept record is kept as a bare ``{"cui", "name"}``
+    node when no semantic-type filter is active (the filter cannot be
+    proven for it otherwise).
+    """
+    by = {c["cui"]: c for c in _concept_records(concepts)}
+    children: dict[str, list[str]] = {}
+    for ch, par in _edge_pairs(isa_edges):
+        children.setdefault(par, []).append(ch)
+    for v in children.values():
+        v.sort()
+    stset = set(semtypes)
+
+    def _keeps(cui: str) -> bool:
+        if not stset:
+            return True
+        c = by.get(cui)
+        return c is not None and bool(stset & set(c.get("semtypes") or ()))
+
+    kept: dict[str, dict] = {}
+    kept_edges: list[tuple[str, str]] = []
+    edge_set: set[tuple[str, str]] = set()
+    # explicit stack: UMLS-deep hierarchies must not hit the Python
+    # recursion limit. Entries are (cui, parent, remaining_depth).
+    stack: list[tuple[str, str | None, int | None]] = [
+        (r, None, depth) for r in reversed(list(roots))]
+    while stack:
+        cui, parent, d = stack.pop()
+        if (d is not None and d <= 0) or not _keeps(cui):
+            continue
+        if cui in kept:
+            if (parent is not None and parent != cui
+                    and (cui, parent) not in edge_set
+                    and (parent, cui) not in edge_set):
+                edge_set.add((cui, parent))
+                kept_edges.append((cui, parent))
+            continue
+        kept[cui] = by.get(cui) or {"cui": cui, "name": cui}
+        if parent is not None:
+            edge_set.add((cui, parent))
+            kept_edges.append((cui, parent))
+        nd = d - 1 if d is not None else None
+        for ch in reversed(children.get(cui, ())):
+            stack.append((ch, cui, nd))
+    return list(kept.values()), kept_edges
+
+
 def export_owl(concepts, isa_edges=(),
                base_iri: str = "http://noble.tools/export",
                ontology_name: str | None = None) -> str:
@@ -704,17 +795,8 @@ def export_owl(concepts, isa_edges=(),
     """
     from xml.sax.saxutils import escape, quoteattr
 
-    if hasattr(concepts, "collect"):  # a concepts DataFrame
-        concepts = [{
-            "cui": r.cui, "name": r.name,
-            "synonyms": tuple(r.synonyms or ()),
-            "semtypes": tuple(r.semtypes or ()),
-            "definition": getattr(r, "definition", None),
-            "codes": tuple((c["sab"], c["code"]) for c in (r.codes or ()))
-            if "codes" in r.__fields__ else (),
-        } for r in concepts.collect()]
-    if hasattr(isa_edges, "collect"):
-        isa_edges = [(r[0], r[1]) for r in isa_edges.collect()]
+    concepts = _concept_records(concepts)
+    isa_edges = _edge_pairs(isa_edges)
 
     parents: dict[str, list[str]] = {}
     for child, parent in isa_edges:

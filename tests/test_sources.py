@@ -581,3 +581,94 @@ def test_terminology_diff_null_safety(spark):
     # C1 existed: renamed (NULL->Alpha) + synonyms_changed
     # (NULL->[Alpha]), NOT 'added'; C2 unchanged
     assert got == {("C1", "renamed"), ("C1", "synonyms_changed")}
+
+
+def test_select_branch_semantics():
+    """Branch export selection (ui/TerminologyExporter.java:743-845):
+    DFS from roots, semantic-type filter prunes the WHOLE subtree under
+    a non-matching node, depth bounds recursion (1 = roots only),
+    diamonds keep both parent edges, direct 2-cycles keep only the
+    first-seen edge, and output order is deterministic DFS preorder."""
+    from nobletools_spark.sources.sinks import select_branch
+
+    def c(cui, *st):
+        return {"cui": cui, "name": cui.lower(), "synonyms": (cui.lower(),),
+                "semtypes": tuple(st), "sources": ("TST",)}
+
+    #        R
+    #      /   \
+    #     A     B(T9)      A,B children of R; B fails the T1 filter
+    #    / \   /
+    #   C   D-+            D is a diamond child of A and B
+    #   |
+    #   E
+    concepts = [c("R", "T1"), c("A", "T1"), c("B", "T9"), c("C", "T1"),
+                c("D", "T1"), c("E", "T1")]
+    edges = [("A", "R"), ("B", "R"), ("C", "A"), ("D", "A"), ("D", "B"),
+             ("E", "C")]
+
+    # unfiltered: everything, diamond D gets both parent links
+    got, ge = select_branch(concepts, edges, ["R"])
+    assert [x["cui"] for x in got] == ["R", "A", "C", "E", "D", "B"]  # preorder
+    assert set(ge) == set(edges)
+
+    # semtype filter prunes B AND the D<-B edge arrives only via A's walk
+    got, ge = select_branch(concepts, edges, ["R"], semtypes=("T1",))
+    assert {x["cui"] for x in got} == {"R", "A", "C", "D", "E"}
+    assert set(ge) == {("A", "R"), ("C", "A"), ("D", "A"), ("E", "C")}
+
+    # depth: 1 keeps roots only; 2 keeps one level of children
+    got, _ = select_branch(concepts, edges, ["R"], depth=1)
+    assert [x["cui"] for x in got] == ["R"]
+    got, ge = select_branch(concepts, edges, ["R"], depth=2)
+    assert {x["cui"] for x in got} == {"R", "A", "B"}
+    assert set(ge) == {("A", "R"), ("B", "R")}
+
+    # direct 2-cycle: revisit does not add the inverted edge
+    cyc = [c("X", "T1"), c("Y", "T1")]
+    got, ge = select_branch(cyc, [("Y", "X"), ("X", "Y")], ["X"])
+    assert {x["cui"] for x in got} == {"X", "Y"}
+    assert ge == [("Y", "X")]
+
+    # root with edges but no concept record: bare node (no filter)
+    got, ge = select_branch([c("A", "T1")], [("A", "GHOST")], ["GHOST"])
+    assert [x["cui"] for x in got] == ["GHOST", "A"]
+    assert got[0]["name"] == "GHOST"
+    # ... and pruned when a semtype filter is active (unprovable)
+    got, _ = select_branch([c("A", "T1")], [("A", "GHOST")], ["GHOST"],
+                           semtypes=("T1",))
+    assert got == []
+
+
+def test_export_terminology_cli(tmp_path, spark):
+    """End-to-end CLI (headless TerminologyExporter): OBO in, branch +
+    depth selection, OWL out — re-parsed output holds exactly the
+    selected classes/edges; RRF out round-trips through load_rrf's
+    MRCONSO reader shape."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from export_terminology import main
+
+    from nobletools_spark.sources.owl import parse_owl
+
+    obo = tmp_path / "t.obo"
+    obo.write_text(OBO_SAMPLE)
+    out = tmp_path / "branch.owl"
+    assert main(["--obo", str(obo), "--root", "GO:0003", "--depth", "2",
+                 "--format", "owl", "--output", str(out),
+                 "--name", "Branch"]) == 0
+    concepts, edges = parse_owl(out.read_text())
+    # GO:0003 (disease) + its child GO:0002 (neoplasm); depth 2 stops
+    # before GO:0001 (melanoma); obsolete GO:0004 was never loaded
+    assert {c["cui"] for c in concepts} == {"GO:0003", "GO:0002"}
+    assert set(edges) == {("GO:0002", "GO:0003")}
+
+    rrf_dir = tmp_path / "rrf_out"
+    assert main(["--obo", str(obo), "--format", "rrf",
+                 "--output", str(rrf_dir), "--sab", "OBO"]) == 0
+    lines = [ln for f in rrf_dir.glob("part-*.txt")
+             for ln in f.read_text().splitlines()]
+    rows = [ln.split("|") for ln in lines]
+    assert {r[0] for r in rows} == {"GO:0001", "GO:0002", "GO:0003"}
+    mm = [r for r in rows if r[14] == "MM"]
+    assert mm and mm[0][11] == "OBO" and mm[0][2] == "S"
