@@ -335,3 +335,44 @@ class NobleCoderSpark:
         """setSourceFilter / setSemanticTypeFilter equivalents."""
         self.cfg = replace(self.cfg, source_filter=tuple(sources),
                            semtype_filter=tuple(semtypes))
+
+    def export_terminology(self, path: str, format: str = "owl",
+                           roots=(), semtypes=(), depth: int | None = None,
+                           spark=None, **kw) -> None:
+        """Export the loaded terminology (optionally one branch of it) —
+        the TerminologyExporter workflow (ui/TerminologyExporter.java:
+        743-845) over this facade's index: OWL (single RDF/XML file) or
+        RRF / ORF directories (util/ConceptExporter.java:66-238).
+
+        ``roots`` / ``semtypes`` / ``depth`` select a branch via
+        ``select_branch`` (subtree-pruning semantic-type filter,
+        bounded recursion); with none given the whole terminology is
+        exported. isa edges come from the loaders' ``isa_edges``
+        attribute (OBO/OWL/from_concepts(..., isa_edges=...)/RRF paths
+        all set it). RRF/ORF are distributed writes and need a
+        SparkSession (``spark=`` or the active one)."""
+        from nobletools_spark.sources.sinks import (
+            export_orf, export_rrf, select_branch, write_owl)
+
+        concepts = [c._asdict() for c in self.index.concepts.values()]
+        edges = list(getattr(self, "isa_edges", ()))
+        if roots or semtypes or depth is not None:
+            if not roots:
+                child_set = {c for c, _ in edges}
+                roots = sorted({c["cui"] for c in concepts} - child_set)
+            concepts, edges = select_branch(concepts, edges, roots,
+                                            semtypes=semtypes, depth=depth)
+        if format == "owl":
+            write_owl(concepts, path, isa_edges=edges, **kw)
+            return
+        if format not in ("rrf", "orf"):
+            raise ValueError(f"unknown export format: {format!r}")
+        from pyspark.sql import SparkSession
+
+        from nobletools_spark.sources.obo import concepts_df_from_records
+
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError("rrf/orf export needs a SparkSession")
+        df = concepts_df_from_records(spark, concepts)
+        (export_rrf if format == "rrf" else export_orf)(df, path, **kw)

@@ -466,3 +466,47 @@ def test_export_owl_round_trip(spark, tmp_path):
     assert {c["cui"] for c in concepts2} >= {o["cui"] for o in
                                              BUILTIN_CONCEPTS}
     assert set(edges2) == set(BUILTIN_ISA_EDGES)
+
+
+def test_facade_export_terminology(spark, tmp_path):
+    """NobleCoderSpark.export_terminology (headless TerminologyExporter
+    over the facade): whole-terminology OWL out re-loads to an
+    equivalent coder; branch selection prunes; rrf format writes a
+    distributed MRCONSO directory."""
+    import nobletools_spark.api as api
+    from nobletools_spark.sources.fixtures import (
+        BUILTIN_CONCEPTS,
+        BUILTIN_ISA_EDGES,
+    )
+    from nobletools_spark.sources.owl import parse_owl
+
+    nc = api.NobleCoderSpark.from_concepts(BUILTIN_CONCEPTS)
+    nc.isa_edges = tuple(BUILTIN_ISA_EDGES)
+
+    p = tmp_path / "all.owl"
+    nc.export_terminology(str(p))
+    concepts, edges = parse_owl(p.read_text())
+    assert {c["cui"] for c in concepts} >= {c["cui"] for c in BUILTIN_CONCEPTS}
+    assert set(edges) == set(BUILTIN_ISA_EDGES)
+    nc2 = api.NobleCoderSpark.from_owl(spark, p.read_text())
+    assert nc2.search("spark")[0].cui == nc.search("spark")[0].cui
+
+    # branch selection: depth 1 from an explicit root keeps only it
+    root = BUILTIN_ISA_EDGES[0][1]
+    p2 = tmp_path / "branch.owl"
+    nc.export_terminology(str(p2), roots=[root], depth=1)
+    got, ge = parse_owl(p2.read_text())
+    assert {c["cui"] for c in got} == {root} and ge == []
+
+    # distributed RRF write
+    d = tmp_path / "rrf"
+    nc.export_terminology(str(d), format="rrf", spark=spark, sab="TST")
+    lines = [ln for f in d.glob("part-*.txt")
+             for ln in f.read_text().splitlines()]
+    assert {ln.split("|")[0] for ln in lines} == \
+        {c["cui"] for c in BUILTIN_CONCEPTS}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        nc.export_terminology(str(tmp_path / "x"), format="bogus")
