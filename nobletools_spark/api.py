@@ -97,6 +97,22 @@ class NobleCoderSpark:
         return inst
 
     @classmethod
+    def from_term_xml(cls, spark, xml_text: str,
+                      cfg: MatchConfig = MatchConfig(),
+                      context=None) -> "NobleCoderSpark":
+        """Terminology from the reference's own XML serialization
+        (NobleCoderTerminology.fromElement:2173-2217)."""
+        from nobletools_spark.index import build_index_df
+        from nobletools_spark.sources.obo import concepts_df_from_records
+        from nobletools_spark.sources.termxml import parse_term_xml
+
+        concepts, edges = parse_term_xml(xml_text)
+        idx = build_index_df(spark, concepts_df_from_records(spark, concepts))
+        inst = cls(idx, cfg, context)
+        inst.isa_edges = tuple(edges)
+        return inst
+
+    @classmethod
     def from_remote(cls, spark, remote, cfg: MatchConfig = MatchConfig(),
                     context=None, max_concepts: int | None = None
                     ) -> "NobleCoderSpark":
@@ -341,8 +357,10 @@ class NobleCoderSpark:
                            spark=None, **kw) -> None:
         """Export the loaded terminology (optionally one branch of it) —
         the TerminologyExporter workflow (ui/TerminologyExporter.java:
-        743-845) over this facade's index: OWL (single RDF/XML file) or
-        RRF / ORF directories (util/ConceptExporter.java:66-238).
+        743-845) over this facade's index: OWL (single RDF/XML file),
+        the reference's own XML serialization
+        (NobleCoderTerminology.toElement:2155-2167), or RRF / ORF
+        directories (util/ConceptExporter.java:66-238).
 
         ``roots`` / ``semtypes`` / ``depth`` select a branch via
         ``select_branch`` (subtree-pruning semantic-type filter,
@@ -364,6 +382,10 @@ class NobleCoderSpark:
                                             semtypes=semtypes, depth=depth)
         if format == "owl":
             write_owl(concepts, path, isa_edges=edges, **kw)
+            return
+        if format == "xml":
+            from nobletools_spark.sources.termxml import write_term_xml
+            write_term_xml(concepts, path, isa_edges=edges, **kw)
             return
         if format not in ("rrf", "orf"):
             raise ValueError(f"unknown export format: {format!r}")

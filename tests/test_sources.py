@@ -672,3 +672,83 @@ def test_export_terminology_cli(tmp_path, spark):
     assert {r[0] for r in rows} == {"GO:0001", "GO:0002", "GO:0003"}
     mm = [r for r in rows if r[14] == "MM"]
     assert mm and mm[0][11] == "OBO" and mm[0][2] == "S"
+
+
+def test_term_xml_round_trip(spark):
+    """NobleCoder XML terminology serialization
+    (NobleCoderTerminology.toElement/fromElement:2155-2217): export →
+    parse reproduces cui/name/synonyms/semtypes/sources/definition/
+    codes and exactly the edge set; Broader on the child and the
+    mirror Narrower on the parent both parse to the same (child,
+    parent) edge, deduplicated; preferred Term overrides the name
+    attribute; XML-escaped content survives; roots line lists the
+    parentless concepts; from_term_xml annotates identically to the
+    source-concept coder."""
+    from nobletools_spark.api import NobleCoderSpark
+    from nobletools_spark.sources.fixtures import (
+        BUILTIN_CONCEPTS,
+        BUILTIN_ISA_EDGES,
+        interleaved_docs,
+    )
+    from nobletools_spark.sources.termxml import (
+        export_term_xml,
+        parse_term_xml,
+    )
+
+    xml = export_term_xml(BUILTIN_CONCEPTS, BUILTIN_ISA_EDGES,
+                          name="builtin", options={"default.search": "best"})
+    concepts, edges = parse_term_xml(xml)
+    by = {c["cui"]: c for c in concepts}
+    for o in BUILTIN_CONCEPTS:
+        g = by[o["cui"]]
+        assert g["name"] == o["name"]
+        assert set(g["synonyms"]) >= set(o["synonyms"])
+        assert g["semtypes"] == tuple(o["semtypes"])
+        assert set(g["sources"]) == set(o["sources"])
+    assert set(edges) == set(BUILTIN_ISA_EDGES)
+
+    # escaping, definition preference, codes, preferred-Term override
+    c = [{"cui": "X1", "name": 'a <b> & "c"',
+          "synonyms": ('a <b> & "c"', "alt&syn"), "semtypes": ("T1",),
+          "sources": ("S&1",), "definition": "def <&>",
+          "codes": (("NCI", "N1"), ("URI", "skipme"))}]
+    xml2 = export_term_xml(c, [("X1", "P1"), ("C2", "X1")])
+    got = {g["cui"]: g for g in parse_term_xml(xml2)[0]}["X1"]
+    assert got["name"] == 'a <b> & "c"'
+    assert "alt&syn" in got["synonyms"]
+    assert got["definition"] == "def <&>"
+    assert got["codes"] == (("NCI", "N1"),)      # URI pseudo-code skipped
+    assert set(parse_term_xml(xml2)[1]) == {("X1", "P1"), ("C2", "X1")}
+    assert "<Roots>P1</Roots>" in xml2           # parentless = root
+    assert 'name="default.search" value="best"' not in xml2  # options per-call
+
+    # annotate parity: XML-round-tripped terminology ≡ the original
+    docs = interleaved_docs(spark, "/root/testdata/sf0.001").limit(25)
+    a1 = sorted(NobleCoderSpark.from_concepts(BUILTIN_CONCEPTS)
+                .annotate(docs).select("doc_id", "cui", "start").collect())
+    a2 = sorted(NobleCoderSpark.from_term_xml(spark, xml)
+                .annotate(docs).select("doc_id", "cui", "start").collect())
+    assert a1 == a2 and len(a1) > 0
+
+
+def test_export_terminology_cli_xml(tmp_path):
+    """CLI xml leg: OBO in → NobleCoder XML out → --xml back in →
+    OWL out, concepts/edges preserved across both hops."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from export_terminology import main
+
+    from nobletools_spark.sources.owl import parse_owl
+
+    obo = tmp_path / "t.obo"
+    obo.write_text(OBO_SAMPLE)
+    x = tmp_path / "t.xml"
+    assert main(["--obo", str(obo), "--format", "xml",
+                 "--output", str(x), "--name", "go-slim"]) == 0
+    assert 'name="go-slim"' in x.read_text()
+    o = tmp_path / "t.owl"
+    assert main(["--xml", str(x), "--format", "owl",
+                 "--output", str(o)]) == 0
+    concepts, edges = parse_owl(o.read_text())
+    assert {c["cui"] for c in concepts} == {"GO:0001", "GO:0002", "GO:0003"}
+    assert set(edges) == {("GO:0001", "GO:0002"), ("GO:0002", "GO:0003")}

@@ -11,8 +11,10 @@ and sinks.
         --format owl --output /tmp/branch.owl
 
 Inputs: --obo FILE | --owl FILE (repeat --owl-import IRI=FILE for
-offline modular imports) | --text FILE (tab-indented) | --rrf DIR.
-Formats: owl (single RDF/XML file), rrf (MRCONSO directory),
+offline modular imports) | --text FILE (tab-indented) | --xml FILE
+(NobleCoder XML terminology) | --rrf DIR.
+Formats: owl (single RDF/XML file), xml (NobleCoder <Terminology>
+document, toElement parity), rrf (MRCONSO directory),
 orf (MRCON/MRSO/MRSTY/CUI2CODE directory).
 
 OWL export is driver-side by nature (one XML document per terminology);
@@ -48,6 +50,9 @@ def _load(args):
         return parse_owl(Path(args.owl).read_text())
     if args.text:
         return parse_text_terminology(Path(args.text).read_text())
+    if args.xml:
+        from nobletools_spark.sources.termxml import parse_term_xml
+        return parse_term_xml(Path(args.xml).read_text())
     # --rrf: distributed load, then the terminology-sized collect every
     # driver-side export shares
     from nobletools_spark.sources.rrf import concepts_for_index, load_rrf
@@ -81,6 +86,7 @@ def main(argv=None) -> int:
     src.add_argument("--obo", help="OBO terminology file")
     src.add_argument("--owl", help="OWL (RDF/XML) ontology file")
     src.add_argument("--text", help="tab-indented text terminology file")
+    src.add_argument("--xml", help="NobleCoder XML terminology file")
     src.add_argument("--rrf", help="UMLS RRF directory")
     p.add_argument("--owl-import", action="append", metavar="IRI=FILE",
                    help="offline resolver entry for --owl owl:imports")
@@ -91,9 +97,10 @@ def main(argv=None) -> int:
                         "whole subtree under a non-matching node)")
     p.add_argument("--depth", type=int, default=None,
                    help="recursion depth from the roots (1 = roots only)")
-    p.add_argument("--format", choices=("owl", "rrf", "orf"), default="owl")
+    p.add_argument("--format", choices=("owl", "xml", "rrf", "orf"),
+                   default="owl")
     p.add_argument("--output", required=True,
-                   help="owl: file path; rrf/orf: directory")
+                   help="owl/xml: file path; rrf/orf: directory")
     p.add_argument("--base-iri", default="http://noble.tools/export")
     p.add_argument("--name", default=None, help="ontology label (owl)")
     p.add_argument("--sab", default="NOBLE", help="source abbrev (rrf/orf)")
@@ -118,6 +125,10 @@ def main(argv=None) -> int:
         from nobletools_spark.sources.sinks import write_owl
         write_owl(concepts, args.output, isa_edges=edges,
                   base_iri=args.base_iri, ontology_name=args.name)
+    elif args.format == "xml":
+        from nobletools_spark.sources.termxml import write_term_xml
+        write_term_xml(concepts, args.output, isa_edges=edges,
+                       name=args.name or "terminology")
     else:
         from nobletools_spark.sources.obo import concepts_df_from_records
         from nobletools_spark.sources.sinks import export_orf, export_rrf
