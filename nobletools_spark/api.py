@@ -101,12 +101,17 @@ class NobleCoderSpark:
                       cfg: MatchConfig = MatchConfig(),
                       context=None) -> "NobleCoderSpark":
         """Terminology from the reference's own XML serialization
-        (NobleCoderTerminology.fromElement:2173-2217)."""
+        (NobleCoderTerminology.fromElement:2173-2217). The document's
+        ``<Options>`` block is applied over ``cfg`` exactly as the
+        reference's setSearchProperties would (only the user-settable
+        keys; see ``match_config_from_properties``)."""
         from nobletools_spark.index import build_index_df
         from nobletools_spark.sources.obo import concepts_df_from_records
-        from nobletools_spark.sources.termxml import parse_term_xml
+        from nobletools_spark.sources.termxml import (
+            match_config_from_properties, parse_term_xml, term_xml_options)
 
         concepts, edges = parse_term_xml(xml_text)
+        cfg = match_config_from_properties(term_xml_options(xml_text), cfg)
         idx = build_index_df(spark, concepts_df_from_records(spark, concepts))
         inst = cls(idx, cfg, context)
         inst.isa_edges = tuple(edges)
@@ -384,7 +389,9 @@ class NobleCoderSpark:
             write_owl(concepts, path, isa_edges=edges, **kw)
             return
         if format == "xml":
-            from nobletools_spark.sources.termxml import write_term_xml
+            from nobletools_spark.sources.termxml import (
+                match_config_to_properties, write_term_xml)
+            kw.setdefault("options", match_config_to_properties(self.cfg))
             write_term_xml(concepts, path, isa_edges=edges, **kw)
             return
         if format not in ("rrf", "orf"):

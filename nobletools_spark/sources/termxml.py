@@ -107,6 +107,114 @@ def parse_term_xml(xml_text: str) -> tuple[list[dict],
     return concepts, edges
 
 
+def term_xml_options(xml_text: str) -> dict[str, str]:
+    """The ``<Options>`` block of a ``<Terminology>`` document as a
+    plain dict (NobleCoderTerminology.toElement:2157-2165 writes one
+    ``<Option name= value=>`` per search property)."""
+    root = ET.fromstring(xml_text)
+    if root.tag != "Terminology":
+        raise ValueError(f"expected <Terminology>, got <{root.tag}>")
+    out: dict[str, str] = {}
+    for opts in root.iter("Options"):
+        for op in opts.iter("Option"):
+            n = op.get("name")
+            if n:
+                out[n] = op.get("value") or ""
+    return out
+
+
+def match_config_to_properties(cfg) -> dict[str, str]:
+    """MatchConfig → the reference's search-properties map
+    (getSearchProperties, NobleCoderTerminology.java — key set preserved
+    verbatim, INCLUDING the ``partial.match.theshold`` typo the
+    reference writes and reads)."""
+    def b(x):
+        return "true" if x else "false"
+    return {
+        "default.search.method": cfg.search_method,
+        "ignore.small.words": b(cfg.ignore_small_words),
+        "source.filter": ", ".join(cfg.source_filter),
+        "language.filter": "",
+        "semantic.type.filter": ", ".join(cfg.semtype_filter),
+        "ignore.common.words": b(cfg.ignore_common_words),
+        "ignore.acronyms": "false",
+        "select.best.candidate": b(cfg.select_best_candidate),
+        "score.concepts": b(cfg.score_concepts),
+        "window.size": str(cfg.window_size),
+        "maximum.word.gap": str(cfg.max_word_gap),
+        "ignore.used.words": b(cfg.ignore_used_words),
+        "subsumption.mode": b(cfg.subsumption_mode),
+        "overlap.mode": b(cfg.overlap_mode),
+        "contiguous.mode": b(cfg.contiguous_mode),
+        "ordered.mode": b(cfg.ordered_mode),
+        "partial.mode": b(cfg.partial_mode),
+        "stem.words": b(cfg.stem_words),
+        "ignore.digits": b(cfg.strip_digits),
+        "partial.match.theshold": str(cfg.partial_match_threshold),
+        "max.words.in.term": str(cfg.max_words_in_term),
+    }
+
+
+def match_config_from_properties(props: dict, base=None):
+    """Search-properties map → MatchConfig (setSearchProperties parity,
+    NobleCoderTerminology.java): ONLY the keys the reference applies are
+    applied — ``stem.words`` / ``ignore.digits`` / ``ignore.small.words``
+    are commented out there ("should not be reset by user") and stay at
+    ``base``'s values here too; an unknown ``default.search.method``
+    falls back to best-match; ``word.window.size`` is ``maxWordGap+1``
+    and ``maximum.word.gap`` (read after it) overrides; numeric parse
+    failures keep the previous value (the reference swallows them)."""
+    from dataclasses import replace
+
+    from nobletools_spark.model import (ALL_MATCH, BEST_MATCH, MatchConfig,
+                                        NONOVERLAP_MATCH, PARTIAL_MATCH,
+                                        PRECISE_MATCH)
+
+    cfg = base if base is not None else MatchConfig()
+    methods = (BEST_MATCH, ALL_MATCH, PRECISE_MATCH, NONOVERLAP_MATCH,
+               PARTIAL_MATCH)
+    upd: dict = {}
+    if "default.search.method" in props:
+        m = props["default.search.method"]
+        upd["search_method"] = m if m in methods else BEST_MATCH
+
+    def _bool(key, field):
+        if key in props:
+            upd[field] = props[key] == "true"
+
+    def _num(key, field, conv):
+        if key in props:
+            try:
+                upd[field] = conv(props[key])
+            except (TypeError, ValueError):
+                pass
+
+    _bool("ignore.common.words", "ignore_common_words")
+    _bool("select.best.candidate", "select_best_candidate")
+    _num("window.size", "window_size", int)
+    if "word.window.size" in props:
+        try:
+            upd["max_word_gap"] = int(props["word.window.size"]) - 1
+        except (TypeError, ValueError):
+            pass
+    _num("maximum.word.gap", "max_word_gap", int)
+    _bool("ignore.used.words", "ignore_used_words")
+    _bool("subsumption.mode", "subsumption_mode")
+    _bool("overlap.mode", "overlap_mode")
+    _bool("contiguous.mode", "contiguous_mode")
+    _bool("ordered.mode", "ordered_mode")
+    _bool("partial.mode", "partial_mode")
+    _num("partial.match.theshold", "partial_match_threshold", float)
+    _num("max.words.in.term", "max_words_in_term", int)
+    for key, field in (("source.filter", "source_filter"),
+                       ("semantic.type.filter", "semtype_filter")):
+        v = props.get(key)
+        if v:
+            sep = ";" if ";" in v else ","
+            upd[field] = tuple(s.strip() for s in v.split(sep) if s.strip())
+    return replace(cfg, **upd) if upd else cfg
+
+
 def export_term_xml(concepts, isa_edges=(), name: str = "terminology",
                     version: str = "1.0", description: str = "",
                     languages=("ENG",), options: dict | None = None) -> str:

@@ -752,3 +752,59 @@ def test_export_terminology_cli_xml(tmp_path):
     concepts, edges = parse_owl(o.read_text())
     assert {c["cui"] for c in concepts} == {"GO:0001", "GO:0002", "GO:0003"}
     assert set(edges) == {("GO:0001", "GO:0002"), ("GO:0002", "GO:0003")}
+
+
+def test_term_xml_options_round_trip(spark):
+    """Search-properties round trip (getSearchProperties /
+    setSearchProperties parity): a non-default MatchConfig exported to
+    <Options> comes back equal through from_term_xml; the reference's
+    read-only keys (stem.words, ignore.digits, ignore.small.words) do
+    NOT override the base config; unknown search methods fall back to
+    best-match; word.window.size is maxWordGap+1 with maximum.word.gap
+    winning; numeric parse failures are swallowed."""
+    from dataclasses import replace
+
+    from nobletools_spark.api import NobleCoderSpark
+    from nobletools_spark.model import PRECISE_MATCH, MatchConfig
+    from nobletools_spark.sources.fixtures import BUILTIN_CONCEPTS
+    from nobletools_spark.sources.termxml import (
+        export_term_xml,
+        match_config_from_properties,
+        match_config_to_properties,
+    )
+
+    cfg = MatchConfig(search_method=PRECISE_MATCH, max_word_gap=3,
+                      window_size=7, partial_match_threshold=0.25,
+                      select_best_candidate=False, ignore_used_words=False,
+                      source_filter=("NCI", "SNOMEDCT"),
+                      semtype_filter=("T191",))
+    props = match_config_to_properties(cfg)
+    assert props["partial.match.theshold"] == "0.25"   # reference typo kept
+    got = match_config_from_properties(props)
+    for f in ("search_method", "max_word_gap", "window_size",
+              "partial_match_threshold", "select_best_candidate",
+              "ignore_used_words", "source_filter", "semtype_filter"):
+        assert getattr(got, f) == getattr(cfg, f), f
+
+    # read-only keys don't reset the base
+    base = MatchConfig(stem_words=False, strip_digits=True,
+                       ignore_small_words=False)
+    got = match_config_from_properties(
+        {"stem.words": "true", "ignore.digits": "false",
+         "ignore.small.words": "true"}, base)
+    assert (got.stem_words, got.strip_digits, got.ignore_small_words) == \
+        (False, True, False)
+
+    # fallback + precedence + swallowed parse errors
+    got = match_config_from_properties(
+        {"default.search.method": "bogus-match", "word.window.size": "5",
+         "maximum.word.gap": "2", "window.size": "oops"})
+    assert got.search_method == "best-match"
+    assert got.max_word_gap == 2 and got.window_size == MatchConfig().window_size
+
+    # full loop through the XML document via the facade
+    xml = export_term_xml(BUILTIN_CONCEPTS, options=props)
+    nc = NobleCoderSpark.from_term_xml(spark, xml)
+    assert nc.cfg.search_method == PRECISE_MATCH
+    assert nc.cfg.source_filter == ("NCI", "SNOMEDCT")
+    assert nc.cfg.max_word_gap == 3
