@@ -107,11 +107,14 @@ class NobleCoderSpark:
         keys; see ``match_config_from_properties``)."""
         from nobletools_spark.index import build_index_df
         from nobletools_spark.sources.obo import concepts_df_from_records
+        import xml.etree.ElementTree as ET
+
         from nobletools_spark.sources.termxml import (
             match_config_from_properties, parse_term_xml, term_xml_options)
 
-        concepts, edges = parse_term_xml(xml_text)
-        cfg = match_config_from_properties(term_xml_options(xml_text), cfg)
+        root = ET.fromstring(xml_text)  # parse once, feed both readers
+        concepts, edges = parse_term_xml(root)
+        cfg = match_config_from_properties(term_xml_options(root), cfg)
         idx = build_index_df(spark, concepts_df_from_records(spark, concepts))
         inst = cls(idx, cfg, context)
         inst.isa_edges = tuple(edges)
@@ -371,18 +374,23 @@ class NobleCoderSpark:
         ``select_branch`` (subtree-pruning semantic-type filter,
         bounded recursion); with none given the whole terminology is
         exported. isa edges come from the loaders' ``isa_edges``
-        attribute (OBO/OWL/from_concepts(..., isa_edges=...)/RRF paths
-        all set it). RRF/ORF are distributed writes and need a
-        SparkSession (``spark=`` or the active one)."""
+        attribute (OBO/OWL/term-XML constructors set it), else the RRF
+        loader's BROADER edge table (``tables['relations']`` — the same
+        fallback ``extract`` uses). RRF/ORF are distributed writes and
+        need a SparkSession (``spark=`` or the active one)."""
         from nobletools_spark.sources.sinks import (
-            export_orf, export_rrf, select_branch, write_owl)
+            default_roots, export_orf, export_rrf, select_branch, write_owl)
 
         concepts = [c._asdict() for c in self.index.concepts.values()]
         edges = list(getattr(self, "isa_edges", ()))
+        if not edges and getattr(self, "tables", None) is not None \
+                and "relations" in self.tables:
+            edges = [(r.cui, r.parent)
+                     for r in self.tables["relations"]
+                     .select("cui", "parent").collect()]
         if roots or semtypes or depth is not None:
             if not roots:
-                child_set = {c for c, _ in edges}
-                roots = sorted({c["cui"] for c in concepts} - child_set)
+                roots = default_roots(concepts, edges)
             concepts, edges = select_branch(concepts, edges, roots,
                                             semtypes=semtypes, depth=depth)
         if format == "owl":

@@ -70,6 +70,21 @@ def pretty_name(resource_name: str) -> str:
     return resource_name.replace("_", " ")
 
 
+def tag_is_code(tag: str) -> bool:
+    """True iff ``parse_owl``'s property dispatch would classify ``tag``
+    as an alternate-code property — i.e. the ``_CODE_RE`` arm wins, net
+    of every arm tried before it (semtype/regex/pref/synonym/definition).
+    The exporter's ``_prop_tag`` uses this so emitted code properties
+    provably round-trip as codes."""
+    return bool(
+        _CODE_RE.fullmatch(tag)
+        and not _SEMTYPE_RE.fullmatch(tag)
+        and not _REGEX_RE.fullmatch(tag)
+        and not _PREF_RE.fullmatch(tag)
+        and not _SYN_RE.fullmatch(tag)
+        and not _DEF_RE.fullmatch(tag))
+
+
 def _tag_local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1] if "}" in tag else tag
 

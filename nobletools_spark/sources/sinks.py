@@ -667,20 +667,29 @@ _XML_NAME_RE = None  # built lazily in _prop_tag
 
 
 def _prop_tag(sab: str) -> str:
-    """Alternate-code property tag for a source: the sab itself when it
-    already reads as a code property to parse_owl's `_CODE_RE`
-    (UMLS_CUI, NCI_code, ...), else `{sab}_ID` — and `code` when the
-    sab isn't a valid XML name at all."""
+    """Alternate-code property tag for a source, chosen so the emitted
+    property PROVABLY round-trips through parse_owl's dispatch
+    (owl.tag_is_code — the code arm must win net of the synonym/
+    semtype/definition arms tried before it): the sab itself when it
+    already classifies as a code (UMLS_CUI, NCI_code, ...), else
+    `{sab}_ID` when THAT classifies (CodeSystem → CodeSystem_ID), else
+    the generic `code` — also used when the sab isn't a valid XML name
+    (e.g. `Name_Code` ends in code but the synonym arm claims it first,
+    so it falls through to `code`)."""
     global _XML_NAME_RE
     import re as _re
+
+    from nobletools_spark.sources.owl import tag_is_code
 
     if _XML_NAME_RE is None:
         _XML_NAME_RE = _re.compile(r"[A-Za-z_][A-Za-z0-9_.-]*$")
     if not sab or not _XML_NAME_RE.match(sab):
         return "code"
-    if _re.search(r"(?i)cui|code|id", sab):
+    if tag_is_code(sab):
         return sab
-    return f"{sab}_ID"
+    if tag_is_code(f"{sab}_ID"):
+        return f"{sab}_ID"
+    return "code"
 
 
 def _concept_records(concepts) -> list[dict]:
@@ -692,6 +701,8 @@ def _concept_records(concepts) -> list[dict]:
             "cui": r.cui, "name": r.name,
             "synonyms": tuple(r.synonyms or ()),
             "semtypes": tuple(r.semtypes or ()),
+            "sources": tuple(r.sources or ())
+            if "sources" in r.__fields__ else (),
             "definition": getattr(r, "definition", None),
             "codes": tuple((c["sab"], c["code"]) for c in (r.codes or ()))
             if "codes" in r.__fields__ else (),
@@ -703,6 +714,17 @@ def _edge_pairs(isa_edges) -> list[tuple[str, str]]:
     if hasattr(isa_edges, "collect"):
         return [(r[0], r[1]) for r in isa_edges.collect()]
     return [tuple(e) for e in isa_edges]
+
+
+def default_roots(concepts, isa_edges) -> list[str]:
+    """Root concepts for branch export when the caller names none: every
+    node that is nobody's child — INCLUDING hierarchy-only edge parents
+    with no concept record (a ghost root still owns its subtree; leaving
+    it out would silently drop every concept beneath it)."""
+    cuis = {c["cui"] for c in _concept_records(concepts)}
+    edges = _edge_pairs(isa_edges)
+    child_set = {ch for ch, _ in edges}
+    return sorted((cuis | {par for _, par in edges}) - child_set)
 
 
 def select_branch(concepts, isa_edges, roots,
@@ -764,7 +786,11 @@ def select_branch(concepts, isa_edges, roots,
                 edge_set.add((cui, parent))
                 kept_edges.append((cui, parent))
             continue
-        kept[cui] = by.get(cui) or {"cui": cui, "name": cui}
+        # bare hierarchy-only record in the full loader shape so every
+        # downstream sink (incl. concepts_df_from_records) accepts it
+        kept[cui] = by.get(cui) or {"cui": cui, "name": cui,
+                                    "synonyms": (cui,), "semtypes": (),
+                                    "sources": (), "codes": ()}
         if parent is not None:
             edge_set.add((cui, parent))
             kept_edges.append((cui, parent))

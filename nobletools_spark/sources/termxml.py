@@ -23,9 +23,18 @@ _TUI_RE = re.compile(r"T\d{2,4}$")
 _SPLIT_RE = re.compile(r",\s*")
 
 
-def parse_term_xml(xml_text: str) -> tuple[list[dict],
-                                           list[tuple[str, str]]]:
-    """One ``<Terminology>`` XML document → (concepts, isa_edges).
+def _as_root(xml: "str | ET.Element") -> ET.Element:
+    root = ET.fromstring(xml) if isinstance(xml, str) else xml
+    if root.tag != "Terminology":
+        raise ValueError(f"expected <Terminology>, got <{root.tag}>")
+    return root
+
+
+def parse_term_xml(xml_text: "str | ET.Element") -> tuple[
+        list[dict], list[tuple[str, str]]]:
+    """One ``<Terminology>`` XML document (text or a pre-parsed root
+    Element — callers that also need ``term_xml_options`` can parse
+    once) → (concepts, isa_edges).
 
     Mapping (fromElement parity, NobleCoderTerminology.java:2173-2217):
     Concept@code → cui, Concept@name → name, Term texts → synonyms
@@ -37,9 +46,7 @@ def parse_term_xml(xml_text: str) -> tuple[list[dict],
     the parent (Relation.java:16-17) both yield (child, parent) edges,
     deduplicated; self-edges are dropped.
     """
-    root = ET.fromstring(xml_text)
-    if root.tag != "Terminology":
-        raise ValueError(f"expected <Terminology>, got <{root.tag}>")
+    root = _as_root(xml_text)
     concepts: list[dict] = []
     edges: list[tuple[str, str]] = []
     seen_edges: set[tuple[str, str]] = set()
@@ -107,13 +114,12 @@ def parse_term_xml(xml_text: str) -> tuple[list[dict],
     return concepts, edges
 
 
-def term_xml_options(xml_text: str) -> dict[str, str]:
-    """The ``<Options>`` block of a ``<Terminology>`` document as a
-    plain dict (NobleCoderTerminology.toElement:2157-2165 writes one
+def term_xml_options(xml_text: "str | ET.Element") -> dict[str, str]:
+    """The ``<Options>`` block of a ``<Terminology>`` document (text or
+    a pre-parsed root Element) as a plain dict
+    (NobleCoderTerminology.toElement:2157-2165 writes one
     ``<Option name= value=>`` per search property)."""
-    root = ET.fromstring(xml_text)
-    if root.tag != "Terminology":
-        raise ValueError(f"expected <Terminology>, got <{root.tag}>")
+    root = _as_root(xml_text)
     out: dict[str, str] = {}
     for opts in root.iter("Options"):
         for op in opts.iter("Option"):

@@ -808,3 +808,83 @@ def test_term_xml_options_round_trip(spark):
     assert nc.cfg.search_method == PRECISE_MATCH
     assert nc.cfg.source_filter == ("NCI", "SNOMEDCT")
     assert nc.cfg.max_word_gap == 3
+
+
+def test_export_review_regressions(spark, tmp_path):
+    """Pinned fixes from the export-surface review: (1) default roots
+    include ghost parents so their subtrees survive; (2) select_branch
+    bare nodes feed concepts_df_from_records (rrf/orf legs) without
+    KeyError; (3) _prop_tag only emits tags parse_owl provably reads
+    back as codes; (4) CLI --semtypes tolerates spaces; (5) DataFrame
+    export keeps sources; (6) from_rrf exports hierarchy via the
+    tables['relations'] fallback."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from export_terminology import main
+
+    from nobletools_spark.api import NobleCoderSpark
+    from nobletools_spark.sources.obo import concepts_df_from_records
+    from nobletools_spark.sources.owl import parse_owl
+    from nobletools_spark.sources.rrf import (
+        conso_row,
+        rel_row,
+        sty_row,
+        write_fixture_rrf,
+    )
+    from nobletools_spark.sources.sinks import (
+        default_roots,
+        export_owl,
+        select_branch,
+    )
+    from nobletools_spark.sources.termxml import export_term_xml
+
+    def c(cui, *st):
+        return {"cui": cui, "name": cui.lower(), "synonyms": (cui.lower(),),
+                "semtypes": tuple(st), "sources": ("TST",)}
+
+    # (1) ghost root GHOST owns A owns B: default_roots must return it
+    concepts = [c("A", "T1"), c("B", "T1")]
+    edges = [("A", "GHOST"), ("B", "A")]
+    assert default_roots(concepts, edges) == ["GHOST"]
+    got, ge = select_branch(concepts, edges, default_roots(concepts, edges),
+                            depth=5)
+    assert {x["cui"] for x in got} == {"GHOST", "A", "B"}
+
+    # (2) bare hierarchy-only records are full loader-shape
+    concepts_df_from_records(spark, got).collect()
+
+    # (3) code tags that previously vanished or became synonyms
+    cc = [{"cui": "X1", "name": "x", "synonyms": ("x",), "semtypes": (),
+           "sources": ("S",),
+           "codes": (("CodeSystem", "CS9"), ("Name_Code", "NC1"))}]
+    back = parse_owl(export_owl(cc))[0][0]
+    codes = dict(back["codes"])
+    assert codes.get("CodeSystem_ID") == "CS9"
+    assert codes.get("code") == "NC1"            # synonym-arm tag demoted
+    assert "NC1" not in back["synonyms"]
+
+    # (4) CLI --semtypes with a space after the comma still matches
+    x = tmp_path / "g.xml"
+    x.write_text(export_term_xml([c("R", "T1"), c("K", "T2")],
+                                 [("K", "R")]))
+    o = tmp_path / "g.owl"
+    assert main(["--xml", str(x), "--semtypes", "T1, T2",
+                 "--format", "owl", "--output", str(o)]) == 0
+    assert {cn["cui"] for cn in parse_owl(o.read_text())[0]} == {"R", "K"}
+
+    # (5) DataFrame-fed XML export keeps <Source> entries
+    xml = export_term_xml(concepts_df_from_records(spark, [c("A", "T1")]))
+    assert "<Source name=\"TST\"/>" in xml
+
+    # (6) from_rrf → export_terminology emits the MRREL hierarchy
+    rrf = tmp_path / "rrf_in"
+    write_fixture_rrf(str(rrf),
+                      [conso_row("C0001", "alpha"),
+                       conso_row("C0002", "beta")],
+                      [sty_row("C0001", "T1", "t"),
+                       sty_row("C0002", "T1", "t")],
+                      [rel_row("C0001", "PAR", "C0002")])
+    nc = NobleCoderSpark.from_rrf(spark, str(rrf))
+    p = tmp_path / "rrf.owl"
+    nc.export_terminology(str(p))
+    assert parse_owl(p.read_text())[1] == [("C0001", "C0002")]

@@ -107,15 +107,12 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     concepts, edges = _load(args)
-    semtypes = tuple(s for s in args.semtypes.split(",") if s)
+    semtypes = tuple(s.strip() for s in args.semtypes.split(",")
+                     if s.strip())
     if args.root or semtypes or args.depth is not None:
-        from nobletools_spark.sources.sinks import select_branch
-        roots = args.root
-        if not roots:
-            # no explicit roots: every node that is not a child (the
-            # reference's browser shows root concepts the same way)
-            child_set = {c for c, _ in edges}
-            roots = sorted({c["cui"] for c in concepts} - child_set)
+        from nobletools_spark.sources.sinks import (default_roots,
+                                                    select_branch)
+        roots = args.root or default_roots(concepts, edges)
         concepts, edges = select_branch(concepts, edges, roots,
                                         semtypes=semtypes, depth=args.depth)
     print(f"selected {len(concepts)} concepts, {len(edges)} isa edges",
