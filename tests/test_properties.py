@@ -287,3 +287,100 @@ def test_ancestors_fast_path_matches_min_depth_reference(pairs, max_depth):
 
     got = set(closure_bfs(edges, max_depth))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Terminology serialization round trips (r5 export surface)
+# ---------------------------------------------------------------------------
+
+# XML 1.0 valid text: printable ASCII + some unicode, no control chars
+_XML_TEXT = st.text(
+    alphabet=string.ascii_letters + string.digits
+    + " .,;:()<>&\"'|/-_é漢α", min_size=1, max_size=24).map(str.strip) \
+    .filter(bool)
+_CUI = st.from_regex(r"C[0-9]{3,7}", fullmatch=True)
+_SAB = st.from_regex(r"[A-Z][A-Z0-9_]{1,10}", fullmatch=True)
+
+
+@st.composite
+def _terminology(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    cuis = draw(st.lists(_CUI, min_size=n, max_size=n, unique=True))
+    concepts = []
+    for cui in cuis:
+        name = draw(_XML_TEXT)
+        syns = draw(st.lists(_XML_TEXT, max_size=3))
+        concepts.append({
+            "cui": cui, "name": name,
+            "synonyms": tuple(dict.fromkeys([name, *syns])),
+            "semtypes": tuple(draw(st.lists(
+                st.from_regex(r"T[0-9]{3}", fullmatch=True), max_size=2,
+                unique=True))),
+            "sources": tuple(draw(st.lists(_SAB, max_size=2,
+                                           unique=True))),
+            "definition": draw(st.one_of(st.none(), _XML_TEXT)),
+            "codes": tuple(draw(st.lists(
+                st.tuples(_SAB, _XML_TEXT), max_size=2,
+                unique_by=lambda t: t[0]))),
+        })
+    # random DAG edges: child strictly after parent in cui list order
+    edges = []
+    for i in range(1, len(cuis)):
+        for j in draw(st.lists(st.integers(0, i - 1), max_size=2,
+                               unique=True)):
+            edges.append((cuis[i], cuis[j]))
+    return concepts, edges
+
+
+@settings(max_examples=60, deadline=None)
+@given(_terminology())
+def test_term_xml_round_trip_property(term):
+    """export_term_xml → parse_term_xml reproduces name, synonym set,
+    semtypes, sources, definition, code VALUES, and the exact edge set
+    for arbitrary XML-legal terminologies (escaping, unicode,
+    pipe/angle/amp content)."""
+    from nobletools_spark.sources.termxml import (
+        export_term_xml,
+        parse_term_xml,
+    )
+
+    concepts, edges = term
+    got, ge = parse_term_xml(export_term_xml(concepts, edges))
+    assert set(ge) == set(edges)
+    by = {c["cui"]: c for c in got}
+    for o in concepts:
+        g = by[o["cui"]]
+        assert g["name"] == o["name"]
+        assert set(g["synonyms"]) >= set(o["synonyms"])
+        assert g["semtypes"] == o["semtypes"]
+        assert set(g["sources"]) == set(o["sources"])
+        assert g["definition"] == o["definition"]
+        assert sorted(v for _, v in g["codes"]) == \
+            sorted(v for _, v in o["codes"])
+
+
+@settings(max_examples=60, deadline=None)
+@given(_terminology())
+def test_owl_export_round_trip_property(term):
+    """export_owl → parse_owl reproduces cui, name, synonym set,
+    semtypes, definition, code VALUES (under _prop_tag names), and the
+    exact edge set — arbitrary XML-legal content."""
+    from nobletools_spark.sources.owl import parse_owl
+    from nobletools_spark.sources.sinks import export_owl
+
+    concepts, edges = term
+    got, ge = parse_owl(export_owl(concepts, edges))
+    assert set(ge) == set(edges)
+    by = {c["cui"]: c for c in got}
+    for o in concepts:
+        g = by[o["cui"]]
+        assert g["name"] == o["name"]
+        # parse_owl adds the pretty-named URI code and keeps the name in
+        # synonyms; original synonyms must survive (sans regex forms)
+        assert set(g["synonyms"]) >= {s for s in o["synonyms"]
+                                      if not s.startswith("/")}
+        assert g["semtypes"] == o["semtypes"]
+        if o["definition"]:
+            assert g["definition"] == o["definition"]
+        vals = {v for _, v in g["codes"]}
+        assert {v for _, v in o["codes"]} <= vals
