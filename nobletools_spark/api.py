@@ -275,6 +275,39 @@ class NobleCoderSpark:
                              templates_df, sections_df=sections_df,
                              components_df=components_df)
 
+    def terminology_template(self, spark, name: str = "terminology"):
+        """TemplateFactory.importTemplates over an existing terminology
+        (extract/model/TemplateFactory.java:102-121 →
+        importTerminologyTemplate :127-166): every root concept of THIS
+        terminology becomes a finding/SELF template item, plus the
+        BACKGROUND mask filter the reference always attaches.
+
+        Returns ``(templates_df, mask_filters, item_types)``; run
+        ``mask_documents(docs, pattern, invert)`` for each mask filter
+        before ``extract(docs, templates_df)``, mirroring the
+        reference's TemplateDocument text filtering."""
+        from nobletools_spark.operators.templates import (
+            TEMPLATES_DDL,
+            template_from_terminology,
+        )
+
+        from nobletools_spark.session import local_table
+
+        concepts = [{"cui": c.cui, "name": c.name}
+                    for c in self.index.concepts.values()]
+        if getattr(self, "isa_edges", ()):
+            edges = list(self.isa_edges)
+        elif getattr(self, "tables", None) is not None \
+                and "relations" in self.tables:
+            # terminology-sized driver pull, same bound as the exporters
+            edges = [(r[0], r[1]) for r in
+                     self.tables["relations"].select("cui", "parent")
+                     .collect()]
+        else:
+            edges = []
+        rows, masks, types = template_from_terminology(concepts, edges, name)
+        return local_table(spark, rows, TEMPLATES_DDL), masks, types
+
     def extract_from_xml(self, docs_df, template_xml: str,
                          sections_df=None, **kw):
         """extract() driven by a reference ``.template`` XML file

@@ -191,6 +191,46 @@ def templates_from_xml(xml_text: str) -> tuple[list[tuple], list[tuple]]:
     return templates, components
 
 
+def template_from_terminology(concepts, isa_edges, name: str) -> tuple[
+        list[tuple], list[tuple[str, str, bool]], dict[str, str]]:
+    """TemplateFactory.importTerminologyTemplate parity
+    (extract/model/TemplateFactory.java:127-166): build a template from
+    an existing terminology where every ROOT concept becomes one
+    ``type=finding`` item with value domain SELF (:160-163 — the
+    answer is whichever descendant concept was found), plus the
+    constructor's always-attached BACKGROUND mask filter
+    ``DocumentFilter("(?s)^BACKGROUND:$.*^$", invert=True)`` (:134),
+    which blanks the BACKGROUND section so nothing below it yields an
+    ItemInstance.
+
+    ``concepts`` / ``isa_edges`` accept the loaders' driver-side shapes
+    or DataFrames (terminology-sized; same contract as
+    ``sinks.select_branch``). Roots follow ``sinks.default_roots``
+    ("nobody's child", ghost edge-parents included — a ghost root still
+    owns its subtree); a ghost root's item name falls back to its cui.
+
+    Returns ``(template_rows, mask_filters, item_types)``:
+    ``template_rows`` in TEMPLATES_DDL shape (concept codes are cuis —
+    ``extract_items`` expands them through the isa closure, so any
+    descendant mention satisfies its root's item), ``mask_filters`` in
+    ``mask_filters_from_xml`` shape (apply with ``mask_documents``
+    BEFORE extract, as the reference filters the TemplateDocument text
+    before processing), ``item_types`` the item→type map the result
+    sink consumes."""
+    from nobletools_spark.sources.sinks import _concept_records, default_roots
+
+    tid = f"{name} Template"
+    recs = _concept_records(concepts)
+    by = {c["cui"]: c for c in recs}
+    rows: list[tuple] = []
+    for root in default_roots(recs, isa_edges):
+        iname = (by.get(root) or {}).get("name") or root
+        rows.append((tid, iname, root, None, DOMAIN_SELF))
+    masks = [(tid, r"(?s)^BACKGROUND:$.*^$", True)]
+    types = {r[1]: "finding" for r in rows}
+    return rows, masks, types
+
+
 def item_types_from_xml(xml_text: str) -> dict[str, str]:
     """item name → ``type`` attribute (TemplateItem.java:37-44:
     diagnosis/finding/organ/attribute/...) from the .template XML —

@@ -478,3 +478,72 @@ def test_sections_from_docs_sent_starts(spark):
     assert len(f.sent_starts) >= 2
     m = secs["MARGINS:"]
     assert m.sent_starts and min(m.sent_starts) >= m.start
+
+
+TERM_OBO = """\
+format-version: 1.2
+
+[Term]
+id: T:0001
+name: melanoma
+is_a: T:0002
+
+[Term]
+id: T:0002
+name: neoplasm
+is_a: T:0003
+
+[Term]
+id: T:0003
+name: disease
+
+[Term]
+id: T:0004
+name: biopsy
+"""
+
+
+def test_template_from_terminology(spark):
+    """TemplateFactory.importTerminologyTemplate parity
+    (TemplateFactory.java:127-166): roots become finding/SELF items,
+    the BACKGROUND mask filter is attached, descendants satisfy their
+    root's item, and nothing below BACKGROUND: survives the mask."""
+    from nobletools_spark.api import NobleCoderSpark
+    from nobletools_spark.operators.templates import mask_documents
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+
+    nc = NobleCoderSpark.from_obo(spark, TERM_OBO)
+    tdf, masks, types = nc.terminology_template(spark, name="onco")
+    rows = tdf.collect()
+    assert {(r.item, r.concept, r.value_domain) for r in rows} == {
+        ("disease", "T:0003", "self"), ("biopsy", "T:0004", "self")}
+    assert all(r.template_id == "onco Template"
+               and r.section_filter is None for r in rows)
+    assert masks == [("onco Template", r"(?s)^BACKGROUND:$.*^$", True)]
+    assert types == {"disease": "finding", "biopsy": "finding"}
+
+    text = ("Patient has melanoma. Biopsy performed.\n"
+            "BACKGROUND:\nold melanoma noted\n\n"
+            "END")
+    docs = spark.createDataFrame(
+        [("d1", [("text", text, None, 0)])], SPANS_DDL)
+    masked = mask_documents(docs, masks[0][1], masks[0][2])
+    items = nc.extract(masked, tdf).collect()
+    # the BACKGROUND melanoma is blanked away; the leading mentions
+    # satisfy their ROOT items via the isa closure (melanoma -> disease)
+    got = {(r.item, r.cui) for r in items}
+    assert got == {("disease", "T:0001"), ("biopsy", "T:0004")}
+    assert all(r.value_str is None for r in items)  # SELF: answer = cui
+
+
+def test_template_from_terminology_ghost_root():
+    """A hierarchy-only edge parent (no concept record) still roots the
+    template; its item name falls back to the cui."""
+    from nobletools_spark.operators.templates import (
+        template_from_terminology,
+    )
+
+    rows, masks, types = template_from_terminology(
+        [{"cui": "A", "name": "alpha"}], [("A", "GHOST")], "t")
+    assert rows == [("t Template", "GHOST", "GHOST", None, "self")]
+    assert types == {"GHOST": "finding"}
