@@ -560,6 +560,46 @@ def q_kg_template_items(spark, sf_dir):
             .distinct())
 
 
+def _root_findings_fixture():
+    """The terminology-template fixture shared by q_kg_root_findings
+    and its oracle: the builtin hierarchy WITHOUT the synthetic C000
+    super-root edges (so the terminology keeps the reference's
+    multi-root shape) and the template rows template_from_terminology
+    derives from it — both sides replay the identical literals."""
+    from nobletools_spark.operators.templates import (
+        template_from_terminology,
+    )
+
+    edges = [e for e in BUILTIN_ISA_EDGES if e[1] != "C000"]
+    t_rows, _masks, _types = template_from_terminology(
+        list(BUILTIN_CONCEPTS), edges, "builtin")
+    return edges, t_rows
+
+
+def q_kg_root_findings(spark, sf_dir):
+    """Terminology-derived template extraction (TemplateFactory
+    .importTerminologyTemplate parity, extract/model/TemplateFactory
+    .java:127-166 via operators/templates.template_from_terminology):
+    every ROOT concept of the builtin terminology becomes a
+    finding/SELF item and a mention satisfies its root's item through
+    the isa closure — distinct (doc_id, item, root, cui). Same scale
+    shape as kg_template_items: broadcast template×closure expansion,
+    one map-side join over the mention stream."""
+    from nobletools_spark.operators.templates import (
+        TEMPLATES_DDL,
+        extract_items,
+    )
+
+    edges, t_rows = _root_findings_fixture()
+    m = _builtin_mentions(spark, sf_dir)
+    e = _dim(spark, edges, "cui string, parent string")
+    t = _dim(spark, t_rows, TEMPLATES_DDL)
+    return (extract_items(m, e, t)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "item", F.col("concept").alias("root"), "cui")
+            .distinct())
+
+
 def q_text_token_stats(spark, sf_dir):
     return token_stats(_docs(spark, sf_dir))
 
@@ -1097,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_shuffle": q_text_shuffle,
         "events_rollup": q_events_rollup,
         "events_sessionize": q_events_sessionize,
+        "kg_root_findings": q_kg_root_findings,
         "kg_mentions_full": q_kg_mentions_full,
         "kg_relations": q_kg_relations,
     }
@@ -1611,6 +1652,31 @@ def oracle_sql() -> dict[str, str]:
         " JOIN tmpl t ON a.ancestor = t.concept) "
         "SELECT DISTINCT doc_id, template_id, item, cui,"
         " false AS absent FROM gate")
+
+    rf_edges, rf_rows = _root_findings_fixture()
+    sql["kg_root_findings"] = (
+        _mentions_cte(recursive=True)
+        + ", edges AS (SELECT * FROM "
+        + _values(rf_edges, ("cui", "parent")) + "), "
+        "anc AS ("
+        " SELECT cui, parent AS ancestor, 1 AS depth FROM edges"
+        " WHERE cui <> parent"
+        " UNION ALL"
+        " SELECT a.cui, e.parent, a.depth + 1 FROM anc a"
+        " JOIN edges e ON a.ancestor = e.cui"
+        " WHERE a.depth < 7 AND a.cui <> e.parent), "
+        "closure AS (SELECT DISTINCT cui, ancestor FROM anc), "
+        "tmpl AS (SELECT * FROM "
+        + _values([(r[1], r[2]) for r in rf_rows], ("item", "root"))
+        + "), "
+        "gate AS ("
+        " SELECT m.doc_id, t.item, t.root, m.cui FROM m"
+        " JOIN tmpl t ON m.cui = t.root"
+        " UNION ALL"
+        " SELECT m.doc_id, t.item, t.root, m.cui FROM m"
+        " JOIN closure a ON m.cui = a.cui"
+        " JOIN tmpl t ON a.ancestor = t.root) "
+        "SELECT DISTINCT doc_id, item, root, cui FROM gate")
 
     sql["kg_isa_closure"] = (
         "WITH RECURSIVE edges AS (SELECT * FROM "

@@ -78,6 +78,23 @@ class Mention:
         return " ".join(w for w, _ in self.annotations)
 
 
+# term-string tokenizations, memoized: the matcher re-tokenizes the
+# SAME index-static term strings once per candidate visit (getBestTerms
+# :1574 re-calls TextTools.getWords each pass); the vocabulary of keys
+# is bounded by the terminology (sentence text never flows through
+# here), so the memo is index-sized per executor — the same order as
+# the broadcast index itself.
+_TERM_WORDS: dict[str, tuple[str, ...]] = {}
+
+
+def _term_words(term: str) -> tuple[str, ...]:
+    tw = _TERM_WORDS.get(term)
+    if tw is None:
+        tw = tuple(get_words(term))
+        _TERM_WORDS[term] = tw
+    return tw
+
+
 def _normalized_word_map(text: str, cfg: MatchConfig):
     """getNormalizedWordMap (:1254-1268): tokenize, then normalize each
     original word; map first normalized form -> original (first wins)."""
@@ -161,8 +178,9 @@ def _get_best_terms(words: list[str], swords: set[str], used: set[str],
         hits = 0
         # TextTools.getWords, NOT a plain split: regex pseudo-terms from
         # the word map (e.g. '/stage [ivx]+/') tokenize through the same
-        # delimiter set as the reference (getBestTerms :1574)
-        twords = get_words(term)
+        # delimiter set as the reference (getBestTerms :1574); memoized
+        # (index-static keys)
+        twords = _term_words(term)
         for tword in twords:
             if tword not in swords:
                 all_match = False
@@ -197,7 +215,7 @@ def _get_used_words(words: list[str], term: str, cfg: MatchConfig) -> list[str]:
     """getUsedWords (:1459-1487)."""
     if not cfg.ignore_used_words and cfg.overlap_mode:
         return []
-    twords = get_words(term)
+    twords = _term_words(term)
     used: list[str] = []
     if cfg.overlap_mode:
         used.extend(twords)
@@ -233,7 +251,7 @@ def _original_term(text: str, term: str, norm_map: dict[str, str]) -> str:
 def _annotations_for(oterm: str, original_words: list[str],
                      text: str) -> list[tuple[str, int]]:
     """getAnnotations (:1277-1292): sentence-relative offsets."""
-    matched = get_words(oterm)
+    matched = set(get_words(oterm))
     out: list[tuple[str, int]] = []
     n = 0
     for w in original_words:
@@ -292,13 +310,13 @@ def _re_chunk(annotations: list[tuple[str, int]], matched_terms: list[str],
     sentence once per mention)."""
     if not annotations:
         return []
-    if len(matched_terms) == 1 and len(annotations) == len(get_words(matched_terms[0])):
+    if len(matched_terms) == 1 and len(annotations) == len(_term_words(matched_terms[0])):
         return [annotations]
     if words is None:
         words = get_words(search_string)
     chunks: list[list[tuple[str, int]]] = []
     for term in matched_terms:
-        twords = get_words(term)
+        twords = _term_words(term)
         tset = set(twords)
         offs = 0
         for i, w in enumerate(words):

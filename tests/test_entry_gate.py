@@ -1,5 +1,5 @@
 """The driver's correctness gate records only the first 50 queries()
-registrations; the 11 long-stable entries parked past that prefix
+registrations; the 12 long-stable entries parked past that prefix
 (round-5 reorder, __spark_entry__.py) would otherwise have NO automated
 oracle check left. This pins them: the local stand-in for the driver
 gate (tools/validate_entry.py — row count + column names + exact
@@ -20,7 +20,8 @@ SF_DIR = "/root/testdata/sf0.001"
 TAIL = [
     "kg_doc_concepts", "kg_concept_nodes", "kg_degrees", "kg_semtypes",
     "kg_word_stats", "text_sample", "text_shuffle", "events_rollup",
-    "events_sessionize", "kg_mentions_full", "kg_relations",
+    "events_sessionize", "kg_root_findings", "kg_mentions_full",
+    "kg_relations",
 ]
 
 
