@@ -39,6 +39,7 @@ HEADLINE = (
     "kg_doc_concepts",
     "kg_cooccurrence",
     "kg_template_items",
+    "kg_root_findings",
     "kg_pagerank",
     "kg_triangles",
     "kg_communities",

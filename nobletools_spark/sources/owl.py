@@ -355,7 +355,8 @@ def parse_owl_graph(xml_text: str) -> tuple[dict, dict]:
     classes[name] = {parents: [names], labels: [...], props:
     {local_prop: [values]}, restrictions: [(prop, value, is_resource)]}
     — restrictions are owl:Restriction axioms under rdfs:subClassOf
-    (owl:onProperty + owl:hasValue / owl:someValuesFrom), how the
+    (owl:onProperty + owl:hasValue / owl:someValuesFrom /
+    owl:allValuesFrom), how the
     ConText ontology attaches hasActionEn / windowSize / isDefaultValue /
     hasTermination / hasPseudo to modifier classes.
 
@@ -401,9 +402,14 @@ def parse_owl_graph(xml_text: str) -> tuple[dict, dict]:
                     if on is None or on.get(f"{RDF}resource") is None:
                         continue
                     prop = local_name(on.get(f"{RDF}resource"))
+                    # filler precedence mirrors ORestriction.java:36-57
+                    # (hasValue / someValuesFrom / allValuesFrom are the
+                    # three restriction kinds the reference surfaces)
                     val = restr.find(f"{OWL}hasValue")
                     if val is None:
                         val = restr.find(f"{OWL}someValuesFrom")
+                    if val is None:
+                        val = restr.find(f"{OWL}allValuesFrom")
                     if val is None:
                         continue
                     res_v = val.get(f"{RDF}resource")

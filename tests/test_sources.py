@@ -888,3 +888,47 @@ def test_export_review_regressions(spark, tmp_path):
     p = tmp_path / "rrf.owl"
     nc.export_terminology(str(p))
     assert parse_owl(p.read_text())[1] == [("C0001", "C0002")]
+
+
+OWL_RESTRICTION_FILLERS = """\
+<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xml:base="http://example.org/r">
+  <owl:Ontology rdf:about="http://example.org/r"/>
+  <owl:Class rdf:about="http://example.org/r#Thing">
+    <rdfs:subClassOf>
+      <owl:Restriction>
+        <owl:onProperty rdf:resource="http://example.org/r#hasPart"/>
+        <owl:someValuesFrom rdf:resource="http://example.org/r#Part"/>
+      </owl:Restriction>
+    </rdfs:subClassOf>
+    <rdfs:subClassOf>
+      <owl:Restriction>
+        <owl:onProperty rdf:resource="http://example.org/r#onlyIn"/>
+        <owl:allValuesFrom rdf:resource="http://example.org/r#Site"/>
+      </owl:Restriction>
+    </rdfs:subClassOf>
+    <rdfs:subClassOf>
+      <owl:Restriction>
+        <owl:onProperty rdf:resource="http://example.org/r#size"/>
+        <owl:hasValue>3</owl:hasValue>
+      </owl:Restriction>
+    </rdfs:subClassOf>
+  </owl:Class>
+</rdf:RDF>
+"""
+
+
+def test_parse_owl_graph_restriction_fillers():
+    """All three reference restriction kinds surface (ORestriction.java
+    :36-57): hasValue (literal), someValuesFrom and allValuesFrom
+    (resources)."""
+    from nobletools_spark.sources.owl import parse_owl_graph
+
+    classes, _ = parse_owl_graph(OWL_RESTRICTION_FILLERS)
+    r = set(classes["Thing"]["restrictions"])
+    assert r == {("hasPart", "Part", True),
+                 ("onlyIn", "Site", True),
+                 ("size", "3", False)}
