@@ -47,16 +47,15 @@ REF_TSV = "/tmp/parity_ref.tsv"
 
 
 def compile_reference() -> None:
-    drv_src = f"{REPO}/tools/javaref/RefDriver.java"
-    ext_src = f"{REPO}/tools/javaref/RefExtract.java"
-    cls = f"{CLS}/RefDriver.class"
-    ext_cls = f"{CLS}/RefExtract.class"
+    drivers = [(f"{CLS}/Ref{n}.class", f"{REPO}/tools/javaref/Ref{n}.java")
+               for n in ("Driver", "Extract", "TermTemplate")]
+    cls = drivers[0][0]
     fresh = lambda c, s: (os.path.exists(c)
                           and os.path.getmtime(c) >= os.path.getmtime(s))
-    if fresh(cls, drv_src) and fresh(ext_cls, ext_src):
+    if all(fresh(c, s) for c, s in drivers):
         return
     if os.path.exists(cls):   # core compiled: rebuild just the drivers
-        for c, s in ((cls, drv_src), (ext_cls, ext_src)):
+        for c, s in drivers:
             if not fresh(c, s):
                 subprocess.run(["javac", "-encoding", "UTF-8", "-cp", CP,
                                 "-d", CLS, s], check=True)
@@ -70,8 +69,7 @@ def compile_reference() -> None:
          f"{CP}:{REF}/lib/servlet-2_3.jar", *srcs], check=True)
     subprocess.run(
         ["javac", "-encoding", "UTF-8", "-cp", CP, "-d", CLS,
-         f"{REPO}/tools/javaref/RefDriver.java",
-         f"{REPO}/tools/javaref/RefExtract.java"], check=True)
+         *(s for _c, s in drivers)], check=True)
     # JDBM's mmap defrag uses a cleaner API removed from modern JVMs;
     # shadow JDBMMap with a compact()-as-no-op build ahead on the
     # classpath (only used when the ConText leg persists its lexicon)
@@ -474,6 +472,86 @@ def run_spark_extract(spark) -> set:
     return _matrix_to_cells(header, out_rows)
 
 
+# ---------------------------------------------------------------------------
+# TemplateFactory.importTerminologyTemplate leg: build a PERSISTED
+# terminology from one OBO (hierarchy included), let the reference's
+# actual importTerminologyTemplate enumerate the root concepts into
+# finding/self items, replay the InformationExtractor loop over the
+# extract corpus, and compare the result matrix cell-for-cell with
+# template_from_terminology + extract_matrix on the same OBO.
+# ---------------------------------------------------------------------------
+
+TT_OBO = "/tmp/paritytt.obo"     # stem doubles as the terminology name
+TT_OUT = "/tmp/parity_tt_out"
+
+
+def emit_termtemplate_fixture() -> None:
+    """OBO mirror of EXTRACT_CONCEPTS: is_a edges carry the hierarchy, so
+    the roots the factory enumerates are the broader-less concepts (the
+    reference marks a concept root iff it has no BROADER relation at
+    import, ConceptImporter.java:112-114; every is_a target here is a
+    defined [Term], so the engine's ghost-root allowance is moot)."""
+    lines = ["format-version: 1.2", ""]
+    for code, name, syns, broader in EXTRACT_CONCEPTS:
+        lines += ["[Term]", f"id: {code}", f"name: {name}"]
+        for s in syns:
+            if s.lower() != name.lower():
+                lines.append(f'synonym: "{s}" EXACT []')
+        for b in broader:
+            lines.append(f"is_a: {b}")
+        lines.append("")
+    open(TT_OBO, "w").write("\n".join(lines))
+
+
+def run_reference_termtemplate() -> "Counter":
+    import shutil
+    shutil.rmtree("/tmp/noble_terms_tt", ignore_errors=True)
+    shutil.rmtree(TT_OUT, ignore_errors=True)
+    subprocess.run(
+        ["java", "-cp", CP, "RefTermTemplate", TT_OBO, EXT_DOCS, TT_OUT,
+         CTX_OWL], check=True, capture_output=True)
+    lines = [ln.rstrip("\n").split("\t")
+             for ln in open(f"{TT_OUT}/RESULTS.tsv") if ln.strip()]
+    return _matrix_to_cells(lines[0], lines[1:])
+
+
+def run_spark_termtemplate(spark) -> "Counter":
+    from nobletools_spark.index import build_index
+    from nobletools_spark.model import MatchConfig
+    from nobletools_spark.operators.context import context_index_from_owl
+    from nobletools_spark.operators.extract_kernel import (
+        ItemSpec, TemplateSpec, extract_matrix)
+    from nobletools_spark.operators.templates import (
+        template_from_terminology)
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+    from nobletools_spark.sources.obo import parse_obo
+
+    concepts, edges = parse_obo(open(TT_OBO).read())
+    t_rows, _masks, _types = template_from_terminology(
+        concepts, edges, "paritytt")
+    items = tuple(ItemSpec(name=iname, concept=root, item_type="finding",
+                           value_domain="self")
+                  for _tid, iname, root, _filt, _dom in t_rows)
+    crecs = tuple((c["cui"], c["name"], tuple(c["synonyms"]),
+                   tuple(c["semtypes"]), tuple(c["sources"]),
+                   c.get("definition")) for c in concepts)
+    spec = TemplateSpec(name="paritytt", items=items, concepts=crecs,
+                        isa_edges=tuple(edges))
+    idx = build_index(concepts)
+    ctx = context_index_from_owl(open(CTX_OWL).read())
+    rows = [(fn[:-4], [("text",
+                        open(f"{EXT_DOCS}/{fn}", encoding="utf-8").read(),
+                        None, 0)])
+            for fn in sorted(os.listdir(EXT_DOCS))]
+    docs = spark.createDataFrame(rows, SPANS_DDL)
+    res = extract_matrix(docs, idx, spec,
+                         cfg=MatchConfig(select_best_candidate=False),
+                         context=ctx)
+    header = res.columns
+    out_rows = [[r[c] for c in header] for r in res.collect()]
+    return _matrix_to_cells(header, out_rows)
+
+
 def ref_triples(ref_mentions: "Counter") -> "Counter":
     """The reference's emitted triple set, derived from its mention
     stream by the same rule the engine's emitters implement (distinct
@@ -553,6 +631,15 @@ def main() -> None:
         compare(run_reference_extract(), run_spark_extract(spark),
                 "extract")
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "termtemplate":
+        # standalone iteration mode: terminology-template leg only
+        compile_reference()
+        emit_extract_fixture()
+        emit_termtemplate_fixture()
+        spark = get_spark(cores=8)
+        compare(run_reference_termtemplate(),
+                run_spark_termtemplate(spark), "termtemplate")
+        return
 
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 60
     compile_reference()
@@ -600,6 +687,14 @@ def main() -> None:
     results["extract"] = compare(run_reference_extract(),
                                  run_spark_extract(spark), "extract")
     results["extract"]["n_docs"] = len(EXTRACT_DOCS)
+    # terminology-template leg: the factory's root enumeration + the
+    # finding/self rendering, driven by the REAL importTerminologyTemplate
+    # over a persisted OBO-built terminology
+    emit_termtemplate_fixture()
+    results["termtemplate"] = compare(run_reference_termtemplate(),
+                                      run_spark_termtemplate(spark),
+                                      "termtemplate")
+    results["termtemplate"]["n_docs"] = len(EXTRACT_DOCS)
     json.dump(results, open(f"{REPO}/JAVA_PARITY.json", "w"), indent=1)
     print("JAVA_PARITY.json written")
 
