@@ -18,10 +18,10 @@ SF_DIR = "/root/testdata/sf0.001"
 # keep in sync with the tail of __spark_entry__.queries() — the test
 # also fails if this list and the actual past-50 tail ever diverge
 TAIL = [
-    "kg_doc_concepts", "kg_concept_nodes", "kg_degrees", "kg_semtypes",
-    "kg_word_stats", "text_sample", "text_shuffle", "events_rollup",
-    "events_sessionize", "kg_root_findings", "kg_mentions_full",
-    "kg_relations",
+    "dedup_strip_windows", "kg_doc_concepts", "kg_concept_nodes",
+    "kg_degrees", "kg_semtypes", "kg_word_stats", "text_sample",
+    "text_shuffle", "events_rollup", "events_sessionize",
+    "kg_mentions_full", "kg_relations",
 ]
 
 
