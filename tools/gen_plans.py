@@ -64,6 +64,12 @@ NOTES = {
     "kg_template_items": "matcher + broadcast isa-closure/template"
                          " joins (both terminology-sized) — corpus side"
                          " never shuffles before the final distinct",
+    "kg_root_findings": "terminology-derived template (roots as"
+                        " finding/self items): same broadcast"
+                        " closure×template expansion as"
+                        " kg_template_items over the mention stream —"
+                        " corpus side never shuffles before the final"
+                        " distinct",
     "text_pii_scrub": "pure whole-stage codegen, zero exchange",
     "text_sample": "deterministic hash filter, zero exchange",
     "sim_lsh_topk": "64-bucket (6-plane) capped self-join + window rank —"
