@@ -134,6 +134,52 @@ def emit_fixture(n_docs: int) -> None:
                       mrsab=[sab_row("TST", "Test Source", "2025", "t")])
 
 
+OWL_SRC = "/tmp/parity_terms.owl"
+_OWL_BASE = "http://parity.test/terms"
+
+
+def emit_owl_fixture() -> None:
+    """RDF/XML mirror of the fixture concepts for the OWL-scan leg: the
+    reference builds this terminology through the REAL OWL-API path
+    (OOntology.loadOntology → ConceptImporter.loadOntology:311-413 →
+    Concept(IResource):325-399 property-regex arms), the engine through
+    parse_owl — rdfs:label carries the preferred name, a declared
+    `synonym` annotation property the synonyms, `Semantic_Type` the
+    TUIs, and a small subClassOf hierarchy rides along (mentions are
+    hierarchy-independent; it exercises the superclass walk)."""
+    from xml.sax.saxutils import escape
+
+    from nobletools_spark.sources.fixtures import PYTEST_CONCEPTS
+
+    frags = [
+        '<?xml version="1.0"?>',
+        f'<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"',
+        f'         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"',
+        f'         xmlns:owl="http://www.w3.org/2002/07/owl#"',
+        f'         xmlns:t="{_OWL_BASE}#"',
+        f'         xml:base="{_OWL_BASE}">',
+        f'  <owl:Ontology rdf:about="{_OWL_BASE}"/>',
+        f'  <owl:AnnotationProperty rdf:about="{_OWL_BASE}#synonym"/>',
+        f'  <owl:AnnotationProperty rdf:about="{_OWL_BASE}#Semantic_Type"/>',
+    ]
+    # the two word-overlap families get a parent, everything else is root
+    parents = {"C001": "C003", "C007": "C004"}
+    for c in PYTEST_CONCEPTS:
+        frags.append(f'  <owl:Class rdf:about="{_OWL_BASE}#{c["cui"]}">')
+        frags.append(f'    <rdfs:label>{escape(c["name"])}</rdfs:label>')
+        for s in c["synonyms"]:
+            if s != c["name"]:
+                frags.append(f"    <t:synonym>{escape(s)}</t:synonym>")
+        for t in c["semtypes"]:
+            frags.append(f"    <t:Semantic_Type>{t}</t:Semantic_Type>")
+        if c["cui"] in parents:
+            frags.append(f'    <rdfs:subClassOf rdf:resource='
+                         f'"{_OWL_BASE}#{parents[c["cui"]]}"/>')
+        frags.append("  </owl:Class>")
+    frags.append("</rdf:RDF>")
+    open(OWL_SRC, "w").write("\n".join(frags))
+
+
 ADVERSARIAL = (
     "The nasal septum deviates to the left with a rather large spur.",
     "There is a fish under the sea. I had a genetic test done using a "
@@ -211,6 +257,9 @@ def run_spark(spark, mode: str | None = None,
         nc = NC(idx, cfg, ctx)
     elif term_src.endswith(".obo"):
         nc = NobleCoderSpark.from_obo(spark, open(term_src).read(), cfg=cfg,
+                                      context=ctx)
+    elif term_src.endswith(".owl"):
+        nc = NobleCoderSpark.from_owl(spark, open(term_src).read(), cfg=cfg,
                                       context=ctx)
     else:
         nc = NobleCoderSpark.from_rrf(spark, term_src, cfg=cfg, context=ctx)
@@ -631,6 +680,15 @@ def main() -> None:
         compare(run_reference_extract(), run_spark_extract(spark),
                 "extract")
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "owl":
+        # standalone iteration mode: OWL-scan leg only
+        compile_reference()
+        emit_fixture(int(sys.argv[2]) if len(sys.argv) > 2 else 60)
+        emit_owl_fixture()
+        spark = get_spark(cores=8)
+        compare(run_reference(term_src=OWL_SRC),
+                run_spark(spark, term_src=OWL_SRC), "owl")
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "termtemplate":
         # standalone iteration mode: terminology-template leg only
         compile_reference()
@@ -667,6 +725,11 @@ def main() -> None:
     # language/suppress handling all visible in the mention diff)
     results["rrf"] = compare(run_reference(term_src=RRF),
                              run_spark(spark, term_src=RRF), "rrf")
+    # OWL scan leg: the same concepts as RDF/XML through the reference's
+    # REAL OWL-API load path vs parse_owl
+    emit_owl_fixture()
+    results["owl"] = compare(run_reference(term_src=OWL_SRC),
+                             run_spark(spark, term_src=OWL_SRC), "owl")
     # every setupSearch strategy
     for m in ("all-match", "precise-match", "nonoverlap-match",
               "partial-match"):

@@ -18,7 +18,7 @@ import edu.pitt.dbmi.nlp.noble.util.ConceptImporter;
  * TSV (doc, start, end, code, matched text[, modifiers]) for diffing
  * against the Spark engine's annotate() output on identical inputs.
  *
- * Usage: java RefDriver terms.obo docs_dir out.tsv [search-method] [context.owl]
+ * Usage: java RefDriver terms.{obo|owl}|rrf_dir docs_dir out.tsv [search-method] [context.owl]
  */
 public class RefDriver {
     public static void main(String[] args) throws Exception {
@@ -32,6 +32,9 @@ public class RefDriver {
         NobleCoderTerminology term = new NobleCoderTerminology();
         if (args[0].endsWith(".obo"))
             imp.loadOBO(term, new File(args[0]));
+        else if (args[0].endsWith(".owl"))  // RDF/XML via the real OWL-API
+            imp.loadOntology(term,
+                    OOntology.loadOntology(new File(args[0])), "parityowl");
         else
             imp.loadRRF(term, new File(args[0]));  // dir of MRCONSO.RRF etc
         term.setSelectBestCandidate(true);  // batch pipeline default (NobleCoder.java:61)
