@@ -77,20 +77,23 @@ class NobleCoderSpark:
 
     @classmethod
     def from_owl(cls, spark, owl_xml: str, cfg: MatchConfig = MatchConfig(),
-                 context=None, imports: object = "error"
-                 ) -> "NobleCoderSpark":
+                 context=None, imports: object = "error",
+                 union_children: bool = False) -> "NobleCoderSpark":
         """Terminology from an RDF/XML OWL ontology
         (ConceptImporter.loadOntology parity, sources/owl.py).
 
         ``imports`` is passed through to ``parse_owl``: ``"error"``
         (default, loud on unresolved ``owl:imports``), ``"ignore"``
         (partial hierarchy with a warning), or a ``{iri: xml_text}``
-        resolver dict for offline modular ontologies."""
+        resolver dict for offline modular ontologies.
+        ``union_children=True`` opts into the semantic ``A ≡ B ∪ C``
+        member edges the reference's structural reasoner omits."""
         from nobletools_spark.index import build_index_df
         from nobletools_spark.sources.obo import concepts_df_from_records
         from nobletools_spark.sources.owl import parse_owl
 
-        concepts, edges = parse_owl(owl_xml, imports=imports)
+        concepts, edges = parse_owl(owl_xml, imports=imports,
+                                    union_children=union_children)
         idx = build_index_df(spark, concepts_df_from_records(spark, concepts))
         inst = cls(idx, cfg, context)
         inst.isa_edges = tuple(edges)

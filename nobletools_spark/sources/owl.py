@@ -120,18 +120,28 @@ def owl_ontology_iris(xml_text: str) -> list[str]:
 
 def parse_owl(xml_text: str,
               source_name: str | None = None,
-              imports: object = "error") -> tuple[list[dict],
-                                                  list[tuple[str, str]]]:
+              imports: object = "error",
+              union_children: bool = False) -> tuple[list[dict],
+                                                     list[tuple[str, str]]]:
     """Parse an RDF/XML OWL document → (concepts, isa_edges), same
     output shape as ``parse_obo``. Anonymous classes (no rdf:about /
     rdf:ID) and owl:Restriction-valued subClassOf axioms are skipped —
     the reference's class iterator only yields named classes
     (ConceptImporter.java:359-361 skips null/duplicate codes) — but
     NAMED members of subClassOf/equivalentClass intersections become
-    parents, and NAMED members of top-level equivalentClass unions
-    become children (the reference reads super/sub-classes through an
-    OWL reasoner, ontology/owl/OClass.java:208-219, which entails
-    exactly those).
+    parents: the reference reads super-classes through the OWL-API
+    STRUCTURAL reasoner (ontology/owl/OClass.java:208-219 +
+    OOntology.java:533-535 StructuralReasonerFactory), whose told walk
+    flattens equivalent-intersection conjuncts — measured directly in
+    the owl-hierarchy parity leg (tools/java_parity.py).
+
+    ``union_children=True`` additionally turns named members of
+    top-level equivalentClass unions into CHILDREN of the defined
+    class (``A ≡ B ∪ C`` semantically entails ``B ⊑ A``). That IS the
+    OWL entailment (a complete reasoner emits it; OBO ``union_of``
+    semantics) but the reference's structural reasoner does NOT — the
+    parity leg shows union members stay roots — so it is opt-in and
+    OFF by default for reference fidelity.
 
     ``owl:imports`` handling (the reference resolves imports through
     the OWL-API load path, ontology/owl/OOntology.java; silently
@@ -185,14 +195,16 @@ def parse_owl(xml_text: str,
             for iri in pending:
                 loaded.add(iri)
                 queue.append((resolver[iri], source_name))
-        _parse_owl_module(text, src, concepts, edges, seen)
+        _parse_owl_module(text, src, concepts, edges, seen,
+                          union_children=union_children)
     return concepts, edges
 
 
 def _parse_owl_module(xml_text: str, source_name: str | None,
                       concepts: list[dict],
                       edges: list[tuple[str, str]],
-                      seen: set[str]) -> None:
+                      seen: set[str],
+                      union_children: bool = False) -> None:
     """Single-document class walk shared by every module of an imports
     closure; appends into the accumulator lists (first definition of a
     duplicate code wins via ``seen``)."""
@@ -253,14 +265,16 @@ def _parse_owl_module(xml_text: str, source_name: str | None,
                 # skipped, as documented)
                 edges.extend((code, p)
                              for p in _intersection_parents(child))
-                # A ≡ (B ∪ C) entails B ⊑ A and C ⊑ A: every named
-                # union member becomes a CHILD of the defined class —
-                # the other reasoner-entailed edge family (OBO-style
-                # union_of classes); unions nested inside an
-                # intersection or restriction entail no such edge and
-                # are skipped by the walk
-                edges.extend((m, code)
-                             for m in _union_children(child))
+                # A ≡ (B ∪ C) entails B ⊑ A and C ⊑ A semantically, but
+                # the reference's STRUCTURAL reasoner does not emit it
+                # (owl-hierarchy parity leg: union members stay roots)
+                # — opt-in via union_children for OBO union_of
+                # semantics; unions nested inside an intersection or
+                # restriction entail no such edge and are skipped by
+                # the walk either way
+                if union_children:
+                    edges.extend((m, code)
+                                 for m in _union_children(child))
             elif child.tag == f"{OWL}deprecated" and text.lower() == "true":
                 deprecated = True
             elif not text:

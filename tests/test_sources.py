@@ -357,18 +357,29 @@ OWL_UNION_CLASS = """\
 
 
 def test_parse_owl_union_children():
-    """OBO-style union classes: A ≡ (B ∪ C) entails B ⊑ A and C ⊑ A,
-    so named union members become CHILDREN of the defined class (the
-    reference's reasoner entails these, OClass.java:208-219). A union
-    nested inside an intersection entails no member edge."""
+    """OBO-style union classes: A ≡ (B ∪ C) entails B ⊑ A and C ⊑ A
+    semantically, but the reference's STRUCTURAL reasoner
+    (OOntology.java:533-535) does not emit those edges — measured in
+    the owl-hierarchy parity leg, where union members stay roots. So
+    the default drops them (reference fidelity) and
+    ``union_children=True`` opts into the semantic entailment. A union
+    nested inside an intersection entails no member edge either way."""
     from nobletools_spark.sources.owl import parse_owl
 
+    # default: reference parity — no union-member edges
     _, edges = parse_owl(OWL_UNION_CLASS)
+    assert ("Benign", "Neoplasm") not in edges
+    assert ("Malignant", "Neoplasm") not in edges
+    # intersection members still become parents (the structural
+    # reasoner DOES flatten equivalent-intersection conjuncts)
+    assert ("Mixed", "Neoplasm") in edges
+
+    # opt-in: OBO union_of semantics
+    _, edges = parse_owl(OWL_UNION_CLASS, union_children=True)
     assert ("Benign", "Neoplasm") in edges
     assert ("Malignant", "Neoplasm") in edges
     # the union inside Mixed's intersection must NOT leak member edges
     assert ("Benign", "Mixed") not in edges
-    # and intersection members still become parents
     assert ("Mixed", "Neoplasm") in edges
 
 

@@ -176,6 +176,53 @@ def emit_owl_fixture() -> None:
             frags.append(f'    <rdfs:subClassOf rdf:resource='
                          f'"{_OWL_BASE}#{parents[c["cui"]]}"/>')
         frags.append("  </owl:Class>")
+    # hierarchy-only classes for the owl-hierarchy leg (labels never
+    # occur in the corpus, so the mention leg is untouched): a plain
+    # child, an intersection-defined class (named parent + restriction),
+    # and a union-defined class
+    frags.append(f'''\
+  <owl:ObjectProperty rdf:about="{_OWL_BASE}#hasQfeature"/>
+  <owl:Class rdf:about="{_OWL_BASE}#H100">
+    <rdfs:label>Qhier basex</rdfs:label>
+  </owl:Class>
+  <owl:Class rdf:about="{_OWL_BASE}#H101">
+    <rdfs:label>Qhier valuex</rdfs:label>
+  </owl:Class>
+  <owl:Class rdf:about="{_OWL_BASE}#H102">
+    <rdfs:label>Qhier definedx</rdfs:label>
+    <owl:equivalentClass>
+      <owl:Class>
+        <owl:intersectionOf rdf:parseType="Collection">
+          <owl:Class rdf:about="{_OWL_BASE}#H100"/>
+          <owl:Restriction>
+            <owl:onProperty rdf:resource="{_OWL_BASE}#hasQfeature"/>
+            <owl:someValuesFrom rdf:resource="{_OWL_BASE}#H101"/>
+          </owl:Restriction>
+        </owl:intersectionOf>
+      </owl:Class>
+    </owl:equivalentClass>
+  </owl:Class>
+  <owl:Class rdf:about="{_OWL_BASE}#H103">
+    <rdfs:label>Qhier unionx</rdfs:label>
+    <owl:equivalentClass>
+      <owl:Class>
+        <owl:unionOf rdf:parseType="Collection">
+          <owl:Class rdf:about="{_OWL_BASE}#H104"/>
+          <owl:Class rdf:about="{_OWL_BASE}#H105"/>
+        </owl:unionOf>
+      </owl:Class>
+    </owl:equivalentClass>
+  </owl:Class>
+  <owl:Class rdf:about="{_OWL_BASE}#H104">
+    <rdfs:label>Qhier leftx</rdfs:label>
+  </owl:Class>
+  <owl:Class rdf:about="{_OWL_BASE}#H105">
+    <rdfs:label>Qhier rightx</rdfs:label>
+  </owl:Class>
+  <owl:Class rdf:about="{_OWL_BASE}#H106">
+    <rdfs:label>Qhier plainx</rdfs:label>
+    <rdfs:subClassOf rdf:resource="{_OWL_BASE}#H100"/>
+  </owl:Class>''')
     frags.append("</rdf:RDF>")
     open(OWL_SRC, "w").write("\n".join(frags))
 
@@ -276,6 +323,41 @@ def run_spark(spark, mode: str | None = None,
             key += (tuple(sorted(f"{k}={v}"
                                  for k, v in r.modifiers.items())),)
         _madd(out, key)
+    return out
+
+
+def run_reference_owl_hierarchy() -> "Counter":
+    """Structure of the OWL-built terminology as the REFERENCE stores
+    it: Broader relations written by ConceptImporter.loadOntology
+    (:377-379, via the StructuralReasoner's getDirectSuperClasses) and
+    the root map (:394-395). Relations are SETS in the reference
+    storage, so both sides compare deduplicated rows."""
+    import shutil
+    shutil.rmtree("/tmp/noble_terms", ignore_errors=True)
+    subprocess.run(
+        ["java", "-cp", CP, "RefDriver", OWL_SRC, DOCS,
+         "/tmp/parity_hier.tsv", "hierarchy"],
+        check=True, capture_output=True)
+    out = Counter()
+    for row in {tuple(ln.rstrip("\n").split("\t"))
+                for ln in open("/tmp/parity_hier.tsv") if ln.strip()}:
+        _madd(out, row)
+    return out
+
+
+def run_local_owl_hierarchy() -> "Counter":
+    """parse_owl edges (defaults: intersection parents on, union
+    children off — the structural-reasoner contract) + default_roots
+    over the same RDF/XML."""
+    from nobletools_spark.sources.owl import parse_owl
+    from nobletools_spark.sources.sinks import default_roots
+
+    concepts, edges = parse_owl(open(OWL_SRC).read())
+    out = Counter()
+    for child, parent in set(edges):
+        _madd(out, ("EDGE", child, parent))
+    for r in set(default_roots(concepts, edges)):
+        _madd(out, ("ROOT", r))
     return out
 
 
@@ -688,6 +770,8 @@ def main() -> None:
         spark = get_spark(cores=8)
         compare(run_reference(term_src=OWL_SRC),
                 run_spark(spark, term_src=OWL_SRC), "owl")
+        compare(run_reference_owl_hierarchy(),
+                run_local_owl_hierarchy(), "owl-hierarchy")
         return
     if len(sys.argv) > 1 and sys.argv[1] == "termtemplate":
         # standalone iteration mode: terminology-template leg only
@@ -730,6 +814,12 @@ def main() -> None:
     emit_owl_fixture()
     results["owl"] = compare(run_reference(term_src=OWL_SRC),
                              run_spark(spark, term_src=OWL_SRC), "owl")
+    # owl-hierarchy leg: Broader edges + roots as the reference's
+    # structural reasoner stores them (intersection-defined classes
+    # gain their named conjunct as parent; union members stay roots)
+    results["owl-hierarchy"] = compare(run_reference_owl_hierarchy(),
+                                       run_local_owl_hierarchy(),
+                                       "owl-hierarchy")
     # every setupSearch strategy
     for m in ("all-match", "precise-match", "nonoverlap-match",
               "partial-match"):

@@ -37,6 +37,36 @@ public class RefDriver {
                     OOntology.loadOntology(new File(args[0])), "parityowl");
         else
             imp.loadRRF(term, new File(args[0]));  // dir of MRCONSO.RRF etc
+        if (args.length > 3 && "hierarchy".equals(args[3])) {
+            // dump the loaded terminology's structure instead of coding:
+            // one EDGE row per Broader relation (as stored at import) and
+            // one ROOT row per getRootConcepts() entry
+            PrintStream hout = new PrintStream(new File(args[2]), "UTF-8");
+            java.util.List<String> codes = new java.util.ArrayList<String>(
+                    term.getStorage().getConceptMap().keySet());
+            java.util.Collections.sort(codes);
+            for (String code : codes) {
+                edu.pitt.dbmi.nlp.noble.terminology.Concept c =
+                        term.lookupConcept(code);
+                if (c == null)
+                    continue;
+                java.util.Map rel = term.getRelatedConcepts(c);
+                Object broader = rel.get(
+                        edu.pitt.dbmi.nlp.noble.terminology.Relation.BROADER);
+                if (broader != null) {
+                    for (edu.pitt.dbmi.nlp.noble.terminology.Concept p :
+                            (edu.pitt.dbmi.nlp.noble.terminology.Concept[])
+                                    broader)
+                        hout.println("EDGE\t" + code + "\t" + p.getCode());
+                }
+            }
+            for (edu.pitt.dbmi.nlp.noble.terminology.Concept r :
+                    term.getRootConcepts())
+                hout.println("ROOT\t" + r.getCode());
+            hout.close();
+            System.out.println("done");
+            return;
+        }
         term.setSelectBestCandidate(true);  // batch pipeline default (NobleCoder.java:61)
         if (args.length > 3 && !"-".equals(args[3]) && !compact)
             term.setDefaultSearchMethod(args[3]);
