@@ -10,7 +10,10 @@ Column positions (pipe-delimited, no header):
 - MRDEF   (:998-1026): cui=0 sab=4 def=5
 - MRSTY   (:1049-1073): cui=0 tui=1 sty=3
 - MRREL   (:1097-1153): cui1=0 rel=3 cui2=4 sab=10 — keep RB/RN/PAR/CHD,
-  emit BROADER edges (+ inverse for RN/CHD)
+  emit BROADER edges (+ inverse for RN/CHD); both endpoints must be
+  loaded and SRC-only↔SRC-only pairs are skipped (:1129-1147); SRC
+  ``V-*`` atoms that acquire a child become the root table
+  (:833,:1169-1177) — all pinned by the rrf-hierarchy parity leg
 - MRSAB   (:698-727): rsab=3 son=4 sver=6 sf=23
 
 Filters (ConceptImporter.java:828-851): language ∈ languages (default
@@ -18,8 +21,9 @@ ENG), source ∈ sources (if given), semantic-type prefetch semi-join
 (:736-769,843-847), suppress='O' dropped.
 
 Output: dict of DataFrames — concepts (broadcastable dimension),
-semtypes, relations (BROADER edge table for the isa closure), sources,
-definitions — plus ``concepts_for_index`` shaped for build_index_df.
+semtypes, relations (BROADER edge table for the isa closure), roots
+(the SRC V-* root convention), sources, definitions — plus
+``concepts_for_index`` shaped for build_index_df.
 """
 
 from __future__ import annotations
@@ -105,6 +109,38 @@ def load_rrf(spark: SparkSession, rrf_dir: str,
         .select(F.col("cui2").alias("cui"), F.col("cui1").alias("parent"))
     relations = (broader.unionByName(inverse)
                  .filter(F.col("cui") != F.col("parent")).distinct())
+    # reference fidelity (ConceptImporter.java:1129-1147, pinned by the
+    # rrf-hierarchy parity leg): an MRREL edge lands only when BOTH
+    # endpoint concepts exist in the loaded map (which includes the SRC
+    # atoms), and SRC-only↔SRC-only mappings are skipped as useless.
+    # All three frames are terminology-sized → broadcast.
+    loaded_cuis = conso.select("cui").distinct()
+    src_only = (conso.groupBy("cui")
+                .agg(F.max(F.when(F.col("sab") != "SRC", 1).otherwise(0))
+                     .alias("_non_src"))
+                .filter(F.col("_non_src") == 0).select("cui"))
+    relations = (relations
+                 .join(F.broadcast(loaded_cuis), "cui", "left_semi")
+                 .join(F.broadcast(loaded_cuis
+                                   .withColumnRenamed("cui", "parent")),
+                       "parent", "left_semi")
+                 .join(F.broadcast(src_only.withColumn("_s1", F.lit(1))),
+                       "cui", "left")
+                 .join(F.broadcast(src_only
+                                   .withColumnRenamed("cui", "parent")
+                                   .withColumn("_s2", F.lit(1))),
+                       "parent", "left")
+                 .filter(F.col("_s1").isNull() | F.col("_s2").isNull())
+                 .select("cui", "parent"))
+    # root table (ConceptImporter.java:833 + :1169-1177): SRC atoms
+    # whose code starts with V- are root CANDIDATES; a candidate is a
+    # root iff some surviving edge points at it (it acquired a NARROWER
+    # relation during the MRREL pass)
+    roots = (conso.filter((F.col("sab") == "SRC")
+                          & F.col("code").startswith("V-"))
+             .select("cui").distinct()
+             .join(relations.select(F.col("parent").alias("cui")).distinct(),
+                   "cui", "left_semi"))
 
     defs_df = None
     try:
@@ -123,7 +159,8 @@ def load_rrf(spark: SparkSession, rrf_dir: str,
     except Exception:  # MRSAB is optional
         pass
 
-    out = {"concepts": concepts, "semtypes": sty, "relations": relations}
+    out = {"concepts": concepts, "semtypes": sty, "relations": relations,
+           "roots": roots}
     if defs_df is not None:
         out["definitions"] = defs_df
     if sab_df is not None:

@@ -123,6 +123,50 @@ def test_load_rrf(spark, rrf_dir):
     assert t["sources"].collect()[0]["name"] == "Test Source"
 
 
+def test_load_rrf_edge_filters_and_roots(spark, tmp_path):
+    """Reference MRREL fidelity (ConceptImporter.java:1129-1147) and
+    the SRC V-* root convention (:833, :1169-1177), both pinned
+    cross-engine by the rrf-hierarchy parity leg: an edge needs BOTH
+    endpoints loaded, SRC-only↔SRC-only mappings are skipped, RB/PAR
+    and the RN/CHD inverse dedupe to one Broader edge, and a root is a
+    V-* SRC atom that acquired a child."""
+    from nobletools_spark.sources.rrf import (
+        conso_row, load_rrf, rel_row, sty_row, write_fixture_rrf)
+
+    p = str(tmp_path / "rrfh")
+    write_fixture_rrf(
+        p,
+        mrconso=[
+            conso_row("C900", "Root Source", sab="SRC", code="V-TST"),
+            conso_row("C901", "Alpha"),
+            conso_row("C902", "Beta"),
+            conso_row("C903", "Gamma"),
+            conso_row("C904", "Delta"),
+            conso_row("C905", "Left", sab="SRC", code="V-LEFT"),
+            conso_row("C906", "Right", sab="SRC", code="V-RIGHT"),
+        ],
+        mrsty=[sty_row(c, "T047", "Disease or Syndrome")
+               for c in ("C901", "C902", "C903", "C904")],
+        mrrel=[
+            rel_row("C901", "PAR", "C900"),   # root candidate gains a child
+            rel_row("C902", "PAR", "C901"),
+            rel_row("C901", "CHD", "C903"),   # inverse form: C903 ⊑ C901
+            rel_row("C903", "RB", "C901"),    # duplicate via RB → dedup
+            rel_row("C904", "RN", "C902"),    # RN: C902 ⊑ C904
+            rel_row("C901", "RO", "C902"),    # ignored relation type
+            rel_row("C901", "PAR", "C999"),   # dangling endpoint → dropped
+            rel_row("C905", "PAR", "C906"),   # SRC-only↔SRC-only → skipped
+            rel_row("C901", "PAR", "C901"),   # self edge → skipped
+        ])
+    t = load_rrf(spark, p)
+    rels = {(r["cui"], r["parent"]) for r in t["relations"].collect()}
+    assert rels == {("C901", "C900"), ("C902", "C901"),
+                    ("C903", "C901"), ("C902", "C904")}
+    # C900 is the only V-* candidate with a surviving child edge;
+    # C905/C906 lost theirs to the SRC-only skip
+    assert {r["cui"] for r in t["roots"].collect()} == {"C900"}
+
+
 def test_rrf_semtype_filter(spark, rrf_dir):
     t = load_rrf(spark, rrf_dir, semtype_filter=("T191",))
     cuis = {r["cui"] for r in t["concepts"].collect()}

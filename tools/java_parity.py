@@ -361,6 +361,75 @@ def run_local_owl_hierarchy() -> "Counter":
     return out
 
 
+RRF_HIER = "/tmp/parity_rrf_hier"
+
+
+def emit_rrf_hier_fixture() -> None:
+    """MRREL-bearing RRF fixture for the rrf-hierarchy leg: PAR/CHD/RB/
+    RN direction + dedup, the ignored relation types, a dangling
+    endpoint, an SRC-only↔SRC-only mapping (skipped as useless,
+    ConceptImporter.java:1136-1141), a self edge, and the SRC ``V-*``
+    root convention (:833 candidates, :1169-1177 root iff it acquired a
+    NARROWER relation). Names are corpus-disjoint; the leg never runs
+    the coder."""
+    from nobletools_spark.sources.rrf import (
+        conso_row, rel_row, sab_row, sty_row, write_fixture_rrf)
+
+    mrconso = [
+        conso_row("C900", "Qroot sourcex", sab="SRC", code="V-TST",
+                  suppress="N"),
+        conso_row("C901", "Qalpha nodex", suppress="N"),
+        conso_row("C902", "Qbeta nodex", suppress="N"),
+        conso_row("C903", "Qgamma nodex", suppress="N"),
+        conso_row("C904", "Qdelta nodex", suppress="N"),
+        conso_row("C905", "Qsrconly leftx", sab="SRC", code="V-LEFT",
+                  suppress="N"),
+        conso_row("C906", "Qsrconly rightx", sab="SRC",
+                  code="V-RIGHT", suppress="N"),
+    ]
+    mrsty = [sty_row(c, "T047", "Disease or Syndrome")
+             for c in ("C901", "C902", "C903", "C904")]
+    mrrel = [
+        rel_row("C901", "PAR", "C900"),   # root candidate gains a child
+        rel_row("C902", "PAR", "C901"),
+        rel_row("C901", "CHD", "C903"),   # inverse form: C903 ⊑ C901
+        rel_row("C903", "RB", "C901"),    # duplicate of the above via RB
+        rel_row("C904", "RN", "C902"),    # RN: C902 ⊑ C904
+        rel_row("C901", "RO", "C902"),    # ignored relation type
+        rel_row("C901", "PAR", "C999"),   # dangling endpoint → dropped
+        rel_row("C905", "PAR", "C906"),   # SRC-only↔SRC-only → skipped
+        rel_row("C901", "PAR", "C901"),   # self edge → skipped
+    ]
+    write_fixture_rrf(RRF_HIER, mrconso=mrconso, mrsty=mrsty, mrrel=mrrel,
+                      mrsab=[sab_row("TST", "Test Source", "2025", "t")])
+
+
+def run_reference_rrf_hierarchy() -> "Counter":
+    import shutil
+    shutil.rmtree("/tmp/noble_terms", ignore_errors=True)
+    subprocess.run(
+        ["java", "-cp", CP, "RefDriver", RRF_HIER, DOCS,
+         "/tmp/parity_hier_rrf.tsv", "hierarchy"],
+        check=True, capture_output=True)
+    out = Counter()
+    for row in {tuple(ln.rstrip("\n").split("\t"))
+                for ln in open("/tmp/parity_hier_rrf.tsv") if ln.strip()}:
+        _madd(out, row)
+    return out
+
+
+def run_local_rrf_hierarchy(spark) -> "Counter":
+    from nobletools_spark.sources.rrf import load_rrf
+
+    t = load_rrf(spark, RRF_HIER)
+    out = Counter()
+    for r in t["relations"].collect():
+        _madd(out, ("EDGE", r["cui"], r["parent"]))
+    for r in t["roots"].collect():
+        _madd(out, ("ROOT", r["cui"]))
+    return out
+
+
 def run_reference_docproc() -> set:
     import shutil
     shutil.rmtree("/tmp/noble_terms", ignore_errors=True)
@@ -772,6 +841,9 @@ def main() -> None:
                 run_spark(spark, term_src=OWL_SRC), "owl")
         compare(run_reference_owl_hierarchy(),
                 run_local_owl_hierarchy(), "owl-hierarchy")
+        emit_rrf_hier_fixture()
+        compare(run_reference_rrf_hierarchy(),
+                run_local_rrf_hierarchy(spark), "rrf-hierarchy")
         return
     if len(sys.argv) > 1 and sys.argv[1] == "termtemplate":
         # standalone iteration mode: terminology-template leg only
@@ -820,6 +892,12 @@ def main() -> None:
     results["owl-hierarchy"] = compare(run_reference_owl_hierarchy(),
                                        run_local_owl_hierarchy(),
                                        "owl-hierarchy")
+    # rrf-hierarchy leg: MRREL direction/dedup/skip rules + the SRC V-*
+    # root convention, compared EDGE/ROOT row for row
+    emit_rrf_hier_fixture()
+    results["rrf-hierarchy"] = compare(run_reference_rrf_hierarchy(),
+                                       run_local_rrf_hierarchy(spark),
+                                       "rrf-hierarchy")
     # every setupSearch strategy
     for m in ("all-match", "precise-match", "nonoverlap-match",
               "partial-match"):
