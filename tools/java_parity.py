@@ -430,6 +430,40 @@ def run_local_rrf_hierarchy(spark) -> "Counter":
     return out
 
 
+def run_reference_obo_hierarchy() -> "Counter":
+    """Same hierarchy dump over the is_a-bearing OBO (the termtemplate
+    fixture): loadOBO marks a concept root iff it carries no BROADER
+    relation at import (ConceptImporter.java:112-114). Every is_a
+    target in the fixture is a defined [Term] — the engine's
+    ghost-root allowance (an undefined is_a target still owns its
+    subtree, sinks.default_roots) is a documented deviation the
+    reference cannot express, so it stays out of the comparison."""
+    import shutil
+    shutil.rmtree("/tmp/noble_terms", ignore_errors=True)
+    subprocess.run(
+        ["java", "-cp", CP, "RefDriver", TT_OBO, DOCS,
+         "/tmp/parity_hier_obo.tsv", "hierarchy"],
+        check=True, capture_output=True)
+    out = Counter()
+    for row in {tuple(ln.rstrip("\n").split("\t"))
+                for ln in open("/tmp/parity_hier_obo.tsv") if ln.strip()}:
+        _madd(out, row)
+    return out
+
+
+def run_local_obo_hierarchy() -> "Counter":
+    from nobletools_spark.sources.obo import parse_obo
+    from nobletools_spark.sources.sinks import default_roots
+
+    concepts, edges = parse_obo(open(TT_OBO).read())
+    out = Counter()
+    for child, parent in set(edges):
+        _madd(out, ("EDGE", child, parent))
+    for r in set(default_roots(concepts, edges)):
+        _madd(out, ("ROOT", r))
+    return out
+
+
 def run_reference_docproc() -> set:
     import shutil
     shutil.rmtree("/tmp/noble_terms", ignore_errors=True)
@@ -853,6 +887,8 @@ def main() -> None:
         spark = get_spark(cores=8)
         compare(run_reference_termtemplate(),
                 run_spark_termtemplate(spark), "termtemplate")
+        compare(run_reference_obo_hierarchy(),
+                run_local_obo_hierarchy(), "obo-hierarchy")
         return
 
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 60
@@ -926,6 +962,10 @@ def main() -> None:
                                       run_spark_termtemplate(spark),
                                       "termtemplate")
     results["termtemplate"]["n_docs"] = len(EXTRACT_DOCS)
+    # obo-hierarchy leg: is_a edges + no-Broader roots over the same OBO
+    results["obo-hierarchy"] = compare(run_reference_obo_hierarchy(),
+                                       run_local_obo_hierarchy(),
+                                       "obo-hierarchy")
     json.dump(results, open(f"{REPO}/JAVA_PARITY.json", "w"), indent=1)
     print("JAVA_PARITY.json written")
 
