@@ -1129,8 +1129,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "dedup_lines": q_dedup_lines,
         "text_filter": q_text_filter,
+        # --- tail (entry #51+, PAST the driver gate's 50-row window):
+        # stable-green since rounds 1-3 or declared rows-only; pinned
+        # in-suite by tests/test_entry_gate.py. Insert new gated
+        # entries ABOVE text_filter, displacing a tail row. ---
         "dedup_strip_windows": q_dedup_strip_windows,
-        # --- tail: stable-green since rounds 1-3, or declared rows-only ---
         "kg_doc_concepts": q_kg_doc_concepts,
         "kg_concept_nodes": q_kg_concept_nodes,
         "kg_degrees": q_kg_degrees,

@@ -283,12 +283,15 @@ class NobleCoderSpark:
         (extract/model/TemplateFactory.java:102-121 →
         importTerminologyTemplate :127-166): every root concept of THIS
         terminology becomes a finding/SELF template item, plus the
-        BACKGROUND mask filter the reference always attaches.
+        BACKGROUND mask filter the reference always attaches — but
+        never applies (the filter-apply calls and
+        ``getFilteredDocument()`` are commented out in the reference;
+        see ``template_from_terminology``'s NOTE).
 
-        Returns ``(templates_df, mask_filters, item_types)``; run
-        ``mask_documents(docs, pattern, invert)`` for each mask filter
-        before ``extract(docs, templates_df)``, mirroring the
-        reference's TemplateDocument text filtering."""
+        Returns ``(templates_df, mask_filters, item_types)``; for
+        reference parity run ``extract(docs, templates_df)`` directly.
+        Applying ``mask_documents(docs, pattern, invert)`` first is an
+        opt-in deviation that blanks BACKGROUND sections."""
         from nobletools_spark.operators.templates import (
             TEMPLATES_DDL,
             template_from_terminology,
@@ -298,6 +301,7 @@ class NobleCoderSpark:
 
         concepts = [{"cui": c.cui, "name": c.name}
                     for c in self.index.concepts.values()]
+        roots = None
         if getattr(self, "isa_edges", ()):
             edges = list(self.isa_edges)
         elif getattr(self, "tables", None) is not None \
@@ -306,9 +310,24 @@ class NobleCoderSpark:
             edges = [(r[0], r[1]) for r in
                      self.tables["relations"].select("cui", "parent")
                      .collect()]
+            if "roots" in self.tables:
+                # the reference enumerates getRootConcepts() — for an
+                # RRF terminology that is the stored SRC V-* root table,
+                # not every parentless CUI (TemplateFactory.java:137).
+                # Root SRC atoms are absent from the searchable concept
+                # table, so graft their names in for the item labels.
+                has_name = "name" in self.tables["roots"].columns
+                rrows = self.tables["roots"].collect()
+                roots = [r["cui"] for r in rrows]
+                known = {c["cui"] for c in concepts}
+                concepts += [{"cui": r["cui"], "name": r["name"]}
+                             for r in rrows
+                             if has_name and r["cui"] not in known
+                             and r["name"]]
         else:
             edges = []
-        rows, masks, types = template_from_terminology(concepts, edges, name)
+        rows, masks, types = template_from_terminology(concepts, edges, name,
+                                                       roots=roots)
         return local_table(spark, rows, TEMPLATES_DDL), masks, types
 
     def extract_from_xml(self, docs_df, template_xml: str,

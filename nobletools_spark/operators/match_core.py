@@ -26,6 +26,7 @@ Reference parity (terminology/impl/NobleCoderTerminology.java):
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import Iterable, Optional
 
 from nobletools_spark.functions.porter import stem
@@ -93,6 +94,17 @@ def _term_words(term: str) -> tuple[str, ...]:
         tw = tuple(get_words(term))
         _TERM_WORDS[term] = tw
     return tw
+
+
+@lru_cache(maxsize=65536)
+def _surface_words(term: str) -> tuple[str, ...]:
+    """Like :func:`_term_words` but LRU-bounded: ``_re_chunk`` feeds it
+    SENTENCE surface forms (``oterm`` — corpus-derived, unbounded
+    vocabulary), so the unbounded index-static memo above must not see
+    them or a long-lived executor's memo grows with corpus text. Hot
+    repeated surface forms still hit the cache; evictions only cost a
+    re-tokenize (same as the reference, Mention.java:117-179)."""
+    return tuple(get_words(term))
 
 
 def _normalized_word_map(text: str, cfg: MatchConfig):
@@ -310,13 +322,13 @@ def _re_chunk(annotations: list[tuple[str, int]], matched_terms: list[str],
     sentence once per mention)."""
     if not annotations:
         return []
-    if len(matched_terms) == 1 and len(annotations) == len(_term_words(matched_terms[0])):
+    if len(matched_terms) == 1 and len(annotations) == len(_surface_words(matched_terms[0])):
         return [annotations]
     if words is None:
         words = get_words(search_string)
     chunks: list[list[tuple[str, int]]] = []
     for term in matched_terms:
-        twords = _term_words(term)
+        twords = _surface_words(term)
         tset = set(twords)
         offs = 0
         for i, w in enumerate(words):

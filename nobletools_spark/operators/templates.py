@@ -191,7 +191,8 @@ def templates_from_xml(xml_text: str) -> tuple[list[tuple], list[tuple]]:
     return templates, components
 
 
-def template_from_terminology(concepts, isa_edges, name: str) -> tuple[
+def template_from_terminology(concepts, isa_edges, name: str,
+                              roots=None) -> tuple[
         list[tuple], list[tuple[str, str, bool]], dict[str, str]]:
     """TemplateFactory.importTerminologyTemplate parity
     (extract/model/TemplateFactory.java:127-166): build a template from
@@ -205,7 +206,12 @@ def template_from_terminology(concepts, isa_edges, name: str) -> tuple[
 
     ``concepts`` / ``isa_edges`` accept the loaders' driver-side shapes
     or DataFrames (terminology-sized; same contract as
-    ``sinks.select_branch``). Roots follow ``sinks.default_roots``
+    ``sinks.select_branch``). The reference enumerates
+    ``terminology.getRootConcepts()`` (:137) — the terminology's OWN
+    stored root table — so pass ``roots`` when the loader produced one
+    (RRF: the SRC ``V-*`` atoms, NOT every parentless CUI). When
+    ``roots`` is None (OBO/OWL/XML loads, whose stored roots ARE the
+    no-Broader concepts) they derive via ``sinks.default_roots``
     ("nobody's child", ghost edge-parents included — a ghost root still
     owns its subtree); a ghost root's item name falls back to its cui.
 
@@ -213,17 +219,27 @@ def template_from_terminology(concepts, isa_edges, name: str) -> tuple[
     ``template_rows`` in TEMPLATES_DDL shape (concept codes are cuis —
     ``extract_items`` expands them through the isa closure, so any
     descendant mention satisfies its root's item), ``mask_filters`` in
-    ``mask_filters_from_xml`` shape (apply with ``mask_documents``
-    BEFORE extract, as the reference filters the TemplateDocument text
-    before processing), ``item_types`` the item→type map the result
-    sink consumes."""
+    ``mask_filters_from_xml`` shape, ``item_types`` the item→type map
+    the result sink consumes.
+
+    NOTE on the mask: the reference CONSTRUCTS this filter but never
+    APPLIES it — every ``doc.getFilters().addAll(...)`` call in
+    InformationExtractor.java (:607,:627,:669) and
+    ``TemplateDocument.getFilteredDocument()`` itself are commented out
+    (measured by the termtemplate parity leg, which passes with no mask
+    on either side). ``mask_filters`` is returned for model fidelity
+    (XML round-trips, a future re-enable); running ``mask_documents``
+    with it is an OPT-IN deviation from the reference's actual
+    behavior, not a parity requirement."""
     from nobletools_spark.sources.sinks import _concept_records, default_roots
 
     tid = f"{name} Template"
     recs = _concept_records(concepts)
     by = {c["cui"]: c for c in recs}
+    root_list = (sorted(roots) if roots is not None
+                 else default_roots(recs, isa_edges))
     rows: list[tuple] = []
-    for root in default_roots(recs, isa_edges):
+    for root in root_list:
         iname = (by.get(root) or {}).get("name") or root
         rows.append((tid, iname, root, None, DOMAIN_SELF))
     masks = [(tid, r"(?s)^BACKGROUND:$.*^$", True)]

@@ -243,7 +243,15 @@ class Pipeline:
             t0 = time.perf_counter()
             manifest = None if force else _fs_read_json(spark, mpath)
             if manifest is not None and manifest.get("fingerprint") == fp:
-                df = spark.read.parquet(path)
+                # empty stages can leave a part-file-less dir (AQE may
+                # coalesce 0 rows to 0 tasks) — the manifest carries the
+                # schema so read-back never has to infer one
+                reader = spark.read
+                if manifest.get("schema"):
+                    from pyspark.sql.types import StructType
+                    reader = reader.schema(
+                        StructType.fromJson(json.loads(manifest["schema"])))
+                df = reader.parquet(path)
                 report = StageReport(st.name, "resumed", manifest["rows"],
                                      round(time.perf_counter() - t0, 4))
             else:
@@ -252,11 +260,16 @@ class Pipeline:
                 # manifest pointing at partial parquet
                 _fs_delete(spark, mpath)
                 df = st.fn(spark, results)
+                schema = df.schema
                 writer = df.write.mode("overwrite")
                 if st.partition_by:
                     writer = writer.partitionBy(*st.partition_by)
                 writer.parquet(path)
-                df = spark.read.parquet(path)
+                # read back with the EXPLICIT schema: an empty stage
+                # (legit — e.g. a terminology disjoint from the corpus)
+                # can write zero part files, which plain read cannot
+                # infer a schema from
+                df = spark.read.schema(schema).parquet(path)
                 # ONE scan: the per-partition lineage rows also carry
                 # the row counts (partition-count-sized collect)
                 lin = partition_lineage(df).collect()
@@ -270,7 +283,8 @@ class Pipeline:
                 ).write.mode("append").parquet(f"{self.out_dir}/_lineage")
                 _fs_write_json(spark, mpath,
                                {"fingerprint": fp, "rows": rows,
-                                "run_id": run_id})
+                                "run_id": run_id,
+                                "schema": json.dumps(schema.jsonValue())})
                 report = StageReport(st.name, "computed", rows,
                                      round(time.perf_counter() - t0, 4))
             results[st.name] = df

@@ -56,10 +56,19 @@ def load_rrf(spark: SparkSession, rrf_dir: str,
                      F.col("_c16").alias("suppress")))
     if languages:
         conso = conso.filter(F.col("lat").isin(*languages))
+    # SRC V-<SAB> root markers are exempt from BOTH the source and the
+    # semantic-type filter — but only when their own SAB (the code's
+    # V- suffix) passes the source filter (ConceptImporter.java:836-847:
+    # `code.startsWith("V-") && isIncluded(filterSources,
+    # code.substring(2))`; isIncluded is vacuously true with no filter).
+    # Without this, a filtered load severs every edge into the SRC root
+    # atoms and the roots table comes back empty.
+    root_marker = F.col("code").startswith("V-")
     if source_filter:
-        # SRC rows always pass — they carry the V-<SAB> root markers
-        conso = conso.filter(F.col("sab").isin(*source_filter)
-                             | (F.col("sab") == "SRC"))
+        root_marker = root_marker & F.substring("code", 3, 2048) \
+            .isin(*source_filter)
+    if source_filter:
+        conso = conso.filter(F.col("sab").isin(*source_filter) | root_marker)
     if suppress_obsolete:
         # empty fields scan as NULL — keep them (only explicit 'O' drops)
         conso = conso.filter(~F.col("suppress").eqNullSafe("O"))
@@ -75,7 +84,13 @@ def load_rrf(spark: SparkSession, rrf_dir: str,
         kosher = sty.filter(F.col("tui").isin(*semtype_filter)
                             | F.col("sty").isin(*semtype_filter)) \
                     .select("cui").distinct()
-        conso = conso.join(F.broadcast(kosher), "cui", "left_semi")
+        # left join + flag instead of a semi-join: V-* root markers pass
+        # regardless of semantic type (":843-847, except if it is a
+        # root"); kosher is terminology-sized → broadcast
+        conso = (conso.join(F.broadcast(kosher.withColumn("_k", F.lit(1))),
+                            "cui", "left")
+                 .filter(F.col("_k").isNotNull() | root_marker)
+                 .drop("_k"))
 
     # preferred name: TS='P' & ISPREF='Y' preferred, deterministic
     # tie-break on (sab, tty, str)
@@ -135,10 +150,15 @@ def load_rrf(spark: SparkSession, rrf_dir: str,
     # root table (ConceptImporter.java:833 + :1169-1177): SRC atoms
     # whose code starts with V- are root CANDIDATES; a candidate is a
     # root iff some surviving edge points at it (it acquired a NARROWER
-    # relation during the MRREL pass)
+    # relation during the MRREL pass). Carries the SRC atom's preferred
+    # string as `name` — SRC atoms are excluded from the searchable
+    # concept table, but getRootConcepts() consumers (e.g. the
+    # terminology template) still name roots by it.
     roots = (conso.filter((F.col("sab") == "SRC")
                           & F.col("code").startswith("V-"))
-             .select("cui").distinct()
+             .withColumn("_rk", F.row_number().over(w))
+             .filter(F.col("_rk") == 1)
+             .select("cui", F.col("str").alias("name"))
              .join(relations.select(F.col("parent").alias("cui")).distinct(),
                    "cui", "left_semi"))
 

@@ -130,34 +130,21 @@ def test_load_rrf_edge_filters_and_roots(spark, tmp_path):
     endpoints loaded, SRC-only↔SRC-only mappings are skipped, RB/PAR
     and the RN/CHD inverse dedupe to one Broader edge, and a root is a
     V-* SRC atom that acquired a child."""
-    from nobletools_spark.sources.rrf import (
-        conso_row, load_rrf, rel_row, sty_row, write_fixture_rrf)
+    import pathlib
+    import sys
 
+    from nobletools_spark.sources.rrf import load_rrf
+
+    # reuse the parity leg's EXACT fixture so this unit test and the
+    # rrf-hierarchy leg pin the same rows (no drift between the two)
+    tools_dir = pathlib.Path(__file__).resolve().parents[1] / "tools"
+    sys.path.insert(0, str(tools_dir))
+    try:
+        from java_parity import emit_rrf_hier_fixture
+    finally:
+        sys.path.pop(0)
     p = str(tmp_path / "rrfh")
-    write_fixture_rrf(
-        p,
-        mrconso=[
-            conso_row("C900", "Root Source", sab="SRC", code="V-TST"),
-            conso_row("C901", "Alpha"),
-            conso_row("C902", "Beta"),
-            conso_row("C903", "Gamma"),
-            conso_row("C904", "Delta"),
-            conso_row("C905", "Left", sab="SRC", code="V-LEFT"),
-            conso_row("C906", "Right", sab="SRC", code="V-RIGHT"),
-        ],
-        mrsty=[sty_row(c, "T047", "Disease or Syndrome")
-               for c in ("C901", "C902", "C903", "C904")],
-        mrrel=[
-            rel_row("C901", "PAR", "C900"),   # root candidate gains a child
-            rel_row("C902", "PAR", "C901"),
-            rel_row("C901", "CHD", "C903"),   # inverse form: C903 ⊑ C901
-            rel_row("C903", "RB", "C901"),    # duplicate via RB → dedup
-            rel_row("C904", "RN", "C902"),    # RN: C902 ⊑ C904
-            rel_row("C901", "RO", "C902"),    # ignored relation type
-            rel_row("C901", "PAR", "C999"),   # dangling endpoint → dropped
-            rel_row("C905", "PAR", "C906"),   # SRC-only↔SRC-only → skipped
-            rel_row("C901", "PAR", "C901"),   # self edge → skipped
-        ])
+    emit_rrf_hier_fixture(path=p)
     t = load_rrf(spark, p)
     rels = {(r["cui"], r["parent"]) for r in t["relations"].collect()}
     assert rels == {("C901", "C900"), ("C902", "C901"),
@@ -165,6 +152,45 @@ def test_load_rrf_edge_filters_and_roots(spark, tmp_path):
     # C900 is the only V-* candidate with a surviving child edge;
     # C905/C906 lost theirs to the SRC-only skip
     assert {r["cui"] for r in t["roots"].collect()} == {"C900"}
+
+
+def test_rrf_filters_keep_src_roots(spark, tmp_path):
+    """Filtered loads must not sever the SRC V-* root markers:
+    ConceptImporter.java:836-847 exempts a row from BOTH the source and
+    the semantic-type filter iff its code is V-<SAB> with an included
+    SAB (vacuously included when no source filter is set). Without the
+    exemption the both-endpoints MRREL check drops every edge into the
+    roots and the root table comes back empty."""
+    from nobletools_spark.sources.rrf import (
+        conso_row, load_rrf, rel_row, sty_row, write_fixture_rrf)
+
+    p = str(tmp_path / "rrff")
+    write_fixture_rrf(
+        p,
+        mrconso=[
+            conso_row("C900", "Root Source", sab="SRC", code="V-TST"),
+            conso_row("C907", "Other Root", sab="SRC", code="V-OTH"),
+            conso_row("C901", "Alpha"),
+            conso_row("C902", "Beta", sab="OTH"),
+        ],
+        mrsty=[sty_row("C901", "T047", "Disease or Syndrome"),
+               sty_row("C902", "T121", "Pharmacologic Substance")],
+        mrrel=[
+            rel_row("C901", "PAR", "C900"),
+            rel_row("C902", "PAR", "C907", sab="OTH"),
+        ])
+    # semtype filter: SRC atoms have no MRSTY rows, yet both roots
+    # survive (no source filter → every V-* marker is exempt); C902
+    # fails the filter so V-OTH keeps no child and drops from roots
+    t = load_rrf(spark, p, semtype_filter=("T047",))
+    assert {r["cui"] for r in t["relations"].collect()} == {"C901"}
+    assert {r["cui"] for r in t["roots"].collect()} == {"C900"}
+    # source filter: only V- markers of INCLUDED sources survive
+    # (code.substring(2) ∈ filterSources), so V-OTH disappears entirely
+    t2 = load_rrf(spark, p, source_filter=("TST",))
+    assert {r["cui"] for r in t2["roots"].collect()} == {"C900"}
+    assert {(r["cui"], r["parent"]) for r in t2["relations"].collect()} \
+        == {("C901", "C900")}
 
 
 def test_rrf_semtype_filter(spark, rrf_dir):

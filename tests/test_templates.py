@@ -506,8 +506,10 @@ name: biopsy
 def test_template_from_terminology(spark):
     """TemplateFactory.importTerminologyTemplate parity
     (TemplateFactory.java:127-166): roots become finding/SELF items,
-    the BACKGROUND mask filter is attached, descendants satisfy their
-    root's item, and nothing below BACKGROUND: survives the mask."""
+    the BACKGROUND mask filter is attached (the reference constructs it
+    but never applies it — applying is our OPT-IN deviation, exercised
+    below), descendants satisfy their root's item, and nothing below
+    BACKGROUND: survives once the opt-in mask IS applied."""
     from nobletools_spark.api import NobleCoderSpark
     from nobletools_spark.operators.templates import mask_documents
     from nobletools_spark.sources.fixtures import SPANS_DDL
@@ -534,6 +536,33 @@ def test_template_from_terminology(spark):
     got = {(r.item, r.cui) for r in items}
     assert got == {("disease", "T:0001"), ("biopsy", "T:0004")}
     assert all(r.value_str is None for r in items)  # SELF: answer = cui
+
+
+def test_template_from_terminology_rrf_roots(spark, tmp_path):
+    """For an RRF terminology the reference's getRootConcepts() is the
+    stored SRC V-* root table, NOT every parentless CUI
+    (TemplateFactory.java:137): a parentless non-root concept must not
+    become a template item."""
+    from nobletools_spark.api import NobleCoderSpark
+    from nobletools_spark.sources.rrf import (
+        conso_row, rel_row, sty_row, write_fixture_rrf)
+
+    p = str(tmp_path / "rrft")
+    write_fixture_rrf(
+        p,
+        mrconso=[
+            conso_row("C900", "Test Source", sab="SRC", code="V-TST"),
+            conso_row("C901", "melanoma"),
+            conso_row("C904", "orphan finding"),  # parentless, NOT a root
+        ],
+        mrsty=[sty_row("C901", "T047", "Disease or Syndrome"),
+               sty_row("C904", "T047", "Disease or Syndrome")],
+        mrrel=[rel_row("C901", "PAR", "C900")])
+    nc = NobleCoderSpark.from_rrf(spark, p)
+    tdf, masks, types = nc.terminology_template(spark, name="rrf")
+    rows = tdf.collect()
+    assert {(r.item, r.concept) for r in rows} == {("Test Source", "C900")}
+    assert types == {"Test Source": "finding"}
 
 
 def test_template_from_terminology_ghost_root():

@@ -326,23 +326,28 @@ def run_spark(spark, mode: str | None = None,
     return out
 
 
+def _reference_hierarchy(src: str, out_file: str) -> "Counter":
+    """Run RefDriver's hierarchy dump over ``src`` and parse the
+    deduplicated EDGE/ROOT TSV (relations are SETS in the reference
+    storage, so both sides compare deduplicated rows)."""
+    import shutil
+    shutil.rmtree("/tmp/noble_terms", ignore_errors=True)
+    subprocess.run(
+        ["java", "-cp", CP, "RefDriver", src, DOCS, out_file, "hierarchy"],
+        check=True, capture_output=True)
+    out = Counter()
+    for row in {tuple(ln.rstrip("\n").split("\t"))
+                for ln in open(out_file) if ln.strip()}:
+        _madd(out, row)
+    return out
+
+
 def run_reference_owl_hierarchy() -> "Counter":
     """Structure of the OWL-built terminology as the REFERENCE stores
     it: Broader relations written by ConceptImporter.loadOntology
     (:377-379, via the StructuralReasoner's getDirectSuperClasses) and
-    the root map (:394-395). Relations are SETS in the reference
-    storage, so both sides compare deduplicated rows."""
-    import shutil
-    shutil.rmtree("/tmp/noble_terms", ignore_errors=True)
-    subprocess.run(
-        ["java", "-cp", CP, "RefDriver", OWL_SRC, DOCS,
-         "/tmp/parity_hier.tsv", "hierarchy"],
-        check=True, capture_output=True)
-    out = Counter()
-    for row in {tuple(ln.rstrip("\n").split("\t"))
-                for ln in open("/tmp/parity_hier.tsv") if ln.strip()}:
-        _madd(out, row)
-    return out
+    the root map (:394-395)."""
+    return _reference_hierarchy(OWL_SRC, "/tmp/parity_hier.tsv")
 
 
 def run_local_owl_hierarchy() -> "Counter":
@@ -364,14 +369,15 @@ def run_local_owl_hierarchy() -> "Counter":
 RRF_HIER = "/tmp/parity_rrf_hier"
 
 
-def emit_rrf_hier_fixture() -> None:
+def emit_rrf_hier_fixture(path: str | None = None) -> None:
     """MRREL-bearing RRF fixture for the rrf-hierarchy leg: PAR/CHD/RB/
     RN direction + dedup, the ignored relation types, a dangling
     endpoint, an SRC-only↔SRC-only mapping (skipped as useless,
     ConceptImporter.java:1136-1141), a self edge, and the SRC ``V-*``
     root convention (:833 candidates, :1169-1177 root iff it acquired a
     NARROWER relation). Names are corpus-disjoint; the leg never runs
-    the coder."""
+    the coder. ``tests/test_sources.py`` reuses this exact fixture (via
+    ``path``) so the unit test and the parity leg pin the same rows."""
     from nobletools_spark.sources.rrf import (
         conso_row, rel_row, sab_row, sty_row, write_fixture_rrf)
 
@@ -400,22 +406,13 @@ def emit_rrf_hier_fixture() -> None:
         rel_row("C905", "PAR", "C906"),   # SRC-only↔SRC-only → skipped
         rel_row("C901", "PAR", "C901"),   # self edge → skipped
     ]
-    write_fixture_rrf(RRF_HIER, mrconso=mrconso, mrsty=mrsty, mrrel=mrrel,
+    write_fixture_rrf(path or RRF_HIER, mrconso=mrconso, mrsty=mrsty,
+                      mrrel=mrrel,
                       mrsab=[sab_row("TST", "Test Source", "2025", "t")])
 
 
 def run_reference_rrf_hierarchy() -> "Counter":
-    import shutil
-    shutil.rmtree("/tmp/noble_terms", ignore_errors=True)
-    subprocess.run(
-        ["java", "-cp", CP, "RefDriver", RRF_HIER, DOCS,
-         "/tmp/parity_hier_rrf.tsv", "hierarchy"],
-        check=True, capture_output=True)
-    out = Counter()
-    for row in {tuple(ln.rstrip("\n").split("\t"))
-                for ln in open("/tmp/parity_hier_rrf.tsv") if ln.strip()}:
-        _madd(out, row)
-    return out
+    return _reference_hierarchy(RRF_HIER, "/tmp/parity_hier_rrf.tsv")
 
 
 def run_local_rrf_hierarchy(spark) -> "Counter":
@@ -438,17 +435,7 @@ def run_reference_obo_hierarchy() -> "Counter":
     ghost-root allowance (an undefined is_a target still owns its
     subtree, sinks.default_roots) is a documented deviation the
     reference cannot express, so it stays out of the comparison."""
-    import shutil
-    shutil.rmtree("/tmp/noble_terms", ignore_errors=True)
-    subprocess.run(
-        ["java", "-cp", CP, "RefDriver", TT_OBO, DOCS,
-         "/tmp/parity_hier_obo.tsv", "hierarchy"],
-        check=True, capture_output=True)
-    out = Counter()
-    for row in {tuple(ln.rstrip("\n").split("\t"))
-                for ln in open("/tmp/parity_hier_obo.tsv") if ln.strip()}:
-        _madd(out, row)
-    return out
+    return _reference_hierarchy(TT_OBO, "/tmp/parity_hier_obo.tsv")
 
 
 def run_local_obo_hierarchy() -> "Counter":
