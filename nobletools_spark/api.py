@@ -278,6 +278,40 @@ class NobleCoderSpark:
                              templates_df, sections_df=sections_df,
                              components_df=components_df)
 
+    def _hierarchy_edges(self) -> list[tuple[str, str]]:
+        """(child, parent) isa edges for driver-side consumers — the
+        loaders' ``isa_edges`` tuple when set (OBO/OWL/term-XML), else
+        the RRF BROADER relation table (terminology-sized driver pull,
+        the same bound every exporter shares). ONE definition so
+        export_terminology and terminology_template cannot drift."""
+        if getattr(self, "isa_edges", ()):
+            return list(self.isa_edges)
+        if getattr(self, "tables", None) is not None \
+                and "relations" in self.tables:
+            return [(r[0], r[1]) for r in
+                    self.tables["relations"].select("cui", "parent")
+                    .collect()]
+        return []
+
+    def _stored_roots_grafted(self, concepts: list[dict]) -> \
+            "list[str] | None":
+        """Stored SRC V-* root cuis (the reference's getRootConcepts for
+        an RRF terminology, TemplateFactory.java:137) with their names
+        grafted into ``concepts`` as bare records — root SRC atoms are
+        absent from the searchable concept table, so downstream labels
+        and exports need the graft. Returns None when no roots table is
+        stored (callers fall back to parentless-CUI roots)."""
+        if getattr(self, "tables", None) is None \
+                or "roots" not in self.tables:
+            return None
+        has_name = "name" in self.tables["roots"].columns
+        rrows = self.tables["roots"].collect()
+        known = {c["cui"] for c in concepts}
+        concepts += [{"cui": r["cui"], "name": r["name"]}
+                     for r in rrows
+                     if has_name and r["cui"] not in known and r["name"]]
+        return [r["cui"] for r in rrows]
+
     def terminology_template(self, spark, name: str = "terminology"):
         """TemplateFactory.importTemplates over an existing terminology
         (extract/model/TemplateFactory.java:102-121 →
@@ -301,31 +335,11 @@ class NobleCoderSpark:
 
         concepts = [{"cui": c.cui, "name": c.name}
                     for c in self.index.concepts.values()]
-        roots = None
-        if getattr(self, "isa_edges", ()):
-            edges = list(self.isa_edges)
-        elif getattr(self, "tables", None) is not None \
-                and "relations" in self.tables:
-            # terminology-sized driver pull, same bound as the exporters
-            edges = [(r[0], r[1]) for r in
-                     self.tables["relations"].select("cui", "parent")
-                     .collect()]
-            if "roots" in self.tables:
-                # the reference enumerates getRootConcepts() — for an
-                # RRF terminology that is the stored SRC V-* root table,
-                # not every parentless CUI (TemplateFactory.java:137).
-                # Root SRC atoms are absent from the searchable concept
-                # table, so graft their names in for the item labels.
-                has_name = "name" in self.tables["roots"].columns
-                rrows = self.tables["roots"].collect()
-                roots = [r["cui"] for r in rrows]
-                known = {c["cui"] for c in concepts}
-                concepts += [{"cui": r["cui"], "name": r["name"]}
-                             for r in rrows
-                             if has_name and r["cui"] not in known
-                             and r["name"]]
-        else:
-            edges = []
+        edges = self._hierarchy_edges()
+        # the reference enumerates getRootConcepts() — for an RRF
+        # terminology that is the stored SRC V-* root table, not every
+        # parentless CUI (TemplateFactory.java:137)
+        roots = self._stored_roots_grafted(concepts)
         rows, masks, types = template_from_terminology(concepts, edges, name,
                                                        roots=roots)
         return local_table(spark, rows, TEMPLATES_DDL), masks, types
@@ -437,15 +451,15 @@ class NobleCoderSpark:
             default_roots, export_orf, export_rrf, select_branch, write_owl)
 
         concepts = [c._asdict() for c in self.index.concepts.values()]
-        edges = list(getattr(self, "isa_edges", ()))
-        if not edges and getattr(self, "tables", None) is not None \
-                and "relations" in self.tables:
-            edges = [(r.cui, r.parent)
-                     for r in self.tables["relations"]
-                     .select("cui", "parent").collect()]
+        edges = self._hierarchy_edges()
         if roots or semtypes or depth is not None:
             if not roots:
-                roots = default_roots(concepts, edges)
+                # branch export without explicit roots starts from the
+                # terminology's actual roots: the stored SRC V-* root
+                # table for RRF loads (the reference's
+                # getRootConcepts), else every parentless node
+                roots = (self._stored_roots_grafted(concepts)
+                         or default_roots(concepts, edges))
             concepts, edges = select_branch(concepts, edges, roots,
                                             semtypes=semtypes, depth=depth)
         if format == "owl":

@@ -309,17 +309,37 @@ def _parse_owl_module(xml_text: str, source_name: str | None,
 
 def _intersection_parents(el) -> list[str]:
     """Named members (rdf:Description / owl:Class with an about/resource)
-    of any owl:intersectionOf nested under ``el`` — the parents an OWL
-    reasoner entails for a defined class; anonymous members
-    (owl:Restriction etc.) are skipped."""
+    of ``owl:intersectionOf`` lists reachable from ``el`` WITHOUT
+    crossing a Restriction / unionOf / complementOf boundary — the
+    parents a reasoner entails for a defined class are the conjuncts of
+    the (possibly nested) top-level intersection only: ``A ≡ (B ∩
+    ∃p.C)`` entails ``A ⊑ B`` but NOT ``A ⊑ C`` (C sits under the
+    restriction filler), and ``A ≡ ((B ∩ C) ∪ D)`` entails no
+    superclass edge at all (the intersection is a union disjunct).
+    Mirrors _union_children's boundary rule; anonymous members
+    (owl:Restriction etc.) stay skipped, while an anonymous nested
+    intersection flattens (``A ≡ (B ∩ (C ∩ D))`` ⊨ ``A ⊑ C``)."""
     out: list[str] = []
-    for ix in el.iter(f"{OWL}intersectionOf"):
-        for mem in ix:
-            if _tag_local(mem.tag) not in ("Description", "Class"):
-                continue
-            uri = mem.get(f"{RDF}resource") or mem.get(f"{RDF}about")
-            if uri:
-                out.append(local_name(uri))
+
+    def walk(node):
+        tag = _tag_local(node.tag)
+        if tag in ("Restriction", "unionOf", "complementOf"):
+            return
+        if tag == "intersectionOf":
+            for mem in node:
+                if _tag_local(mem.tag) in ("Description", "Class"):
+                    uri = (mem.get(f"{RDF}resource")
+                           or mem.get(f"{RDF}about"))
+                    if uri:
+                        out.append(local_name(uri))
+                        continue
+                walk(mem)
+            return
+        for sub in node:
+            walk(sub)
+
+    for sub in el:
+        walk(sub)
     return out
 
 

@@ -181,11 +181,17 @@ class RemoteTerminology:
             fresh = 0
             for obj in batch:
                 c = _as_concept(obj)
-                if c["cui"] in seen or not self._keep(c):
+                if c["cui"] in seen:
                     continue
+                # progress = raw unseen CUIs, NOT kept ones: a page whose
+                # concepts are all new but rejected by the client-side
+                # source/semtype filter is still forward progress — breaking
+                # on it would silently truncate the snapshot mid-terminology
                 seen.add(c["cui"])
-                concepts.append(c)
                 fresh += 1
+                if not self._keep(c):
+                    continue
+                concepts.append(c)
             edges.extend((ch, pa) for ch, pa in page.get("edges") or ())
             total = page.get("total", total)
             offset += len(batch)

@@ -312,6 +312,7 @@ def html_report_df(docs_df: DataFrame, mentions_df: DataFrame,
 
             # ---- report pane: per text span, labels left-to-right ----
             parts = []
+            rendered: set[tuple] = set()  # span keys that got a <label>
             for (text, offset), gg in g.groupby(["text", "offset"]):
                 # kept is start-sorted with strictly increasing ends,
                 # so the spans inside [offset, offset+len(text)] are
@@ -345,6 +346,7 @@ def html_report_df(docs_df: DataFrame, mentions_df: DataFrame,
                         f'onmouseout="u([{codes}]);" '
                         f'title="{escape(chr(10).join(tip))}">'
                         f"{escape(text[st:en])}</label>")
+                    rendered.add(key)
                     pos = en
                 html.append(escape(text[pos:]).replace("\n", "<br>"))
                 parts.append((int(offset), "".join(html)))
@@ -354,6 +356,12 @@ def html_report_df(docs_df: DataFrame, mentions_df: DataFrame,
             by_concept: dict[tuple, list] = {}
             rep: dict[tuple, object] = {}
             for key, owners in sorted(ann_owners.items()):
+                if key not in rendered:
+                    # a kept span skipped by the walk-order rule has no
+                    # <label> anchor — a legend h()/j() pointing at it
+                    # would hit getElementById(...)==null and abort the
+                    # highlight for every subsequent id
+                    continue
                 for r in owners:
                     ck = (r.c_name or r.cui, r.cui)
                     by_concept.setdefault(ck, []).append(key)
@@ -386,7 +394,8 @@ def html_report_df(docs_df: DataFrame, mentions_df: DataFrame,
 
             page = (
                 '<html xmlns="http://www.w3.org/1999/xhtml">'
-                f"<head><title>Report Processor Output</title>"
+                f'<head><meta charset="utf-8"/>'
+                f"<title>Report Processor Output</title>"
                 f"{_HTML_SCRIPT}</head>"
                 '<body><table width="100%" style="table-layout:fixed;"'
                 ' cellspacing="5">'
@@ -437,16 +446,19 @@ def write_html_report(docs_df: DataFrame, mentions_df: DataFrame,
                 i += 1
             safe = f"{safe}~{i}"
         used.add(safe)
-        with open(os.path.join(path, "reports", f"{safe}.html"), "w") as fh:
+        with open(os.path.join(path, "reports", f"{safe}.html"), "w",
+                  encoding="utf-8") as fh:
             fh.write(r.html)
         links.append(
             '<span style="font-size: 90%; display:block;">'
             f'<a href="reports/{safe}.html" target="frame">'
             f"{escape(name)}</a></span>")
-    with open(os.path.join(path, "index.html"), "w") as fh:
+    with open(os.path.join(path, "index.html"), "w",
+              encoding="utf-8") as fh:
         fh.write(
             '<html xmlns="http://www.w3.org/1999/xhtml">'
-            "<head><title>Noble Coder</title></head>"
+            '<head><meta charset="utf-8"/>'
+            "<title>Noble Coder</title></head>"
             '<body bgcolor="#EEEEFF"><center><h3>Noble Coder Output</h3>'
             "</center><table width=\"100%\" height=\"95%\" border=0>"
             '<tr><td align="left" valign="top" width="200px">'

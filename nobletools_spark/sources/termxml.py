@@ -19,7 +19,6 @@ import re
 import xml.etree.ElementTree as ET
 from xml.sax.saxutils import escape, quoteattr
 
-_TUI_RE = re.compile(r"T\d{2,4}$")
 _SPLIT_RE = re.compile(r",\s*")
 
 
@@ -50,6 +49,20 @@ def parse_term_xml(xml_text: "str | ET.Element") -> tuple[
     concepts: list[dict] = []
     edges: list[tuple[str, str]] = []
     seen_edges: set[tuple[str, str]] = set()
+    # relation targets: the reference writes comma-joined lists, but a
+    # concept code may itself contain ", " — so resolve each Relation
+    # text against the document's full code set first (whole-text match
+    # wins) and only fall back to the comma split. Needs the codes up
+    # front: one cheap pre-pass.
+    all_codes = {ce.get("code") or "" for ce in root.iter("Concept")}
+
+    def _targets(text: str) -> list[str]:
+        text = text.strip()
+        if not text:
+            return []
+        if text in all_codes:
+            return [text]
+        return [t for t in _SPLIT_RE.split(text) if t]
 
     def _edge(child: str, parent: str) -> None:
         e = (child, parent)
@@ -98,9 +111,8 @@ def parse_term_xml(xml_text: "str | ET.Element") -> tuple[
                         codes.append((sab, cd))
             elif tag == "Relations":
                 for rel in el.iter("Relation"):
-                    targets = _SPLIT_RE.split((rel.text or "").strip())
                     rname = rel.get("name")
-                    for t in (t for t in targets if t):
+                    for t in _targets(rel.text or ""):
                         if rname == "Broader":
                             _edge(cui, t)
                         elif rname == "Narrower":
@@ -301,10 +313,13 @@ def export_term_xml(concepts, isa_edges=(), name: str = "terminology",
         if children.get(cui):
             rels.append(("Narrower", sorted(children[cui])))
         if rels:
+            # one Relation element per target (never comma-joined): a
+            # target code containing ", " would shatter on re-parse; the
+            # reference's reader handles single-target elements the same
             out.append('      <Relations>')
             for rname, targets in rels:
-                out.append(f'        <Relation name="{rname}">'
-                           f'{escape(", ".join(targets))}</Relation>')
+                out.extend(f'        <Relation name="{rname}">'
+                           f'{escape(t)}</Relation>' for t in targets)
             out.append('      </Relations>')
         out.append('    </Concept>')
     out.append('  </Concepts>')

@@ -194,6 +194,38 @@ def test_html_report(spark):
     assert "found items: <b>0</b>" in html["d2"]
 
 
+def test_html_report_legend_only_rendered_ids(spark):
+    """Partially overlapping kept spans: the left-to-right walk renders
+    only the first (<label>), so the concept legend must not reference
+    the unrendered one — a mouseover h()/j() on a missing element id
+    would throw and abort highlighting for every subsequent id."""
+    import re
+
+    from nobletools_spark.operators.matcher import MENTIONS_DDL
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+    from nobletools_spark.sources.sinks import html_report_df
+
+    docs = spark.createDataFrame(
+        [("d1", [("text", "abcdefghijklmnop", None, 0)])], SPANS_DDL)
+    # spans (0,10) and (5,15): an antichain (neither contains the
+    # other), both kept, only the first rendered by the walk
+    m = spark.createDataFrame(
+        [("d1", 0, "C0AAA", "abcdefghij", "abcdefghij", 1.0, 0, 10,
+          [("abcdefghij", 0)], None),
+         ("d1", 0, "C0BBB", "fghijklmno", "fghijklmno", 1.0, 5, 15,
+          [("fghijklmno", 5)], None)], MENTIONS_DDL)
+    html = html_report_df(docs, m).collect()[0].html
+    labels = re.findall(r'<label id="(\d+)"', html)
+    assert labels == ["0"]                       # walk-order skip
+    # the skipped span's id never appears in any hover wiring
+    assert "'5'" not in html
+    # and its concept has no legend entry at all
+    assert 'id="C0BBB"' not in html
+    assert 'id="C0AAA"' in html                  # rendered one keeps its row
+    # charset meta present (non-ASCII docs survive any locale/browser)
+    assert '<meta charset="utf-8"/>' in html
+
+
 def test_write_html_report(spark, tmp_path):
     """write_html_report: bounded per-doc files + index.html frame page
     (HTMLExporter.getIndex :389-407)."""
@@ -510,3 +542,35 @@ def test_facade_export_terminology(spark, tmp_path):
 
     with pytest.raises(ValueError):
         nc.export_terminology(str(tmp_path / "x"), format="bogus")
+
+
+def test_facade_export_terminology_rrf_roots(spark, tmp_path):
+    """Branch export without explicit roots on an RRF terminology starts
+    from the stored SRC V-* root table (getRootConcepts — the same
+    source terminology_template consults), NOT every parentless CUI: a
+    parentless orphan concept stays out, and the SRC root exports with
+    its grafted name."""
+    from nobletools_spark.api import NobleCoderSpark
+    from nobletools_spark.sources.rrf import (
+        conso_row, rel_row, sty_row, write_fixture_rrf)
+    from nobletools_spark.sources.termxml import parse_term_xml
+
+    p = str(tmp_path / "rrft")
+    write_fixture_rrf(
+        p,
+        mrconso=[
+            conso_row("C900", "Test Source", sab="SRC", code="V-TST"),
+            conso_row("C901", "melanoma"),
+            conso_row("C904", "orphan finding"),  # parentless, NOT a root
+        ],
+        mrsty=[sty_row("C901", "T047", "Disease or Syndrome"),
+               sty_row("C904", "T047", "Disease or Syndrome")],
+        mrrel=[rel_row("C901", "PAR", "C900")])
+    nc = NobleCoderSpark.from_rrf(spark, p)
+    out = tmp_path / "branch.xml"
+    nc.export_terminology(str(out), format="xml", depth=2)
+    concepts, edges = parse_term_xml(out.read_text())
+    by = {c["cui"]: c for c in concepts}
+    assert set(by) == {"C900", "C901"}     # orphan C904 excluded
+    assert by["C900"]["name"] == "Test Source"   # grafted root name
+    assert ("C901", "C900") in edges

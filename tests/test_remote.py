@@ -135,6 +135,29 @@ def test_remote_fetch_all_no_progress_break():
     assert len(calls) == 2  # first page + the no-progress repeat, then stop
 
 
+def test_remote_fetch_all_filtered_page_keeps_paging():
+    """Progress is measured in raw unseen CUIs, not kept ones: on a
+    total-less server, a page whose concepts are all NEW but rejected
+    by the client-side source filter must not end the snapshot — that
+    would silently truncate the terminology (the module docstring's
+    worst failure mode)."""
+    from nobletools_spark.sources.remote import RemoteTerminology
+
+    def fetch(url):
+        _, _, q = url.partition("?")
+        params = dict(kv.split("=", 1) for kv in q.split("&") if kv)
+        off = int(params.get("offset", 0))
+        # page 0 = C0001 (NCI), page 1 = C0002 (SNOMEDCT, filtered out),
+        # page 2 = C0003 (NCI), page 3 = empty — and NO total reported
+        page = CONCEPTS[off:off + 1]
+        return json.dumps({"concepts": page, "edges": []}).encode()
+
+    rt = RemoteTerminology("http://x", transport=fetch, page_size=1)
+    rt.set_source_filter(["NCI"])
+    concepts, _ = rt.fetch_all()
+    assert [c["cui"] for c in concepts] == ["C0001", "C0003"]
+
+
 def test_remote_http_end_to_end(spark):
     """Real transport leg: an in-process 127.0.0.1 http.server serves
     the endpoint contract; from_remote snapshots it into the broadcast

@@ -389,6 +389,91 @@ def test_parse_owl_defined_class_parents():
     assert {c["cui"] for c in concepts} >= {"Melanoma", "Neoplasm"}
 
 
+OWL_NESTED_EXPR = """\
+<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xml:base="http://example.org/n">
+  <owl:Ontology rdf:about="http://example.org/n"/>
+  <owl:Class rdf:about="http://example.org/n#B"/>
+  <owl:Class rdf:about="http://example.org/n#C"/>
+  <owl:Class rdf:about="http://example.org/n#D"/>
+  <owl:Class rdf:about="http://example.org/n#E"/>
+  <owl:Class rdf:about="http://example.org/n#RestrFiller">
+    <owl:equivalentClass>
+      <owl:Class>
+        <owl:intersectionOf rdf:parseType="Collection">
+          <rdf:Description rdf:about="http://example.org/n#B"/>
+          <owl:Restriction>
+            <owl:onProperty rdf:resource="http://example.org/n#p"/>
+            <owl:someValuesFrom>
+              <owl:Class>
+                <owl:intersectionOf rdf:parseType="Collection">
+                  <rdf:Description rdf:about="http://example.org/n#C"/>
+                </owl:intersectionOf>
+              </owl:Class>
+            </owl:someValuesFrom>
+          </owl:Restriction>
+        </owl:intersectionOf>
+      </owl:Class>
+    </owl:equivalentClass>
+  </owl:Class>
+  <owl:Class rdf:about="http://example.org/n#UnionDisjunct">
+    <owl:equivalentClass>
+      <owl:Class>
+        <owl:unionOf rdf:parseType="Collection">
+          <owl:Class>
+            <owl:intersectionOf rdf:parseType="Collection">
+              <rdf:Description rdf:about="http://example.org/n#B"/>
+              <rdf:Description rdf:about="http://example.org/n#C"/>
+            </owl:intersectionOf>
+          </owl:Class>
+          <rdf:Description rdf:about="http://example.org/n#D"/>
+        </owl:unionOf>
+      </owl:Class>
+    </owl:equivalentClass>
+  </owl:Class>
+  <owl:Class rdf:about="http://example.org/n#NestedFlat">
+    <owl:equivalentClass>
+      <owl:Class>
+        <owl:intersectionOf rdf:parseType="Collection">
+          <rdf:Description rdf:about="http://example.org/n#B"/>
+          <owl:Class>
+            <owl:intersectionOf rdf:parseType="Collection">
+              <rdf:Description rdf:about="http://example.org/n#D"/>
+              <rdf:Description rdf:about="http://example.org/n#E"/>
+            </owl:intersectionOf>
+          </owl:Class>
+        </owl:intersectionOf>
+      </owl:Class>
+    </owl:equivalentClass>
+  </owl:Class>
+</rdf:RDF>
+"""
+
+
+def test_parse_owl_intersection_boundaries():
+    """_intersection_parents must not cross Restriction / unionOf /
+    complementOf boundaries (the same rule _union_children applies):
+    ``A ≡ (B ∩ ∃p.(C ∩ …))`` entails ``A ⊑ B`` but NOT ``A ⊑ C`` (the
+    nested intersection is a restriction FILLER), and ``A ≡ ((B ∩ C) ∪
+    D)`` entails no superclass edge at all — emitting (A,B) there would
+    INVERT the real entailment (B ∩ C) ⊑ A. An anonymous nested
+    intersection still flattens: ``A ≡ (B ∩ (D ∩ E))`` ⊨ A ⊑ D, A ⊑ E."""
+    from nobletools_spark.sources.owl import parse_owl
+
+    _, edges = parse_owl(OWL_NESTED_EXPR)
+    assert ("RestrFiller", "B") in edges
+    assert ("RestrFiller", "C") not in edges       # restriction filler
+    assert ("UnionDisjunct", "B") not in edges     # union disjunct
+    assert ("UnionDisjunct", "C") not in edges
+    assert ("UnionDisjunct", "D") not in edges
+    assert ("NestedFlat", "B") in edges
+    assert ("NestedFlat", "D") in edges            # nested ∩ flattens
+    assert ("NestedFlat", "E") in edges
+
+
 OWL_UNION_CLASS = """\
 <?xml version="1.0"?>
 <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
@@ -802,6 +887,21 @@ def test_term_xml_round_trip(spark):
     assert set(parse_term_xml(xml2)[1]) == {("X1", "P1"), ("C2", "X1")}
     assert "<Roots>P1</Roots>" in xml2           # parentless = root
     assert 'name="default.search" value="best"' not in xml2  # options per-call
+
+    # a concept id containing ", " must survive the edge round trip:
+    # Relations are one element per target (never comma-joined) and the
+    # parser resolves whole-text code matches before splitting — the
+    # reference's own comma-joined multi-target text still parses
+    cc = [{"cui": "X, Y", "name": "xy", "synonyms": ("xy",)},
+          {"cui": "P1", "name": "p", "synonyms": ("p",)},
+          {"cui": "A", "name": "a", "synonyms": ("a",)}]
+    xml3 = export_term_xml(cc, [("X, Y", "P1"), ("A", "X, Y")])
+    assert set(parse_term_xml(xml3)[1]) == {("X, Y", "P1"), ("A", "X, Y")}
+    # reference-style comma-joined multi-target Relation still splits
+    legacy = xml2.replace(
+        '<Relation name="Narrower">C2</Relation>',
+        '<Relation name="Narrower">C2, C3</Relation>')
+    assert {("C2", "X1"), ("C3", "X1")} <= set(parse_term_xml(legacy)[1])
 
     # annotate parity: XML-round-tripped terminology ≡ the original
     docs = interleaved_docs(spark, "/root/testdata/sf0.001").limit(25)

@@ -222,6 +222,59 @@ def emit_owl_fixture() -> None:
   <owl:Class rdf:about="{_OWL_BASE}#H106">
     <rdfs:label>Qhier plainx</rdfs:label>
     <rdfs:subClassOf rdf:resource="{_OWL_BASE}#H100"/>
+  </owl:Class>
+  <owl:Class rdf:about="{_OWL_BASE}#H107">
+    <rdfs:label>Qhier fillerx</rdfs:label>
+    <owl:equivalentClass>
+      <owl:Class>
+        <owl:intersectionOf rdf:parseType="Collection">
+          <owl:Class rdf:about="{_OWL_BASE}#H100"/>
+          <owl:Restriction>
+            <owl:onProperty rdf:resource="{_OWL_BASE}#hasQfeature"/>
+            <owl:someValuesFrom>
+              <owl:Class>
+                <owl:intersectionOf rdf:parseType="Collection">
+                  <owl:Class rdf:about="{_OWL_BASE}#H101"/>
+                  <owl:Class rdf:about="{_OWL_BASE}#H104"/>
+                </owl:intersectionOf>
+              </owl:Class>
+            </owl:someValuesFrom>
+          </owl:Restriction>
+        </owl:intersectionOf>
+      </owl:Class>
+    </owl:equivalentClass>
+  </owl:Class>
+  <owl:Class rdf:about="{_OWL_BASE}#H108">
+    <rdfs:label>Qhier disjunctx</rdfs:label>
+    <owl:equivalentClass>
+      <owl:Class>
+        <owl:unionOf rdf:parseType="Collection">
+          <owl:Class>
+            <owl:intersectionOf rdf:parseType="Collection">
+              <owl:Class rdf:about="{_OWL_BASE}#H100"/>
+              <owl:Class rdf:about="{_OWL_BASE}#H101"/>
+            </owl:intersectionOf>
+          </owl:Class>
+          <owl:Class rdf:about="{_OWL_BASE}#H105"/>
+        </owl:unionOf>
+      </owl:Class>
+    </owl:equivalentClass>
+  </owl:Class>
+  <owl:Class rdf:about="{_OWL_BASE}#H109">
+    <rdfs:label>Qhier deepx</rdfs:label>
+    <owl:equivalentClass>
+      <owl:Class>
+        <owl:intersectionOf rdf:parseType="Collection">
+          <owl:Class rdf:about="{_OWL_BASE}#H100"/>
+          <owl:Class>
+            <owl:intersectionOf rdf:parseType="Collection">
+              <owl:Class rdf:about="{_OWL_BASE}#H104"/>
+              <owl:Class rdf:about="{_OWL_BASE}#H105"/>
+            </owl:intersectionOf>
+          </owl:Class>
+        </owl:intersectionOf>
+      </owl:Class>
+    </owl:equivalentClass>
   </owl:Class>''')
     frags.append("</rdf:RDF>")
     open(OWL_SRC, "w").write("\n".join(frags))
