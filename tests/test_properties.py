@@ -384,3 +384,33 @@ def test_owl_export_round_trip_property(term):
             assert g["definition"] == o["definition"]
         vals = {v for _, v in g["codes"]}
         assert {v for _, v in o["codes"]} <= vals
+
+
+_COMMA_ID = st.from_regex(r"[A-Za-z0-9]{1,6}(, [A-Za-z0-9]{1,6}){0,2}",
+                          fullmatch=True)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_term_xml_comma_id_edges_property(data):
+    """Edge round trip holds even when concept ids themselves contain
+    ", " (the reference's comma-joined Relation text would shatter
+    them): export writes one Relation element per target and parse
+    resolves whole-text code matches before falling back to the comma
+    split — including the adversarial case where an id's comma
+    fragments are ALSO valid ids of other concepts."""
+    from nobletools_spark.sources.termxml import (
+        export_term_xml,
+        parse_term_xml,
+    )
+
+    ids = data.draw(st.lists(st.one_of(_CUI, _COMMA_ID),
+                             min_size=2, max_size=6, unique=True))
+    concepts = [{"cui": i, "name": i, "synonyms": (i,)} for i in ids]
+    edges = []
+    for i in range(1, len(ids)):
+        for j in data.draw(st.lists(st.integers(0, i - 1), max_size=2,
+                                    unique=True)):
+            edges.append((ids[i], ids[j]))
+    xml = export_term_xml(concepts, edges)
+    assert set(parse_term_xml(xml)[1]) == set(edges)

@@ -434,6 +434,24 @@ OWL_NESTED_EXPR = """\
       </owl:Class>
     </owl:equivalentClass>
   </owl:Class>
+  <owl:Class rdf:about="http://example.org/n#NegConjunct">
+    <owl:equivalentClass>
+      <owl:Class>
+        <owl:intersectionOf rdf:parseType="Collection">
+          <rdf:Description rdf:about="http://example.org/n#B"/>
+          <owl:Class>
+            <owl:complementOf>
+              <owl:Class>
+                <owl:intersectionOf rdf:parseType="Collection">
+                  <rdf:Description rdf:about="http://example.org/n#C"/>
+                </owl:intersectionOf>
+              </owl:Class>
+            </owl:complementOf>
+          </owl:Class>
+        </owl:intersectionOf>
+      </owl:Class>
+    </owl:equivalentClass>
+  </owl:Class>
   <owl:Class rdf:about="http://example.org/n#NestedFlat">
     <owl:equivalentClass>
       <owl:Class>
@@ -472,6 +490,8 @@ def test_parse_owl_intersection_boundaries():
     assert ("NestedFlat", "B") in edges
     assert ("NestedFlat", "D") in edges            # nested ∩ flattens
     assert ("NestedFlat", "E") in edges
+    assert ("NegConjunct", "B") in edges
+    assert ("NegConjunct", "C") not in edges       # under complementOf
 
 
 OWL_UNION_CLASS = """\
