@@ -306,6 +306,20 @@ ADVERSARIAL = (
     "Margins ( )  involved  (X)  not involved",
     "**NAME[Case-3] reviewed by **DATE[Jan 5 2020] 1200 melanoma",
     "Churches and churches; a church. Fish under the FISH method.",
+    # r5 additions: tokenizer/punctuation/ConText classes not yet pinned
+    "The deep-margin area and nasal-septum were reviewed.",
+    "melanoma/margin involvement; w/ melanoma present.",
+    "The melanoma's margins were clear; the church's fish.",
+    "Findings:melanoma,margins;nasal septum.Deep margin!",
+    "The nasal\nseptum shows deviation. Deep\nmargin noted.",
+    "—Melanoma— and “margins” with ‘fish’.",
+    "No increase in melanoma. Not ruled out for margins.",
+    "No evidence of melanoma but margins are involved.",
+    "Possible melanoma. Findings suggestive of malignant melanoma.",
+    "Dr. Smith vs. Dr. Jones: melanoma e.g. margins, i.e. fish.",
+    "MeLaNoMa and MARGINS and fIsH were written oddly.",
+    "Stage IX confirmed; stage xvi noted. Malignant tiny dark melanoma. "
+    "melanoma2 margins3 final diagnosis margins",
 )
 
 
