@@ -233,7 +233,15 @@ def process_report(text: str, offset: int = 0) -> ParsedDocument:
     off = offset
     buf_off = offset
     last: str | None = None
-    for s in text.split("\n"):
+    # Java's String.split drops TRAILING empty strings ("a\n\n" → ["a"],
+    # "\n" → []) but returns [""] for the empty string itself — mirror
+    # both, so the last real region reaches the FINAL flush below (whose
+    # prose test and no-blank-guard differ from the in-loop flush)
+    lines = text.split("\n")
+    if text:
+        while lines and lines[-1] == "":
+            lines.pop()
+    for s in lines:
         if not _merge_lines(last, s):
             joined = "".join(x + "\n" for x in buf)
             if joined.strip():
@@ -251,11 +259,13 @@ def process_report(text: str, offset: int = 0) -> ParsedDocument:
         last = s
     joined = "".join(x + "\n" for x in buf)
     if joined:
+        # the reference's final flush checks str.length(), NOT trimmed
+        # length (processReport :217-224) — an all-whitespace trailing
+        # buffer still emits one Line sentence (docproc parity leg)
         stype = (SENT_PROSE if "\n" in joined.strip()
                  or ("." in joined and _LAST_PROSE_RE.search(joined))
                  else SENT_LINE)
-        if joined.strip():
-            _parse_region(doc, joined, buf_off, stype, doc.sections)
+        _parse_region(doc, joined, buf_off, stype, doc.sections)
     return doc
 
 

@@ -179,3 +179,23 @@ def test_split_sections_thousand_headers_iterative():
     secs = split_sections(text)
     assert len(secs) >= 1199
     assert secs[0].title.startswith("HEADER")
+
+
+def test_process_report_whitespace_and_empty_docs():
+    """Final-flush fidelity (DocumentProcessor.processReport :217-224,
+    parity-pinned on the compiled reference): the reference's last-buffer
+    check is str.length(), NOT trimmed length, and Java's String.split
+    drops trailing empty fields ("\\n" → []) while "".split returns [""].
+    So a whitespace-only doc emits ONE Line sentence, the empty doc emits
+    a single "\\n" Line sentence, a newline-only doc emits nothing, and a
+    trailing whitespace-only line after real content still emits."""
+    from nobletools_spark.functions.docproc import process_document_text
+
+    assert process_document_text("   ").sentences == [("   \n", 0, "Line")]
+    assert process_document_text("").sentences == [("\n", 0, "Line")]
+    assert process_document_text("\n").sentences == []
+    assert process_document_text("a b.\n   ").sentences == \
+        [("a b.\n", 0, "Line"), ("   \n", 5, "Line")]
+    # \n-terminated docs are unchanged: no phantom trailing sentence
+    assert process_document_text("a b.\nc d.\n").sentences == \
+        [("a b.\n", 0, "Line"), ("c d.\n", 5, "Line")]

@@ -320,6 +320,15 @@ ADVERSARIAL = (
     "MeLaNoMa and MARGINS and fIsH were written oddly.",
     "Stage IX confirmed; stage xvi noted. Malignant tiny dark melanoma. "
     "melanoma2 margins3 final diagnosis margins",
+    "Windows line\r\nendings: melanoma seen.\r\nMargins\r\nare clear.",
+    "Tab\tseparated\tmelanoma\tand\tmargins\there.",
+    "   ",
+    "... ;;; !!! ??? ((( ))) --- melanoma.",
+    "Pneumonoultramicroscopicsilicovolcanoconiosislike melanoma margins "
+    "supercalifragilisticexpialidocious fish",
+    "",
+    "\n",
+    "Trailing whitespace line: melanoma.\n   ",
 )
 
 
