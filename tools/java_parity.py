@@ -329,6 +329,21 @@ ADVERSARIAL = (
     "",
     "\n",
     "Trailing whitespace line: melanoma.\n   ",
+    # wave 3: matcher / ConText / acronym edge semantics
+    "No evidence of alpha beta gamma delta epsilon zeta eta melanoma.",
+    "No suspicious change noted but no melanoma.",
+    "Melanoma is unlikely. The patient is melanoma free today.",
+    "Deep Margin (DM) was measured. DM and dm were compared.",
+    "Random access memory (RAM) helps. RAM again; ram too.",
+    "deep margin skin margin deep margins skin",
+    "stage i noted; stage v given; stage ivx odd; stages iv plural; "
+    "stage iv4 glued.",
+    "malignant very large melanoma and malignant tiny melanoma.",
+    "The nasal. Septum is separate. Malignant. Melanoma split.",
+    "melanoma melanoma melanoma melanoma melanoma melanoma melanoma "
+    "melanoma melanoma melanoma melanoma melanoma melanoma melanoma",
+    "(X) melanoma ( ) margins [X] fish [ ] church",
+    "MELANOMA: present. MARGINS: clear. FISH: pending.",
 )
 
 
