@@ -432,6 +432,13 @@ def match_sentence(text: str, idx: TerminologyIndex,
             for chunk in _re_chunk(annotations, [oterm], text,
                                    cfg.max_word_gap, original_words):
                 result.append(Mention(meta.cui, oterm, term, score, chunk, text))
+    # Sentence.setMentions sorts by (start, end) — Collections.sort is
+    # stable, ties keep discovery order (NobleCoderTerminology.java:2370
+    # → Sentence.java:70, Mention.compareTo:90-100). Downstream
+    # order-sensitive consumers (acronym pass appends AFTER this sort,
+    # extract kernel's addInstance keeps sibling instances in mention
+    # order) depend on it; pinned by the extract parity leg (e031).
+    result.sort(key=lambda m: (m.start, m.end))
     return result
 
 

@@ -705,6 +705,26 @@ EXTRACT_DOCS = (
                     "Involved margins are seen."],
               _CM: ["This case was discussed.", "Nodular melanoma is "
                     "favored.", "Final review is pending."]}),
+    # r5 wave: multi-value attributes, integer-vs-decimal values, value
+    # position, multiple values, unit synonyms, negated/hedged triggers,
+    # both subsumed selves in one sentence, bare modifier, filter
+    # cross-section interplay
+    ("e025", {_FD: ["Melanoma with epithelioid and spindle cell "
+                    "features."]}),
+    ("e026", {_GD: ["Breslow depth is 3 mm."]}),
+    ("e027", {_GD: ["A 3.5 mm Breslow depth was noted."]}),
+    ("e028", {_GD: ["Breslow depth is 3.5 mm, previously 2.0 mm."]}),
+    ("e029", {_GD: ["Breslow depth is 4.5 millimeters."]}),
+    ("e030", {_FD: ["Possible melanoma with spindle cell features."],
+              _GD: ["Breslow depth of 1.1 mm was not identified."]}),
+    ("e031", {_GD: ["Involved margins and clear margins are noted.",
+                    "Brisk was noted."]}),
+    ("e032", {_GD: ["Mitotic grade was high.",
+                    "Superficial spreading melanoma with epithelioid "
+                    "features."]}),
+    ("e033", {_FD: ["Nodular melanoma is seen."],
+              _CM: ["Nodular melanoma is also here.",
+                    "Nodular melanoma closes the comment."]}),
 )
 
 
