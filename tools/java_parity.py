@@ -725,6 +725,19 @@ EXTRACT_DOCS = (
     ("e033", {_FD: ["Nodular melanoma is seen."],
               _CM: ["Nodular melanoma is also here.",
                     "Nodular melanoma closes the comment."]}),
+    # wave 4: addInstance replace-in-place vs sibling-append positions,
+    # cross-sentence attributes, negated attributes, sibling triggers
+    ("e034", {_GD: ["Margins noted.", "Clear margins seen.",
+                    "Involved margins found."]}),
+    ("e035", {_FD: ["Melanoma is seen.",
+                    "Epithelioid features are present."]}),
+    ("e036", {_FD: ["Melanoma without epithelioid features, with "
+                    "spindle cell change."]}),
+    ("e037", {_GD: ["The margin was examined.",
+                    "Involved margins are seen.",
+                    "The margin was reviewed again."]}),
+    ("e038", {_FD: ["Nodular melanoma and superficial spreading "
+                    "melanoma are both seen."]}),
 )
 
 
