@@ -47,7 +47,13 @@ def load_rrf(spark: SparkSession, rrf_dir: str,
              languages: tuple[str, ...] = ("ENG",),
              source_filter: tuple[str, ...] = (),
              semtype_filter: tuple[str, ...] = (),
-             suppress_obsolete: bool = True) -> dict[str, DataFrame]:
+             suppress_obsolete: bool = True,
+             hierarchy_sources: "tuple[str, ...] | None" = None,
+             ) -> dict[str, DataFrame]:
+    """``hierarchy_sources`` mirrors the reference's ``hierarchySources``
+    param (ConceptImporter.java:589-593): the SABs whose MRREL rows may
+    assert edges — None defaults to ``source_filter``, ``("*",)``
+    disables the filter entirely."""
     conso = (_read_rrf(spark, f"{rrf_dir}/MRCONSO.RRF", MRCONSO_MIN_COLS)
              .select(F.col("_c0").alias("cui"), F.col("_c1").alias("lat"),
                      F.col("_c2").alias("ts"), F.col("_c6").alias("ispref"),
@@ -118,6 +124,16 @@ def load_rrf(spark: SparkSession, rrf_dir: str,
     rel = (_read_rrf(spark, f"{rrf_dir}/MRREL.RRF", 11)
            .select(F.col("_c0").alias("cui1"), F.col("_c3").alias("rel"),
                    F.col("_c4").alias("cui2"), F.col("_c10").alias("sab")))
+    # relation-source filter (ConceptImporter.java:1110-1114): an MRREL
+    # row asserts an edge only when ITS OWN SAB (field 10) is an included
+    # hierarchy source or SRC — an edge asserted solely by an excluded
+    # source must not land even when both endpoint CUIs survive the
+    # MRCONSO filter via other sources
+    rel_sources = source_filter if hierarchy_sources is None \
+        else () if hierarchy_sources == ("*",) else hierarchy_sources
+    if rel_sources:
+        rel = rel.filter(F.col("sab").isin(*rel_sources)
+                         | (F.col("sab") == "SRC"))
     broader = rel.filter(F.col("rel").isin(*BROADER_RELS)) \
         .select(F.col("cui1").alias("cui"), F.col("cui2").alias("parent"))
     inverse = rel.filter(F.col("rel").isin(*NARROWER_RELS)) \

@@ -193,6 +193,52 @@ def test_rrf_filters_keep_src_roots(spark, tmp_path):
         == {("C901", "C900")}
 
 
+def test_rrf_relation_source_filter(spark, tmp_path):
+    """MRREL rows assert edges only when THEIR OWN SAB (field 10) is an
+    included hierarchy source or SRC (ConceptImporter.java:1110-1114:
+    ``!isIncluded(relationSources,src,true) && !"SRC".equals(src)`` →
+    skip; relationSources defaults to filterSources :589-591, and the
+    ``hierarchySources`` param ``("*",)`` disables the filter :592-593).
+    An edge asserted solely by an excluded source must not land even
+    when both endpoint CUIs survive via other sources."""
+    from nobletools_spark.sources.rrf import (
+        conso_row, load_rrf, rel_row, sty_row, write_fixture_rrf)
+
+    p = str(tmp_path / "rrfrel")
+    write_fixture_rrf(
+        p,
+        mrconso=[
+            conso_row("C900", "Root Source", sab="SRC", code="V-TST"),
+            conso_row("C901", "Alpha"),                 # sab=TST
+            conso_row("C902", "Beta"),                  # sab=TST
+        ],
+        mrsty=[sty_row("C901", "T047", "Disease or Syndrome"),
+               sty_row("C902", "T047", "Disease or Syndrome")],
+        mrrel=[
+            rel_row("C901", "PAR", "C900", sab="SRC"),  # SRC always kept
+            rel_row("C902", "PAR", "C901", sab="OTH"),  # excluded SAB
+        ])
+    # no source filter → every relation SAB is included
+    t = load_rrf(spark, p)
+    assert {(r["cui"], r["parent"]) for r in t["relations"].collect()} \
+        == {("C901", "C900"), ("C902", "C901")}
+    # source filter TST: the OTH-asserted edge is dropped even though
+    # C901/C902 both survive MRCONSO; the SRC-asserted edge stays
+    t2 = load_rrf(spark, p, source_filter=("TST",))
+    assert {(r["cui"], r["parent"]) for r in t2["relations"].collect()} \
+        == {("C901", "C900")}
+    # hierarchy_sources ("*",) re-opens the relation filter while the
+    # concept filter stays
+    t3 = load_rrf(spark, p, source_filter=("TST",),
+                  hierarchy_sources=("*",))
+    assert {(r["cui"], r["parent"]) for r in t3["relations"].collect()} \
+        == {("C901", "C900"), ("C902", "C901")}
+    # explicit hierarchy_sources overrides the default
+    t4 = load_rrf(spark, p, hierarchy_sources=("OTH",))
+    assert {(r["cui"], r["parent"]) for r in t4["relations"].collect()} \
+        == {("C901", "C900"), ("C902", "C901")}
+
+
 def test_rrf_semtype_filter(spark, rrf_dir):
     t = load_rrf(spark, rrf_dir, semtype_filter=("T191",))
     cuis = {r["cui"] for r in t["concepts"].collect()}
