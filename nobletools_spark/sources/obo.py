@@ -12,7 +12,6 @@ from typing import Iterable
 
 _SYN_RE = re.compile(r'synonym:\s*"([^"]*)"')
 _ISA_RE = re.compile(r"is_a:\s*(\S+)")
-_REL_RE = re.compile(r"relationship:\s*(\S+)\s+(\S+)")
 # loadText token recognizers (ConceptImporter.java:500-516)
 _CUI_RE = re.compile(r"CL?\d{4,7}")
 _TUI_RE = re.compile(r"T\d{2,3}")
@@ -20,8 +19,13 @@ _TUI_RE = re.compile(r"T\d{2,3}")
 
 def parse_obo(text: str) -> tuple[list[dict], list[tuple[str, str]]]:
     """Parse `[Term]` stanzas → (concepts, isa_edges). Fields: id, name,
-    synonym ("..." any scope), def, is_a, relationship, is_obsolete
-    (obsolete terms dropped, ConceptImporter.java:219-221)."""
+    synonym ("..." any scope), def, is_a, is_obsolete (obsolete terms
+    dropped, ConceptImporter.java:219-221), namespace → semantic type
+    (:216-217), alt_id → alternate code with empty source (:259-262).
+    ``relationship:`` lines (part_of etc.) are GENERIC relations in the
+    reference — Relation.getRelation(rel) is not Broader (:242-250) —
+    so they contribute no isa edge and the concept stays a root
+    (pinned by the obo-hierarchy parity leg's part_of trap stanza)."""
     concepts: list[dict] = []
     edges: list[tuple[str, str]] = []
     cur: dict | None = None
@@ -33,8 +37,10 @@ def parse_obo(text: str) -> tuple[list[dict], list[tuple[str, str]]]:
                 "cui": cur["cui"], "name": cur.get("name") or cur["cui"],
                 "synonyms": tuple(dict.fromkeys(
                     [cur.get("name") or cur["cui"], *cur.get("synonyms", [])])),
-                "semtypes": (), "sources": ("OBO",),
+                "semtypes": tuple(cur.get("semtypes", ())),
+                "sources": ("OBO",),
                 "definition": cur.get("definition"),
+                "codes": tuple(("", a) for a in cur.get("alt_ids", ())),
             })
             for p in cur.get("is_a", []):
                 edges.append((cur["cui"], p))
@@ -65,10 +71,12 @@ def parse_obo(text: str) -> tuple[list[dict], list[tuple[str, str]]]:
             m = _ISA_RE.match(line)
             if m:
                 cur["is_a"].append(m.group(1))
-        elif line.startswith("relationship:"):
-            m = _REL_RE.match(line)
-            if m and m.group(1) == "part_of":
-                cur["is_a"].append(m.group(2))
+        elif line.startswith("namespace:"):
+            cur.setdefault("semtypes", []).append(
+                line[len("namespace:"):].strip())
+        elif line.startswith("alt_id:"):
+            cur.setdefault("alt_ids", []).append(
+                line[len("alt_id:"):].strip())
         elif line.startswith("is_obsolete:") and "true" in line:
             cur["obsolete"] = True
     flush()

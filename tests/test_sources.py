@@ -43,6 +43,13 @@ id: GO:0004
 name: old concept
 is_obsolete: true
 
+[Term]
+id: GO:0005
+name: nucleus part
+namespace: cellular_component
+alt_id: GO:9005
+relationship: part_of GO:0003 ! disease
+
 [Typedef]
 id: part_of
 name: part of
@@ -52,11 +59,20 @@ name: part of
 def test_parse_obo():
     concepts, edges = parse_obo(OBO_SAMPLE)
     by_id = {c["cui"]: c for c in concepts}
-    assert set(by_id) == {"GO:0001", "GO:0002", "GO:0003"}  # obsolete dropped
+    assert set(by_id) == {"GO:0001", "GO:0002", "GO:0003",
+                          "GO:0005"}               # obsolete dropped
     assert by_id["GO:0001"]["synonyms"] == (
         "melanoma", "malignant melanoma", "MM")
     assert by_id["GO:0001"]["definition"] == "a malignant neoplasm"
     assert ("GO:0001", "GO:0002") in edges and ("GO:0002", "GO:0003") in edges
+    # reference-binary-pinned arms (obo-hierarchy parity leg traps):
+    # relationship: part_of is a GENERIC relation, NOT an isa edge
+    # (Relation.getRelation != Broader, ConceptImporter.java:242-250);
+    # namespace becomes a semantic type (:216-217); alt_id an alternate
+    # code with empty source (:259-262)
+    assert ("GO:0005", "GO:0003") not in edges
+    assert by_id["GO:0005"]["semtypes"] == ("cellular_component",)
+    assert by_id["GO:0005"]["codes"] == (("", "GO:9005"),)
 
 
 def test_parse_text_terminology():
@@ -901,7 +917,7 @@ def test_export_terminology_cli(tmp_path, spark):
     lines = [ln for f in rrf_dir.glob("part-*.txt")
              for ln in f.read_text().splitlines()]
     rows = [ln.split("|") for ln in lines]
-    assert {r[0] for r in rows} == {"GO:0001", "GO:0002", "GO:0003"}
+    assert {r[0] for r in rows} == {"GO:0001", "GO:0002", "GO:0003", "GO:0005"}
     mm = [r for r in rows if r[14] == "MM"]
     assert mm and mm[0][11] == "OBO" and mm[0][2] == "S"
 
@@ -997,7 +1013,7 @@ def test_export_terminology_cli_xml(tmp_path):
     assert main(["--xml", str(x), "--format", "owl",
                  "--output", str(o)]) == 0
     concepts, edges = parse_owl(o.read_text())
-    assert {c["cui"] for c in concepts} == {"GO:0001", "GO:0002", "GO:0003"}
+    assert {c["cui"] for c in concepts} == {"GO:0001", "GO:0002", "GO:0003", "GO:0005"}
     assert set(edges) == {("GO:0001", "GO:0002"), ("GO:0002", "GO:0003")}
 
 

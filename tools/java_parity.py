@@ -845,6 +845,23 @@ def emit_termtemplate_fixture() -> None:
         for b in broader:
             lines.append(f"is_a: {b}")
         lines.append("")
+    # hierarchy-only trap stanzas (names corpus-disjoint): a part_of
+    # relationship (generic relation in the reference — Relation
+    # .getRelation("part_of") is NOT Broader, ConceptImporter.java:
+    # 242-250 — so the concept stays a ROOT), an alt_id + namespace
+    # carrier, and an obsolete child (dropped with its is_a edge)
+    # NOTE: the obsolete stanza must not be LAST — the reference's
+    # loadOBO does a final `list.put(c.getCode(), c)` after the loop
+    # (ConceptImporter.java:271) with c nulled by is_obsolete → NPE.
+    # A file ending in an obsolete term crashes the reference importer.
+    lines += [
+        "[Term]", "id: C392", "name: Qobo obsx", "is_a: C301",
+        "is_obsolete: true", "",
+        "[Term]", "id: C390", "name: Qobo partx",
+        "relationship: part_of C301 ! melanoma", "",
+        "[Term]", "id: C391", "name: Qobo altx", "alt_id: C390X",
+        "namespace: qobo_space", "is_a: C301 ! melanoma", "",
+    ]
     open(TT_OBO, "w").write("\n".join(lines))
 
 
