@@ -86,12 +86,21 @@ def parse_obo(text: str) -> tuple[list[dict], list[tuple[str, str]]]:
 def parse_text_terminology(text: str,
                            root: str = "ROOT") -> tuple[list[dict],
                                                         list[tuple[str, str]]]:
-    """Tab-indented hierarchy: depth = leading tabs, synonyms separated
-    by ``|``/``;``/``,``; CUI/TUI-shaped tokens recognized as codes
-    (ConceptImporter.createClass :500-553)."""
+    """Tab-indented hierarchy: synonyms separated by ``|``/``;``/``,``;
+    CUI/TUI-shaped tokens recognized as codes (ConceptImporter
+    .createClass :500-553). Depth is handled with the reference's
+    RELATIVE stack (loadText :460-485): ANY deeper line pushes the
+    previous class exactly once (an over-indented jump of 2+ tabs still
+    nests one level under the previous entry), and a dedent pops
+    (prev_depth - depth) frames. One deviation: where the reference
+    would crash (EmptyStackException when a dedent pops past the root,
+    e.g. a file starting with a tabbed line then an untabbed one), we
+    clamp to the root instead."""
     concepts: list[dict] = []
     edges: list[tuple[str, str]] = []
     stack: list[str] = [root]
+    last_depth: "int | None" = None
+    last_cui: "str | None" = None
     auto = 0
     for raw in text.splitlines():
         if not raw.strip() or raw.lstrip().startswith("#"):
@@ -110,14 +119,17 @@ def parse_text_terminology(text: str,
         concepts.append({"cui": cui, "name": names[0],
                          "synonyms": tuple(names), "semtypes": tuis,
                          "sources": ("TXT",)})
-        del stack[depth + 1:]
-        parent = stack[depth] if depth < len(stack) else stack[-1]
+        if last_depth is not None:
+            if depth > last_depth:
+                stack.append(last_cui)
+            elif depth < last_depth:
+                for _ in range(last_depth - depth):
+                    if len(stack) > 1:
+                        stack.pop()
+        parent = stack[-1]
         if parent != root:
             edges.append((cui, parent))
-        if depth + 1 == len(stack):
-            stack.append(cui)
-        else:
-            stack[depth + 1] = cui
+        last_depth, last_cui = depth, cui
     return concepts, edges
 
 

@@ -91,6 +91,28 @@ def test_parse_text_terminology():
     assert ("C0000004", "C0000002") not in edges
 
 
+def test_parse_text_terminology_relative_stack():
+    """The reference's loadText walks tabs RELATIVELY
+    (ConceptImporter.java:460-485): any deeper line pushes the previous
+    class exactly once, so an over-indented jump of 2+ tabs still nests
+    ONE level under the previous entry; a dedent pops (prev - cur)
+    frames — popping past an over-indent lands on the ROOT, not the
+    absolute-depth ancestor. Where the reference would throw
+    EmptyStackException (dedent below the root) we clamp to root."""
+    from nobletools_spark.sources.obo import parse_text_terminology
+
+    c, e = parse_text_terminology("A\n\tB\n\t\t\tC\n\t\t\t\tD\n\tE\n")
+    by = {x["name"]: x["cui"] for x in c}
+    assert (by["C"], by["B"]) in e      # 2-tab jump → one level deep
+    assert (by["D"], by["C"]) in e
+    # E dedents 3 frames from the over-indented D → root (no edge)
+    assert not any(ch == by["E"] for ch, _ in e)
+
+    # underflow clamp (reference crashes here)
+    c2, e2 = parse_text_terminology("\tA\nB\n")
+    assert e2 == []
+
+
 @pytest.fixture(scope="module")
 def rrf_dir(tmp_path_factory):
     p = str(tmp_path_factory.mktemp("rrf"))
