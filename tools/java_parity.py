@@ -344,6 +344,11 @@ ADVERSARIAL = (
     "melanoma melanoma melanoma melanoma melanoma melanoma melanoma",
     "(X) melanoma ( ) margins [X] fish [ ] church",
     "MELANOMA: present. MARGINS: clear. FISH: pending.",
+    # wave 5: temporality / experiencer / hypothetical ConText axes
+    "History of melanoma. Family history of margins.",
+    "Mother had melanoma; his brother has involved margins.",
+    "If melanoma develops, the margins will be rechecked.",
+    "History of melanoma but current melanoma is present.",
 )
 
 
