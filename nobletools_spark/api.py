@@ -307,7 +307,13 @@ class NobleCoderSpark:
         has_name = "name" in self.tables["roots"].columns
         rrows = self.tables["roots"].collect()
         known = {c["cui"] for c in concepts}
-        concepts += [{"cui": r["cui"], "name": r["name"]}
+        # full-shape records: downstream consumers that index strictly
+        # (concepts_df_from_records → RRF/ORF export) must not KeyError
+        # on a grafted root
+        concepts += [{"cui": r["cui"], "name": r["name"],
+                      "synonyms": (r["name"],), "semtypes": (),
+                      "sources": ("SRC",), "definition": None,
+                      "codes": ()}
                      for r in rrows
                      if has_name and r["cui"] not in known and r["name"]]
         return [r["cui"] for r in rrows]
@@ -457,8 +463,14 @@ class NobleCoderSpark:
                 # branch export without explicit roots starts from the
                 # terminology's actual roots: the stored SRC V-* root
                 # table for RRF loads (the reference's
-                # getRootConcepts), else every parentless node
-                roots = (self._stored_roots_grafted(concepts)
+                # getRootConcepts), else every parentless node. With a
+                # semantic-type filter the SRC roots would be pruned
+                # immediately (SRC atoms carry no MRSTY rows and
+                # select_branch prunes whole subtrees at non-matching
+                # nodes), silently emptying the export — so semtype-
+                # filtered exports keep the parentless-node default.
+                roots = ((not semtypes
+                          and self._stored_roots_grafted(concepts))
                          or default_roots(concepts, edges))
             concepts, edges = select_branch(concepts, edges, roots,
                                             semtypes=semtypes, depth=depth)

@@ -129,8 +129,9 @@ def load_rrf(spark: SparkSession, rrf_dir: str,
     # hierarchy source or SRC — an edge asserted solely by an excluded
     # source must not land even when both endpoint CUIs survive the
     # MRCONSO filter via other sources
-    rel_sources = source_filter if hierarchy_sources is None \
-        else () if hierarchy_sources == ("*",) else hierarchy_sources
+    hs = None if hierarchy_sources is None else tuple(hierarchy_sources)
+    rel_sources = tuple(source_filter) if hs is None \
+        else () if "*" in hs else hs
     if rel_sources:
         rel = rel.filter(F.col("sab").isin(*rel_sources)
                          | (F.col("sab") == "SRC"))

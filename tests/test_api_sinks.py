@@ -574,3 +574,21 @@ def test_facade_export_terminology_rrf_roots(spark, tmp_path):
     assert set(by) == {"C900", "C901"}     # orphan C904 excluded
     assert by["C900"]["name"] == "Test Source"   # grafted root name
     assert ("C901", "C900") in edges
+
+    # rrf-format branch export: grafted roots are full-shape records —
+    # concepts_df_from_records indexes synonyms/semtypes/sources
+    # strictly and must not KeyError on them
+    d = tmp_path / "branch_rrf"
+    nc.export_terminology(str(d), format="rrf", depth=2, spark=spark,
+                          sab="TST")
+    lines = [ln for f in d.glob("part-*.txt")
+             for ln in f.read_text().splitlines()]
+    assert {ln.split("|")[0] for ln in lines} == {"C900", "C901"}
+
+    # semtype-filtered branch export falls back to parentless-node
+    # roots: SRC roots carry no semtypes and would be pruned at the
+    # root, silently emptying the export
+    x2 = tmp_path / "semtype.xml"
+    nc.export_terminology(str(x2), format="xml", semtypes=("T047",))
+    got = {c["cui"] for c in parse_term_xml(x2.read_text())[0]}
+    assert "C904" in got                   # matching orphan exported

@@ -265,10 +265,11 @@ def test_rrf_relation_source_filter(spark, tmp_path):
     t2 = load_rrf(spark, p, source_filter=("TST",))
     assert {(r["cui"], r["parent"]) for r in t2["relations"].collect()} \
         == {("C901", "C900")}
-    # hierarchy_sources ("*",) re-opens the relation filter while the
-    # concept filter stays
+    # hierarchy_sources with "*" re-opens the relation filter while the
+    # concept filter stays — the sentinel is recognized in any shape
+    # (list, tuple, alongside other SABs), not only the exact ("*",)
     t3 = load_rrf(spark, p, source_filter=("TST",),
-                  hierarchy_sources=("*",))
+                  hierarchy_sources=["*"])
     assert {(r["cui"], r["parent"]) for r in t3["relations"].collect()} \
         == {("C901", "C900"), ("C902", "C901")}
     # explicit hierarchy_sources overrides the default
