@@ -31,12 +31,32 @@ class RankedConcept:
     sources: tuple[str, ...]
 
 
+def _defs_from_records(concepts) -> dict[str, str]:
+    """{cui: definition} from loader records (dicts or ConceptMeta-like;
+    the latter carry no definitions and contribute nothing)."""
+    out: dict[str, str] = {}
+    for c in concepts:
+        get = c.get if isinstance(c, dict) else lambda k, _c=c: getattr(
+            _c, k, None)
+        d = get("definition")
+        if d:
+            out[str(get("cui"))] = str(d)
+    return out
+
+
 class NobleCoderSpark:
     def __init__(self, index: TerminologyIndex,
                  cfg: MatchConfig = MatchConfig(), context=None):
         self.index = index
         self.cfg = cfg
         self.context = context
+        # driver-side {cui: definition} sidecar — ConceptMeta is the
+        # matcher's broadcast payload and deliberately carries no
+        # definitions; loaders stash them here so load → export round
+        # trips (export_terminology) don't silently drop Definition /
+        # MRDEF content. RRF loads leave this empty and merge from
+        # tables["definitions"] lazily at export.
+        self.definitions: dict[str, str] = {}
 
     # ------------------------------------------------------------------
     # constructors (Terminology loading surface)
@@ -46,7 +66,10 @@ class NobleCoderSpark:
     def from_concepts(cls, concepts, **kw) -> "NobleCoderSpark":
         from nobletools_spark.index import build_index
 
-        return cls(build_index(concepts), **kw)
+        concepts = list(concepts)
+        inst = cls(build_index(concepts), **kw)
+        inst.definitions = _defs_from_records(concepts)
+        return inst
 
     @classmethod
     def from_rrf(cls, spark, rrf_dir: str, cfg: MatchConfig = MatchConfig(),
@@ -73,6 +96,7 @@ class NobleCoderSpark:
         idx = build_index_df(spark, concepts_df_from_records(spark, concepts))
         inst = cls(idx, cfg, context)
         inst.isa_edges = tuple(edges)
+        inst.definitions = _defs_from_records(concepts)
         return inst
 
     @classmethod
@@ -97,6 +121,7 @@ class NobleCoderSpark:
         idx = build_index_df(spark, concepts_df_from_records(spark, concepts))
         inst = cls(idx, cfg, context)
         inst.isa_edges = tuple(edges)
+        inst.definitions = _defs_from_records(concepts)
         return inst
 
     @classmethod
@@ -121,6 +146,7 @@ class NobleCoderSpark:
         idx = build_index_df(spark, concepts_df_from_records(spark, concepts))
         inst = cls(idx, cfg, context)
         inst.isa_edges = tuple(edges)
+        inst.definitions = _defs_from_records(concepts)
         return inst
 
     @classmethod
@@ -143,6 +169,7 @@ class NobleCoderSpark:
         idx = build_index_df(spark, concepts_df_from_records(spark, concepts))
         inst = cls(idx, cfg, context)
         inst.isa_edges = tuple(edges)
+        inst.definitions = _defs_from_records(concepts)
         return inst
 
     # ------------------------------------------------------------------
@@ -292,6 +319,28 @@ class NobleCoderSpark:
                     self.tables["relations"].select("cui", "parent")
                     .collect()]
         return []
+
+    def _definitions_by_cui(self) -> dict[str, str]:
+        """{cui: definition} for driver-side export — the loaders'
+        stashed sidecar when set (OBO/OWL/term-XML/remote/records),
+        else the RRF MRDEF table (terminology-sized driver pull, the
+        same bound every exporter shares; first definition per CUI by
+        (sab, definition) order — deterministic across partitionings).
+        Cached after the first RRF pull."""
+        if getattr(self, "definitions", None):
+            return self.definitions
+        if getattr(self, "tables", None) is not None \
+                and "definitions" in self.tables:
+            rows = (self.tables["definitions"]
+                    .select("cui", "sab", "definition")
+                    .filter("definition IS NOT NULL")
+                    .collect())
+            out: dict[str, str] = {}
+            for r in sorted(rows, key=lambda r: (r[0], r[1] or "", r[2])):
+                out.setdefault(r[0], r[2])
+            self.definitions = out
+            return out
+        return {}
 
     def _stored_roots_grafted(self, concepts: list[dict]) -> \
             "list[str] | None":
@@ -457,6 +506,15 @@ class NobleCoderSpark:
             default_roots, export_orf, export_rrf, select_branch, write_owl)
 
         concepts = [c._asdict() for c in self.index.concepts.values()]
+        # re-attach definitions: ConceptMeta (the broadcast payload)
+        # deliberately drops them, but every sink supports them —
+        # without this merge a load -> export round trip silently
+        # loses Definition / MRDEF content
+        defs = self._definitions_by_cui()
+        for c in concepts:
+            d = defs.get(c["cui"])
+            if d is not None:
+                c["definition"] = d
         edges = self._hierarchy_edges()
         if roots or semtypes or depth is not None:
             if not roots:

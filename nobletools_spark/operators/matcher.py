@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Iterator, Optional
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from nobletools_spark.model import MatchConfig, TerminologyIndex
 from nobletools_spark.operators import match_core
@@ -168,7 +169,13 @@ def annotate(docs_df, index, cfg: MatchConfig = MatchConfig(),
                                             negex=negex))
             yield pd.DataFrame(out, columns=cols)
 
-    return docs_df.select("doc_id", "spans").mapInPandas(fn, MENTIONS_DDL)
+    # contract: doc_id is a string (the interleaved-table schema).
+    # Numeric-id corpora are accepted via a zero-cost codegen cast —
+    # without it the int64 surfaces as an Arrow schema error deep
+    # inside a task instead of just working
+    return (docs_df.select(F.col("doc_id").cast("string").alias("doc_id"),
+                           "spans")
+            .mapInPandas(fn, MENTIONS_DDL))
 
 
 def annotate_multi(docs_df, indexes, cfg: MatchConfig = MatchConfig(),

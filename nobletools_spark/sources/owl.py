@@ -89,10 +89,17 @@ def _tag_local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1] if "}" in tag else tag
 
 
-def owl_imports(xml_text: str) -> list[str]:
+def _as_owl_root(xml: "str | ET.Element") -> ET.Element:
+    """Accept raw RDF/XML text or a pre-parsed root Element — large real
+    ontologies (NCIt RDF/XML is hundreds of MB) must be parsed ONCE per
+    module, not once per helper."""
+    return ET.fromstring(xml) if isinstance(xml, str) else xml
+
+
+def owl_imports(xml_text: "str | ET.Element") -> list[str]:
     """IRIs of the document's ``owl:imports`` declarations (under any
     ``owl:Ontology`` header), in document order, deduplicated."""
-    root = ET.fromstring(xml_text)
+    root = _as_owl_root(xml_text)
     iris: list[str] = []
     for onto in root.iter(f"{OWL}Ontology"):
         for imp in onto.findall(f"{OWL}imports"):
@@ -102,11 +109,11 @@ def owl_imports(xml_text: str) -> list[str]:
     return iris
 
 
-def owl_ontology_iris(xml_text: str) -> list[str]:
+def owl_ontology_iris(xml_text: "str | ET.Element") -> list[str]:
     """The document's own ontology IRIs (``rdf:about`` of every
     ``owl:Ontology`` header, plus ``xml:base`` if set) — what other
     modules' ``owl:imports`` declarations would reference it by."""
-    root = ET.fromstring(xml_text)
+    root = _as_owl_root(xml_text)
     iris: list[str] = []
     base = root.get("{http://www.w3.org/XML/1998/namespace}base")
     if base:
@@ -166,12 +173,16 @@ def parse_owl(xml_text: str,
     resolver = imports if hasattr(imports, "get") else None
     while queue:
         text, src = queue.pop(0)
+        # ONE XML parse per module, shared by the IRI scan, the imports
+        # scan, and the class walk (3x parse cost and peak tree memory
+        # on a hundreds-of-MB ontology otherwise)
+        module_root = _as_owl_root(text)
         # a document's own IRIs count as loaded BEFORE its imports are
         # chased, so cyclic module sets (upper imports main back) and
         # back-references to the root document resolve instead of
         # demanding the root from the resolver / double-parsing it
-        loaded.update(owl_ontology_iris(text))
-        declared = owl_imports(text)
+        loaded.update(owl_ontology_iris(module_root))
+        declared = owl_imports(module_root)
         pending = [i for i in declared if i not in loaded]
         if pending and resolver is None:
             if imports == "ignore":
@@ -195,12 +206,13 @@ def parse_owl(xml_text: str,
             for iri in pending:
                 loaded.add(iri)
                 queue.append((resolver[iri], source_name))
-        _parse_owl_module(text, src, concepts, edges, seen,
+        _parse_owl_module(module_root, src, concepts, edges, seen,
                           union_children=union_children)
     return concepts, edges
 
 
-def _parse_owl_module(xml_text: str, source_name: str | None,
+def _parse_owl_module(xml_text: "str | ET.Element",
+                      source_name: str | None,
                       concepts: list[dict],
                       edges: list[tuple[str, str]],
                       seen: set[str],
@@ -208,7 +220,7 @@ def _parse_owl_module(xml_text: str, source_name: str | None,
     """Single-document class walk shared by every module of an imports
     closure; appends into the accumulator lists (first definition of a
     duplicate code wins via ``seen``)."""
-    root = ET.fromstring(xml_text)
+    root = _as_owl_root(xml_text)
     base = root.get("{http://www.w3.org/XML/1998/namespace}base", "")
     if source_name is None:
         onto = root.find(f"{OWL}Ontology")

@@ -208,6 +208,12 @@ def html_report_df(docs_df: DataFrame, mentions_df: DataFrame,
     # NULL text renders as nothing (filter explicitly); NULL offset
     # coalesces to 0 — left as NULLs, the pandas groupby below would
     # DROP those spans silently (groupby dropna default)
+    # doc_id normalized to string on BOTH sides: the join must stay an
+    # exact string match (a string=bigint join would coerce lossily)
+    # and the applyInPandas schema declares doc_id string
+    docs_df = docs_df.withColumn("doc_id", F.col("doc_id").cast("string"))
+    mentions_df = mentions_df.withColumn(
+        "doc_id", F.col("doc_id").cast("string"))
     spans = (docs_df
              .select("doc_id", F.explode("spans").alias("s"))
              .filter((F.col("s.kind") == "text")
@@ -273,7 +279,11 @@ def html_report_df(docs_df: DataFrame, mentions_df: DataFrame,
             ann_owners: dict[tuple, list] = {}
             kept: list[tuple] = []      # (start, end, span_key), sorted
             exact: dict[tuple, tuple] = {}
-            for key in sorted(mentions):
+            # mention POSITION order — the reference walks
+            # doc.getMentions() after setMentions' offset sort, and
+            # which annotation survives a containment conflict depends
+            # on who is seen first (keys are (cui, start, end))
+            for key in sorted(mentions, key=lambda k: (k[1], k[2], k[0])):
                 r = mentions[key]
                 # Arrow hands array<struct> back as a numpy array —
                 # `or []` trips its ambiguous truth value
@@ -408,7 +418,9 @@ def html_report_df(docs_df: DataFrame, mentions_df: DataFrame,
                 f"<tr><td colspan=2 align=center>found items: "
                 f"<b>{n_found}</b></td></tr>"
                 "</table></body></html>")
-            out.append((doc_id, page))
+            # groupby key keeps the input dtype (int64 for numeric
+            # doc_ids) — the declared schema says string
+            out.append((str(doc_id), page))
         return pd.DataFrame(out, columns=["doc_id", "html"])
 
     return joined.groupBy("doc_id").applyInPandas(

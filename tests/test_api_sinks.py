@@ -592,3 +592,89 @@ def test_facade_export_terminology_rrf_roots(spark, tmp_path):
     nc.export_terminology(str(x2), format="xml", semtypes=("T047",))
     got = {c["cui"] for c in parse_term_xml(x2.read_text())[0]}
     assert "C904" in got                   # matching orphan exported
+
+
+def test_html_report_numeric_doc_ids(spark):
+    """html_report_df declares `doc_id string`; numeric corpora (all
+    sf* testdata tables use bigint doc_ids) must render, with the
+    groupby key cast to string rather than tripping Arrow's int64 →
+    string schema check."""
+    from nobletools_spark.operators.matcher import annotate
+    from nobletools_spark.sources.sinks import html_report_df
+
+    docs = spark.createDataFrame(
+        [(7, [("text", "Melanoma was seen.", None, 0)])],
+        "doc_id long, spans array<struct<kind:string, text:string, "
+        "media_ref:string, offset:int>>")
+    m = annotate(docs, pytest_index(), MatchConfig())
+    rows = html_report_df(docs, m).collect()
+    assert [r.doc_id for r in rows] == ["7"]
+    assert "<label" in rows[0].html
+
+
+def test_html_report_containment_arbitration_position_order(spark):
+    """Which annotation survives a containment conflict follows mention
+    POSITION order (the reference walks doc.getMentions() after
+    setMentions' offset sort), not cui order: an outer span seen first
+    keeps its annotation and the later contained one is dropped — even
+    when the contained mention's cui sorts first."""
+    import re
+
+    from nobletools_spark.operators.matcher import MENTIONS_DDL
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+    from nobletools_spark.sources.sinks import html_report_df
+
+    docs = spark.createDataFrame(
+        [("d1", [("text", "abcdefghijklmnop", None, 0)])], SPANS_DDL)
+    # outer (0,10) belongs to C0ZZZ (sorts LAST by cui); inner (2,8)
+    # to C0AAA (sorts FIRST by cui). Position order must keep the outer.
+    m = spark.createDataFrame(
+        [("d1", 0, "C0ZZZ", "abcdefghij", "abcdefghij", 1.0, 0, 10,
+          [("abcdefghij", 0)], None),
+         ("d1", 0, "C0AAA", "cdefgh", "cdefgh", 1.0, 2, 8,
+          [("cdefgh", 2)], None)], MENTIONS_DDL)
+    html = html_report_df(docs, m).collect()[0].html
+    labels = re.findall(r'<label id="(\d+)"', html)
+    assert labels == ["0"]               # outer kept, contained dropped
+    assert 'id="C0ZZZ"' in html          # legend follows the kept span
+    assert 'id="C0AAA"' not in html
+
+
+def test_export_terminology_keeps_definitions(spark, tmp_path):
+    """Load → export round trips must not drop definitions: ConceptMeta
+    (the broadcast payload) deliberately omits them, so the facade
+    re-attaches its driver-side sidecar (loaders) or the MRDEF table
+    (RRF) at export time."""
+    from nobletools_spark.sources.owl import parse_owl
+    from nobletools_spark.sources.rrf import (
+        conso_row, sty_row, rel_row, write_fixture_rrf)
+    from nobletools_spark.sources.termxml import parse_term_xml
+
+    obo = (
+        "[Term]\nid: TST:001\nname: melanoma\n"
+        'def: "A malignant neoplasm of melanocytes." [NCI]\n')
+    nc = NobleCoderSpark.from_obo(spark, obo)
+    x = tmp_path / "t.xml"
+    nc.export_terminology(str(x), format="xml")
+    by = {c["cui"]: c for c in parse_term_xml(x.read_text())[0]}
+    assert by["TST:001"]["definition"] == \
+        "A malignant neoplasm of melanocytes."
+    o = tmp_path / "t.owl"
+    nc.export_terminology(str(o), format="owl")
+    by = {c["cui"]: c for c in parse_owl(o.read_text())[0]}
+    assert by["TST:001"]["definition"] == \
+        "A malignant neoplasm of melanocytes."
+
+    # RRF load: definitions come from the MRDEF table, lazily, once
+    p = str(tmp_path / "rrft")
+    write_fixture_rrf(
+        p,
+        mrconso=[conso_row("C901", "melanoma")],
+        mrsty=[sty_row("C901", "T047", "Disease or Syndrome")],
+        mrrel=[],
+        mrdef=[("C901", "", "", "", "NCI", "A malignant neoplasm.")])
+    nc2 = NobleCoderSpark.from_rrf(spark, p)
+    x2 = tmp_path / "t2.xml"
+    nc2.export_terminology(str(x2), format="xml")
+    by = {c["cui"]: c for c in parse_term_xml(x2.read_text())[0]}
+    assert by["C901"]["definition"] == "A malignant neoplasm."

@@ -58,11 +58,19 @@ def _load(args):
     from nobletools_spark.sources.rrf import concepts_for_index, load_rrf
     spark = _spark()
     tables = load_rrf(spark, args.rrf)
+    defs: dict[str, str] = {}
+    if "definitions" in tables:
+        # first definition per CUI by (sab, definition) — deterministic
+        rows = (tables["definitions"].select("cui", "sab", "definition")
+                .filter("definition IS NOT NULL").collect())
+        for r in sorted(rows, key=lambda r: (r[0], r[1] or "", r[2])):
+            defs.setdefault(r[0], r[2])
     concepts = [{
         "cui": r.cui, "name": r.name,
         "synonyms": tuple(r.synonyms or ()),
         "semtypes": tuple(r.semtypes or ()),
         "sources": tuple(r.sources or ()),
+        "definition": defs.get(r.cui),
         "codes": tuple((c["sab"], c["code"]) for c in (r.codes or ())),
     } for r in concepts_for_index(tables).collect()]
     edges = [(r.cui, r.parent) for r in tables["relations"].collect()]

@@ -210,6 +210,53 @@ NOTES = {
 }
 
 
+def _count_exchanges(plan: str) -> int:
+    """Distinct data-moving Exchange operators in an executedPlan string.
+
+    plan_id-carrying lines dedupe by id. For the rest: the plan string
+    reprints one physical cached subtree verbatim under EVERY
+    InMemoryTableScan site, so an ``InMemoryRelation`` subtree whose
+    text was already seen is skipped wholesale; surviving id-less
+    exchange lines count positionally (identical text in different
+    live subtrees = different operators)."""
+    lines = plan.splitlines()
+
+    def art(ln: str) -> int:  # tree-art prefix length = node depth
+        return len(re.match(r"[\s:+\-*]*", ln).group(0))
+
+    skip = [False] * len(lines)
+    seen_blocks: set[str] = set()
+    i = 0
+    while i < len(lines):
+        if "InMemoryRelation" in lines[i]:
+            d = art(lines[i])
+            j = i + 1
+            while j < len(lines) and art(lines[j]) > d:
+                j += 1
+            block = "\n".join(lines[i:j])
+            if block in seen_blocks:
+                for k in range(i, j):
+                    skip[k] = True
+            else:
+                seen_blocks.add(block)
+            i = j
+        else:
+            i += 1
+    ex_ids: set[str] = set()
+    noid = 0
+    for idx, ln in enumerate(lines):
+        if skip[idx]:
+            continue
+        if not re.search(r"\bExchange (?!SinglePartition)", ln):
+            continue
+        m = re.search(r"plan_id=(\d+)", ln)
+        if m:
+            ex_ids.add(m.group(1))
+        else:
+            noid += 1
+    return len(ex_ids) + noid
+
+
 def main() -> None:
     import __spark_entry__ as entry
     from nobletools_spark.session import get_spark
@@ -230,17 +277,14 @@ def main() -> None:
         # cached/shared subtree under every InMemoryTableScan and reused
         # leg, so raw matches overcount multiplicatively once a query
         # persists two nested frames (e.g. kg_negatives: 150 raw vs 19
-        # real). plan_ids dedupe; exchange lines WITHOUT a plan_id
-        # (cached relations planned with AQE off, subquery sections)
-        # are deduped by line text instead of being dropped whenever
-        # some other exchange happens to carry an id.
-        ex_ids: set[str] = set()
-        ex_noid: set[str] = set()
-        for ln in re.findall(r"\bExchange (?!SinglePartition)[^\n]*",
-                             plan):
-            m = re.search(r"plan_id=(\d+)", ln)
-            (ex_ids.add(m.group(1)) if m else ex_noid.add(ln))
-        exchanges = len(ex_ids) + len(ex_noid)
+        # real). plan_ids dedupe; for id-less lines (cached relations
+        # planned with AQE off) dedupe whole reprinted CACHED-SUBTREE
+        # BLOCKS (an InMemoryRelation subtree seen verbatim before is
+        # one physical cache, skipped on reprint) and count the
+        # remaining lines positionally — two genuinely distinct
+        # exchanges that happen to stringify identically in different
+        # subtrees must both count.
+        exchanges = _count_exchanges(plan)
         scans = sorted(set(re.findall(r"ReadSchema: (\S+)", plan)))
         out.append(f"## {name}")
         out.append("")
