@@ -186,10 +186,15 @@ def html_report_df(docs_df: DataFrame, mentions_df: DataFrame,
     its annotation ids and a tooltip of code, semtypes, definition and
     terms; newlines render as <br>; the page is the reference's
     two-pane (report | concepts) table with the found-items footer.
-    Deviations (documented): the legend anchors at the first annotation
-    id instead of the reference's terminology-servlet URL (offline
-    engine), and Header-sentence bolding is skipped (sentence types are
-    not an input of this sink). Annotations that CONTAIN or are
+    Header sentences render bold with no labels (codeSentence
+    :325-328), recomputed from the same docproc kernel the matcher
+    uses. Deviations (documented): the legend anchors at the first
+    annotation id instead of the reference's terminology-servlet URL
+    (offline engine), the report text is HTML-escaped (the reference
+    emits it raw — broken markup on documents containing ``<``), and
+    the legend lists only RENDERED annotation ids (the reference lists
+    every annotation offset, so a dead id aborts its JS highlight
+    loop). Annotations that CONTAIN or are
     contained by an already-kept annotation are skipped
     (groupAnnotations/intersects :292-315), and the left-to-right walk
     drops any survivor starting before the cursor — the reference
@@ -252,8 +257,14 @@ def html_report_df(docs_df: DataFrame, mentions_df: DataFrame,
              .withColumn("c_sty", F.lit(None).cast("string"))
              .withColumn("c_def", F.lit(None).cast("string"))
              .withColumn("c_syn", F.lit(None).cast("string")))
+    # matched_term + score feed the acronym legend rule (below); both
+    # are optional so bare (doc_id,cui,start,end) tables still render
+    for opt, typ in (("matched_term", "string"), ("score", "double")):
+        if opt not in m.columns:
+            m = m.withColumn(opt, F.lit(None).cast(typ))
     anns = m.select("doc_id", "cui", "start", "end", "annotations",
-                    "modifiers", "c_name", "c_sty", "c_def", "c_syn")
+                    "modifiers", "c_name", "c_sty", "c_def", "c_syn",
+                    "matched_term", "score")
     joined = spans.join(anns, "doc_id", "left")
 
     def render(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -333,10 +344,36 @@ def html_report_df(docs_df: DataFrame, mentions_df: DataFrame,
                     if en0 - off > len(text):
                         break
                     local.append((st0 - off, en0 - off, k))
+                # Header sentences render as <b>…</b><br> with no label
+                # walk (codeSentence :325-328) — recomputed here from
+                # the SAME docproc kernel the matcher uses, so the
+                # bolded ranges agree with the sentences the matcher's
+                # default filter skipped. Any label landing inside one
+                # (a custom process_filter coded headers) is dropped,
+                # as the reference's header branch would.
+                from nobletools_spark.functions.docproc import (
+                    process_document_text)
+                from nobletools_spark.functions.textkit import SENT_HEADER
+                heads = [(o - off, o - off + len(t))
+                         for t, o, ty in
+                         process_document_text(text, off).sentences
+                         if ty == SENT_HEADER]
+                local = [l for l in local
+                         if not any(h0 <= l[0] < h1 for h0, h1 in heads)]
+                events = sorted(
+                    [(h0, h1, None) for h0, h1 in heads] + local,
+                    key=lambda e: (e[0], e[1]))
                 html, pos = [], 0
-                for st, en, key in local:
+                for st, en, key in events:
                     if st < pos:
                         continue  # walk-order skip (see docstring)
+                    if key is None:      # Header sentence
+                        html.append(escape(text[pos:st])
+                                    .replace("\n", "<br>"))
+                        html.append("<b>" + escape(text[st:en])
+                                    .replace("\n", "<br>") + "</b><br>")
+                        pos = en
+                        continue
                     owners = ann_owners[key]
                     codes = ",".join(f"'{code_id(r)}'" for r in owners)
                     tip, color = [], "green"
@@ -373,7 +410,16 @@ def html_report_df(docs_df: DataFrame, mentions_df: DataFrame,
                     # highlight for every subsequent id
                     continue
                 for r in owners:
-                    ck = (r.c_name or r.cui, r.cui)
+                    # acronym-propagated mentions carry a FRESH concept
+                    # named after the acronym (AcronymDetector:180 `new
+                    # Concept(code, acronym)`) — their score-0.0 quirk
+                    # marks them, so they legend under the acronym text,
+                    # a separate row from the canonical concept
+                    if (r.score is not None and not pd.isna(r.score)
+                            and float(r.score) == 0.0 and r.matched_term):
+                        ck = (str(r.matched_term), r.cui)
+                    else:
+                        ck = (r.c_name or r.cui, r.cui)
                     by_concept.setdefault(ck, []).append(key)
                     rep.setdefault(ck, r)
             legend, alt = [], True

@@ -678,3 +678,27 @@ def test_export_terminology_keeps_definitions(spark, tmp_path):
     nc2.export_terminology(str(x2), format="xml")
     by = {c["cui"]: c for c in parse_term_xml(x2.read_text())[0]}
     assert by["C901"]["definition"] == "A malignant neoplasm."
+
+
+def test_html_report_header_sentences_bold(spark):
+    """Header sentences render as <b>…</b><br> with no labels inside
+    (HTMLExporter.codeSentence :325-328) — recomputed from the same
+    docproc kernel the matcher uses, so the bolded ranges are exactly
+    the sentences the matcher's default filter skipped."""
+    from nobletools_spark.operators.matcher import annotate
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+    from nobletools_spark.sources.sinks import html_report_df
+
+    text = ("FINAL DIAGNOSIS:  Malignant melanoma of the skin.\n\n"
+            "Melanoma was seen at the deep margin.\n")
+    docs = spark.createDataFrame(
+        [("d1", [("text", text, None, 0)])], SPANS_DDL)
+    m = annotate(docs, pytest_index(), MatchConfig())
+    html = html_report_df(docs, m).collect()[0].html
+    # the header line is bold (whole Header sentence, escaped)
+    assert "<b>FINAL DIAGNOSIS:" in html and "</b><br>" in html
+    # no <label> lands inside the bolded header range
+    head_end = html.index("</b><br>")
+    assert "<label" not in html[html.index("<b>FINAL"):head_end]
+    # the prose mention below the header still renders as a label
+    assert "<label" in html[head_end:]

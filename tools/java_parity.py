@@ -969,6 +969,107 @@ def run_spark_triples(spark) -> "Counter":
     return out
 
 
+def _html_struct(pages: "dict[str, str]") -> "Counter":
+    """Structural key multiset from a {doc: report_html} map — the parts
+    of HTMLExporter output both engines must agree on, independent of
+    attribute order / whitespace / tooltip formatting:
+
+      ("label",  doc, id, word, codes, color)  — one per <label>
+      ("bold",   doc, text)                    — Header-sentence bolds
+      ("legend", doc, code, name, ids)         — concept legend rows
+      ("found",  doc, n)                       — footer mention count
+
+    Documented engine deviations are normalized INTO the reference side
+    symmetrically: legend id lists are filtered to ids that render as a
+    <label> in the SAME page and deduplicated (the reference lists every
+    annotation offset, dead ids included — its own h()/j() would abort
+    on them), and rows left with no live id are dropped; label words and
+    legend names are entity-unescaped (the engine escapes report text,
+    the reference emits it raw)."""
+    import re
+    from html import unescape
+
+    out = Counter()
+    for doc, page in pages.items():
+        labels = []
+        for attrs, word in re.findall(
+                r"<label\b([^>]*)>(.*?)</label>", page, re.S):
+            lid = re.search(r'id="([^"]*)"', attrs).group(1)
+            color = re.search(r"color:\s*([^;\"]+)", attrs).group(1)
+            m = re.search(r"h\(\[(.*?)\]\)", attrs)
+            codes = tuple(c.strip().strip("'")
+                          for c in m.group(1).split(",")) if m else ()
+            labels.append((lid, unescape(word), codes, color))
+        rendered = {lab[0] for lab in labels}
+        for lab in labels:
+            _madd(out, ("label", doc) + lab)
+        for text in re.findall(r"<b>(.*?)</b>", page, re.S):
+            if text == "Concepts" or re.fullmatch(r"\d+", text):
+                continue  # legend header / footer count, not a Header
+            _madd(out, ("bold", doc, unescape(text)))
+        concepts_pane = page[page.find("<b>Concepts</b>"):]
+        for attrs, name in re.findall(
+                r"<a\b([^>]*)>(.*?)</a>", concepts_pane, re.S):
+            aid = re.search(r'id="([^"]*)"', attrs)
+            m = re.search(r"h\(\[(.*?)\]\)", attrs)
+            if aid is None or m is None:
+                continue
+            ids = tuple(dict.fromkeys(
+                i for i in (c.strip().strip("'")
+                            for c in m.group(1).split(","))
+                if i in rendered))
+            if ids:
+                _madd(out, ("legend", doc, aid.group(1),
+                            unescape(name), ids))
+        m = re.search(r"found items: <b>(\d+)</b>", page)
+        if m:
+            _madd(out, ("found", doc, int(m.group(1))))
+    return out
+
+
+def run_reference_html() -> "Counter":
+    """HTMLExporter.export(doc, writer) over the shared corpus with the
+    shared ConText lexicon, parsed into structural keys."""
+    import shutil
+    shutil.rmtree("/tmp/noble_terms", ignore_errors=True)
+    subprocess.run(["java", "-cp", CP, "RefDriver", OBO, DOCS, REF_TSV,
+                    "-", "html", CTX_OWL], check=True, capture_output=True)
+    pages: dict[str, str] = {}
+    doc = None
+    for line in open(REF_TSV, encoding="utf-8"):
+        if line.startswith("###DOC\t"):
+            doc = line.rstrip("\n").split("\t")[1][:-4]
+            pages[doc] = ""
+        elif doc is not None:
+            pages[doc] += line
+    return _html_struct(pages)
+
+
+def run_local_html(spark) -> "Counter":
+    """html_report_df over the same docs/terminology/ConText lexicon."""
+    from nobletools_spark.api import NobleCoderSpark
+    from nobletools_spark.model import MatchConfig
+    from nobletools_spark.operators.context import context_index_from_owl
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+    from nobletools_spark.sources.obo import (
+        concepts_df_from_records, parse_obo)
+    from nobletools_spark.sources.sinks import html_report_df
+
+    ctx = context_index_from_owl(open(CTX_OWL).read())
+    nc = NobleCoderSpark.from_obo(spark, open(OBO).read(),
+                                  cfg=MatchConfig(), context=ctx)
+    rows = [(fn[:-4], [("text", open(f"{DOCS}/{fn}",
+                                     encoding="utf-8").read(), None, 0)])
+            for fn in sorted(os.listdir(DOCS)) if fn.endswith(".txt")]
+    docs = spark.createDataFrame(rows, SPANS_DDL)
+    mentions = nc.annotate(docs)
+    concepts_df = concepts_df_from_records(
+        spark, parse_obo(open(OBO).read())[0])
+    pages = {r.doc_id: r.html
+             for r in html_report_df(docs, mentions, concepts_df).collect()}
+    return _html_struct(pages)
+
+
 def compare(ref, eng, label: str) -> dict:
     """Multiset precision/recall: tp counts each key min(ref_n, eng_n)
     times, so duplicate emissions on either side surface as <1.0."""
@@ -1011,6 +1112,13 @@ def main() -> None:
         emit_rrf_hier_fixture()
         compare(run_reference_rrf_hierarchy(),
                 run_local_rrf_hierarchy(spark), "rrf-hierarchy")
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "html":
+        # standalone iteration mode: HTML-report leg only
+        compile_reference()
+        emit_fixture(int(sys.argv[2]) if len(sys.argv) > 2 else 60)
+        spark = get_spark(cores=8)
+        compare(run_reference_html(), run_local_html(spark), "html")
         return
     if len(sys.argv) > 1 and sys.argv[1] == "termtemplate":
         # standalone iteration mode: terminology-template leg only
@@ -1099,6 +1207,11 @@ def main() -> None:
     results["obo-hierarchy"] = compare(run_reference_obo_hierarchy(),
                                        run_local_obo_hierarchy(),
                                        "obo-hierarchy")
+    # HTML-report leg: HTMLExporter.export structural parity — labels
+    # (id/word/codes/color), Header bolds, legend rows, footer counts —
+    # with ConText driving the color/N-prefix quirks
+    results["html"] = compare(run_reference_html(),
+                              run_local_html(spark), "html")
     json.dump(results, open(f"{REPO}/JAVA_PARITY.json", "w"), indent=1)
     print("JAVA_PARITY.json written")
 

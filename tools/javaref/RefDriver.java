@@ -74,8 +74,15 @@ public class RefDriver {
         NobleCoder nc = new NobleCoder(term);
         boolean negex = args.length > 4 && "negex".equals(args[4]);
         boolean docproc = args.length > 4 && "docproc".equals(args[4]);
+        // html mode: per-document HTMLExporter.export(doc, writer)
+        // output, framed by ###DOC markers, optional ConText at args[5]
+        boolean html = args.length > 4 && "html".equals(args[4]);
         ConText ctx = null;
-        if (args.length > 4 && !negex && !docproc) {
+        if (html && args.length > 5) {
+            ctx = new ConText(OOntology.loadOntology(new File(args[5])));
+            nc.setContextDetection(true);
+            nc.setConText(ctx);
+        } else if (args.length > 4 && !negex && !docproc && !html) {
             ctx = new ConText(OOntology.loadOntology(new File(args[4])));
             nc.setContextDetection(true);
             nc.setConText(ctx);
@@ -91,6 +98,20 @@ public class RefDriver {
             if (!f.getName().endsWith(".txt"))
                 continue;
             Document doc = nc.process(f);
+            if (html) {
+                // in-memory imports leave Concept.terminology null;
+                // codeConcept needs it for the servlet URL
+                for (Mention m : doc.getMentions())
+                    if (m.getConcept().getTerminology() == null)
+                        m.getConcept().setTerminology(term);
+                edu.pitt.dbmi.nlp.noble.util.HTMLExporter ex =
+                        new edu.pitt.dbmi.nlp.noble.util.HTMLExporter();
+                java.io.StringWriter sw = new java.io.StringWriter();
+                ex.export(doc, sw);
+                out.println("###DOC\t" + f.getName());
+                out.println(sw.toString());
+                continue;
+            }
             if (docproc) {
                 for (Sentence s : doc.getSentences()) {
                     String sec = s.getSection() != null
