@@ -21,16 +21,31 @@ def results_tsv_df(mentions_df: DataFrame,
     """Shape the mentions table into RESULTS.tsv rows: `Document |
     Matched Term | Code | Concept Name | Semantic Type | Annotations |
     <8 modifier columns>` (CSVExporter.java:108,144). Annotations render
-    as "text/offset, text/offset"."""
+    as "text/offset, text/offset". "Matched Term" is the mention's
+    SURFACE text — the space-joined annotation words (Mention.getText
+    :48-56), not the terminology term: a stemmed match on "tables"
+    must report "tables"."""
     anns = F.concat_ws(", ", F.transform(
         "annotations",
         lambda a: F.concat(a["text"], F.lit("/"), a["offset"].cast("string"))))
+    surface = F.when(
+        F.size("annotations") > 0,
+        F.concat_ws(" ", F.transform("annotations", lambda a: a["text"]))
+    ).otherwise(F.col("matched_term"))
+    # acronym-propagated mentions (score-0.0 quirk) carry a FRESH
+    # concept named after the acronym (AcronymDetector:180) — their
+    # Concept Name column is the acronym, not the canonical name
+    acro = (F.col("score").eqNullSafe(0.0)
+            & F.col("matched_term").isNotNull()
+            if "score" in mentions_df.columns else F.lit(False))
     df = mentions_df.select(
         F.col("doc_id").alias("Document"),
-        F.col("matched_term").alias("Matched Term"),
+        surface.alias("Matched Term"),
         F.col("cui").alias("Code"),
         anns.alias("Annotations"),
         "modifiers",
+        acro.alias("_acro"),
+        F.col("matched_term").alias("_mt"),
     )
     if concepts_df is not None:
         names = concepts_df.select(
@@ -47,6 +62,9 @@ def results_tsv_df(mentions_df: DataFrame,
     else:
         df = df.withColumn("Concept Name", F.col("Code")) \
                .withColumn("Semantic Type", F.lit(""))
+    df = df.withColumn("Concept Name",
+                       F.when(F.col("_acro"), F.col("_mt"))
+                       .otherwise(F.col("Concept Name")))
     cols = ["Document", "Matched Term", "Code", "Concept Name",
             "Semantic Type", "Annotations"]
     for mt in MODIFIER_COLUMNS:

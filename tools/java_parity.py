@@ -1070,6 +1070,53 @@ def run_local_html(spark) -> "Counter":
     return _html_struct(pages)
 
 
+def run_reference_csv() -> "Counter":
+    """CSVExporter.export(Document) — RESULTS.tsv rows over the shared
+    corpus with the shared ConText lexicon. Key = the full row: (doc,
+    surface text, code, concept name, semtypes, annotations, 8 modifier
+    values). The ``.txt`` title suffix is stripped (doc.getTitle() keeps
+    it; the engine keys documents by bare id)."""
+    import shutil
+    shutil.rmtree("/tmp/noble_terms", ignore_errors=True)
+    subprocess.run(["java", "-cp", CP, "RefDriver", OBO, DOCS, REF_TSV,
+                    "-", "csv", CTX_OWL], check=True, capture_output=True)
+    out = Counter()
+    with open(f"{REF_TSV}.d/RESULTS.tsv", encoding="utf-8") as f:
+        header = f.readline().rstrip("\n").split("\t")
+        for line in f:
+            row = line.rstrip("\n").split("\t")
+            row[0] = row[0][:-4] if row[0].endswith(".txt") else row[0]
+            _madd(out, tuple(row))
+    return header, out
+
+
+def run_local_csv(spark) -> "Counter":
+    """results_tsv_df over the same docs/terminology/ConText lexicon."""
+    from nobletools_spark.api import NobleCoderSpark
+    from nobletools_spark.model import MatchConfig
+    from nobletools_spark.operators.context import context_index_from_owl
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+    from nobletools_spark.sources.obo import (
+        concepts_df_from_records, parse_obo)
+    from nobletools_spark.sources.sinks import results_tsv_df
+
+    ctx = context_index_from_owl(open(CTX_OWL).read())
+    nc = NobleCoderSpark.from_obo(spark, open(OBO).read(),
+                                  cfg=MatchConfig(), context=ctx)
+    rows = [(fn[:-4], [("text", open(f"{DOCS}/{fn}",
+                                     encoding="utf-8").read(), None, 0)])
+            for fn in sorted(os.listdir(DOCS)) if fn.endswith(".txt")]
+    docs = spark.createDataFrame(rows, SPANS_DDL)
+    mentions = nc.annotate(docs)
+    concepts_df = concepts_df_from_records(
+        spark, parse_obo(open(OBO).read())[0])
+    tsv = results_tsv_df(mentions, concepts_df)
+    out = Counter()
+    for r in tsv.collect():
+        _madd(out, tuple("" if v is None else str(v) for v in r))
+    return tsv.columns, out
+
+
 def compare(ref, eng, label: str) -> dict:
     """Multiset precision/recall: tp counts each key min(ref_n, eng_n)
     times, so duplicate emissions on either side surface as <1.0."""
@@ -1119,6 +1166,16 @@ def main() -> None:
         emit_fixture(int(sys.argv[2]) if len(sys.argv) > 2 else 60)
         spark = get_spark(cores=8)
         compare(run_reference_html(), run_local_html(spark), "html")
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "csv":
+        # standalone iteration mode: RESULTS.tsv leg only
+        compile_reference()
+        emit_fixture(int(sys.argv[2]) if len(sys.argv) > 2 else 60)
+        spark = get_spark(cores=8)
+        rh, ref = run_reference_csv()
+        eh, eng = run_local_csv(spark)
+        assert rh == eh, (rh, eh)
+        compare(ref, eng, "csv")
         return
     if len(sys.argv) > 1 and sys.argv[1] == "termtemplate":
         # standalone iteration mode: terminology-template leg only
@@ -1212,6 +1269,13 @@ def main() -> None:
     # with ConText driving the color/N-prefix quirks
     results["html"] = compare(run_reference_html(),
                               run_local_html(spark), "html")
+    # RESULTS.tsv leg: CSVExporter.export(Document) row-for-row —
+    # surface text, code, concept name, semtypes, annotation renders,
+    # all 8 modifier values — with the header line asserted equal
+    rh, ref_csv = run_reference_csv()
+    eh, eng_csv = run_local_csv(spark)
+    assert rh == eh, (rh, eh)
+    results["csv"] = compare(ref_csv, eng_csv, "csv")
     json.dump(results, open(f"{REPO}/JAVA_PARITY.json", "w"), indent=1)
     print("JAVA_PARITY.json written")
 

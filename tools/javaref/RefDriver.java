@@ -77,12 +77,16 @@ public class RefDriver {
         // html mode: per-document HTMLExporter.export(doc, writer)
         // output, framed by ###DOC markers, optional ConText at args[5]
         boolean html = args.length > 4 && "html".equals(args[4]);
+        // csv mode: CSVExporter.export(doc) rows (RESULTS.tsv) into
+        // <out>.d/RESULTS.tsv, optional ConText at args[5]
+        boolean csv = args.length > 4 && "csv".equals(args[4]);
         ConText ctx = null;
-        if (html && args.length > 5) {
+        if ((html || csv) && args.length > 5) {
             ctx = new ConText(OOntology.loadOntology(new File(args[5])));
             nc.setContextDetection(true);
             nc.setConText(ctx);
-        } else if (args.length > 4 && !negex && !docproc && !html) {
+        } else if (args.length > 4 && !negex && !docproc && !html
+                && !csv) {
             ctx = new ConText(OOntology.loadOntology(new File(args[4])));
             nc.setContextDetection(true);
             nc.setConText(ctx);
@@ -92,12 +96,23 @@ public class RefDriver {
         edu.pitt.dbmi.nlp.noble.tools.NegEx ng =
                 negex ? new edu.pitt.dbmi.nlp.noble.tools.NegEx() : null;
         PrintStream out = new PrintStream(new File(args[2]), "UTF-8");
+        edu.pitt.dbmi.nlp.noble.util.CSVExporter cx = null;
+        if (csv) {
+            File dir = new File(args[2] + ".d");
+            dir.mkdirs();
+            new File(dir, "RESULTS.tsv").delete();
+            cx = new edu.pitt.dbmi.nlp.noble.util.CSVExporter(dir);
+        }
         File[] files = new File(args[1]).listFiles();
         java.util.Arrays.sort(files);
         for (File f : files) {
             if (!f.getName().endsWith(".txt"))
                 continue;
             Document doc = nc.process(f);
+            if (csv) {
+                cx.export(doc);
+                continue;
+            }
             if (html) {
                 // in-memory imports leave Concept.terminology null;
                 // codeConcept needs it for the servlet URL
@@ -140,6 +155,8 @@ public class RefDriver {
                 }
             }
         }
+        if (cx != null)
+            cx.flush();
         out.close();
         System.out.println("done");
     }
