@@ -349,6 +349,15 @@ ADVERSARIAL = (
     "Mother had melanoma; his brother has involved margins.",
     "If melanoma develops, the margins will be rechecked.",
     "History of melanoma but current melanoma is present.",
+    # wave 6: report-sink traps — markup-hostile text (the reference
+    # emits it raw, the engine escapes; the leg parsers unescape both),
+    # a Header sentence above a coded mention (bold + no-label branch),
+    # and an acronym that is later negated (N-prefix + #994d00 color)
+    "Melanoma & margins <deep> noted; margins > 2 mm.",
+    "FINAL DIAGNOSIS:  Melanoma of the skin.\n\nThe deep margin "
+    "is clear.",
+    "World Health Organization (WHO) criteria. No WHO grade was "
+    "assigned.",
 )
 
 
