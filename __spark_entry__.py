@@ -274,8 +274,10 @@ def q_kg_cooccurrence(spark, sf_dir):
 def q_kg_integrity(spark, sf_dir):
     """Pre-publish KG integrity validation (triples.kg_integrity):
     the corpus co-occurrence pairs + terminology isa/semtype triples
-    are clean by construction, so the report is exactly the five
-    deterministically planted violations — while the whole snapshot
+    are clean by construction, so the report is exactly the seven
+    deterministically planted violations (incl. a dangling
+    mentions-concept object and a dangling semtype subject, the
+    stale-terminology-merge signatures) — while the whole snapshot
     (incl. the corpus-derived edges) flows through the broadcast
     anti-joins."""
     from nobletools_spark.operators.triples import (
@@ -363,6 +365,8 @@ _INTEGRITY_PLANTED = (
     ("C101", "co-occurs-with", "C101"),         # self + non-canonical
     ("C108", "co-occurs-with", "C101"),         # non-canonical
     ("C101", "has-semantic-type", "T9"),        # unknown_tui
+    ("900", "mentions-concept", "CGONE"),       # unknown_object (doc subj)
+    ("C998", "has-semantic-type", "T001"),      # unknown_subject (TUI obj)
 )
 
 
@@ -1430,10 +1434,12 @@ def oracle_sql() -> dict[str, str]:
           f" tuis(ktui) AS (VALUES ('T001'), ('T002'))"
           f" SELECT DISTINCT subj, pred, obj, violation FROM ("
           f" SELECT subj, pred, obj, 'unknown_subject' AS violation"
-          f" FROM allt WHERE pred IN ('isa', 'co-occurs-with')"
+          f" FROM allt WHERE pred IN"
+          f" ('isa', 'co-occurs-with', 'has-semantic-type')"
           f" AND subj NOT IN (SELECT kid FROM known)"
           f" UNION ALL SELECT subj, pred, obj, 'unknown_object'"
-          f" FROM allt WHERE pred IN ('isa', 'co-occurs-with')"
+          f" FROM allt WHERE pred IN"
+          f" ('isa', 'co-occurs-with', 'mentions-concept')"
           f" AND obj NOT IN (SELECT kid FROM known)"
           f" UNION ALL SELECT subj, pred, obj, 'self_edge'"
           f" FROM allt WHERE pred IN ('isa', 'co-occurs-with')"

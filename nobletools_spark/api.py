@@ -249,11 +249,14 @@ class NobleCoderSpark:
         if synonym_edges is not None:
             from nobletools_spark.operators.canonical import (
                 canonical_map,
-                canonicalize_triples,
+                canonicalize_kg,
             )
 
-            t = canonicalize_triples(t, canonical_map(synonym_edges),
-                                     cols=("obj",))
+            # predicate-aware: doc-subject rows fold obj only, cui-cui
+            # rows fold BOTH ends with pair re-orientation + tautology
+            # drop — a blanket obj-only rewrite left alias subjects
+            # un-folded and minted self-edges kg_integrity rejects
+            t = canonicalize_kg(t, canonical_map(synonym_edges))
         return t
 
     def build_property_graph(self, docs_df, semtypes_df=None,

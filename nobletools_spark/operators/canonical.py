@@ -184,3 +184,51 @@ def canonicalize_triples(triples: DataFrame, mapping: DataFrame,
                .withColumn(c, F.coalesce(f"_canon_{c}", c))
                .drop(f"_canon_{c}"))
     return out.select(*triples.columns).distinct()
+
+
+def canonicalize_kg(triples: DataFrame, mapping: DataFrame,
+                    doc_subject_preds: tuple = ("mentions-concept",),
+                    non_cui_obj_preds: tuple = ("has-semantic-type",),
+                    symmetric_preds: tuple = ("co-occurs-with",)
+                    ) -> DataFrame:
+    """Predicate-aware canonicalization of a mixed (subj, pred, obj) KG
+    snapshot — the shape ``build_kg`` / the pipeline's triples stage
+    emit. A blanket endpoint rewrite breaks the snapshot's own
+    invariants (``kg_integrity``): folding one side of a co-occurrence
+    pair whose endpoints are synonyms mints a self-edge, and folding an
+    obj below its subj breaks the subj<obj pair orientation. Rules:
+
+    - ``doc_subject_preds``: subj is a document id — fold obj only.
+    - ``non_cui_obj_preds``: obj is not a CUI (e.g. a TUI) — fold subj
+      only.
+    - everything else (isa, co-occurrence, …): fold BOTH endpoints;
+      ``symmetric_preds`` rows are re-oriented to subj<obj afterwards,
+      and post-fold identity edges (a pair or isa between two aliases
+      of one concept — a tautology about the canonical node) drop.
+
+    Same plan shape as ``canonicalize_triples``: two broadcast left
+    joins against the terminology-sized map + one distinct."""
+    ms = mapping.select(F.col("cui").alias("_ms_key"),
+                        F.col("canonical_cui").alias("_canon_s"))
+    mo = mapping.select(F.col("cui").alias("_mo_key"),
+                        F.col("canonical_cui").alias("_canon_o"))
+    doc_subj = F.col("pred").isin(*doc_subject_preds)
+    non_cui = F.col("pred").isin(*non_cui_obj_preds)
+    sym = F.col("pred").isin(*symmetric_preds)
+    cui_cui = ~doc_subj & ~non_cui
+    out = (triples
+           .join(F.broadcast(ms),
+                 F.col("subj") == F.col("_ms_key"), "left")
+           .join(F.broadcast(mo),
+                 F.col("obj") == F.col("_mo_key"), "left")
+           .withColumn("subj", F.when(doc_subj, F.col("subj"))
+                       .otherwise(F.coalesce("_canon_s", "subj")))
+           .withColumn("obj", F.when(non_cui, F.col("obj"))
+                       .otherwise(F.coalesce("_canon_o", "obj")))
+           .withColumn("_s", F.when(sym, F.least("subj", "obj"))
+                       .otherwise(F.col("subj")))
+           .withColumn("obj", F.when(sym, F.greatest("subj", "obj"))
+                       .otherwise(F.col("obj")))
+           .withColumn("subj", F.col("_s"))
+           .filter(~(cui_cui & (F.col("subj") == F.col("obj")))))
+    return out.select(*triples.columns).distinct()

@@ -88,11 +88,16 @@ def kg_integrity(triples_df: DataFrame, known_ids_df: DataFrame,
     the QA gate a KG pipeline runs before exposing a snapshot. Returns
     VIOLATION rows (subj, pred, obj, violation), empty when clean:
 
-    - ``unknown_subject`` / ``unknown_object``: a concept-typed edge
-      (``isa`` / ``co-occurs-with``) endpoint absent from
-      ``known_ids_df`` (the terminology vocabulary the snapshot was
-      built against — a corrupted write or a stale-terminology merge
-      shows up here).
+    - ``unknown_subject`` / ``unknown_object``: a CUI-typed endpoint
+      absent from ``known_ids_df`` (the terminology vocabulary the
+      snapshot was built against — a corrupted write or a
+      stale-terminology merge shows up here). Checked on BOTH ends of
+      ``isa`` / ``co-occurs-with``, on the OBJECT of
+      ``mentions-concept`` (its subject is a document id), and on the
+      SUBJECT of ``has-semantic-type`` (its object is a TUI) — the
+      stale-merge case this engine is built around is exactly an old
+      mention row carried forward across a release that removed its
+      CUI.
     - ``self_edge``: subj == obj on those predicates (no concept isa /
       co-occurs-with itself; a canonicalization bug minting one).
     - ``non_canonical_pair``: a ``co-occurs-with`` row with
@@ -117,9 +122,17 @@ def kg_integrity(triples_df: DataFrame, known_ids_df: DataFrame,
     if cache:
         t = t.persist()
     edge = t.filter(F.col("pred").isin("isa", "co-occurs-with"))
-    unk_s = (edge.join(ids, edge["subj"] == ids["kid"], "left_anti")
+    # CUI-typed endpoints per predicate family: both ends of the
+    # cui-cui edges, the object of mentions-concept (doc-id subject),
+    # the subject of has-semantic-type (TUI object)
+    cui_subj = edge.unionByName(
+        t.filter(F.col("pred") == "has-semantic-type"))
+    cui_obj = edge.unionByName(
+        t.filter(F.col("pred") == "mentions-concept"))
+    unk_s = (cui_subj.join(ids, cui_subj["subj"] == ids["kid"],
+                           "left_anti")
              .withColumn("violation", F.lit("unknown_subject")))
-    unk_o = (edge.join(ids, edge["obj"] == ids["kid"], "left_anti")
+    unk_o = (cui_obj.join(ids, cui_obj["obj"] == ids["kid"], "left_anti")
              .withColumn("violation", F.lit("unknown_object")))
     self_e = (edge.filter(F.col("subj") == F.col("obj"))
               .withColumn("violation", F.lit("self_edge")))
@@ -298,27 +311,39 @@ MAX_PATHS = 10  # util/PathHelper.java:28
 def root_paths(edges: list[tuple[str, str]], cui: str,
                max_depth: int = PATH_DEPTH_LIMIT,
                max_paths: int = MAX_PATHS) -> list[list[str]]:
-    """Path enumeration to roots (PathHelper.getPaths semantics: DFS over
-    BROADER edges, depth cap 7, at most 10 paths, cycle-guarded).
+    """Path enumeration to roots (PathHelper.findPaths :352-381
+    semantics, exactly): BREADTH-first over BROADER edges; a parentless
+    node is accepted as a goal whenever reached — the goal test
+    precedes the depth gate, so a root at depth limit+1 still lands;
+    a non-goal node stops expanding once its path length exceeds the
+    limit, so over-deep paths are DROPPED, never truncated; the first
+    ``max_paths`` goals in BFS order win. No cycle guard, as in the
+    reference — cyclic expansion is bounded by the depth gate, and a
+    pure cycle yields NO paths (there is no parentless goal on it).
+    Parents expand in sorted order (the reference follows its storage
+    map's order — not portable; sorting pins determinism).
     Driver-side — the edge set is terminology-sized; the corpus-scale
     variant is the ``ancestors`` closure."""
+    from collections import deque
+
     parents: dict[str, list[str]] = {}
     for c, p in edges:
         parents.setdefault(c, []).append(p)
     paths: list[list[str]] = []
-
-    def dfs(node: str, path: list[str]) -> None:
-        if len(paths) >= max_paths or len(path) > max_depth:
-            return
-        ps = [p for p in parents.get(node, []) if p not in path]
-        if not ps:
+    queue: "deque[list[str]]" = deque([[cui]])
+    while queue:
+        path = queue.popleft()
+        ps = parents.get(path[-1], ())
+        if not ps:                       # goal: tested BEFORE the gate
             paths.append(path)
-            return
-        for p in sorted(ps):
-            dfs(p, path + [p])
-
-    dfs(cui, [cui])
-    return paths[:max_paths]
+            if len(paths) >= max_paths:
+                return paths
+        elif len(path) > max_depth:
+            pass                         # over-deep, no root in sight
+        else:
+            for p in sorted(ps):
+                queue.append(path + [p])
+    return paths
 
 
 def mentions_with_ancestor(mentions_df: DataFrame, edges_df: DataFrame,
@@ -332,10 +357,14 @@ def mentions_with_ancestor(mentions_df: DataFrame, edges_df: DataFrame,
     desc = (ancestors(edges_df, max_depth)
             .filter(F.col("ancestor") == ancestor_cui)
             .select("cui"))
-    from nobletools_spark.session import local_table
-
+    # graft the ancestor itself, CAST to the closure's cui dtype —
+    # a hardcoded string row would coerce the whole union (and the
+    # semi-join below) to string for integer-coded id schemes, the
+    # implicit-cast join every sibling avoids (ancestors :250)
     gate = desc.union(
-        local_table(desc.sparkSession, [(ancestor_cui,)], "cui string"))
+        desc.sparkSession.range(1)
+        .select(F.lit(ancestor_cui).cast(desc.schema["cui"].dataType)
+                .alias("cui")))
     return mentions_df.join(F.broadcast(gate.distinct()), "cui", "left_semi")
 
 
@@ -394,7 +423,7 @@ def cooccurrence_triples(mentions_df: DataFrame,
 
 
 def lift_triples(mentions_df: DataFrame, scale: int = 10**6,
-                 salt_buckets: int = 0) -> DataFrame:
+                 salt_buckets: int = 0, cache: bool = True) -> DataFrame:
     """Co-occurrence triples with an exact fixed-point LIFT confidence:
 
         lift = P(a,b) / (P(a)·P(b)) = n_pair · N / (n_a · n_b)
@@ -425,7 +454,9 @@ def lift_triples(mentions_df: DataFrame, scale: int = 10**6,
     # Spark recomputes the mentions lineage (a full matcher pass at
     # corpus scale) once per aggregate. Left to the LRU block manager
     # after the query, the triangles() convention.
-    dc = mentions_df.select("doc_id", "cui").distinct().persist()
+    dc = mentions_df.select("doc_id", "cui").distinct()
+    if cache:
+        dc = dc.persist()
     cooc = cooccurrence_triples(dc, salt_buckets, assume_distinct=True)
     freq = dc.groupBy("cui").agg(F.count("*").cast("long").alias("n_c"))
     total = dc.select(F.count_distinct("doc_id").cast("long").alias("n_total"))
@@ -440,7 +471,8 @@ def lift_triples(mentions_df: DataFrame, scale: int = 10**6,
 
 
 def typed_cooccurrence(cooc_df: DataFrame, semtypes_df: DataFrame,
-                       rules_df: DataFrame) -> DataFrame:
+                       rules_df: DataFrame,
+                       cache: bool = True) -> DataFrame:
     """Ontology-typed predicate induction: relabel untyped
     co-occurrence pairs with predicates keyed by the semantic-type pair
     — the KG-construction step that turns a statistical signal
@@ -474,7 +506,9 @@ def typed_cooccurrence(cooc_df: DataFrame, semtypes_df: DataFrame,
     # lineage under cooc_df executes once per orientation
     typed = (cooc_df.drop("pred")
              .join(F.broadcast(sa), "subj")
-             .join(F.broadcast(sb), "obj")).persist()
+             .join(F.broadcast(sb), "obj"))
+    if cache:
+        typed = typed.persist()
     fwd = typed.join(F.broadcast(rules_df), ["tui_s", "tui_o"]).select(
         "subj", "pred", "obj", "n_docs")
     rules_rev = rules_df.select(F.col("tui_s").alias("tui_o"),
@@ -486,7 +520,8 @@ def typed_cooccurrence(cooc_df: DataFrame, semtypes_df: DataFrame,
 
 
 def relation_mentions(mentions_df: DataFrame,
-                      max_gap: int = 100) -> DataFrame:
+                      max_gap: int = 100,
+                      cache: bool = True) -> DataFrame:
     """Sentence-level relation candidates with evidence geometry: one
     row per ordered same-sentence mention pair where the subject span
     ends before the object span starts and the character gap between
@@ -514,7 +549,9 @@ def relation_mentions(mentions_df: DataFrame,
     # both sides — one matcher pass, not two (cooccurrence_triples
     # convention)
     m = (mentions_df.select("doc_id", "sent_offset", "cui", "start", "end")
-         .distinct().persist())
+         .distinct())
+    if cache:
+        m = m.persist()
     a = m.alias("a")
     b = m.alias("b")
     return (a.join(b, ["doc_id", "sent_offset"])
@@ -532,7 +569,7 @@ def relation_mentions(mentions_df: DataFrame,
 
 
 def relation_triples(mentions_df: DataFrame, max_gap: int = 100,
-                     min_sents: int = 1) -> DataFrame:
+                     min_sents: int = 1, cache: bool = True) -> DataFrame:
     """Aggregated sentence-level relation candidates:
     (subj, 'co-occurs-in-sentence', obj, n_sents, min_gap) where
     ``n_sents`` counts distinct (doc, sentence) evidence sites and
@@ -541,7 +578,7 @@ def relation_triples(mentions_df: DataFrame, max_gap: int = 100,
     (A, B) and (B, A) are distinct rows when both orders occur.
     ``min_sents`` gates out one-off pairings. One aggregation shuffle
     over the (sentence-local) pair stream."""
-    pairs = relation_mentions(mentions_df, max_gap)
+    pairs = relation_mentions(mentions_df, max_gap, cache=cache)
     return (pairs.groupBy(F.col("subj_cui").alias("subj"),
                           F.col("obj_cui").alias("obj"))
             .agg(F.count_distinct("doc_id", "sent_offset")
@@ -697,7 +734,7 @@ def alphabetic_ids(df: DataFrame, col: str = "entity",
 
 def negative_triples(triples_df: DataFrame, n_neg: int = 2,
                      entities_df: DataFrame | None = None,
-                     seed: str = "neg") -> DataFrame:
+                     seed: str = "neg", cache: bool = True) -> DataFrame:
     """Deterministic filtered tail-corruption negatives for
     KG-embedding training (the TransE/DistMult sampling recipe): for
     each true triple (s, p, o) and slot i ∈ [0, n_neg), corrupt the
@@ -737,7 +774,9 @@ def negative_triples(triples_df: DataFrame, n_neg: int = 2,
     # the distinct triple set feeds four plan legs (both entity scans,
     # the candidate stream, the anti-join) — persist so an expensive
     # upstream lineage (the matcher) runs once, not four times
-    t = triples_df.select("subj", "pred", "obj").distinct().persist()
+    t = triples_df.select("subj", "pred", "obj").distinct()
+    if cache:
+        t = t.persist()
     ents = (entities_df.select(F.col(entities_df.columns[0]).alias("entity"))
             if entities_df is not None
             else t.select(F.col("subj").alias("entity"))

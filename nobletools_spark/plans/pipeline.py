@@ -474,7 +474,7 @@ def kg_stages(index, context=None, cfg=None,
     def s_triples(spark, r):
         from nobletools_spark.operators.canonical import (
             canonical_map,
-            canonicalize_triples,
+            canonicalize_kg,
         )
 
         t = r["mention_triples"].select("subj", "pred", "obj")
@@ -487,9 +487,11 @@ def kg_stages(index, context=None, cfg=None,
             t = t.unionByName(
                 semtype_triples(r["semtypes"]).select("subj", "pred", "obj"))
         if "synonym_edges" in r:
-            # CUI canonicalization folds alias concepts before the write
-            t = canonicalize_triples(t, canonical_map(r["synonym_edges"]),
-                                     cols=("obj",))
+            # CUI canonicalization folds alias concepts before the
+            # write — predicate-aware (doc subjects keep their ids,
+            # pairs re-orient, post-fold tautologies drop) so the
+            # canonicalized snapshot passes its own kg_integrity gate
+            t = canonicalize_kg(t, canonical_map(r["synonym_edges"]))
         return t
 
     def s_items(spark, r):

@@ -702,3 +702,31 @@ def test_html_report_header_sentences_bold(spark):
     assert "<label" not in html[html.index("<b>FINAL"):head_end]
     # the prose mention below the header still renders as a label
     assert "<label" in html[head_end:]
+
+
+def test_canonicalize_kg_predicate_aware(spark):
+    """Predicate-aware KG canonicalization: doc subjects keep their
+    ids, TUI objects keep theirs, cui-cui edges fold BOTH endpoints,
+    co-occurrence pairs re-orient to subj<obj, and post-fold identity
+    edges (a pair between two aliases of one concept) drop — so the
+    canonicalized snapshot passes its own kg_integrity gate."""
+    from nobletools_spark.operators.canonical import canonicalize_kg
+
+    mapping = spark.createDataFrame(
+        [("C2", "C1"), ("C1", "C1"), ("C9", "C5")],
+        "cui string, canonical_cui string")
+    t = spark.createDataFrame(
+        [("d1", "mentions-concept", "C2"),     # obj folds, subj kept
+         ("C2", "has-semantic-type", "T047"),  # subj folds, obj kept
+         ("C1", "co-occurs-with", "C2"),       # aliases → tautology, drops
+         ("C3", "co-occurs-with", "C9"),       # C9→C5 < C3 → re-orient
+         ("C2", "isa", "C1"),                  # alias isa canonical → drops
+         ("C3", "isa", "C9")],                 # obj folds
+        "subj string, pred string, obj string")
+    got = {tuple(r) for r in canonicalize_kg(t, mapping).collect()}
+    assert got == {
+        ("d1", "mentions-concept", "C1"),
+        ("C1", "has-semantic-type", "T047"),
+        ("C3", "co-occurs-with", "C5"),
+        ("C3", "isa", "C5"),
+    }

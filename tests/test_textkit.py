@@ -196,8 +196,18 @@ def test_root_paths():
     # diamond: two paths to C015
     assert ["C012", "C003", "C015"] in paths
     assert ["C012", "C017", "C015"] in paths
-    # cycle guard terminates
-    assert root_paths([("A", "B"), ("B", "A")], "A") == [["A", "B"]]
+    # a pure cycle has no parentless goal: the depth gate bounds the
+    # expansion and NO path is returned (PathHelper.findPaths has no
+    # cycle guard and never emits a path ending at a non-root)
+    assert root_paths([("A", "B"), ("B", "A")], "A") == []
+    # a root at path length limit+1 still lands (7 hops with limit 7):
+    # the goal test precedes the depth gate (findPaths :363-371)
+    chain = [(f"c{i}", f"c{i+1}") for i in range(7)]   # c0→…→c7, 7 hops
+    assert root_paths(chain, "c0") == [
+        ["c0"] + [f"c{i}" for i in range(1, 8)]]
+    # one hop deeper is dropped, not truncated
+    chain8 = [(f"c{i}", f"c{i+1}") for i in range(8)]
+    assert root_paths(chain8, "c0") == []
 
 
 def test_string_stats_exact_java_semantics():
