@@ -484,6 +484,27 @@ def context_index_from_owl(owl_xml: str) -> ContextIndex:
                     queue.append(p)
         return None
 
+    def restriction_values(cname: str, prop: str) -> tuple:
+        """Class-valued restriction fillers of ``prop`` on ``cname`` AND
+        every ancestor class: the reference stores related concepts
+        through getNecessaryRestrictions (ConText.addConcept :300-308),
+        which folds in all superclass restrictions (OClass.java
+        :177-186) — a hasTermination declared once on a parent class
+        must clip the scope of every value beneath it."""
+        out: list[str] = []
+        seen = {cname}
+        queue = [cname]
+        while queue:
+            c = queue.pop(0)
+            for p, v, _ in classes.get(c, {}).get("restrictions", []):
+                if p == prop and v not in out:
+                    out.append(v)
+            for par in classes.get(c, {}).get("parents", []):
+                if par not in seen:
+                    seen.add(par)
+                    queue.append(par)
+        return tuple(out)
+
     rules: list[ModifierRule] = []
     for iname, inst in instances.items():
         terms = tuple(dict.fromkeys(inst["labels"] + inst["synonyms"]))
@@ -492,20 +513,17 @@ def context_index_from_owl(owl_xml: str) -> ContextIndex:
         vclass = inst["types"][0]
         anc = ancestors_of(vclass)
         is_pseudo = "Pseudo" in anc
-        # instance-level hasActionEn assertion wins (the real Modifier.owl
-        # shape, read by ConText.getAction :589-596 from the instance
-        # concept's properties); class restrictions are the fallback
+        # action comes ONLY from an instance-level hasActionEn assertion
+        # (ConText.getAction :589-596 reads the instance concept's
+        # properties, which addConcept(IInstance) :200-207 fills from
+        # instance assertions alone) — with none, forward and backward
+        # are both false and the modifier assigns to nothing
         inst_action = (inst.get("props", {}).get("hasActionEn") or [None])[0]
-        action = (inst_action or inherited(vclass, "hasActionEn")
-                  or ACTION_FORWARD).lower()
+        action = (inst_action or "none").lower()
         window = int(inherited(vclass, "windowSize")
                      or DEFAULT_WINDOW_SIZE)
-        terminated = tuple(v for p, v, _ in
-                           classes.get(vclass, {}).get("restrictions", [])
-                           if p == "hasTermination")
-        pseudo = tuple(v for p, v, _ in
-                       classes.get(vclass, {}).get("restrictions", [])
-                       if p == "hasPseudo")
+        terminated = restriction_values(vclass, "hasTermination")
+        pseudo = restriction_values(vclass, "hasPseudo")
         tv = type_and_value(vclass)
         if is_pseudo or action == ACTION_TERMINATE or tv is None:
             mod_type, value = "", ""

@@ -647,7 +647,14 @@ def item_questions(rt: ExtractRuntime,
     """TemplateItem.getQuestions (:309-324) + the CSVExporter attribute
     resolution (getAttribute :331-339 suffix match): (question,
     attr_code|None) pairs in column order; attribute display names come
-    from the terminology (attr.getName())."""
+    from the terminology (attr.getName()).
+
+    Documented deviation: when one attribute name is a suffix of
+    another's question string (e.g. 'grade' vs 'nuclear grade'), the
+    reference's endsWith scan binds whichever attribute a HashMap
+    keySet iterates first (getAttributes :128-130 — JVM hash order,
+    unstable and unportable); this engine always binds the question's
+    OWN attribute, the only well-defined resolution."""
     if not item.attributes:
         q = "diagnosis" if item.item_type == "diagnosis" else item.name
         return [(q, None)]

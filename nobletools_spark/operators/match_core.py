@@ -247,16 +247,24 @@ def _get_used_words(words: list[str], term: str, cfg: MatchConfig) -> list[str]:
 
 
 def _original_term(text: str, term: str, norm_map: dict[str, str]) -> str:
-    """getOriginalTerm (:1381-1405): order term words by position of their
-    (last-char-trimmed if len>3) form in the lowercased sentence, then map
-    back to original surface forms."""
+    """getOriginalTerm (:1381-1405): order term words by position of
+    their (last-char-trimmed if len>3) form in the lowercased sentence,
+    then map back to original surface forms. The reference's TreeSet
+    comparator compares the TRIMMED forms on position ties, so two
+    distinct words sharing a trimmed form and a sentence position
+    ('her2'/'her3' → 'her') count as EQUAL — the first inserted
+    survives and the other is dropped from the original term."""
     txt = text.lower()
 
-    def pos_key(w: str):
-        probe = w[:-1] if len(w) > 3 else w
-        return (txt.find(probe), w)
+    def trim(w: str) -> str:
+        return w[:-1] if len(w) > 3 else w
 
-    words = sorted(set(term.split(" ")), key=pos_key)
+    chosen: dict[tuple[int, str], str] = {}
+    for w in term.split(" "):
+        k = (txt.find(trim(w)), trim(w))
+        if k not in chosen:            # TreeSet.add: first insert wins
+            chosen[k] = w
+    words = [chosen[k] for k in sorted(chosen)]
     return " ".join(norm_map.get(w, w) for w in words)
 
 
@@ -445,12 +453,15 @@ def match_sentence(text: str, idx: TerminologyIndex,
 def _is_filtered_out(meta: ConceptMeta, cfg: MatchConfig) -> bool:
     """isFilteredOut (NobleCoderTerminology.java:1706-1782): with a
     non-empty filter, keep the concept iff it has at least one matching
-    source/semtype OR carries none at all."""
+    source/semtype. A concept carrying NONE is dropped: the keep-if-null
+    branch (:1722-1726) is dead code — Concept.getSources /
+    getSemanticTypes never return null (Concept.java:615-617), so an
+    empty array leaves filteredOut=true."""
     if cfg.source_filter:
-        if meta.sources and not set(meta.sources) & set(cfg.source_filter):
+        if not set(meta.sources or ()) & set(cfg.source_filter):
             return True
     if cfg.semtype_filter:
-        if meta.semtypes and not set(meta.semtypes) & set(cfg.semtype_filter):
+        if not set(meta.semtypes or ()) & set(cfg.semtype_filter):
             return True
     return False
 

@@ -413,3 +413,86 @@ def test_explicit_empty_defaults_not_replaced():
     idx = build_context_index([], defaults={})
     assert idx.defaults == {}
     assert build_context_index([]).defaults == dict(DEFAULT_VALUES)
+
+
+INHERITED_TERM_OWL = CONTEXT_OWL.replace(
+    # move the termination/pseudo restrictions from Negative_Polarity up
+    # to its PARENT class Polarity — the reference inherits them through
+    # getNecessaryRestrictions (OClass.java:177-186), consumed via the
+    # value class's related concepts (ConText.addConcept :300-308)
+    """  <owl:Class rdf:about="#Polarity">
+    <rdfs:subClassOf rdf:resource="#LinguisticModifier"/>
+  </owl:Class>
+  <owl:Class rdf:about="#Negative_Polarity">
+    <rdfs:subClassOf rdf:resource="#Polarity"/>
+    <rdfs:subClassOf><owl:Restriction>
+      <owl:onProperty rdf:resource="#hasActionEn"/>
+      <owl:hasValue>forward</owl:hasValue>
+    </owl:Restriction></rdfs:subClassOf>
+    <rdfs:subClassOf><owl:Restriction>
+      <owl:onProperty rdf:resource="#hasTermination"/>
+      <owl:someValuesFrom rdf:resource="#Conjunction_Closure"/>
+    </owl:Restriction></rdfs:subClassOf>
+    <rdfs:subClassOf><owl:Restriction>
+      <owl:onProperty rdf:resource="#hasPseudo"/>
+      <owl:someValuesFrom rdf:resource="#Pseudo_Negation"/>
+    </owl:Restriction></rdfs:subClassOf>
+  </owl:Class>""",
+    """  <owl:Class rdf:about="#Polarity">
+    <rdfs:subClassOf rdf:resource="#LinguisticModifier"/>
+    <rdfs:subClassOf><owl:Restriction>
+      <owl:onProperty rdf:resource="#hasTermination"/>
+      <owl:someValuesFrom rdf:resource="#Conjunction_Closure"/>
+    </owl:Restriction></rdfs:subClassOf>
+    <rdfs:subClassOf><owl:Restriction>
+      <owl:onProperty rdf:resource="#hasPseudo"/>
+      <owl:someValuesFrom rdf:resource="#Pseudo_Negation"/>
+    </owl:Restriction></rdfs:subClassOf>
+  </owl:Class>
+  <owl:Class rdf:about="#Negative_Polarity">
+    <rdfs:subClassOf rdf:resource="#Polarity"/>
+    <rdfs:subClassOf><owl:Restriction>
+      <owl:onProperty rdf:resource="#hasActionEn"/>
+      <owl:hasValue>forward</owl:hasValue>
+    </owl:Restriction></rdfs:subClassOf>
+  </owl:Class>""")
+
+
+def test_context_owl_inherits_terminations_from_ancestors():
+    """hasTermination/hasPseudo declared on an ANCESTOR of the value
+    class still clip/suppress: the reference folds superclass
+    restrictions into the value concept's related concepts
+    (getNecessaryRestrictions), so a termination declared once on
+    Polarity governs every polarity value beneath it."""
+    from nobletools_spark.operators.context import context_index_from_owl
+
+    ctx = context_index_from_owl(INHERITED_TERM_OWL)
+    r = ctx.rules["no_evidence_of"]
+    assert r.terminated_by == ("Conjunction_Closure",)
+    assert r.pseudo == ("Pseudo_Negation",)
+    # behavior: the inherited terminator clips the negation scope
+    text = "No evidence of margins but melanoma was seen."
+    assert _mods_owl(ctx, text, "C013")["Polarity"] == "Positive_Polarity"
+    # and the inherited pseudo phrase suppresses
+    assert _mods_owl(ctx, "No change in melanoma.", "C013")["Polarity"] \
+        == "Positive_Polarity"
+
+
+def test_context_owl_actionless_instance_assigns_nothing():
+    """An instance with NO hasActionEn assertion matches as a modifier
+    but assigns to nothing: the reference reads the action only from
+    instance-level properties (ConText.getAction :589-596), and with
+    none both forward and backward are false (getTargetMentions
+    :431-434) — mentions keep their default values."""
+    from nobletools_spark.operators.context import context_index_from_owl
+
+    owl = CONTEXT_OWL.replace(
+        '    <ctx:hasActionEn rdf:resource="#forward"/>\n'
+        '  </owl:NamedIndividual>\n'
+        '  <owl:NamedIndividual rdf:about="#history_of">',
+        '  </owl:NamedIndividual>\n'
+        '  <owl:NamedIndividual rdf:about="#history_of">', 1)
+    ctx = context_index_from_owl(owl)
+    assert ctx.rules["no_evidence_of"].action == "none"
+    assert _mods_owl(ctx, "No evidence of melanoma.", "C013")["Polarity"] \
+        == "Positive_Polarity"

@@ -307,3 +307,37 @@ def test_single_word_stem_only_penalty():
     assert [m.cui for m in match_sentence("customs", idx, cfg)] == ["C103"]
     assert [m.cui for m in match_sentence("custom entity here",
                                           idx, cfg)] == ["C103"]
+
+
+def test_original_term_trim_dedup():
+    """getOriginalTerm's TreeSet comparator compares last-char-TRIMMED
+    forms on position ties (NobleCoderTerminology.java:1384-1395), so
+    two term words sharing a trimmed form and a sentence position
+    ('her2'/'her3' → 'her') count as EQUAL — the first inserted wins
+    and the other drops from the original term."""
+    from nobletools_spark.operators.match_core import _original_term
+
+    # both trim to 'her'; txt.find('her') is the same position for both
+    assert _original_term("her2 and her3 amplification",
+                          "her2 her3", {}) == "her2"
+    # distinct trimmed forms keep both, position-ordered
+    assert _original_term("deep margin noted",
+                          "margin deep", {}) == "deep margin"
+
+
+def test_filter_drops_concepts_with_no_sources_or_semtypes():
+    """isFilteredOut keep-if-null is dead code: Concept.getSources /
+    getSemanticTypes never return null (Concept.java:615-617), so under
+    an active filter a concept carrying NO sources / semtypes is
+    dropped, not kept."""
+    from nobletools_spark.index import build_index
+    from nobletools_spark.model import MatchConfig
+
+    bare = [{"cui": "C1", "name": "melanoma", "synonyms": ("melanoma",),
+             "semtypes": (), "sources": ()}]
+    idx = build_index(bare)
+    assert match_sentence("melanoma seen", idx, MatchConfig())
+    assert match_sentence("melanoma seen", idx,
+                          MatchConfig(semtype_filter=("T047",))) == []
+    assert match_sentence("melanoma seen", idx,
+                          MatchConfig(source_filter=("NCI",))) == []
