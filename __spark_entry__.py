@@ -1277,7 +1277,7 @@ def _lang_votes_sql() -> dict[str, str]:
     votes = {}
     for lang in LANGS:
         lst = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
-        votes[lang] = (f"len(list_filter(string_split(text, ' '), "
+        votes[lang] = (f"len(list_filter(string_split(coalesce(text, ''), ' '), "
                        f"x -> list_contains([{lst}], x)))::BIGINT")
     return votes
 
@@ -1292,7 +1292,8 @@ def _lang_case_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    toks = "string_split(text, ' ')"
+    # null-safe: matches ids.ws_tokens_col (NULL text => one '' token)
+    toks = "string_split(coalesce(text, ''), ' ')"
     h64_tok = _SQL_H64.format(x="tokk")
     sql: dict[str, str] = {}
 
@@ -1877,7 +1878,8 @@ def oracle_sql() -> dict[str, str]:
         " FROM base b LEFT JOIN hs USING (doc_id)")
 
     sql["text_fingerprints"] = (
-        f"SELECT doc_id::BIGINT AS doc_id, md5(text) AS content_md5,"
+        f"SELECT doc_id::BIGINT AS doc_id,"
+        f" md5(coalesce(text, '')) AS content_md5,"
         f" md5(array_to_string(list_sort(list_distinct({toks})), ' '))"
         f" AS bag_sig,"
         f" list_reduce(list_prepend(0::BIGINT,"
@@ -1976,7 +1978,7 @@ def oracle_sql() -> dict[str, str]:
         f" SELECT doc_id::BIGINT + {NEAR_DUP_ID_OFFSET},"
         f" array_to_string(t[2:len(t)], ' ')"
         f" FROM (SELECT doc_id, {toks} AS t FROM documents)), "
-        f"tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug), "
+        f"tt AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM aug), "
         f"hh AS (SELECT doc_id, {shh_expr} AS shh"
         f" FROM (SELECT doc_id, t, list_transform(t, x -> {h32_x}) AS ht"
         f" FROM tt)), "

@@ -22,9 +22,10 @@ Scale design (the part that must survive 100 TB):
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
-from nobletools_spark.functions.ids import doc_id_col, tok_docs
+from nobletools_spark.functions.ids import (
+    _INTEGRAL, doc_id_col, tok_docs, ws_tokens_col)
 
 from nobletools_spark.functions.hashing import h64
 
@@ -37,10 +38,6 @@ def h32(col: Column) -> Column:
     engines (DuckDB raises on BIGINT overflow; Java wraps — either would
     break parity)."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
-
-
-def sql_h32(expr: str) -> str:
-    return f"(('0x' || substring(md5({expr}), 1, 8))::UBIGINT)::BIGINT"
 
 
 def minhash_coeffs(num_hashes: int, seed: int = 13) -> list[tuple[int, int]]:
@@ -56,17 +53,11 @@ SHINGLE_WEIGHTS = (1000003, 999983, 999979, 999961, 999959)
 
 
 def _tokens(col: str = "text") -> Column:
-    return F.split(F.col(col), " ")
-
-
-def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a token-array column. Documents
-    shorter than n tokens get their full text as the single shingle."""
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(col) - F.lit(n)),
-        lambda i: F.concat_ws(" ", F.slice(col, i + 1, n)))
-    return F.array_distinct(
-        F.when(F.size(col) >= n, grams).otherwise(F.array(F.concat_ws(" ", col))))
+    """ids.ws_tokens_col — THE null-safe whitespace tokenization (NULL
+    text ⇒ one \'\' token, so every operator emits a row for every
+    input document). The alias exists for call-site brevity only."""
+    assert col == "text"
+    return ws_tokens_col()
 
 
 NEAR_DUP_ID_OFFSET = 10_000_000
@@ -77,7 +68,16 @@ def with_near_duplicates(docs: DataFrame) -> DataFrame:
     checks: union the corpus with a copy of every document minus its
     first token (doc_id + NEAR_DUP_ID_OFFSET). The planted pairs have
     Jaccard ≈ (s-n)/(s+n-? ) ≫ any random pair, so LSH must recover
-    them. Derived purely from the input — no external data."""
+    them. Derived purely from the input — no external data.
+
+    Requires an integral doc_id (the clone ids are offsets): loud
+    ValueError for string/decimal ids — an ANSI runtime would throw a
+    CAST_INVALID_INPUT deep inside the plan, a non-ANSI one would
+    silently merge every clone under one NULL id."""
+    if not isinstance(docs.schema["doc_id"].dataType, _INTEGRAL):
+        raise ValueError(
+            "with_near_duplicates needs an integral doc_id to derive "
+            f"clone ids; got {docs.schema['doc_id'].dataType}")
     toks = _tokens()
     clone = docs.select(
         (F.col("doc_id").cast("long") + F.lit(NEAR_DUP_ID_OFFSET)).alias("doc_id"),
@@ -439,6 +439,13 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 16,
     than the cap, trading recall for a hard skew bound; dropped buckets
     are countable by the caller from ``lsh_buckets``) → distinct
     candidate pairs → Jaccard verification join."""
+    if not 1 <= bands <= num_hashes or num_hashes % bands:
+        # a silent rows=0 would key EVERY band on md5('') — one
+        # corpus-wide bucket that cap_buckets then drops wholesale,
+        # returning zero pairs as if the corpus had no near-dups;
+        # a non-divisible split would silently ignore trailing hashes
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})")
     rows = num_hashes // bands
     sig = minhash_signatures(docs, n, num_hashes)
     band_cols = []
@@ -507,8 +514,13 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.98,
     work, with ``max_bucket`` bounding the worst bucket's quadratic task
     (same trade as minhash_lsh_pairs; applies to the planes path only —
     an explicit group_col is the caller's contract)."""
-    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    # the fold shapes are similarity's — oracle-parity-critical
+    # (ordered fold ≡ DuckDB list_reduce), so never re-implemented here
+    from nobletools_spark.operators.similarity import (
+        _cosine, _dot, _norm, _vec_double)
+
+    vec = _vec_double()
+    norm = _norm(vec)
     if planes is not None:
         from nobletools_spark.operators.similarity import bucket_expr, cap_buckets
 
@@ -521,11 +533,8 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.98,
                       F.col("vec_id").cast("long").alias("vec_id"),
                       vec.alias("v"), norm.alias("nrm"))
     base = base.repartition("g")  # materialize v/nrm below the join
-    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-                      F.lit(0.0), lambda a, x: a + x)
-    from nobletools_spark.operators.similarity import _cosine
-
-    cos = _cosine(dot, F.col("a.nrm"), F.col("b.nrm"))
+    cos = _cosine(_dot(F.col("a.v"), F.col("b.v")),
+                  F.col("a.nrm"), F.col("b.nrm"))
     return (base.alias("a").join(base.alias("b"), "g")
             .filter(F.col("a.vec_id") < F.col("b.vec_id"))
             .select(F.col("a.vec_id").alias("vec_a"),

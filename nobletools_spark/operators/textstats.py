@@ -73,7 +73,13 @@ SCRIPT_LANG = {"kana": "ja", "hangul": "ko", "han": "zh",
 
 
 def _tokens(col: str = "text") -> Column:
-    return F.split(F.col(col), " ")
+    """ids.ws_tokens_col — THE null-safe whitespace tokenization (NULL
+    text ⇒ one '' token, so token_stats/quality_score/fingerprints emit
+    real rows for NULL-text docs like every sibling operator)."""
+    assert col == "text"
+    from nobletools_spark.functions.ids import ws_tokens_col
+
+    return ws_tokens_col()
 
 
 # BPE-ish pre-tokenizer: alnum runs OR single non-alnum-non-space marks —
@@ -515,7 +521,9 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         lambda acc, t: (acc * F.lit(31) + h64(t)) % F.lit(HASH_MOD))
     return docs.select(
         doc_id_col(docs),
-        F.md5(F.col("text")).alias("content_md5"),
+        # NULL coalesced: a NULL-text doc keys as the empty doc, never
+        # as a NULL key a downstream dedup group-by would collapse
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("content_md5"),
         F.md5(F.concat_ws(" ", bag)).alias("bag_sig"),
         rolling.alias("rolling_h"),
     )

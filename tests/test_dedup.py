@@ -960,3 +960,48 @@ def test_classifier_score_adversarial_corpus(spark):
         for d, t in rows:
             assert (got[d].n_features, got[d].logit_fp,
                     got[d].score) == replay(t, weights), (d, weights is None)
+
+
+def test_null_text_docs_keep_rows_everywhere(spark):
+    """NULL-text documents flow through the shared ws_tokens_col
+    contract (one '' token): every per-doc operator emits a row for
+    them — a silent row drop (simhash's old explode of a null split)
+    breaks any pipeline that inner-joins results back to the corpus."""
+    from nobletools_spark.operators.dedup import exact_dedup, simhash
+    from nobletools_spark.operators.textstats import (
+        fingerprints, token_stats)
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c d")], "doc_id long, text string")
+    assert simhash(docs).count() == 2
+    assert token_stats(docs).filter("n_tokens IS NULL").count() == 0
+    assert fingerprints(docs).filter("content_md5 IS NULL").count() == 0
+    assert exact_dedup(docs, by="bag").count() == 2
+
+
+def test_minhash_lsh_rejects_bad_band_split(spark):
+    """bands must divide num_hashes: a silent rows=0 keys every band on
+    md5('') — one corpus-wide bucket that the skew cap then drops,
+    returning zero pairs as if the corpus were duplicate-free."""
+    import pytest
+
+    from nobletools_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=32)
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=5)
+
+
+def test_with_near_duplicates_rejects_string_ids(spark):
+    """String doc_ids cannot take the clone-id offset: loud ValueError
+    instead of an ANSI cast crash deep inside the plan."""
+    import pytest
+
+    from nobletools_spark.operators.dedup import with_near_duplicates
+
+    docs = spark.createDataFrame([("d1", "a b")],
+                                 "doc_id string, text string")
+    with pytest.raises(ValueError):
+        with_near_duplicates(docs)
