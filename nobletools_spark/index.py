@@ -113,7 +113,8 @@ def build_index(concepts: Iterable[ConceptMeta | Mapping],
         for t in terms:
             term_cuis[t].add(c.cui)
         for r in regexes:
-            regex_terms.append((r"\b(" + r + r")\b", c.cui))
+            # raw source kept for the final deterministic sort
+            regex_terms.append((r, c.cui))
         # wordMap per addConcept (NobleCoderTerminology.java:1080-1085 →
         # ConceptImporter.saveWordTerms :1299-1355): for each WORD of a
         # normal term, attach every of the CONCEPT's terms containing the
@@ -139,7 +140,13 @@ def build_index(concepts: Iterable[ConceptMeta | Mapping],
         term_cuis={t: tuple(sorted(cs)) for t, cs in term_cuis.items()},
         word_term_count=word_term_count,
         concepts=metas,
-        regex_terms=tuple(regex_terms),
+        # sorted by (source, cui) — concept_terms hands back a SET, and
+        # _search_regexp is order-sensitive (later pattern wins on equal
+        # spans), so hash-seed iteration order would make matcher output
+        # vary run to run; this is also build_index_df's exact order, so
+        # the two builders stay interchangeable
+        regex_terms=tuple((r"\b(" + r + r")\b", cui)
+                          for r, cui in sorted(regex_terms)),
         compacted=compact,
         code_map=build_code_map(metas),
     )

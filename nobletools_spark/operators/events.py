@@ -142,9 +142,17 @@ def streaming_sessionize(events_stream: DataFrame,
 
     timeout = (GroupStateTimeout.ProcessingTimeTimeout if idle_flush
                else GroupStateTimeout.NoTimeout)
+    # rows outside the numeric-id / non-null-ts contract are DROPPED
+    # before grouping: a NULL key would reach fn as key=(None,) and
+    # kill the whole streaming query on int(None); try_cast keeps a
+    # non-numeric id from throwing mid-stream under ANSI; a NaT ts
+    # would int64-cast to year-1677 garbage and poison the open
+    # session's start forever
     return (_with_ts(events_stream)
             .withWatermark("ts", watermark)
-            .groupBy(F.col("user_id").cast("long").alias("user_id"))
+            .withColumn("user_id", F.col("user_id").try_cast("long"))
+            .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+            .groupBy("user_id")
             .applyInPandasWithState(
                 fn, SESSION_OUT_DDL, _SESSION_STATE_DDL, "append", timeout))
 

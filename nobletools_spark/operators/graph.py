@@ -73,7 +73,16 @@ def degrees(edges: DataFrame) -> DataFrame:
     THE degree). One shuffle, map-side partial aggregation."""
     aggs = [F.count("*").cast("long").alias("degree")]
     if "weight" in edges.columns:
-        aggs.append(F.sum("weight").cast("long").alias("weighted_degree"))
+        from nobletools_spark.functions.ids import _INTEGRAL
+
+        # preserve fractional weights (similarity graphs from the dedup
+        # operators carry jaccard/cosine doubles — a blanket long cast
+        # would truncate 0.9+0.8 to 1); integral weights keep the BIGINT
+        # shape the oracle replays
+        w = F.sum("weight")
+        integral = isinstance(edges.schema["weight"].dataType, _INTEGRAL)
+        aggs.append((w.cast("long") if integral else w.cast("double"))
+                    .alias("weighted_degree"))
     return (edges.groupBy(F.col("src").alias("node"))
             .agg(*aggs))
 
@@ -427,7 +436,13 @@ def triangles(pairs: DataFrame, a: str = "a", b: str = "b",
                                  "triangles", T.LongType())
     # cache the deduped pair table: degrees + the orientation join
     # re-read it, and its lineage may be the whole upstream pipeline
-    e = (pairs.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    # canonicalize the unordered pair BEFORE distinct: an input that
+    # carries both (u,v) and (v,u) — e.g. an already-symmetrized edge
+    # view — must collapse to ONE pair, or every edge lands twice in
+    # `oriented` and the wedge/closure joins inflate each triangle 8x
+    # (the driver fast path's adjacency sets dedup this naturally)
+    e = (pairs.select(F.least(F.col(a), F.col(b)).alias("a"),
+                      F.greatest(F.col(a), F.col(b)).alias("b"))
          .where(F.col("a") != F.col("b")).distinct().persist())
     deg = degrees(symmetrize(e, weight=None)) \
         .select(F.col("node"), F.col("degree"))
@@ -452,8 +467,11 @@ def triangles(pairs: DataFrame, a: str = "a", b: str = "b",
     tri = wedges.join(
         oriented.select(F.col("src").alias("x"), F.col("dst").alias("z")),
         ["x", "z"])
-    nodes = (tri.select(F.col("x").alias("node"))
-             .unionByName(tri.select(F.col("y").alias("node")))
-             .unionByName(tri.select(F.col("z").alias("node"))))
+    # ONE pass over the triangle stream: a three-way select union would
+    # embed the wedge+closure join subtree in each branch and execute
+    # it three times (the cached `oriented` bounds but does not remove
+    # that cost)
+    nodes = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("node"))
     return nodes.groupBy("node").agg(
         F.count("*").cast("long").alias("triangles"))

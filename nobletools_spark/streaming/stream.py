@@ -168,7 +168,12 @@ def start_incremental_maintenance(docs_stream: DataFrame, state_dir: str,
                 # crash replay of a batch whose state already committed
                 # (pointer renamed, checkpoint didn't) — see docstring
                 return
-        batch = batch.dropDuplicates([id_col])
+        # persist the deduped batch for the micro-batch's lifetime: the
+        # two write actions below would otherwise re-read the source and
+        # re-run the dropDuplicates shuffle once each, and bfp's
+        # fingerprint projection would recompute inside the same/changed
+        # anti-joins — doubled I/O on the hot maintenance path
+        batch = batch.dropDuplicates([id_col]).persist()
         bfp = doc_fingerprints(batch, id_col)
         state = read_upsert_state(spark, state_dir)
         if state is None:
@@ -196,6 +201,7 @@ def start_incremental_maintenance(docs_stream: DataFrame, state_dir: str,
         with open(tmp, "w") as f:
             f.write(str(batch_id))
         os.replace(tmp, os.path.join(state_dir, "_CURRENT"))
+        batch.unpersist()  # per-batch scope — never session-lifetime
 
     os.makedirs(state_dir, exist_ok=True)
     w = (docs_stream.writeStream

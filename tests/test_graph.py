@@ -307,3 +307,37 @@ def test_k_hop_matches_bruteforce(spark, edge_set, k):
         got = {r["node"]: r["hops"]
                for r in k_hop(e, ["A"], k, driver_threshold=dt).collect()}
         assert got == py_khop(pairs, ["A"], k)
+
+
+def test_degrees_keeps_fractional_weights(spark):
+    """Similarity graphs carry double weights (jaccard/cosine): the
+    weighted degree must stay a double — a blanket long cast would
+    truncate 0.9+0.8 to 1."""
+    from nobletools_spark.operators.graph import degrees
+
+    e = spark.createDataFrame(
+        [("a", "b", 0.9), ("a", "c", 0.8)],
+        "src string, dst string, weight double")
+    row = {r.node: r.weighted_degree for r in degrees(e).collect()}
+    assert abs(row["a"] - 1.7) < 1e-12
+    # integral weights keep the BIGINT shape the oracle replays
+    ei = spark.createDataFrame([("a", "b", 2), ("a", "c", 3)],
+                               "src string, dst string, weight long")
+    out = degrees(ei)
+    assert dict(out.dtypes)["weighted_degree"] == "bigint"
+
+
+def test_triangles_distributed_handles_symmetrized_input(spark):
+    """An input carrying BOTH orientations of every edge (a symmetrized
+    view) must not inflate counts: pairs canonicalize to one row per
+    unordered edge before orientation. driver_threshold=0 forces the
+    distributed path (the driver fast path's adjacency sets dedup
+    naturally)."""
+    from nobletools_spark.operators.graph import triangles
+
+    tri = [("a", "b"), ("b", "c"), ("a", "c")]
+    both = tri + [(b, a) for a, b in tri]
+    pairs = spark.createDataFrame(both, "a string, b string")
+    got = {r.node: r.triangles
+           for r in triangles(pairs, driver_threshold=0).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
