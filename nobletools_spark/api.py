@@ -441,6 +441,17 @@ class NobleCoderSpark:
         return extract_matrix(docs_df, self.index, template,
                               context=self.context)
 
+    def extract_report(self, docs_df, template):
+        """Per-document Information Extraction HTML report pages
+        (HTMLExporter.export(TemplateDocument) :518-586 — coded report
+        pane + the template cap-protocol table; 20th Java parity leg,
+        P=R=1.0): (doc_id, html). Same map-only shape as
+        ``extract_matrix``."""
+        from nobletools_spark.operators.extract_kernel import extract_html
+
+        return extract_html(docs_df, self.index, template,
+                            context=self.context)
+
     # ------------------------------------------------------------------
     # ad-hoc probes (driver-side, no cluster)
     # ------------------------------------------------------------------

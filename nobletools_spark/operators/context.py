@@ -172,6 +172,7 @@ def apply_context(text: str, mentions: list[Mention],
     (ConText.java:385-409)."""
     for m in mentions:
         m.modifiers = dict(ctx.defaults)
+        m.modifier_anns = {}
 
     matched = match_sentence(text, ctx.index, ctx.cfg)
     if not matched:
@@ -212,6 +213,10 @@ def apply_context(text: str, mentions: list[Mention],
                   (backward and mm.start >= target.start >= start)
             if hit:
                 target.modifiers[rule.mod_type] = rule.value
+                # the assigning trigger phrase's annotations — what
+                # Mention.getModifierAnnotations exposes (consumed by
+                # ItemInstance's negated branch and the HTML report)
+                target.modifier_anns[rule.mod_type] = list(mm.annotations)
 
 
 # ---------------------------------------------------------------------------

@@ -268,14 +268,15 @@ class _MRef:
     """A document mention with absolute-offset annotations and its
     sentence linkage."""
 
-    __slots__ = ("cui", "anns", "sent_i", "negated", "start")
+    __slots__ = ("cui", "anns", "sent_i", "negated", "start", "mod_anns")
 
-    def __init__(self, cui, anns, sent_i, negated, start):
+    def __init__(self, cui, anns, sent_i, negated, start, mod_anns=()):
         self.cui = cui
         self.anns = anns          # tuple[(word, abs_offset)]
         self.sent_i = sent_i      # index into matched-sentence list
         self.negated = negated
         self.start = start
+        self.mod_anns = mod_anns  # modifier trigger anns, abs offsets
 
 
 class _Inst:
@@ -340,7 +341,11 @@ class _DocExtractor:
             for m in mentions:
                 anns = tuple((w, off + o) for w, o in m.annotations)
                 neg = m.modifiers.get("Polarity") == "Negative_Polarity"
-                ref = _MRef(m.cui, anns, i, neg, off + m.start)
+                mod_anns = tuple(
+                    (w, off + o)
+                    for ml in getattr(m, "modifier_anns", {}).values()
+                    for w, o in ml)
+                ref = _MRef(m.cui, anns, i, neg, off + m.start, mod_anns)
                 self.doc_mentions.append(ref)
                 self._by_sent.setdefault(i, []).append(ref)
         # Section.getSentences equivalent: every sentence (incl. filtered
@@ -450,7 +455,9 @@ class _DocExtractor:
         else:
             if m.negated and item.value_domain not in ("attribute", "value"):
                 inst.absent = True
-                annotations.append(("", -1))   # modifier annotations proxy
+                # mention.getModifierAnnotations() (:435) — the real
+                # trigger-phrase annotations of the assigning modifiers
+                annotations.extend(m.mod_anns)
             feat_item = item.feature if item.feature is not None else item
             c = self._find_primary(feat_item.concept, m.sent_i)
             if c is not None:
@@ -780,3 +787,267 @@ def _add_attr_values(inst: _Inst, attr_code: str, vals: list[_Inst],
             merged.append(v)
     merged.sort(key=lambda e: rt.name(e.concept))
     inst.attr_values.append((attr_code, merged))
+
+
+# ---------------------------------------------------------------------------
+# HTMLExporter.export(TemplateDocument) — the Information Extraction
+# report page (util/HTMLExporter.java:518-586, createTemplate :168-207,
+# codeConcept(ItemInstance) :625-636, codeTemplateItem :643-654), built
+# from the SAME per-doc kernel the result matrix uses.
+# ---------------------------------------------------------------------------
+
+_NEGATED = "Negative_Polarity"
+_HEDGED = "Hedged_ContextualModality"
+
+
+def _mod_prefix(m) -> str:
+    """codeLabel's N/U code prefix (isNegated/isHedged, Mention.java
+    :237-243)."""
+    mods = getattr(m, "modifiers", None) or {}
+    if mods.get("Polarity") == _NEGATED:
+        return "N"
+    if mods.get("ContextualModality") == _HEDGED:
+        return "U"
+    return ""
+
+
+def _is_default_mods(m) -> bool:
+    from nobletools_spark.operators.context import DEFAULT_VALUES
+
+    mods = getattr(m, "modifiers", None) or {}
+    return all(DEFAULT_VALUES.get(k) == v for k, v in mods.items())
+
+
+def _group_annotations(sent_len: int, sent_off: int, mentions):
+    """groupAnnotations per sentence (:292-315): TreeMap keyed by
+    (offset, length) — equal spans MERGE owner lists; a span containing
+    or contained by an existing (non-equal) key is skipped; annotations
+    outside the sentence are skipped (s.contains). Returns
+    [(abs_start, abs_end, word, owners)] sorted by key."""
+    amap: dict[tuple[int, int], tuple[str, list]] = {}
+    for m in mentions:
+        for w, rel in m.annotations:
+            if rel is None or rel < 0 or rel + len(w or "") > sent_len:
+                continue
+            st = sent_off + rel
+            en = st + len(w or "")
+            hit = amap.get((st, en))
+            if hit is not None:
+                hit[1].append(m)
+                continue
+            if any((k[0] <= st and en <= k[1]) or (st <= k[0] and k[1] <= en)
+                   for k in amap if k != (st, en)):
+                continue
+            amap[(st, en)] = (w or "", [m])
+    return [(k[0], k[1], v[0], v[1]) for k, v in sorted(amap.items())]
+
+
+def _label(lid, word, codes, color, tip, esc, jump: bool = False) -> str:
+    cs = ",".join(f"'{c}'" for c in codes)
+    j = f' onclick="j([{cs}])"' if jump else ""
+    return (f'<label id="{lid}" style="color:{color};" '
+            f'onmouseover="h([{cs}]);" onmouseout="u([{cs}]);"{j} '
+            f'title="{esc(tip)}">{word}</label>')
+
+
+class _DocReport:
+    """Renders one TemplateDocument report page; shares the
+    _DocExtractor instance so item processing runs once."""
+
+    def __init__(self, ex: "_DocExtractor", all_sentences, spans):
+        self.ex = ex
+        self.all_sentences = all_sentences  # [(text, off, type, filtered)]
+        self.spans = spans
+
+    def _code_sentence(self, stext: str, soff: int, mentions, esc) -> str:
+        rt = self.ex.rt
+        out, pos = [], 0
+        for st, en, word, owners in _group_annotations(
+                len(stext), soff, mentions):
+            o = st - soff
+            if o < pos:
+                continue      # the StringIndexOutOfBounds catch (:337)
+            codes = [_mod_prefix(m) + m.cui for m in owners]
+            color = "green"
+            tip = []
+            for m in owners:
+                tip.append(f"{rt.name(m.cui)} ({m.cui}) []")
+                mods = getattr(m, "modifiers", None) or {}
+                tip.extend(f"\t{t} :\t{mods.get(t, '')}"
+                           for t in ("Certainty", "Polarity",
+                                     "Experiencer", "Temporality"))
+                if not _is_default_mods(m):
+                    color = "#994d00"
+            out.append(esc(stext[pos:o]).replace("\n", "<br>"))
+            out.append(_label(st, esc(word), codes, color,
+                              chr(10).join(tip), esc))
+            pos = o + len(word)
+        out.append(esc(stext[pos:]).replace("\n", "<br>"))
+        return "".join(out)
+
+    def _report_pane(self, esc) -> str:
+        from nobletools_spark.functions.textkit import SENT_HEADER
+
+        from nobletools_spark.operators.matcher import _span_fields
+
+        by_off = {off: ms for _t, off, ms in self.ex.sentences}
+        parts = []
+        for span in self.spans:
+            # Arrow hands spans back as dicts; locals may be tuples/Rows
+            kind, text, _m, base = _span_fields(span)
+            if kind != "text" or not text:
+                continue
+            sents = sorted((s for s in self.all_sentences
+                            if base <= s[1] < base + len(text) + 1),
+                           key=lambda s: s[1])
+            out, pos = [], 0
+            for stext, soff, stype, _f in sents:
+                o = soff - base
+                if o < pos:
+                    continue
+                out.append(esc(text[pos:o]).replace("\n", "<br>"))
+                if stype == SENT_HEADER:
+                    out.append("<b>" + esc(stext) + "</b><br>")
+                else:
+                    out.append(self._code_sentence(
+                        stext, soff, by_off.get(soff, ()), esc))
+                pos = o + len(stext)
+            out.append(esc(text[pos:]).replace("\n", "<br>"))
+            parts.append("".join(out))
+        return "\n<br/>\n".join(parts)
+
+    def _code_concept(self, v: _Inst, esc) -> str:
+        rt = self.ex.rt
+        codes = [off for _w, off in v.anns]
+        return _label(esc(rt.name(v.concept)),
+                      esc(self.ex.answer(v, human=True)), codes,
+                      "blue", "", esc, jump=True)
+
+    def _code_template_item(self, v: _Inst, esc) -> str:
+        rt = self.ex.rt
+        q = ("diagnosis" if v.spec.item_type == "diagnosis"
+             else v.spec.name)
+        codes = [off for _w, off in v.anns]
+        return _label(esc(rt.name(v.concept)), esc(q), codes,
+                      "blue", "", esc, jump=True)
+
+    def _cap_pane(self, esc) -> tuple[str, int]:
+        rt = self.ex.rt
+        cap = [f"<h3>{esc(rt.template.name)}</h3>",
+               "<table border=0 cellspacing=0 cellpadding=2>"]
+        total, num = 0, 1
+        cache: dict[int, list] = {}
+        for item in rt.template.items:
+            if id(item) not in cache:
+                cache[id(item)] = self.ex.process_item(item)
+            insts = cache[id(item)]
+            total += len(insts)
+            name = (esc(item.name) if not insts
+                    else self._code_template_item(insts[0], esc))
+            if not item.attributes:
+                rows = [(name, list(insts))]
+            else:
+                # per attribute: LinkedHashSet over the items' matching
+                # attribute values (dedupe = ItemInstance equality =
+                # concept equality, first wins). Row order follows the
+                # spec's attribute order — the reference iterates a
+                # HashMap keySet (unstable); same documented deviation
+                # as item_questions.
+                rows = []
+                for attr_code, _v in item.attributes:
+                    vals, seen = [], set()
+                    for inst in insts:
+                        for a_code, avals in inst.attr_values:
+                            if a_code == attr_code:
+                                for v in avals:
+                                    if v.concept not in seen:
+                                        seen.add(v.concept)
+                                        vals.append(v)
+                    rows.append(
+                        (name + " " + esc(rt.name(attr_code)), vals))
+            for nm, vals in rows:
+                cap.append(f'<tr><td> <font color="#E0E0E0 ">{num}'
+                           f"</font> </td><th align=left> {nm} </th>"
+                           f'<td align=left style="padding-left:20px;">')
+                num += 1
+                cap.append("<br>".join(self._code_concept(v, esc)
+                                       for v in vals))
+            # the reference closes ONE cell per template item, not per
+            # row (createTemplate :202 sits outside the name loop) —
+            # malformed-HTML quirk reproduced as-is
+            cap.append("</td></tr>")
+        cap.append("</table>")
+        return "".join(cap), total
+
+    def page(self, title: str) -> str:
+        from html import escape as esc
+
+        from nobletools_spark.sources.sinks import _HTML_SCRIPT
+
+        report = self._report_pane(esc)
+        cap, n = self._cap_pane(esc)
+        return (
+            '<html xmlns="http://www.w3.org/1999/xhtml">'
+            f"<head><meta charset=\"utf-8\"/>"
+            f"<title>Report Processor Output</title>{_HTML_SCRIPT}</head>"
+            '<body><table width="100%" style="table-layout:fixed;"'
+            ' cellspacing="5">'
+            f"<tr><td colspan=2 align=center><h3>{esc(title)}</h3>"
+            "</td></tr>"
+            f'<tr><td width="50%" valign=middle><div id="d1" '
+            f'style="overflow: auto;">{report}</div></td>'
+            f'<td width="50%" valign=top><div id="d2" '
+            f'style="overflow: auto;">{cap}</div></td></tr>'
+            f"<tr><td colspan=2 align=center>found items: "
+            f"<b>{n}</b></td></tr>"
+            "</table></body></html>")
+
+
+def extract_html(docs_df, index, template: "TemplateSpec | str",
+                 cfg: MatchConfig = MatchConfig(select_best_candidate=False),
+                 context=None, process_filter: int | None = None):
+    """documents (doc_id, spans) → (doc_id, html): per-document
+    Information Extraction report pages (HTMLExporter.export
+    (TemplateDocument) :518-586) — the coded report pane on the left
+    (span labels, Header bolds) and the template "cap protocol" table
+    on the right (numbered rows, attribute grouping, answer labels
+    wired to their annotation offsets), found-items footer.
+
+    Same distributed shape as ``extract_matrix``: map-only mapInPandas
+    over (doc_id, spans), broadcast index/runtime, zero shuffle."""
+    import pandas as pd
+
+    from nobletools_spark.operators.matcher import parse_and_match
+    from nobletools_spark.session import ship_package
+
+    if isinstance(template, str):
+        template = template_spec_from_xml(template)
+    spark = docs_df.sparkSession
+    ship_package(spark)
+    rt = ExtractRuntime(template)
+    bc = (spark.sparkContext.broadcast(index)
+          if isinstance(index, TerminologyIndex) else index)
+    rt_bc = spark.sparkContext.broadcast(rt)
+    ctx_bc = (spark.sparkContext.broadcast(context)
+              if context is not None and not hasattr(context, "value")
+              else context)
+
+    def fn(batches):
+        idx = bc.value
+        rt_l = rt_bc.value
+        ctx = ctx_bc.value if ctx_bc is not None else None
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                sents, all_s, secs = parse_and_match(
+                    doc_id, spans, idx, cfg, ctx, process_filter)
+                ex = _DocExtractor(rt_l, sents, all_s, secs, cfg)
+                page = _DocReport(ex, all_s, spans).page(str(doc_id))
+                rows.append((str(doc_id), page))
+            yield pd.DataFrame(rows, columns=["doc_id", "html"])
+
+    from pyspark.sql import functions as F
+
+    return (docs_df.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "spans")
+        .mapInPandas(fn, "doc_id string, html string"))

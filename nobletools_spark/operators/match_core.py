@@ -53,7 +53,7 @@ class Mention:
     """
 
     __slots__ = ("cui", "matched_term", "term_norm", "score", "annotations",
-                 "search_string", "modifiers")
+                 "search_string", "modifiers", "modifier_anns")
 
     def __init__(self, cui: str, matched_term: str, term_norm: str,
                  score: float, annotations: list[tuple[str, int]],
@@ -65,6 +65,10 @@ class Mention:
         self.annotations = annotations  # [(word, sentence_rel_offset)]
         self.search_string = search_string
         self.modifiers: dict[str, str] = {}  # type -> value (ConText)
+        # type -> trigger-phrase annotations [(word, sent_rel_off)] of
+        # the ASSIGNING modifier mention (Modifier.getAnnotations;
+        # assignment order = the reference's LinkedHashMap order)
+        self.modifier_anns: dict[str, list] = {}
 
     @property
     def start(self) -> int:

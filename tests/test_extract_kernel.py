@@ -372,3 +372,38 @@ def test_template_spec_accepts_valid_and_nonneg_ranges():
     spec = template_spec_from_xml(xml)
     assert spec.items[0].filters == ("A:[-2]",)
     assert spec.items[1].filters == ("B:[1-2]",)
+
+
+def test_extract_html_report_spark(rig, spark):
+    """extract_html (HTMLExporter.export(TemplateDocument) parity,
+    pinned structurally by the 20th Java leg): coded report pane with
+    labels + Header bolds, cap-protocol rows, answer labels wired to
+    annotation offsets, negated instances carrying their modifier
+    trigger annotations, found-items footer."""
+    import re
+
+    from nobletools_spark.operators.extract_kernel import extract_html
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+
+    spec, rt, idx, ctx = rig
+    text = ("FINAL DIAGNOSIS: Superficial spreading melanoma.\n"
+            "No evidence of ulceration.\n")
+    docs = spark.createDataFrame([("d1", [("text", text, None, 0)])],
+                                 SPANS_DDL)
+    html = extract_html(docs, idx, spec, cfg=_CFG,
+                        context=ctx).collect()[0].html
+    # header bolded, not labeled
+    assert "<b>FINAL DIAGNOSIS:" in html
+    # report-pane labels anchor at document offsets
+    assert re.search(r'<label id="\d+"[^>]*>melanoma</label>', html)
+    # cap table: template h3 + a numbered row with the item question
+    assert "<h3>" in html and "<th align=left>" in html
+    # negated item answers 'absent' and its label codes carry the
+    # negation trigger's annotation offsets (getModifierAnnotations)
+    m = re.search(r'<label[^>]*onclick[^>]*>absent</label>', html)
+    assert m is not None
+    neg_codes = re.search(r"h\(\[([^\]]*)\]\)", m.group(0)).group(1)
+    no_off = text.index("No evidence")
+    assert f"'{no_off}'" in neg_codes
+    # footer counts the found instances
+    assert re.search(r"found items: <b>\d+</b>", html)

@@ -1126,6 +1126,89 @@ def run_local_csv(spark) -> "Counter":
     return tsv.columns, out
 
 
+def _xhtml_struct(pages: "dict[str, str]") -> "Counter":
+    """Structural keys of an Information Extraction report page
+    (HTMLExporter.export(TemplateDocument)):
+
+      ("label", doc, id, text, codes, color)   — report + cap labels
+      ("bold",  doc, text)                     — Header-sentence bolds
+      ("capq",  doc, th_text)                  — cap-table row names
+      ("h3",    doc, text)                     — template / title h3s
+      ("found", doc, n)                        — footer count
+
+    Numbers in the row <font> cells are excluded (the reference's row
+    order follows a HashMap keySet); words/names entity-unescape on
+    both sides."""
+    import re
+    from html import unescape
+
+    def strip_tags(x: str) -> str:
+        return re.sub(r"<[^>]+>", "", x).strip()
+
+    out = Counter()
+    for doc, page in pages.items():
+        for attrs, word in re.findall(
+                r"<label\b([^>]*)>(.*?)</label>", page, re.S):
+            lid = re.search(r'id="([^"]*)"', attrs).group(1)
+            color = re.search(r"color:\s*([^;\"]+)", attrs).group(1)
+            m = re.search(r"h\(\[(.*?)\]\)", attrs)
+            codes = tuple(c.strip().strip("'")
+                          for c in m.group(1).split(",")) if m else ()
+            _madd(out, ("label", doc, unescape(lid), unescape(word),
+                        codes, color))
+        for text in re.findall(r"<b>(.*?)</b>", page, re.S):
+            # footer numbers: found-items count and the reference's
+            # "report process time: <b>-1</b> ms"
+            if not re.fullmatch(r"-?\d+", text):
+                _madd(out, ("bold", doc, unescape(text)))
+        for th in re.findall(r"<th[^>]*>(.*?)</th>", page, re.S):
+            _madd(out, ("capq", doc, unescape(strip_tags(th))))
+        for h3 in re.findall(r"<h3>(.*?)</h3>", page, re.S):
+            _madd(out, ("h3", doc, unescape(strip_tags(h3))))
+        m = re.search(r"found items: <b>(\d+)</b>", page)
+        if m:
+            _madd(out, ("found", doc, int(m.group(1))))
+    return out
+
+
+def run_reference_extract_html() -> "Counter":
+    """RefExtract html mode → per-doc reports/<name>.html pages."""
+    import shutil
+    shutil.rmtree("/tmp/noble_terms_ext", ignore_errors=True)
+    shutil.rmtree(EXT_OUT, ignore_errors=True)
+    subprocess.run(
+        ["java", "-cp", CP, "RefExtract", EXT_TEMPLATE, EXT_DOCS, EXT_OUT,
+         CTX_OWL, "html"], check=True, capture_output=True)
+    pages = {}
+    rep = f"{EXT_OUT}/reports"
+    for fn in sorted(os.listdir(rep)):
+        if fn.endswith(".html") and fn != "index.html":
+            pages[fn[:-5]] = open(f"{rep}/{fn}", encoding="utf-8").read()
+    return _xhtml_struct(pages)
+
+
+def run_local_extract_html(spark) -> "Counter":
+    from nobletools_spark.index import build_index
+    from nobletools_spark.model import MatchConfig
+    from nobletools_spark.operators.context import context_index_from_owl
+    from nobletools_spark.operators.extract_kernel import (
+        extract_html, template_spec_from_xml)
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+
+    xml = open(EXT_TEMPLATE).read()
+    spec = template_spec_from_xml(xml)
+    idx = build_index(spec.concept_records())
+    ctx = context_index_from_owl(open(CTX_OWL).read())
+    rows = [(fn[:-4], [("text", open(f"{EXT_DOCS}/{fn}",
+                                     encoding="utf-8").read(), None, 0)])
+            for fn in sorted(os.listdir(EXT_DOCS)) if fn.endswith(".txt")]
+    docs = spark.createDataFrame(rows, SPANS_DDL)
+    res = extract_html(docs, idx, spec,
+                       cfg=MatchConfig(select_best_candidate=False),
+                       context=ctx)
+    return _xhtml_struct({r.doc_id: r.html for r in res.collect()})
+
+
 def compare(ref, eng, label: str) -> dict:
     """Multiset precision/recall: tp counts each key min(ref_n, eng_n)
     times, so duplicate emissions on either side surface as <1.0."""
@@ -1175,6 +1258,14 @@ def main() -> None:
         emit_fixture(int(sys.argv[2]) if len(sys.argv) > 2 else 60)
         spark = get_spark(cores=8)
         compare(run_reference_html(), run_local_html(spark), "html")
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "xhtml":
+        # standalone iteration mode: extract-report HTML leg only
+        compile_reference()
+        emit_extract_fixture()
+        spark = get_spark(cores=8)
+        compare(run_reference_extract_html(),
+                run_local_extract_html(spark), "extract-html")
         return
     if len(sys.argv) > 1 and sys.argv[1] == "csv":
         # standalone iteration mode: RESULTS.tsv leg only
@@ -1285,6 +1376,14 @@ def main() -> None:
     eh, eng_csv = run_local_csv(spark)
     assert rh == eh, (rh, eh)
     results["csv"] = compare(ref_csv, eng_csv, "csv")
+    # extract-report HTML leg: HTMLExporter.export(TemplateDocument)
+    # structural parity — coded report pane, cap-protocol table rows,
+    # answer labels with their annotation wiring (incl. the negated
+    # instances' modifier-trigger annotations), found-items footer
+    results["extract-html"] = compare(run_reference_extract_html(),
+                                      run_local_extract_html(spark),
+                                      "extract-html")
+    results["extract-html"]["n_docs"] = len(EXTRACT_DOCS)
     json.dump(results, open(f"{REPO}/JAVA_PARITY.json", "w"), indent=1)
     print("JAVA_PARITY.json written")
 

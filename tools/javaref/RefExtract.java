@@ -68,6 +68,21 @@ public class RefExtract {
                     doc.addItemInstances(t, t.process(doc));
             }
             csv.export(doc);
+            if (args.length > 4 && "html".equals(args[4])) {
+                // per-doc Information Extraction report
+                // (HTMLExporter.export(TemplateDocument) :518-586)
+                // into <out>/reports/<name>.html
+                edu.pitt.dbmi.nlp.noble.util.HTMLExporter hx =
+                        new edu.pitt.dbmi.nlp.noble.util.HTMLExporter(
+                                outDir);
+                for (edu.pitt.dbmi.nlp.noble.coder.model.Mention m
+                        : doc.getMentions())
+                    if (m.getConcept().getTerminology() == null)
+                        m.getConcept().setTerminology(
+                                template.getTerminology());
+                hx.export(doc);
+                hx.flush();
+            }
         }
         csv.flush();
         System.out.println("done");
