@@ -137,10 +137,15 @@ def decode_png(content: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("no IHDR")
     stride = w * ch
     need = h * (stride + 1)
-    # bounded inflate: plain zlib.decompress would allocate the FULL
-    # decompressed buffer before the size check — a small decompression
-    # bomb (~1000:1) OOM-kills the executor instead of raising the
-    # catchable ValueError one bad row deserves
+    # declared-size cap BEFORE inflating: bounding the inflate to the
+    # attacker-declared IHDR size alone still allocates `need` bytes —
+    # a bomb declaring honest huge dimensions (65535x65535 RGBA ≈ 17 GB
+    # from ~17 MB of IDAT) would OOM the executor instead of raising
+    # the catchable ValueError one bad row deserves
+    if need > 256 * 1024 * 1024:
+        raise ValueError(
+            f"PNG declares {w}x{h}x{ch} = {need} bytes — over the "
+            f"256 MiB single-image decode cap")
     dec = zlib.decompressobj()
     raw = dec.decompress(idat, need + 1)
     # a stream longer than `need` shows up either as the +1 byte or as
@@ -169,6 +174,11 @@ def decode_png(content: bytes) -> tuple[int, int, int, bytes]:
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 line[i] = (line[i] + pr) & 0xFF
+            elif ftype != 0:
+                # 5-255 are invalid — falling through as type 0 would
+                # return silently-wrong pixels instead of the documented
+                # ValueError -> deterministic-stub fallback
+                raise ValueError(f"invalid PNG scanline filter {ftype}")
         out[y * stride:(y + 1) * stride] = line
         prev = line
     return w, h, ch, bytes(out)
@@ -787,6 +797,14 @@ def sample_frames(media_df: DataFrame, every_ms: int = 1000,
     (JPEG for MJPEG AVIs, codec samples otherwise). Unrecognized or
     malformed containers fall back to the deterministic stub so the
     plumbing stays exercised."""
+    # loud driver-side guards: every_ms <= 0 would spin the timed-frame
+    # catch-up loop forever INSIDE an executor task (no exception, no
+    # stub fallback — a wedged stage); max_frames < 1 would
+    # ZeroDivisionError out of the stub path's modulo
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
+    if max_frames < 1:
+        raise ValueError(f"max_frames must be >= 1, got {max_frames}")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -105,6 +105,25 @@ def _stable_digest(obj) -> str:
     return md5.hexdigest()
 
 
+def _cached_digest(obj) -> str:
+    """_stable_digest memoized ON the artifact (the terminology /
+    ConText index): the digest is a pure function of the object and the
+    full-index walk is minutes of driver CPU at real UMLS size — paid
+    once per loaded artifact, not once per pipeline construction (a
+    resumed run would otherwise re-walk a multi-GB structure just to
+    conclude nothing changed). Mutating a cached index in place voids
+    the memo's validity — build a new index instead (the codebase-wide
+    convention; every loader returns a fresh object)."""
+    d = getattr(obj, "_digest_cache", None)
+    if d is None:
+        d = _stable_digest(obj)
+        try:
+            object.__setattr__(obj, "_digest_cache", d)
+        except Exception:
+            pass  # frozen/slots object: recompute next time
+    return d
+
+
 def _df_digest(df) -> str:
     """Content digest of a TERMINOLOGY-SIZED DataFrame (templates,
     components): row-order independent, driver-collected — never call
@@ -318,7 +337,14 @@ class Pipeline:
             return False  # pre-run_id manifest (older layout): can't
             # attribute lineage rows to the producing run — report
             # unverified instead of raising
-        df = spark.read.parquet(f"{self.out_dir}/{stage}")
+        # manifest schema: a legitimately-empty stage can have zero
+        # part files (schemaless read would raise instead of verifying)
+        reader = spark.read
+        if manifest.get("schema"):
+            from pyspark.sql.types import StructType
+            reader = reader.schema(
+                StructType.fromJson(json.loads(manifest["schema"])))
+        df = reader.parquet(f"{self.out_dir}/{stage}")
         now = partition_lineage(df).agg(
             F.sum("rows").alias("rows"),
             F.expr("bit_xor(checksum)").alias("checksum")).collect()[0]
@@ -402,11 +428,11 @@ def kg_stages(index, context=None, cfg=None,
     # MatchConfig, ConText lexicon, salt, or template table must
     # recompute, never resume stale parquet
     idx_obj = index.value if hasattr(index, "value") else index
-    mention_params = {"index": _stable_digest(idx_obj),
+    mention_params = {"index": _cached_digest(idx_obj),
                       "cfg": _stable_digest(cfg)}
     if context is not None:
         ctx_obj = context.value if hasattr(context, "value") else context
-        mention_params["context"] = _stable_digest(ctx_obj)
+        mention_params["context"] = _cached_digest(ctx_obj)
 
     if incremental:
         mention_params["incremental"] = True

@@ -790,3 +790,50 @@ def test_media_adjacent_concept_edges(spark):
     assert wide == {("C101", -1), ("C102", 1), ("C103", 2)}
     with _pytest.raises(ValueError):
         media_adjacent_concept_edges(docs, m, neighbors=0)
+
+
+def test_sample_frames_rejects_degenerate_params(spark):
+    """every_ms <= 0 would spin the timed-frame catch-up loop forever
+    inside an executor; max_frames < 1 would ZeroDivisionError in the
+    stub path — both rejected loudly on the driver."""
+    import pytest
+
+    from nobletools_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, b"x")], "media_id long, content binary")
+    with pytest.raises(ValueError):
+        sample_frames(df, every_ms=0)
+    with pytest.raises(ValueError):
+        sample_frames(df, max_frames=0)
+
+
+def test_decode_png_rejects_bombs_and_bad_filters():
+    """A PNG declaring huge dimensions raises before inflating (the
+    decode cap) and an invalid scanline filter type raises instead of
+    decoding garbage — both land in the deterministic-stub fallback."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from nobletools_spark.operators.multimodal import decode_png
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 65535 x 65535 RGBA: ~17 GB declared from a few bytes of IDAT
+    ihdr = struct.pack(">IIBBBBB", 65535, 65535, 8, 6, 0, 0, 0)
+    bomb = (sig + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_png(bomb)
+    # 1x1 grayscale with invalid filter type 7
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    bad = (sig + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x07\x41"))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="filter"):
+        decode_png(bad)
