@@ -172,11 +172,21 @@ def is_stop_word(word: str) -> bool:
     return word.strip() in STOP_WORDS
 
 
+_COMMON_NORM: "frozenset[str] | None" = None
+
+
 def is_common_word(word: str) -> bool:
     # TextTools.isCommonWord (:263-269) uses the 1-arg normalize =
     # normalize(word, stem=FALSE): the CommonWords list is unstemmed
-    # ('only'/'very' must hit; 'onli'/'veri' must not)
-    return normalize(word.strip(), do_stem=False) in COMMON_WORDS
+    # ('only'/'very' must hit; 'onli'/'veri' must not). The LIST
+    # entries normalize too (getCommonWords :108) — 'I' must hit via
+    # its lowercased form, not sit unreachable in the set
+    global _COMMON_NORM
+    if _COMMON_NORM is None:
+        _COMMON_NORM = frozenset(
+            n for w in COMMON_WORDS
+            for n in (normalize(w, do_stem=False),) if n)
+    return normalize(word.strip(), do_stem=False) in _COMMON_NORM
 
 
 # ---------------------------------------------------------------------------
@@ -190,7 +200,6 @@ _GENITIVE_RE = re.compile(r"\b([a-z]+)'s?", re.ASCII)
 _PAREN_PLURAL_RE = re.compile(r"\(i?e?s\)")
 _FLOAT_PROTECT1 = re.compile(r"(\d+)\.(\d+)", re.ASCII)
 _FLOAT_PROTECT2 = re.compile(r"\.(\d+)", re.ASCII)
-_NONWORD_RE = re.compile(r"\s*[^\w\s]\s*|\s+")  # see note in normalize_words
 _FLOAT_RESTORE1 = re.compile(r"(\d+)_(\d+)", re.ASCII)
 _FLOAT_RESTORE2 = re.compile(r"_(\d+)", re.ASCII)
 _DIGITS_RE = re.compile(r"\d+", re.ASCII)
@@ -326,7 +335,10 @@ def split_sentences(text: str, offset: int = 0) -> list[tuple[str, int]]:
 # exact reference pattern (DeIDUtils.java:55): greedy bracket body — two
 # tags on one line are blanked as one span, including the text between
 _DEID_RE = re.compile(r"\*?\*\*[A-Z\-]+(\[.*\])?")
-_DEID_DATE_RE = re.compile(r"\*\*DATE\[(.*?)\](\s+(\d{1,2})(\d{2}))?")
+# optional trailing military time accepts BOTH '1453' and '14:53'
+# (DeIDUtils.java:18 `(?:\s(\d{2})\:?(\d{2}))?`)
+_DEID_DATE_RE = re.compile(
+    r"\*\*DATE\[(.*?)\](\s+(\d{1,2}):?(\d{2}))?")
 
 
 def get_ngrams(text: str, n: int) -> list[str]:

@@ -10,8 +10,19 @@ from __future__ import annotations
 import re
 from typing import Iterable
 
-_SYN_RE = re.compile(r'synonym:\s*"([^"]*)"')
+# the reference's quoted-value pattern (ConceptImporter.java:193):
+# GREEDY body up to the last quote before the trailing [xrefs] — an
+# escaped \" inside the text survives; with no [brackets] the raw
+# value passes through whole (m.matches() fails -> val unchanged)
+_QVAL_RE = re.compile(r'"(.*)"\s*([A-Z_]*)\s*(.*)?\[.*\]')
+# key.matches("(exact_|narrow_|broad_)?synonym") — OBO 1.0 variants
+_SYN_KEY_RE = re.compile(r"(exact_|narrow_|broad_)?synonym:")
 _ISA_RE = re.compile(r"is_a:\s*(\S+)")
+
+
+def _obo_val(val: str) -> str:
+    m = _QVAL_RE.fullmatch(val.strip())
+    return m.group(1) if m else val.strip()
 # loadText token recognizers (ConceptImporter.java:500-516)
 _CUI_RE = re.compile(r"CL?\d{4,7}")
 _TUI_RE = re.compile(r"T\d{2,3}")
@@ -59,14 +70,14 @@ def parse_obo(text: str) -> tuple[list[dict], list[tuple[str, str]]]:
             cur["cui"] = line[3:].strip()
         elif line.startswith("name:"):
             cur["name"] = line[5:].strip()
-        elif line.startswith("synonym:"):
-            m = _SYN_RE.match(line)
-            if m:
-                cur["synonyms"].append(m.group(1))
+        elif _SYN_KEY_RE.match(line):
+            val = _obo_val(line.split(":", 1)[1])
+            if val:
+                cur["synonyms"].append(val)
         elif line.startswith("def:"):
-            m = re.match(r'def:\s*"([^"]*)"', line)
-            if m:
-                cur["definition"] = m.group(1)
+            val = _obo_val(line[4:])
+            if val:
+                cur["definition"] = val
         elif line.startswith("is_a:"):
             m = _ISA_RE.match(line)
             if m:
@@ -107,12 +118,19 @@ def parse_text_terminology(text: str,
             continue
         depth = len(raw) - len(raw.lstrip("\t"))
         parts = [p.strip() for p in re.split(r"[|;,]", raw.strip()) if p.strip()]
-        cui = next((p for p in parts if _CUI_RE.fullmatch(p)), None)
-        tuis = tuple(p for p in parts if _TUI_RE.fullmatch(p))
-        names = [p for p in parts
-                 if p != cui and p not in tuis]
-        if not names:
+        if not parts:
             continue
+        # createClass: the FIRST token is always the class name — even
+        # a CUI/TUI-shaped one (the code/semtype recognition applies
+        # only to the remaining synonyms, :517-537). A line of just
+        # 'C0025202' is a concept NAMED C0025202, never a dropped line
+        # (dropping it would also mis-parent its tab-indented children)
+        name = parts[0]
+        rest = parts[1:]
+        cui = next((p for p in rest if _CUI_RE.fullmatch(p)), None)
+        tuis = tuple(p for p in rest if _TUI_RE.fullmatch(p))
+        names = list(dict.fromkeys(
+            [name] + [p for p in rest if p != cui and p not in tuis]))
         if cui is None:
             auto += 1
             cui = f"TX{auto:07d}"

@@ -59,7 +59,11 @@ def load_rrf(spark: SparkSession, rrf_dir: str,
                      F.col("_c2").alias("ts"), F.col("_c6").alias("ispref"),
                      F.col("_c11").alias("sab"), F.col("_c12").alias("tty"),
                      F.col("_c13").alias("code"), F.col("_c14").alias("str"),
-                     F.col("_c16").alias("suppress")))
+                     F.col("_c16").alias("suppress"))
+             # FILE order, captured at the scan (ordered CSV splits →
+             # monotone ids): the reference's name choice is
+             # first-in-file, not alphabetical
+             .withColumn("_ord", F.monotonically_increasing_id()))
     if languages:
         conso = conso.filter(F.col("lat").isin(*languages))
     # SRC V-<SAB> root markers are exempt from BOTH the source and the
@@ -98,12 +102,24 @@ def load_rrf(spark: SparkSession, rrf_dir: str,
                  .filter(F.col("_k").isNotNull() | root_marker)
                  .drop("_k"))
 
-    # preferred name: TS='P' & ISPREF='Y' preferred, deterministic
-    # tie-break on (sab, tty, str)
+    # preferred name (ConceptImporter.java:866-888): the FIRST
+    # TS='P' & ISPREF='Y' row in FILE order names the concept — except
+    # under a source filter, where a preferred row from a source
+    # EARLIER in the filter list takes priority (indexOf strict-less).
+    # A CUI with no preferred row keeps its first atom's text (the
+    # Concept constructor name, never reassigned).
     from pyspark.sql import Window
-    pref_rank = (F.when((F.col("ts") == "P") & (F.col("ispref") == "Y"), 0)
-                 .when(F.col("ispref") == "Y", 1).otherwise(2))
-    w = Window.partitionBy("cui").orderBy(pref_rank, "sab", "tty", "str")
+    pref = (F.col("ts") == "P") & (F.col("ispref") == "Y")
+    if source_filter:
+        pos = F.array_position(
+            F.array(*[F.lit(s) for s in source_filter]), F.col("sab"))
+        prio = F.when(pos == 0, F.lit(1 << 30)).otherwise(pos)
+    else:
+        prio = F.lit(0)
+    w = Window.partitionBy("cui").orderBy(
+        F.when(pref, 0).otherwise(1),
+        F.when(pref, prio).otherwise(F.lit(0)),
+        "_ord")
     atoms = conso.filter(F.col("sab") != "SRC")
     names = (atoms.withColumn("_rk", F.row_number().over(w))
              .filter(F.col("_rk") == 1)
@@ -189,10 +205,18 @@ def load_rrf(spark: SparkSession, rrf_dir: str,
 
     sab_df = None
     try:
+        # the reference's (quirky) field mapping, reproduced as-is:
+        # Source.description = fields[4] (SON, the human-readable
+        # source name) and Source.name = fields[23]
+        # (ConceptImporter.java:709-717); the sourceMap keeps only
+        # filter-listed sources when a filter is set (:718-720)
         sab_df = (_read_rrf(spark, f"{rrf_dir}/MRSAB.RRF", 24)
-                  .select(F.col("_c3").alias("sab"), F.col("_c4").alias("name"),
+                  .select(F.col("_c3").alias("sab"),
+                          F.col("_c23").alias("name"),
                           F.col("_c6").alias("version"),
-                          F.col("_c23").alias("description")))
+                          F.col("_c4").alias("description")))
+        if source_filter:
+            sab_df = sab_df.filter(F.col("sab").isin(*source_filter))
     except Exception:  # MRSAB is optional
         pass
 
@@ -233,9 +257,12 @@ def rel_row(cui1: str, rel: str, cui2: str, sab: str = "TST") -> tuple:
     return tuple(r)
 
 
-def sab_row(sab: str, name: str, version: str, description: str) -> tuple:
+def sab_row(sab: str, son: str, version: str, ssn: str) -> tuple:
+    """Positional MRSAB fields: RSAB=3, SON=4, SVER=6, 23. The loader
+    maps them the reference's way (ConceptImporter.java:709-717):
+    Source.description = SON (field 4), Source.name = field 23."""
     r = [""] * 24
-    r[3], r[4], r[6], r[23] = sab, name, version, description
+    r[3], r[4], r[6], r[23] = sab, son, version, ssn
     return tuple(r)
 
 
@@ -287,13 +314,17 @@ def concepts_from_sql(spark, url: str, table: str,
             url, f"(SELECT min({partition_column}) lo,"
                  f" max({partition_column}) hi FROM {table}) b",
             properties=properties or {}).first()
-        if bounds["lo"] is None or bounds["hi"] is None:
+        # POSITIONAL access: databases that upper-case unquoted aliases
+        # (Oracle, H2, DB2) return these columns as LO/HI, and Row
+        # lookup is case-sensitive
+        lo, hi = bounds[0], bounds[1]
+        if lo is None or hi is None:
             # empty table: NULL bounds would make spark.read.jdbc fail
             # with an opaque error — fall back to the unpartitioned read
             pass
         else:
-            kwargs.update(column=partition_column, lowerBound=bounds["lo"],
-                          upperBound=bounds["hi"],
+            kwargs.update(column=partition_column, lowerBound=lo,
+                          upperBound=hi,
                           numPartitions=num_partitions)
     return concepts_from_sql_df(reader.jdbc(**kwargs))
 

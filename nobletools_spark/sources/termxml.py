@@ -168,6 +168,10 @@ def match_config_to_properties(cfg) -> dict[str, str]:
         "partial.mode": b(cfg.partial_mode),
         "stem.words": b(cfg.stem_words),
         "ignore.digits": b(cfg.strip_digits),
+        # the engine's doc-local acronym pass always runs (the
+        # reference's handlePossibleAcronyms default) — written so the
+        # key set matches getSearchProperties exactly (:635)
+        "handle.possible.acronyms": "true",
         "partial.match.theshold": str(cfg.partial_match_threshold),
         "max.words.in.term": str(cfg.max_words_in_term),
     }

@@ -158,7 +158,12 @@ def test_load_rrf(spark, rrf_dir):
     assert c1["semtypes"] == ["T191"]
     rels = {(r["cui"], r["parent"]) for r in t["relations"].collect()}
     assert rels == {("C0000001", "C0000002")}       # PAR+CHD dedup, RO dropped
-    assert t["sources"].collect()[0]["name"] == "Test Source"
+    # the reference's quirky MRSAB mapping (ConceptImporter.java:
+    # 709-717): Source.name = field 23, Source.description = SON
+    # (field 4) — reproduced as-is
+    src = t["sources"].collect()[0]
+    assert src["name"] == "A test vocabulary"
+    assert src["description"] == "Test Source"
 
 
 def test_load_rrf_edge_filters_and_roots(spark, tmp_path):
@@ -1218,3 +1223,68 @@ def test_parse_owl_graph_restriction_fillers():
     assert r == {("hasPart", "Part", True),
                  ("onlyIn", "Site", True),
                  ("size", "3", False)}
+
+
+def test_parse_obo_synonym_variants_and_escaped_quotes():
+    """OBO 1.0 exact_/narrow_/broad_synonym keys load like synonym
+    (key.matches('(exact_|narrow_|broad_)?synonym')), and the quoted
+    body is captured GREEDILY up to the last quote before the [xrefs]
+    (ConceptImporter.java:193) — an escaped quote survives."""
+    from nobletools_spark.sources.obo import parse_obo
+
+    obo = (
+        "[Term]\nid: T:1\nname: lung cancer\n"
+        'exact_synonym: "cancer of the lung" EXACT []\n'
+        'narrow_synonym: "NSCLC" []\n'
+        'broad_synonym: "neoplasm" []\n'
+        'synonym: "5\'-3\\" exonuclease" RELATED []\n')
+    c = parse_obo(obo)[0][0]
+    assert "cancer of the lung" in c["synonyms"]
+    assert "NSCLC" in c["synonyms"]
+    assert "neoplasm" in c["synonyms"]
+    assert '5\'-3\\" exonuclease' in c["synonyms"]
+
+
+def test_parse_text_terminology_code_shaped_first_token():
+    """createClass names the class from the FIRST token even when it is
+    CUI-shaped (:517) — the line is a concept, never dropped, and its
+    tab-indented children parent onto it."""
+    from nobletools_spark.sources.obo import parse_text_terminology
+
+    txt = "C0025202\n\tMelanoma; C0000001\n"
+    concepts, edges = parse_text_terminology(txt)
+    by_name = {c["name"]: c for c in concepts}
+    assert "C0025202" in by_name
+    mel = by_name["Melanoma"]
+    assert (mel["cui"], by_name["C0025202"]["cui"]) in edges
+
+
+def test_load_rrf_preferred_name_file_order_and_filter_priority(
+        spark, tmp_path):
+    """Preferred-name choice (ConceptImporter.java:866-888): the FIRST
+    TS=P/ISPREF=Y row in FILE order names the concept; under a source
+    filter a preferred row from a source EARLIER in the filter list
+    wins; a CUI with no preferred row keeps its first atom's text."""
+    from nobletools_spark.sources.rrf import (
+        conso_row, load_rrf, write_fixture_rrf)
+
+    p = str(tmp_path / "rrfp")
+    write_fixture_rrf(
+        p,
+        mrconso=[
+            # C1: two preferred rows; file order must win (ZZZ first)
+            conso_row("C1", "Zebra Name", sab="TST"),
+            conso_row("C1", "Alpha Name", sab="ALT"),
+            # C2: no preferred row at all -> first atom's text
+            conso_row("C2", "Plain Atom", ts="S", ispref="N", sab="TST"),
+            conso_row("C2", "Aaa Atom", ts="S", ispref="N", sab="TST"),
+        ],
+        mrsty=[], mrrel=[])
+    t = load_rrf(spark, p)
+    names = {r["cui"]: r["name"] for r in t["concepts"].collect()}
+    assert names["C1"] == "Zebra Name"        # file order, not alpha
+    assert names["C2"] == "Plain Atom"        # constructor name
+    # filter priority: ALT listed first outranks the earlier TST row
+    t2 = load_rrf(spark, p, source_filter=("ALT", "TST"))
+    names2 = {r["cui"]: r["name"] for r in t2["concepts"].collect()}
+    assert names2["C1"] == "Alpha Name"

@@ -238,3 +238,16 @@ def test_is_common_word_unstemmed():
     assert is_common_word("only")
     assert is_common_word("very")
     assert is_common_word("Only ")
+
+
+def test_common_word_entries_normalize_and_deid_colon_time():
+    """getCommonWords normalizes its LIST entries too (:108) — 'I'/'i'
+    must hit; and the DeID date's optional military time accepts both
+    '1453' and '14:53' (DeIDUtils.java:18 `\\d{2}\\:?\\d{2}`)."""
+    from nobletools_spark.functions.textkit import (
+        is_common_word, parse_deid_date)
+
+    assert is_common_word("I") and is_common_word("i")
+    a = parse_deid_date("**DATE[Oct 15 2007] 14:53")
+    b = parse_deid_date("**DATE[Oct 15 2007] 1453")
+    assert a == b and a is not None and a.hour == 14 and a.minute == 53
