@@ -176,11 +176,25 @@ class NobleCoderSpark:
     # corpus path
     # ------------------------------------------------------------------
 
+    def _bc_index(self, spark):
+        """One broadcast of the terminology index per facade instance
+        per SparkContext: repeated annotate/build_kg/extract calls must
+        not re-pickle and re-ship a multi-GB index each time. Mutating
+        ``self.index`` in place voids this (build a new facade — the
+        loaders' convention)."""
+        sc = spark.sparkContext
+        cached = getattr(self, "_bc", None)
+        if cached is not None and cached[0] is sc:
+            return cached[1]
+        bc = sc.broadcast(self.index)
+        self._bc = (sc, bc)
+        return bc
+
     def annotate(self, docs_df, **kw):
         from nobletools_spark.operators.matcher import annotate
 
-        return annotate(docs_df, self.index, self.cfg,
-                        context=self.context, **kw)
+        return annotate(docs_df, self._bc_index(docs_df.sparkSession),
+                        self.cfg, context=self.context, **kw)
 
     def annotate_incremental(self, new_docs, old_fp, old_mentions, **kw):
         """Snapshot-to-snapshot mention maintenance: only
@@ -458,8 +472,16 @@ class NobleCoderSpark:
 
     def search(self, text: str, method: str | None = None) -> list[RankedConcept]:
         """Ranked concepts for a free-text query: run the matcher, merge
-        mentions per concept (matched terms + annotations unioned), order
-        by (score desc, code desc) — search(String,String) :1297-1334."""
+        mentions per concept — the FIRST mention's score is the
+        concept's score (later same-code duplicates only merge matched
+        terms and annotations, search(String,String) :1321-1329) — and
+        order by the reference comparator: 0.001-bucketed score desc,
+        then code DESC (:1299-1306). Documented deviation: same-code
+        merging here is exact (a dict); the reference's TreeMap
+        navigates its broken comparator BY SCORE while testing equality
+        BY CODE, so a same-code mention at a different score can
+        land as a duplicate entry depending on tree shape — an
+        unreproducible red-black-tree artifact, not a contract."""
         cfg = self.cfg if method is None else replace(self.cfg,
                                                      search_method=method)
         mentions = match_core.match_sentence(text, self.index, cfg)
@@ -467,7 +489,6 @@ class NobleCoderSpark:
         for m in mentions:
             e = merged.setdefault(m.cui, {
                 "score": m.score, "terms": [], "anns": []})
-            e["score"] = max(e["score"], m.score)
             if m.matched_term not in e["terms"]:
                 e["terms"].append(m.matched_term)
             e["anns"].extend(m.annotations)
@@ -479,8 +500,9 @@ class NobleCoderSpark:
                 matched_terms=tuple(e["terms"]),
                 annotations=tuple(sorted(set(e["anns"]), key=lambda a: a[1])),
                 semtypes=meta.semtypes, sources=meta.sources))
-        out.sort(key=lambda c: c.cui, reverse=True)   # tie: code desc
-        out.sort(key=lambda c: c.score, reverse=True)  # stable → score desc
+        # int(1000*(s2-s1)) bucket: ties inside 0.001 order by code desc
+        out.sort(key=lambda c: c.cui, reverse=True)
+        out.sort(key=lambda c: int(1000 * c.score), reverse=True)
         return out
 
     def lookup_concept(self, cui: str) -> ConceptMeta | None:

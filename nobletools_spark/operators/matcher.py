@@ -202,9 +202,14 @@ def span_invariant_violations(docs_in, docs_out) -> int:
             "spans",
             lambda s: F.struct(s["kind"].alias("kind"), s["text"].alias("text"),
                                s["media_ref"].alias("media_ref")))
-        return df.select("doc_id", proj.alias(name))
+        # presence marker: a NULL spans CELL on both sides is a match
+        # (the pipeline passes NULL spans through untouched); only a
+        # doc MISSING from one side of the full join is a violation
+        return df.select("doc_id", proj.alias(name),
+                         F.lit(1).alias(f"_{name}p"))
 
     joined = key(docs_in, "a").join(key(docs_out, "b"), "doc_id", "full")
     return joined.filter(
-        F.col("a").isNull() | F.col("b").isNull() | (F.col("a") != F.col("b"))
+        F.col("_ap").isNull() | F.col("_bp").isNull()
+        | ~F.col("a").eqNullSafe(F.col("b"))
     ).count()

@@ -439,18 +439,24 @@ def extract_items(mentions_df: DataFrame, edges_df: DataFrame,
     # :380-384). Needs the sections table's `sent_starts`; without that
     # column, ranges fall back to whole-section scoping.
     if sections_df is not None:
-        rng_re = r"^(.*)\[(-?\d+)\]$"
+        # the reference's range parse accepts ANY [\d\-]+ suffix
+        # (TemplateItem.java:361-368): the title is ALWAYS split off;
+        # only a plain-negative range ('-N') parses as an int and trims
+        # sentences — a non-negative or multi-part range ('1-2') keeps
+        # the whole section (the reference TODO / its parse crash,
+        # which template_spec_from_xml rejects at the driver)
+        rng_re = r"^(.*)\[([\d\-]+)\]$"
         filt = gated.filter(F.col("section_filter").isNotNull())
         has_rng = F.col("section_filter").rlike(rng_re)
+        rng_str = F.regexp_extract("section_filter", rng_re, 2)
         filt = (filt
                 .withColumn("_title", F.when(
                     has_rng,
                     F.regexp_extract("section_filter", rng_re, 1))
                     .otherwise(F.col("section_filter")))
                 .withColumn("_rng", F.when(
-                    has_rng,
-                    F.regexp_extract("section_filter", rng_re, 2)
-                    .cast("int"))))
+                    has_rng & rng_str.rlike(r"^-\d+$"),
+                    rng_str.cast("int"))))
         scols = [F.col("doc_id").alias("s_doc"),
                  F.col("title").alias("s_title"),
                  F.col("start").alias("s_start"),
@@ -482,8 +488,13 @@ def extract_items(mentions_df: DataFrame, edges_df: DataFrame,
 
     is_value = ((F.col("value_domain") == DOMAIN_VALUE)
                 & (F.col("cui") != F.col("concept")))
+    # absent is only ever set in ItemInstance.process's FINAL else
+    # branch (:433 inside the else at :431): the trigger branch (:408)
+    # and the strict-descendant value branch (:424) return before the
+    # negation check, and isAttributeValueDomain covers the rest
     no_absent_domain = F.col("value_domain").isin(DOMAIN_ATTRIBUTE,
-                                                  DOMAIN_VALUE)
+                                                  DOMAIN_VALUE,
+                                                  DOMAIN_TRIGGER)
     parse_words = _parse_words_value_udf()
     # the matcher's annotations are the MATCHED words (gap words
     # excluded) — the exact list the reference iterates; mention
@@ -549,7 +560,9 @@ def extract_items(mentions_df: DataFrame, edges_df: DataFrame,
         # DOMAIN_TRIGGER satisfaction (ItemInstance :408-422): the item
         # only holds when some attribute-value fires in the sentence
         out = out.filter(
-            (F.col("value_domain") != DOMAIN_TRIGGER)
+            # null-safe: a NULL value_domain row must behave like the
+            # no-components path (plain != yields NULL and drops it)
+            (~F.col("value_domain").eqNullSafe(DOMAIN_TRIGGER))
             | (F.size(F.coalesce(
                 F.map_entries(F.col("attributes")),
                 F.array().cast("array<struct<key:string,value:string>>")

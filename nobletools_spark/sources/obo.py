@@ -154,12 +154,16 @@ def parse_text_terminology(text: str,
 def concepts_df_from_records(spark, concepts: Iterable[dict]):
     from nobletools_spark.session import local_table
 
-    # struct cells as dicts so the Arrow LocalRelation path applies
+    # struct cells as dicts so the Arrow LocalRelation path applies.
+    # definition rides along so load -> export round trips reach the
+    # ORF/RRF sinks' MRDEF leg (every consumer selects by name)
     rows = [(c["cui"], c["name"], list(c["synonyms"]), list(c["semtypes"]),
              list(c["sources"]),
-             [{"sab": s, "code": k} for s, k in c.get("codes", ()) or ()])
+             [{"sab": s, "code": k} for s, k in c.get("codes", ()) or ()],
+             c.get("definition"))
             for c in concepts]
     return local_table(
         spark, rows, "cui string, name string, synonyms array<string>, "
                      "semtypes array<string>, sources array<string>, "
-                     "codes array<struct<sab:string, code:string>>")
+                     "codes array<struct<sab:string, code:string>>, "
+                     "definition string")

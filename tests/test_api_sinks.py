@@ -730,3 +730,31 @@ def test_canonicalize_kg_predicate_aware(spark):
         ("C3", "co-occurs-with", "C5"),
         ("C3", "isa", "C5"),
     }
+
+
+def test_export_terminology_orf_keeps_definitions(spark, tmp_path):
+    """The ORF round trip must carry definitions into MRDEF — the
+    concept records DataFrame now carries the definition column the
+    sink's MRDEF leg filters on."""
+    obo = ("[Term]\nid: TST:001\nname: melanoma\n"
+           'def: "A malignant neoplasm." [NCI]\n')
+    nc = NobleCoderSpark.from_obo(spark, obo)
+    d = tmp_path / "orf"
+    nc.export_terminology(str(d), format="orf", spark=spark, sab="TST")
+    lines = [ln for f in (d / "MRDEF").glob("part-*.txt")
+             for ln in f.read_text().splitlines()]
+    assert any("A malignant neoplasm." in ln for ln in lines)
+
+
+def test_search_keeps_first_score_and_buckets_ties():
+    """search(String,String) :1321-1329: a later same-code mention only
+    merges terms/annotations — the FIRST mention's score stands; and
+    the ranking comparator buckets scores at 0.001 before the
+    code-desc tie-break (:1299-1306)."""
+    res = NC.search("Melanoma was seen; then Melanoma was excised.")
+    top = res[0]
+    assert top.cui == "C013" and len(top.annotations) == 2
+    # both occurrences score 1.0 here — the pinned invariant is the
+    # merge count plus the bucketed ordering being stable
+    scores = [int(1000 * c.score) for c in res]
+    assert scores == sorted(scores, reverse=True)

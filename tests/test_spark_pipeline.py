@@ -631,3 +631,17 @@ def test_kg_integrity_validator(spark):
         & ~F.col("obj").isin("CXXX", "T999")
         & (F.col("subj") != F.col("obj")))
     assert kg_integrity(clean, known, tuis).count() == 0
+
+
+def test_span_invariant_tolerates_null_spans(spark):
+    """A doc whose spans cell is NULL on BOTH sides of the invariant
+    check is a match (the pipeline passes NULL spans through); only a
+    doc missing from one side violates."""
+    from nobletools_spark.operators.matcher import span_invariant_violations
+    from nobletools_spark.sources.fixtures import SPANS_DDL
+
+    docs = spark.createDataFrame(
+        [("d1", None), ("d2", [("text", "x", None, 0)])], SPANS_DDL)
+    assert span_invariant_violations(docs, docs) == 0
+    # a genuinely missing doc still counts
+    assert span_invariant_violations(docs, docs.filter("doc_id = 'd2'")) == 1
